@@ -1,0 +1,63 @@
+"""Vector column functions (dense + multivector).
+
+The reference declares ``Distance.COSINE`` for every collection
+(``with_vdr-2b-multi-v1/incremental_indexing_vdr_2b_multi_v1.py:80-83``,
+``with_jina_text_v4/jina_v4_text_indexer.py:67-71``) and MaxSim for
+multivector collections
+(``with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:128-130``);
+the actual math runs inside the Qdrant server. Here the same scoring is
+expressed as JVM-side Catalyst expressions (``zip_with`` +
+``aggregate``) so the KNN hot path needs no Python at all and stays
+inside whole-stage codegen.
+
+Numeric discipline: everything is cast to double and summed
+left-to-right, which makes scores bit-reproducible against the DuckDB
+oracle's ``list_dot_product(a::DOUBLE[], b::DOUBLE[])``; oracle-checked
+queries additionally round scores (default 6 dp) to absorb any residual
+last-ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["as_double", "dot", "l2_norm", "cosine", "l2_normalize", "cosine_prenorm"]
+
+
+def as_double(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product summed left-to-right in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two (unnormalized) double arrays."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_prenorm(a: Column, b: Column) -> Column:
+    """Cosine when both sides are already unit-normalized: plain dot.
+
+    Mirrors Qdrant's upsert-time normalization for COSINE collections —
+    normalize once at write, score with a dot product at query time.
+    """
+    return dot(a, b)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<double> column (write-path helper)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)

@@ -1,0 +1,112 @@
+"""Dense cosine KNN (the reference's core retrieval operator).
+
+Semantics pinned by the reference:
+- distance = COSINE, declared at collection creation
+  (``with_vdr-2b-multi-v1/incremental_indexing_vdr_2b_multi_v1.py:80-83``,
+  ``with_jina_text_v4/jina_v4_text_indexer.py:67-71``);
+- top-k with default k=5, descending score
+  (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:48,78-83``);
+- optional payload filter (declared but unused by the reference —
+  ``query_points(query_filter=...)``, SURVEY.md §2.3 F4) — here a plain
+  ``WHERE`` that Catalyst pushes into the parquet scan *before* scoring;
+- result projection id/score/payload with defaults
+  (``format_results``, ``query_vdr_2b_multi_v1.py:91-127``).
+
+Plan shape: ``corpus → [pushed filter] → crossJoin(broadcast(queries))
+→ score (JVM zip_with/aggregate, codegen) → top-k``. The query side is
+always tiny (one or a few rows), so the join is a
+BroadcastNestedLoopJoin: the corpus is never shuffled; the single-query
+top-k is TakeOrderedAndProject (per-partition heaps). That plan is the
+one you want at 100 TB: scan-local scoring, O(k) rows to the driver.
+
+Scores are rounded (default 6 dp) for oracle stability; ordering is
+made total with the id tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, dot
+from .topk import global_topk, grouped_topk
+
+__all__ = ["dense_knn", "dense_knn_batch"]
+
+
+def _score(vec_col: Column, query_col: Column, prenormalized: bool) -> Column:
+    a, b = as_double(vec_col), as_double(query_col)
+    return dot(a, b) if prenormalized else cosine(a, b)
+
+
+def dense_knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+    prefilter: Column | None = None,
+    score_threshold: float | None = None,
+    prenormalized: bool = False,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Single-query cosine top-k. ``query`` must have exactly one row
+    with column ``query_vec_col``. ``k=None`` disables the limit
+    (threshold-only search).
+    """
+    if prefilter is not None:
+        corpus = corpus.filter(prefilter)
+    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        corpus.join(F.broadcast(query.select(query_vec_col)))
+        .withColumn("score", score)
+        .select(id_col, *payload_cols, "score")
+    )
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= score_threshold)
+    if k is None:
+        return scored
+    return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def dense_knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+    prefilter: Column | None = None,
+    prenormalized: bool = False,
+    round_digits: int | None = 6,
+    local_prune: bool = False,
+) -> DataFrame:
+    """Multi-query cosine top-k: broadcast the query set, score each
+    (corpus row × query), rank per query with a window (optionally
+    pre-pruned map-side — see ``topk.grouped_topk``).
+    """
+    if prefilter is not None:
+        corpus = corpus.filter(prefilter)
+    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        corpus.join(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .withColumn("score", score)
+        .select(query_id_col, id_col, *payload_cols, "score")
+    )
+    return grouped_topk(
+        scored,
+        [query_id_col],
+        [("score", False), (id_col, True)],
+        k,
+        local_prune=local_prune,
+    )

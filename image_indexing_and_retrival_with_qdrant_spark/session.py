@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the settings are
+chosen so the same logical plans scale to a multi-executor cluster:
+AQE handles runtime coalescing/skew, shuffle partitions default to the
+core count instead of 200, Arrow is enabled for the pandas-UDF paths,
+and the session timezone is pinned to UTC so results are comparable
+with the DuckDB oracle (which is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "image_indexing_and_retrival_with_qdrant_spark",
+              cpus: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 4)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,33 @@
+"""Fixture-table loaders.
+
+The driver materializes TPC-H-ish + vector fixture tables as parquet
+under ``/root/testdata/sf*/`` (see TESTDATA.md / FIXTURES.md). All
+operators take DataFrames, so these loaders are the only place that
+knows the on-disk layout. Reading via ``spark.read.parquet`` keeps
+predicate pushdown / column pruning available to Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
