@@ -1,0 +1,114 @@
+"""MaxSim multivector KNN (late interaction, ColBERT-style).
+
+The reference declares ``MultiVectorConfig(comparator=MAX_SIM)`` for
+every multivector collection
+(``with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:128-130``;
+semantics documented at
+``with_jina_embeddings_v4/jina_v4_image_indexer.py:83-88``): for each
+query vector take the max similarity over the document's vectors, then
+sum over query vectors. Scoring runs inside Qdrant; here it is native:
+
+- **pandas-UDF path** (the production scorer): per row,
+  ``(Q @ D.T).max(axis=1).sum()`` in float64 numpy — one Arrow batch
+  crosses the Python boundary per ~4096 rows, matmul is vectorized.
+  This is the 100 TB path: scoring is embarrassingly parallel per
+  corpus partition, no shuffle; top-k is TakeOrderedAndProject.
+- **relational path** (the oracle-checkable twin): posexplode doc
+  vectors × posexplode query vectors → dot → max per (doc, qvec) →
+  sum per doc. Exact same result, pure Catalyst built-ins; slower
+  (explodes |D|×|Q| rows/doc) but useful as a cross-check and where
+  Python workers are unavailable.
+
+Vectors are assumed pre-normalized at write time (the engine's write
+path normalizes for COSINE collections, mirroring Qdrant), so the
+per-pair similarity is a plain dot product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot
+from .topk import global_topk
+
+__all__ = ["maxsim_score_udf", "maxsim_knn", "maxsim_knn_exact", "as_multivector"]
+
+
+def as_multivector(col: Column, dim: int, n: int) -> Column:
+    """Reshape a flat array<float> of length n*dim into n slices of
+    length dim (array<array<double>>). Used to derive multivector
+    fixtures from the flat ``embeddings`` table (FIXTURES.md §1)."""
+    return F.array(*[F.slice(col, i * dim + 1, dim) for i in range(n)]).cast(
+        "array<array<double>>"
+    )
+
+
+def maxsim_score_udf():
+    """Vectorized MaxSim scorer (built lazily — pandas_udf needs an
+    active SparkSession to resolve its return type)."""
+
+    @F.pandas_udf("double")
+    def _score(doc_mv: pd.Series, query_mv: pd.Series) -> pd.Series:
+        out = np.empty(len(doc_mv), dtype=np.float64)
+        for i, (d, q) in enumerate(zip(doc_mv, query_mv)):
+            D = np.asarray([np.asarray(v, dtype=np.float64) for v in d])
+            Q = np.asarray([np.asarray(v, dtype=np.float64) for v in q])
+            out[i] = (Q @ D.T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return _score
+
+
+def maxsim_knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    mv_col: str = "vectors",
+    query_mv_col: str = "query_vectors",
+    payload_cols: Sequence[str] = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Single-query MaxSim top-k via the vectorized pandas-UDF scorer."""
+    score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        corpus.join(F.broadcast(query.select(query_mv_col)))
+        .withColumn("score", score)
+        .select(id_col, *payload_cols, "score")
+    )
+    return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def maxsim_knn_exact(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    mv_col: str = "vectors",
+    query_mv_col: str = "query_vectors",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Relational MaxSim: theta join + two-level aggregation
+    (SURVEY.md §2.4 Q2 'relational alternative')."""
+    qvecs = query.select(
+        F.posexplode(F.col(query_mv_col)).alias("qpos", "qvec")
+    )
+    dvecs = corpus.select(
+        F.col(id_col), F.posexplode(F.col(mv_col)).alias("dpos", "dvec")
+    )
+    pairs = dvecs.join(F.broadcast(qvecs)).withColumn(
+        "dp", dot(F.col("qvec").cast("array<double>"), F.col("dvec").cast("array<double>"))
+    )
+    per_qvec = pairs.groupBy(id_col, "qpos").agg(F.max("dp").alias("mx"))
+    score = F.sum("mx")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = per_qvec.groupBy(id_col).agg(score.alias("score"))
+    return global_topk(scored, [("score", False), (id_col, True)], k)

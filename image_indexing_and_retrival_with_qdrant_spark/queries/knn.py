@@ -1,0 +1,149 @@
+"""Dense cosine KNN queries (SURVEY.md §2.4 Q1/Q3, §2.3 F4, §2.2 P6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.knn import dense_knn, dense_knn_batch
+from ..registry import register
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# Dense cosine KNN (SURVEY.md §2.4 Q1/Q3, §2.3 F4, §2.2 P6)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment: cosine(a, b) over DOUBLE[] with the same left-to-right
+# double summation as functions/vector.py::dot.
+_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def _query_of(emb: DataFrame, vec_id: int, alias: str = "query_vec") -> DataFrame:
+    return emb.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias(alias))
+
+
+@register(
+    "knn_dense_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: dense cosine top-5, query = embedding of vec_id 0.
+
+    Reference: ``query_vdr_2b_multi_v1.py:78-83`` (cosine KNN, k=5).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(emb, _query_of(emb, 0), k=5, payload_cols=["label"])
+
+
+@register(
+    "knn_batch_top3",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query KNN: broadcast query set + window rank ≤ 3."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return dense_knn_batch(emb, queries, k=3)
+
+
+@register(
+    "knn_filtered_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label = 7
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-filtered KNN (F4): WHERE label=7 runs *before* scoring
+    and is pushed into the parquet scan by Catalyst."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(
+        emb, _query_of(emb, 0), k=5, payload_cols=["label"],
+        prefilter=F.col("label") == 7,
+    )
+
+
+@register(
+    "knn_threshold",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) >= 0.25
+    """,
+)
+def knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-threshold search (Qdrant ``score_threshold`` analog):
+    all matches with cosine ≥ 0.25, unranked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(emb, _query_of(emb, 0), k=None, score_threshold=0.25)
+
+
+@register(
+    "knn_projection_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    top5 AS (
+      SELECT e.vec_id,
+             ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+      ORDER BY score DESC, e.vec_id
+      LIMIT 5
+    )
+    SELECT t.vec_id, t.score,
+           COALESCE(d.source, 'Unknown') AS source,
+           COALESCE(d.lang, 'Unknown') AS lang
+    FROM top5 t LEFT JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def knn_projection_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result projection with 'Unknown' defaults — the reference's
+    ``format_results`` (``query_vdr_2b_multi_v1.py:91-127``,
+    ``payload.get(..., 'Unknown')``), with payload columns joined from
+    the documents table (broadcast: top-k side is k rows)."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    top5 = dense_knn(emb, _query_of(emb, 0), k=5)
+    return (
+        F.broadcast(top5.drop("label"))
+        .join(docs, top5.vec_id == docs.doc_id, "left")
+        .select(
+            "vec_id", "score",
+            F.coalesce("source", F.lit("Unknown")).alias("source"),
+            F.coalesce("lang", F.lit("Unknown")).alias("lang"),
+        )
+    )

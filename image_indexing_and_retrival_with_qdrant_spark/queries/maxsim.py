@@ -1,0 +1,69 @@
+"""MaxSim multivector queries (SURVEY.md §2.4 Q2, §2.5 A3).
+
+Multivector fixtures are derived deterministically from the flat
+``embeddings`` table: the 64-d embedding is reshaped into 8 vectors of
+8 dims (FIXTURES.md §1 ``multivec_docs`` at fixture scale — models the
+ColPali 1030×128 shape, ``/root/reference/README.md:91``, at toy
+scale). The DuckDB oracle does the identical reshape with list slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.maxsim import as_multivector, maxsim_knn, maxsim_knn_exact
+from ..registry import register
+from ..tables import load
+
+_DIM, _N = 8, 8  # 64-d flat embedding → 8 vectors × 8 dims
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, qi.i, dj.j,
+         list_dot_product(
+           (CAST(e.embedding AS DOUBLE[]))[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM embeddings e
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+mx AS (SELECT vec_id, i, MAX(dp) AS m FROM pairs GROUP BY vec_id, i),
+sc AS (SELECT vec_id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY vec_id)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 5
+"""
+
+
+def _multivec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", as_multivector(F.col("embedding"), _DIM, _N).alias("vectors")
+    )
+
+
+def _multivec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(
+        as_multivector(F.col("embedding"), _DIM, _N).alias("query_vectors")
+    )
+
+
+@register("maxsim_top5", _MAXSIM_ORACLE)
+def maxsim_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim top-5 via the vectorized pandas-UDF scorer (the
+    production path — reference comparator semantics at
+    ``with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:128-130``)."""
+    return maxsim_knn(
+        _multivec_corpus(spark, sf_dir), _multivec_query(spark, sf_dir), k=5
+    )
+
+
+@register("maxsim_exact_top5", _MAXSIM_ORACLE)
+def maxsim_exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim top-5 via the pure-relational explode/agg twin."""
+    return maxsim_knn_exact(
+        _multivec_corpus(spark, sf_dir), _multivec_query(spark, sf_dir), k=5
+    )

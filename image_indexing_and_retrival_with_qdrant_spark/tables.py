@@ -24,6 +24,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects; read nanos as long and convert to a
+        # microsecond timestamp (integer div — no double rounding).
+        # Set at runtime so it works under the driver's own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
