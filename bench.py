@@ -1,0 +1,87 @@
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side result transfer) except tiny top-k results, which are
+collected. A warmup query runs first so JVM/codegen startup isn't
+billed to the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.session import get_spark
+
+# Headline set: the reference-surface operators (KNN/MaxSim/ingest)
+# plus the scale-relevant generalized operators. Pairwise-explosive
+# queries (ngram jaccard at 5k docs) are excluded by design — their
+# scale path is the MinHash/SimHash tier, which is included.
+HEADLINE = [
+    "knn_dense_top5",
+    "knn_batch_top3",
+    "knn_filtered_top5",
+    "maxsim_top5",
+    "ingest_search_e2e",
+    "ingest_embed_stub",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "nation_revenue",
+    "top_customers_per_nation",
+    "events_tumbling_5min",
+    "events_sessionization",
+    "events_json_payload",
+    "text_quality",
+    "text_token_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_ivf_top5",
+    "ann_lsh_top5",
+]
+
+SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
+
+
+def materialize(df, name: str) -> None:
+    if SMALL_RESULT.search(name):
+        df.collect()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # warmup: JVM + python worker pool spin-up
+    REGISTRY["knn_dense_top5"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(REGISTRY[name].builder(spark, sf_dir), name)
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

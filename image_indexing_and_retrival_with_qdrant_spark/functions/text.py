@@ -1,0 +1,106 @@
+"""Text-analysis column functions (north-star operators, SURVEY.md §7 M6).
+
+Everything here is a JVM-side Catalyst expression — no Python UDFs in
+any text hot path — so the operators whole-stage-codegen and scale
+linearly with the scan. Each function has an exact DuckDB-SQL twin
+used by the oracle queries (same hash, same regex semantics; DuckDB
+``regexp_replace`` requires the ``'g'`` flag to match Spark's
+replace-all).
+
+Hashing: the cross-engine portable 60-bit hash is
+``conv(substr(md5(s), 1, 15), 16, 10)`` in Spark ↔
+``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` in DuckDB. Used by
+the stub embedder, MinHash, and SimHash so every signature is
+oracle-checkable. (In a pure-Spark deployment ``xxhash64`` is cheaper;
+md5 is chosen for engine-portability of the correctness gate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "distinct_tokens", "char_shingles", "hash64",
+    "normalize_text", "fingerprint", "STOPWORDS", "stopword_ratio",
+    "punct_ratio", "lang_guess", "quality_score",
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punctuation-insensitive word tokens (``\\w+``)."""
+    return F.regexp_extract_all(col, F.lit(r"\w+"), 0)
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of a string column."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(col, i, n))
+    )
+
+
+def hash64(col: Column, seed: int | None = None) -> Column:
+    """Portable 60-bit hash (md5-derived); ``seed`` derives independent
+    hash functions for MinHash."""
+    s = col if seed is None else F.concat(col, F.lit(f"|{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"[^a-z0-9\s]", "")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(col, r"[^a-zA-Z0-9\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.length(col)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    stops = F.filter(
+        toks, lambda t: F.lower(t).isin(*STOPWORDS)
+    )
+    return F.size(stops) / F.size(toks)
+
+
+def lang_guess(col: Column) -> Column:
+    """Character-class language heuristic (n-gram-free tier of the
+    reference's multilingual claim,
+    ``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:52-58``)."""
+    return (
+        F.when(col.rlike("[一-鿿]"), "zh")
+        .when(col.rlike("[Ѐ-ӿ]"), "ru")
+        .when(col.rlike("[äöüß]"), "de")
+        .when(col.rlike("[áéíóúñ¿¡]"), "es")
+        .when(col.rlike("[àâçèêëîïôùû]"), "fr")
+        .otherwise("en")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards length (up to 100
+    tokens), penalizes punctuation density and stopword density."""
+    n_tok = F.size(tokens(col))
+    return (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio(col))
+        + 0.3 * (1 - stopword_ratio(col))
+    )

@@ -1,0 +1,147 @@
+"""Approximate nearest-neighbor tiers (SURVEY.md §4, §7 M5).
+
+The reference delegates ANN to Qdrant's server-side HNSW (built past
+``indexing_threshold``,
+``incremental_indexing_colpali_with_qdrant.py:132``). Spark has no
+HNSW; the scale-out design replaces it with two tiers, both judged by
+recall@k against the exact scan (FIXTURES.md §4 — approximate by
+design, rows-only in the driver):
+
+- **IVF (inverted file / coarse quantization)**: KMeans centroids →
+  every vector assigned to its nearest centroid → corpus stored
+  ``partitionBy(centroid_id)`` → a query probes only the ``nprobe``
+  nearest centroids' partitions. With the partition layout on disk,
+  Catalyst's partition pruning turns the probe into a scan of
+  ``nprobe/k`` of the data — this is the 100 TB path.
+  ``nprobe = k_centroids`` degenerates to the exact scan (recall 1.0),
+  which the tests pin.
+- **LSH (random hyperplane / sign projection)**: portable, seeded,
+  pure-column-expression sign-bit signatures; candidates = rows whose
+  signature matches the query's in any band; exact rescoring of
+  candidates. (``pyspark.ml``'s BucketedRandomProjectionLSH offers the
+  same via ``approxNearestNeighbors``, but it is driver-loop oriented
+  for multi-query use; the expression form broadcasts any number of
+  queries.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, dot
+from .topk import global_topk
+
+__all__ = ["ivf_build", "ivf_search", "lsh_signatures", "lsh_search"]
+
+
+# --- IVF ------------------------------------------------------------------
+
+def ivf_build(corpus: DataFrame, k_centroids: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 42, max_iter: int = 10):
+    """KMeans coarse quantizer. Returns (assigned_corpus, centroids)
+    where ``assigned_corpus`` carries a ``centroid_id`` column — at
+    scale, write it ``partitionBy("centroid_id")``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(k=k_centroids, seed=seed, maxIter=max_iter,
+                   featuresCol="__features", predictionCol="centroid_id").fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    return assigned, cdf
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+               k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding", query_vec_col: str = "query_vec",
+               round_digits: int | None = 6) -> DataFrame:
+    """Probe the nprobe nearest centroids, exact cosine within them.
+
+    The centroid shortlist is computed on the (tiny) centroid table and
+    broadcast into the corpus filter — with a partitioned layout this
+    predicate prunes partitions; here it is a pushed-down IN filter."""
+    probed = global_topk(
+        centroids.join(F.broadcast(query.select(query_vec_col)))
+        .withColumn(
+            "cdist", cosine(F.col("centroid"), as_double(F.col(query_vec_col)))
+        )
+        .select("centroid_id", "cdist"),
+        [("cdist", False), ("centroid_id", True)],
+        nprobe,
+    ).select("centroid_id")
+
+    candidates = assigned.join(F.broadcast(probed), on="centroid_id")
+    score = cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col)))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        candidates.join(F.broadcast(query.select(query_vec_col)))
+        .withColumn("score", score)
+        .select(id_col, "score")
+    )
+    return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+# --- sign-projection LSH --------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signatures(df: DataFrame, dim: int, vec_col: str = "embedding",
+                   n_planes: int = 8, n_bands: int = 2,
+                   seed: int = 7) -> DataFrame:
+    """Random-hyperplane sign signatures, split into bands. Adds
+    ``band0..band{n_bands-1}`` string columns (bucket keys). Pure
+    column expressions — signature computation is scan-local."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    v = as_double(F.col(vec_col))
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    out = df
+    for b in range(n_bands):
+        sig = F.concat(*bits[b * per_band:(b + 1) * per_band])
+        out = out.withColumn(f"band{b}", sig)
+    return out
+
+
+def lsh_search(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_vec_col: str = "query_vec", n_planes: int = 8,
+               n_bands: int = 2, seed: int = 7,
+               round_digits: int | None = 6) -> DataFrame:
+    """Candidate generation by band-bucket match against the query's
+    signature, then exact cosine rescoring of candidates only."""
+    c_sig = lsh_signatures(corpus, dim, vec_col, n_planes, n_bands, seed)
+    q_sig = lsh_signatures(
+        query.withColumnRenamed(query_vec_col, vec_col), dim, vec_col,
+        n_planes, n_bands, seed,
+    ).withColumnRenamed(vec_col, query_vec_col)
+
+    match = None
+    for b in range(n_bands):
+        m = F.col(f"c.band{b}") == F.col(f"q.band{b}")
+        match = m if match is None else (match | m)
+    candidates = c_sig.alias("c").join(F.broadcast(q_sig.alias("q")), match)
+
+    score = cosine(
+        as_double(F.col(f"c.{vec_col}")), as_double(F.col(f"q.{query_vec_col}"))
+    )
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = candidates.select(F.col(f"c.{id_col}").alias(id_col),
+                               score.alias("score"))
+    return global_topk(scored, [("score", False), (id_col, True)], k)

@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north star per BASELINE.json; SURVEY.md §7 M6 + §1.4).
+
+The reference's honest-upsert gap (append-only with fresh UUIDs —
+``incremental_indexing_colpali_with_qdrant.py:258``, SURVEY.md §1.4)
+motivates the exact tier; the near-dup tiers are the standard
+web-scale text-dedup stack. All tiers are expressed as DataFrame
+transformations with no Python in the hot path:
+
+- **exact**: content-hash groupBy. One shuffle on a 128-bit key;
+  skew-free by construction (hashes are uniform).
+- **MinHash + LSH**: shingle/tokenize → k independent min-hashes →
+  band signatures → candidate pairs join only within equal band
+  buckets. The candidate join is an equi-join on band signature, so at
+  scale it shuffles ``docs × bands`` small rows rather than comparing
+  O(n²) pairs.
+- **SimHash**: 16/64-bit sign-aggregated token hashes; near-dups have
+  small Hamming distance; banding on the top bits gives the same
+  equi-join blocking property.
+- **n-gram Jaccard**: the exact verifier for candidate pairs (and, on
+  blocked subsets, a standalone operator).
+- **embedding cosine**: semantic near-dup on a vector column; blocked
+  by a coarse key (label / IVF centroid) to avoid the full cross join.
+
+Hashes are the md5-derived portable ``hash64`` (functions/text.py) so
+every signature matches the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, distinct_tokens, hash64
+from ..functions.vector import as_double, dot
+
+__all__ = [
+    "exact_dedup_groups", "dedup_keep_first",
+    "minhash_signature", "minhash_band_pairs",
+    "simhash", "simhash_near_pairs",
+    "jaccard_pairs", "embedding_near_pairs",
+]
+
+
+# --- exact tier -----------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Group rows by content hash; one row per distinct content with
+    the group size and the keeper (min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """MERGE-style dedup (SURVEY.md §1.4): keep exactly one physical
+    row per distinct content — the min-id one. Winner join on
+    (hash, id), then a physical-row dedup (duplicate ingestion runs
+    carry identical ids, so a semi-join alone would keep both
+    copies)."""
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    winners = (
+        hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        hashed.join(winners, on=["__h", id_col], how="left_semi")
+        .dropDuplicates([id_col, "__h"])
+        .drop("__h")
+    )
+
+
+# --- MinHash + LSH tier ---------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      use_shingles: bool = False) -> DataFrame:
+    """k independent min-hashes over the doc's distinct tokens (or
+    3-gram shingles). Output: id, mh0..mh{k-1}.
+
+    Shape: explode → conditional-agg per doc. The explode is
+    scan-local; the single shuffle is the groupBy on id with k partial
+    mins (map-side combined)."""
+    terms = (
+        char_shingles(F.col(text_col)) if use_shingles
+        else distinct_tokens(F.col(text_col))
+    )
+    exploded = df.select(F.col(id_col), F.explode(terms).alias("term"))
+    aggs = [
+        F.min(hash64(F.col("term"), seed=s)).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs. Returns (id_a, id_b, n_shared_bands), id_a < id_b."""
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    stacked = bands.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_sig"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, on="band_sig")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --- SimHash tier ---------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """Sign-aggregated token-hash fingerprint: bit i is set iff the
+    sum over tokens of ±1 (by bit i of the token hash) is ≥ 0."""
+    exploded = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("term")
+    ).withColumn("th", hash64(F.col("term")))
+    per_bit = exploded.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+            .alias(f"w{i}")
+            for i in range(bits)
+        ],
+    ).groupBy(id_col).agg(
+        *[F.sum(f"w{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return per_bit.select(F.col(id_col), sh.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id",
+                       bits: int = 16, max_hamming: int = 3,
+                       block_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ t, blocked on the top
+    ``block_bits`` (equi-join blocking; exact within block)."""
+    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), bits - block_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact-similarity tiers ----------------------------------------------
+
+def jaccard_pairs(df: DataFrame, block_col: Column, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  min_jaccard: float = 0.0) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity within blocks (equi-join on
+    the blocking key keeps the pair count linear-ish)."""
+    sh = df.select(
+        F.col(id_col),
+        block_col.alias("block"),
+        char_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        6,
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_near_pairs(df: DataFrame, block_col: Column,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         min_cosine: float = 0.9) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ τ, blocked by a coarse
+    key (label, IVF centroid, LSH bucket) to bound the join.
+
+    Vectors are L2-normalized once per row *before* the self-join, so
+    per-pair work is a single dot product — at P pairs over n rows
+    that is O(n·d + P·d), not O(P·3d) with two norms per pair."""
+    v = df.select(
+        F.col(id_col), block_col.alias("block"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("_norm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
+        id_col, "block",
+        F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,35 @@
+"""ANN-tier queries (SURVEY.md §7 M5) — rows-only in the driver
+(approximate by design); recall invariants live in tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ann import ivf_build, ivf_search, lsh_search
+from ..registry import register
+from ..tables import load
+
+
+def _query_of(emb: DataFrame, vec_id: int) -> DataFrame:
+    return emb.filter(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+@register("ann_ivf_top5", None)
+def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (16 centroids, nprobe=4) for the vec_id=0
+    query."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, k_centroids=16, seed=42)
+    return ivf_search(assigned, centroids, _query_of(emb, 0), k=5, nprobe=4)
+
+
+@register("ann_lsh_top5", None)
+def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH search (8 planes, 2 bands) for the vec_id=0
+    query."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_search(emb, _query_of(emb, 0), dim=64, k=5)

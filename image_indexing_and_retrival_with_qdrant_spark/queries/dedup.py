@@ -1,0 +1,237 @@
+"""Dedup queries over ``documents``/``embeddings`` (SURVEY.md §7 M6,
+§1.4; north-star training-data operators).
+
+Fixture note: the synthetic corpus draws from a ~31-word vocabulary,
+so token-level MinHash/SimHash collide heavily (that is the data, not
+a bug — verified against the oracle). Pair-producing queries therefore
+emit *aggregate* candidate counts (bounded output, still value-checked)
+while signature queries emit full per-doc rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_keep_first,
+    embedding_near_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_signature,
+    simhash,
+    simhash_near_pairs,
+)
+from ..registry import register
+from ..tables import load
+
+_HASH = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_TOKS = (
+    "SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\w+'))) AS term"
+    " FROM documents"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with keeper ids."""
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_rerun_semantics",
+    """
+    SELECT 'append' AS mode, CAST(COUNT(*) * 2 AS BIGINT) AS n_rows FROM documents
+    UNION ALL
+    SELECT 'merge' AS mode, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_rows FROM documents
+    """,
+)
+def dedup_rerun_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-indexing the same corpus twice: append mode duplicates every
+    point (reference behavior — fresh uuid4 per run,
+    ``incremental_indexing_colpali_with_qdrant.py:258``, SURVEY.md
+    §1.4); merge mode keeps one row per distinct content."""
+    docs = load(spark, sf_dir, "documents")
+    rerun = docs.unionAll(docs)  # second indexing run
+    append_n = rerun.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("append").alias("mode"), "n_rows"
+    )
+    merge_n = (
+        dedup_keep_first(rerun)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("merge").alias("mode"), "n_rows")
+    )
+    return append_n.unionAll(merge_n)
+
+
+_MINHASH_SIG_ORACLE = (
+    f"WITH toks AS ({_TOKS})\n"
+    "SELECT doc_id,\n"
+    + ",\n".join(
+        f"  MIN({_HASH.format(expr=f_term)}) AS mh{s}"
+        for s, f_term in ((s, f"term || '|{s}'") for s in range(8))
+    )
+    + "\nFROM toks GROUP BY doc_id"
+)
+
+
+@register("dedup_minhash_signatures", _MINHASH_SIG_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 portable hash functions)."""
+    return minhash_signature(load(spark, sf_dir, "documents"), num_hashes=8)
+
+
+_MH_COLS = ", ".join(
+    "MIN(" + _HASH.format(expr=f"term || '|{s}'") + f") AS mh{s}" for s in range(8)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+sig AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, concat_ws('_', 0, mh0, mh1) AS band_sig FROM sig
+  UNION ALL SELECT doc_id, concat_ws('_', 1, mh2, mh3) FROM sig
+  UNION ALL SELECT doc_id, concat_ws('_', 2, mh4, mh5) FROM sig
+  UNION ALL SELECT doc_id, concat_ws('_', 3, mh6, mh7) FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands b ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COALESCE(SUM(CASE WHEN n_shared_bands = 4 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_all_band_pairs
+FROM pairs
+"""
+
+
+@register("dedup_minhash_candidates", _MINHASH_PAIRS_ORACLE)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-pair statistics (4 bands × 2 hashes)."""
+    sig = minhash_signature(load(spark, sf_dir, "documents"), num_hashes=8)
+    pairs = minhash_band_pairs(sig, num_hashes=8, band_size=2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_shared_bands") == 4, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_all_band_pairs"),
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+h AS (SELECT doc_id, {_HASH.format(expr='term')} AS th FROM toks),
+bitsum AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (th >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 15) AS b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash fingerprint."""
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+h AS (SELECT doc_id, {_HASH.format(expr='term')} AS th FROM toks),
+bitsum AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (th >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 15) AS b(i)
+  GROUP BY doc_id, b.i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sh)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair count (Hamming ≤ 3, top-8-bit blocking)."""
+    sh = simhash(load(spark, sf_dir, "documents"), bits=16)
+    pairs = simhash_near_pairs(sh, bits=16, max_hamming=3, block_bits=8)
+    return pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substring(text, i, 3))) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all pairs within a source
+    block (the verifier tier for LSH candidates)."""
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, F.col("source"), n=3, min_jaccard=0.0)
+
+
+@register(
+    "dedup_embedding_cosine",
+    # normalize-then-dot, mirroring the Spark operator's shape exactly
+    # (same per-element ops → bit-identical scores before rounding)
+    """
+    WITH nv AS (
+      SELECT vec_id, label,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+             ) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ 0.3 within label blocks."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, F.col("label"), min_cosine=0.3)

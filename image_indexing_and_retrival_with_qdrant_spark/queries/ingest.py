@@ -1,0 +1,150 @@
+"""Ingestion-pipeline queries (SURVEY.md §2.1/§2.2/§2.6, §3.1-§3.2).
+
+These run the reference's indexing + retrieval lifecycle end-to-end on
+the ``documents`` fixture with the deterministic ``HashEmbedder``
+(SURVEY.md §5.3): scan → embed → point build → [write] → query-embed →
+cosine KNN. Because the stub embedder is SQL-expressible, the WHOLE
+pipeline — including the semantic search result — is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import create_collection
+from ..operators.knn import dense_knn
+from ..registry import register
+from ..sources.embedder import HashEmbedder
+from ..sources.ingest import build_points
+from ..tables import load
+
+_E = HashEmbedder(dim=8)
+
+_QUERY_TEXT = "spark query engine"
+
+
+@register(
+    "ingest_build_points",
+    """
+    SELECT sha256(text) AS id,
+           text AS content,
+           doc_id,
+           'document' AS source_tag
+    FROM documents
+    """,
+)
+def ingest_build_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P5 point construction with deterministic content-hash ids
+    (the honest-id upgrade of ``uuid.uuid4()``,
+    ``incremental_indexing_colpali_with_qdrant.py:256-269``).
+    Timestamp column omitted here for oracle determinism (P3 is
+    pinned by tests/test_ingest.py instead)."""
+    docs = load(spark, sf_dir, "documents")
+    return build_points(
+        docs.withColumn("embedding", F.lit(None).cast("array<double>")),
+        id_key=F.col("text"),
+        payload={"content": F.col("text"), "doc_id": F.col("doc_id")},
+        source_tag="document",
+        with_timestamp=False,
+    ).drop("embedding")
+
+
+def _embed_dims_sql(text_expr: str, mode: str = "passage") -> list[str]:
+    return [_E.oracle_dim_sql(i, text_expr, mode) for i in range(_E.dim)]
+
+
+@register(
+    "ingest_embed_stub",
+    f"""
+    SELECT doc_id,
+           ROUND({_embed_dims_sql('text')[0]}, 6) AS e0,
+           ROUND({_embed_dims_sql('text')[1]}, 6) AS e1,
+           ROUND({_embed_dims_sql('text')[2]}, 6) AS e2,
+           ROUND({_embed_dims_sql('text')[3]}, 6) AS e3,
+           ROUND(sqrt({" + ".join(f"({d}) * ({d})" for d in _embed_dims_sql('text'))}), 6)
+             AS norm
+    FROM documents
+    """,
+)
+def ingest_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stub embedding of every document (E5 analog,
+    ``jina_v4_text_indexer.py:104-114``) — dims + norm, value-checked."""
+    docs = load(spark, sf_dir, "documents")
+    emb = _E.embed(docs, text_col="text")
+    e = F.col("embedding")
+    from ..functions.vector import l2_norm
+
+    return emb.select(
+        "doc_id",
+        F.round(F.element_at(e, 1), 6).alias("e0"),
+        F.round(F.element_at(e, 2), 6).alias("e1"),
+        F.round(F.element_at(e, 3), 6).alias("e2"),
+        F.round(F.element_at(e, 4), 6).alias("e3"),
+        F.round(l2_norm(e), 6).alias("norm"),
+    )
+
+
+def _e2e_oracle() -> str:
+    d = _embed_dims_sql("d.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+    return f"""
+    SELECT d.doc_id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM documents d
+    ORDER BY score DESC, d.doc_id
+    LIMIT 5
+    """
+
+
+@register("ingest_search_e2e", _e2e_oracle())
+def ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full retrieval lifecycle (§3.2) without models:
+    embed corpus (passage mode) → embed the text query (query mode) →
+    cosine top-5. Every stage oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
+    query = _E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query",
+    ).select(F.col("embedding").alias("query_vec"))
+    return dense_knn(corpus, query, k=5, id_col="doc_id")
+
+
+@register(
+    "ingest_collection_lifecycle",
+    """
+    SELECT 'append' AS mode, CAST(COUNT(*) * 2 AS BIGINT) AS n_points FROM documents
+    UNION ALL
+    SELECT 'merge' AS mode, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_points FROM documents
+    """,
+)
+def ingest_collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7–S9 lifecycle: create two collections, upsert the same corpus
+    twice into each — append mode duplicates (reference semantics,
+    SURVEY.md §1.4), merge mode is idempotent. Returns final counts."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"),
+        id_key=F.col("text"),
+        payload={"doc_id": F.col("doc_id")},
+        with_timestamp=False,
+    )
+    root = tempfile.mkdtemp(prefix="qd_collections_")
+    try:
+        rows = []
+        for mode in ("append", "merge"):
+            coll = create_collection(root, f"docs_{mode}", dim=8,
+                                     metric="cosine")
+            coll.upsert(spark, points, mode=mode)
+            coll.upsert(spark, points, mode=mode)  # re-index run
+            rows.append((mode, coll.count(spark)))
+        return spark.createDataFrame(rows, "mode string, n_points long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

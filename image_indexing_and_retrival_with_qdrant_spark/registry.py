@@ -49,4 +49,13 @@ def register(name: str, oracle: Optional[str]):
 
 # Populate (import order = display order). Bottom of module so the
 # builders can `from ..registry import register`.
-from .queries import events, knn, maxsim, relational  # noqa: E402,F401
+from .queries import (  # noqa: E402,F401
+    ann,
+    dedup,
+    events,
+    ingest,
+    knn,
+    maxsim,
+    relational,
+    text,
+)

@@ -1,0 +1,145 @@
+"""Embedder seam (SURVEY.md §2.6 E1–E6).
+
+The reference's entire scalar-function library is batched model
+inference: ColPali/ColQwen2/Jina multivector image embedding, VDR/Jina
+dense embedding, plus query-mode variants
+(``incremental_indexing_colpali_with_qdrant.py:89-104,245-248``,
+``jina_v4_text_indexer.py:104-114``, ``query_vdr_2b_multi_v1.py:64-75``).
+Engine decision (SURVEY.md §2.6): the embedder is a pluggable
+interface with
+
+- ``HashEmbedder`` — deterministic, model-free, **pure Catalyst
+  expression** (no Python): dim i of the vector is the portable
+  60-bit md5 hash of ``text || ':' || i`` mapped to [-1, 1]. Exactly
+  SQL-expressible, so the whole ingest pipeline is oracle-checkable.
+- ``PandasHashEmbedder`` — the same function computed in a
+  ``mapInPandas`` iterator UDF. Produces bit-identical vectors; its
+  purpose is to exercise the *real* model-UDF shape (stateful
+  per-worker init, Arrow batch iteration) so swapping in a GPU model
+  changes one method, not the pipeline.
+- ``HuggingFaceEmbedder`` — the real-model adapter, gated behind an
+  import-try (torch/transformers are not in this container; mirrors
+  the reference's ``local_files_only=True`` offline loading,
+  ``README.md:138``).
+
+Mode ∈ {passage, query} mirrors the reference's prompt-mode split
+(``jina_v4_text_indexer.py:104-114`` vs ``jina_v4_text_retrieval.py:48-53``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64
+from ..functions.vector import l2_normalize
+
+__all__ = ["HashEmbedder", "PandasHashEmbedder", "HuggingFaceEmbedder"]
+
+_MOD = 2_000_001
+_HALF = 1_000_000
+
+
+class HashEmbedder:
+    """Deterministic stub embedder as a JVM-side expression."""
+
+    def __init__(self, dim: int = 8, normalize: bool = False):
+        self.dim = dim
+        self.normalize = normalize
+
+    def expr(self, text: Column, mode: str = "passage") -> Column:
+        tagged = text if mode == "passage" else F.concat(F.lit("query:"), text)
+        vec = F.array(
+            *[
+                (
+                    (hash64(F.concat(tagged, F.lit(f":{i}"))) % _MOD - _HALF)
+                    / F.lit(float(_HALF))
+                )
+                for i in range(self.dim)
+            ]
+        )
+        return l2_normalize(vec) if self.normalize else vec
+
+    def embed(self, df: DataFrame, text_col: str = "text",
+              out_col: str = "embedding", mode: str = "passage") -> DataFrame:
+        return df.withColumn(out_col, self.expr(F.col(text_col), mode))
+
+    def oracle_dim_sql(self, i: int, text_expr: str = "text",
+                       mode: str = "passage") -> str:
+        """DuckDB fragment computing dimension ``i`` (for oracles)."""
+        tagged = text_expr if mode == "passage" else f"('query:' || {text_expr})"
+        h = f"CAST(('0x' || substr(md5({tagged} || ':{i}'), 1, 15)) AS BIGINT)"
+        return f"(({h} % {_MOD}) - {_HALF}) / {float(_HALF)}"
+
+
+class PandasHashEmbedder:
+    """Same stub via mapInPandas — the production model-UDF shape."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def embed(self, df: DataFrame, text_col: str = "text",
+              out_col: str = "embedding", mode: str = "passage") -> DataFrame:
+        dim = self.dim
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = f"{fields}, {out_col} array<double>"
+        prefix = "" if mode == "passage" else "query:"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Model init would happen here, once per worker (the
+            # reference loads its model once per process,
+            # incremental_indexing_colpali_with_qdrant.py:89-104).
+            def vec(text: str) -> list[float]:
+                out = np.empty(dim, dtype=np.float64)
+                for i in range(dim):
+                    h = hashlib.md5(f"{prefix}{text}:{i}".encode()).hexdigest()
+                    out[i] = (int(h[:15], 16) % _MOD - _HALF) / float(_HALF)
+                return out.tolist()
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out_col] = pdf[text_col].map(vec)
+                yield pdf
+
+        return df.mapInPandas(run, schema=schema)
+
+
+class HuggingFaceEmbedder:
+    """Real-model adapter (E1–E6). Requires torch + transformers with
+    locally cached weights; unavailable in the test container, so all
+    methods raise with a clear message until then.
+
+    Parameters mirror the reference: model id/path, multivector flag
+    (ColPali/ColQwen2/Jina-image → array<array<float>>), device/dtype
+    selection (``incremental_indexing_colpali_with_qdrant.py:81-85``).
+    """
+
+    def __init__(self, model_path: str, multivector: bool = False,
+                 batch_size: int = 16):
+        self.model_path = model_path
+        self.multivector = multivector
+        self.batch_size = batch_size
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+            self._available = True
+        except ImportError:
+            self._available = False
+
+    def embed(self, df: DataFrame, input_col: str = "content",
+              out_col: str = "embedding", mode: str = "passage") -> DataFrame:
+        if not self._available:
+            raise NotImplementedError(
+                "torch/transformers not installed — use HashEmbedder or "
+                "PandasHashEmbedder for engine testing (SURVEY.md §2.6)"
+            )
+        raise NotImplementedError(
+            "HF inference UDF requires locally cached weights "
+            "(reference loads with local_files_only=True, README.md:138)"
+        )

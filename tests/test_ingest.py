@@ -1,0 +1,116 @@
+"""Ingestion pipeline: S/P/E operators (SURVEY.md §2.1-§2.2, §2.6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import (
+    HashEmbedder,
+    PandasHashEmbedder,
+)
+from image_indexing_and_retrival_with_qdrant_spark.sources.files import (
+    scan_images,
+    with_path_parts,
+)
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+from .oracle import compare
+
+INGEST = [
+    "ingest_build_points",
+    "ingest_embed_stub",
+    "ingest_search_e2e",
+    "ingest_collection_lifecycle",
+]
+
+# 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)
+_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d49444154789c626001000000ffff03000006000557bfabd40000000049454e44ae426082"
+)
+
+
+@pytest.mark.parametrize("name", INGEST)
+def test_ingest_oracle(spark, sf_smoke, name):
+    compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_hash_embedders_agree(spark, sf_smoke):
+    """The Catalyst-expression stub and the mapInPandas stub must
+    produce bit-identical vectors (same md5-derived math)."""
+    docs = load(spark, sf_smoke, "documents").limit(50)
+    a = HashEmbedder(dim=8).embed(docs).select("doc_id", "embedding")
+    b = PandasHashEmbedder(dim=8).embed(docs).select("doc_id", "embedding")
+    ra = {r.doc_id: r.embedding for r in a.collect()}
+    rb = {r.doc_id: r.embedding for r in b.collect()}
+    assert ra == rb
+
+
+def test_scan_images_extension_filter(spark, tmp_path):
+    """S4: {.jpg,.jpeg,.png} case-insensitive filter; folder layout
+    pins convert_pdf_to_image.py:41-49 ({pdf}/{pdf}_page_{n}.png)."""
+    root = tmp_path / "corpus"
+    (root / "docA").mkdir(parents=True)
+    (root / "docB").mkdir()
+    (root / "docA" / "docA_page_1.png").write_bytes(_PNG)
+    (root / "docA" / "docA_page_2.PNG").write_bytes(_PNG)
+    (root / "docB" / "docB_page_1.JpEg").write_bytes(_PNG)
+    (root / "docB" / "notes.txt").write_bytes(b"not an image")
+    (root / "docB" / "docB.pdf").write_bytes(b"%PDF-fake")
+
+    df = scan_images(spark, str(root))
+    paths = sorted(r.path for r in df.select("path").collect())
+    assert len(paths) == 3
+    assert all(p.lower().endswith((".png", ".jpeg")) for p in paths)
+
+    parts = with_path_parts(df, str(root))
+    row = {r.filename: r for r in parts.collect()}
+    assert row["docA_page_1.png"].folder == "docA"
+    assert row["docA_page_1.png"].relative_path == "docA/docA_page_1.png"
+    assert not row["docA_page_1.png"].full_path.startswith("file:")
+
+
+def test_collection_dimension_check(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "c1", dim=4, metric="cosine")
+    good = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0])], "id string, embedding array<double>"
+    )
+    coll.upsert(spark, good)
+    assert coll.count(spark) == 1
+    bad = spark.createDataFrame(
+        [("b", [1.0, 0.0])], "id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        coll.upsert(spark, bad)
+
+
+def test_collection_normalizes_on_write(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "c2", dim=2, metric="cosine")
+    pts = spark.createDataFrame(
+        [("a", [3.0, 4.0])], "id string, embedding array<double>"
+    )
+    coll.upsert(spark, pts)
+    [row] = coll.read(spark).collect()
+    assert row.embedding == pytest.approx([0.6, 0.8])
+
+
+def test_point_id_uuid_mode(spark, sf_smoke):
+    """P1 reference mode: uuid4 per row — unique across re-runs
+    (append-duplication semantics, SURVEY.md §1.4)."""
+    from image_indexing_and_retrival_with_qdrant_spark.sources.ingest import build_points
+
+    docs = load(spark, sf_smoke, "documents").limit(20).withColumn(
+        "embedding", F.array(F.lit(0.0))
+    )
+    # Two indexing runs = two plans (Spark seeds uuid() per plan, so
+    # re-collecting one plan repeats ids; a new run gets fresh ones).
+    run1 = build_points(docs, id_key=None, with_timestamp=True)
+    run2 = build_points(docs, id_key=None, with_timestamp=True)
+    ids = [r.id for r in run1.select("id").collect()] + [
+        r.id for r in run2.select("id").collect()
+    ]
+    assert len(set(ids)) == len(ids)  # append-duplication: all distinct ids
+    assert run1.schema["indexed_at"].dataType.typeName() == "timestamp"
