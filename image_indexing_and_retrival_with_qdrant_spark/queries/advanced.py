@@ -1,0 +1,263 @@
+"""Advanced analytics queries: as-of join, pivot, exact percentiles,
+statistical aggregates, rolling-hash fingerprints, the pruned batch
+top-k, and two-stage MaxSim retrieval (SURVEY.md §4 'two-stage
+retrieve' optimization; §7 M6 coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64, tokens
+from ..functions.vector import as_double, cosine
+from ..operators.knn import dense_knn_batch
+from ..operators.maxsim import as_multivector, maxsim_knn_exact
+from ..operators.topk import global_topk
+from ..registry import register
+from ..tables import load
+
+
+# --- as-of join (Spark lacks a native one; SNIPPETS/common OLAP) ----------
+@register(
+    "events_asof_purchase_view",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_view_sec
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sec - prior_view_sec AS BIGINT) AS secs_since_view
+    FROM seq
+    WHERE event_type = 'purchase' AND prior_view_sec IS NOT NULL
+    """,
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior 'view' event — the carry-forward-window formulation (one
+    shuffle on user_id; no range-join explosion)."""
+    ev = load(spark, sf_dir, "events").withColumn("sec", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("sec")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_sec", prior_view)
+        .filter((F.col("event_type") == "purchase")
+                & F.col("prior_view_sec").isNotNull())
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") - F.col("prior_view_sec")).cast("long")
+            .alias("secs_since_view"),
+        )
+    )
+
+
+# --- pivot ----------------------------------------------------------------
+@register(
+    "orders_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status matrix."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+# --- exact percentiles + statistical aggregates ---------------------------
+@register(
+    "lineitem_price_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS median_price,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + sample stddev/corr/covar."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+    )
+
+
+# --- rolling-hash fingerprint --------------------------------------------
+_P = 1_000_000_007
+
+
+@register(
+    "text_rolling_hash",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '\\w+'),
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_P}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len(hs) = 0 THEN -1
+                     ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % {_P})
+                END AS BIGINT) AS rhash
+    FROM h
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (document fingerprinting that distinguishes permuted texts, unlike
+    the bag-of-tokens md5). Left fold seeded with the first token hash
+    (list_reduce semantics), mod 1e9+7 at every step — no overflow,
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    hs = F.transform(tokens(F.col("text")), lambda t: hash64(t) % _P)
+    folded = F.aggregate(
+        F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),
+        F.element_at(hs, 1),
+        lambda acc, x: (acc * 31 + x) % _P,
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.size(hs) == 0, F.lit(-1)).otherwise(folded)
+        .cast("long").alias("rhash"),
+    )
+
+
+# --- pruned batch top-k: narrow pre-prune is exact ------------------------
+_PRUNED_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("knn_batch_pruned_top3", _PRUNED_ORACLE)
+def knn_batch_pruned_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to knn_batch_top3 but through the narrow
+    mapInPandas pre-prune (the 1000-executor shuffle reducer) — the
+    shared oracle proves the prune is lossless."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return dense_knn_batch(emb, queries, k=3, local_prune=True)
+
+
+# --- two-stage MaxSim retrieval (SURVEY.md §4) ----------------------------
+_DIM, _N, _PREFILTER = 8, 8, 50
+
+
+def _pooled_sql(e: str) -> str:
+    """DuckDB: mean-pool the 8×8 multivector back to one 8-d vector
+    (left-associated sums, matching the Spark expression order)."""
+    dims = []
+    for d in range(1, _DIM + 1):
+        terms = " + ".join(f"{e}[{(j * _DIM) + d}]" for j in range(_N))
+        dims.append(f"(({terms}) / {float(_N)})")
+    return "[" + ", ".join(dims) + "]"
+
+
+_TWO_STAGE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pooled AS (SELECT vec_id, e, {_pooled_sql('e')} AS pv FROM base),
+qp AS (SELECT e AS qe, pv AS qpv FROM pooled WHERE vec_id = 0),
+stage1 AS (
+  SELECT p.vec_id, p.e,
+         ROUND(list_dot_product(p.pv, q.qpv)
+           / (sqrt(list_dot_product(p.pv, p.pv))
+              * sqrt(list_dot_product(q.qpv, q.qpv))), 6) AS pscore
+  FROM pooled p CROSS JOIN qp q
+  ORDER BY pscore DESC, p.vec_id
+  LIMIT {_PREFILTER}
+),
+pairs AS (
+  SELECT s.vec_id, qi.i, dj.j,
+         list_dot_product(
+           s.e[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]) AS dp
+  FROM stage1 s CROSS JOIN qp q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+mx AS (SELECT vec_id, i, MAX(dp) AS m FROM pairs GROUP BY vec_id, i),
+sc AS (SELECT vec_id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY vec_id)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 5
+"""
+
+
+@register("maxsim_two_stage_top5", _TWO_STAGE_ORACLE)
+def maxsim_two_stage_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ColBERT pattern (SURVEY.md §4): cheap dense
+    prefilter (mean-pooled vectors, cosine top-50) → exact MaxSim
+    rescoring of the candidates only. At scale this turns an O(N·|Q|·|D|)
+    MaxSim pass into O(N·d + 50·|Q|·|D|). Deterministic, hence fully
+    oracle-checked (including the stage-1 cut)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    pooled_dims = []
+    for d in range(1, _DIM + 1):
+        s = None
+        for j in range(_N):
+            term = F.element_at(e, j * _DIM + d)
+            s = term if s is None else s + term
+        pooled_dims.append(s / float(_N))
+    pooled = emb.select("vec_id", F.col("embedding"),
+                        F.array(*pooled_dims).alias("pv"))
+    qp = pooled.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("pv").alias("qpv")
+    )
+    stage1 = global_topk(
+        pooled.join(F.broadcast(qp.select("qpv")))
+        .withColumn("pscore", F.round(cosine(F.col("pv"), F.col("qpv")), 6))
+        .select("vec_id", "embedding", "pscore"),
+        [("pscore", False), ("vec_id", True)],
+        _PREFILTER,
+    )
+    corpus_mv = stage1.select(
+        "vec_id", as_multivector(F.col("embedding"), _DIM, _N).alias("vectors")
+    )
+    query_mv = qp.select(as_multivector(F.col("qe"), _DIM, _N).alias("query_vectors"))
+    return maxsim_knn_exact(corpus_mv, query_mv, k=5)

@@ -50,6 +50,7 @@ def register(name: str, oracle: Optional[str]):
 # Populate (import order = display order). Bottom of module so the
 # builders can `from ..registry import register`.
 from .queries import (  # noqa: E402,F401
+    advanced,
     ann,
     dedup,
     events,

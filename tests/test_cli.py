@@ -1,0 +1,67 @@
+"""CLI surface (reference script parity) + S6 JSON document source."""
+
+import json
+
+from image_indexing_and_retrival_with_qdrant_spark import cli
+from image_indexing_and_retrival_with_qdrant_spark.sources.files import (
+    read_json_documents,
+)
+
+# the reference's only checked-in input shape
+# (with_jina_text_v4/sample_text_data.json:1-27)
+_SAMPLE = [
+    {"id": "doc1", "title": "Spark engines", "content": "distributed query engines run plans"},
+    {"id": "doc2", "title": "Vector search", "content": "cosine similarity over embeddings"},
+    {"id": "doc3", "title": "Streams", "content": "windowed aggregation with watermarks"},
+]
+
+
+def _write_sample(tmp_path):
+    p = tmp_path / "sample_text_data.json"
+    p.write_text(json.dumps(_SAMPLE))
+    return str(p)
+
+
+def test_read_json_documents(spark, tmp_path):
+    df = read_json_documents(spark, _write_sample(tmp_path))
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {"doc1", "doc2", "doc3"}
+    assert rows["doc2"].title == "Vector search"
+
+
+def test_cli_index_query_stats_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("ENGINE_EMBED_DIM", "8")
+    root = str(tmp_path / "colls")
+    sample = _write_sample(tmp_path)
+
+    rc = cli.main(["index-docs", "--json", sample, "--collection", "txt",
+                   "--root", root])
+    assert rc == 0
+    assert "3 points" in capsys.readouterr().out
+
+    # merge mode: re-index is idempotent (no duplicate points)
+    cli.main(["index-docs", "--json", sample, "--collection", "txt",
+              "--root", root])
+    assert "3 points" in capsys.readouterr().out
+
+    # append mode: reference duplicate-on-rerun semantics
+    cli.main(["index-docs", "--json", sample, "--collection", "txt",
+              "--root", root, "--append"])
+    assert "6 points" in capsys.readouterr().out
+
+    rc = cli.main(["query", "cosine similarity search", "--collection", "txt",
+                   "--root", root, "--top-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("score=") == 2
+
+    rc = cli.main(["stats", "--collection", "txt", "--root", root])
+    assert rc == 0
+    assert "6 points" in capsys.readouterr().out
+
+
+def test_cli_query_missing_collection(tmp_path, capsys):
+    rc = cli.main(["query", "x", "--collection", "nope",
+                   "--root", str(tmp_path)])
+    assert rc == 1
+    assert "not found" in capsys.readouterr().err

@@ -1,0 +1,56 @@
+"""Plan-shape pins (SURVEY.md §4): the cheapest 100 TB scale test.
+
+These assert the physical plans Catalyst produces for the core
+operators — pushdown reaching the parquet scan, broadcast joins for
+small sides, TakeOrderedAndProject (per-partition heaps) instead of a
+global sort, and per-row pipelines staying exchange-free.
+"""
+
+from image_indexing_and_retrival_with_qdrant_spark.plans.explain import (
+    formatted_plan,
+    pushed_filters,
+)
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    return formatted_plan(REGISTRY[name].builder(spark, sf_dir))
+
+
+def test_knn_plan_shape(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "knn_dense_top5")
+    assert "TakeOrderedAndProject" in plan  # top-k, not Sort+Limit
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+    assert "SortMergeJoin" not in plan  # corpus is never shuffled
+
+
+def test_filtered_knn_pushes_predicate(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "knn_filtered_top5")
+    assert any("label" in f for f in pushed_filters(plan))
+
+
+def test_tpch_q3_broadcasts_dimension(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan  # customer side
+    assert any("BUILDING" in f or "c_mktsegment" in f
+               for f in pushed_filters(plan))
+
+
+def test_scan_local_text_pipeline_has_no_exchange(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "text_fingerprint")
+    assert "Exchange" not in plan  # pure per-row: map-only pipeline
+
+
+def test_projection_pruning_reaches_scan(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "text_fingerprint")
+    # only doc_id + text are read, not the full documents schema
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all(
+        "lang" not in l and "n_chars" not in l for l in schema_lines
+    )
+
+
+def test_maxsim_exact_aggregates_partially(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "maxsim_exact_top5")
+    # two-level agg (max then sum) must include partial aggregation
+    assert plan.count("HashAggregate") >= 2
