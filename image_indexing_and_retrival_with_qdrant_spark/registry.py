@@ -58,5 +58,6 @@ from .queries import (  # noqa: E402,F401
     knn,
     maxsim,
     relational,
+    scale,
     text,
 )

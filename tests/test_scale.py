@@ -1,0 +1,77 @@
+"""Scale-pattern queries vs oracle + sketch bounds + multivector
+collection e2e."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+    as_multivector,
+    maxsim_knn,
+)
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+from .oracle import compare
+
+NAMES = [
+    "events_salted_agg",
+    "documents_hash_sample",
+    "orders_status_cube",
+    "customers_open_not_finished",
+    "events_moving_avg",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_scale_oracle(spark, sf_smoke, name):
+    compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_approx_sketches_within_bounds(spark, sf_smoke):
+    ev = load(spark, sf_smoke, "events")
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["events_approx_sketches"].builder(spark, sf_smoke).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"),
+             F.expr("percentile(value, 0.5)").alias("median"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et].approx_users - ex.users) <= max(2, 0.1 * ex.users)
+        # percentile_approx returns an element of the dataset near the median
+        spread = ev.filter(F.col("event_type") == et).agg(
+            F.max("value") - F.min("value")
+        ).collect()[0][0]
+        assert abs(approx[et].approx_median_value - ex.median) <= 0.2 * spread
+
+
+def test_multivector_collection_end_to_end(spark, sf_smoke, tmp_path):
+    """S7→S8→Q2 on a multivector collection: create (MAX_SIM
+    comparator), upsert reshaped fixture vectors, MaxSim-query it —
+    the catalog analog of the ColPali flow (SURVEY.md §3.3)."""
+    emb = load(spark, sf_smoke, "embeddings")
+    mv = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        as_multivector(F.col("embedding"), 8, 8).alias("vectors"),
+    )
+    coll = create_collection(str(tmp_path), "mv", dim=8, multivector=True,
+                             metric="cosine", normalize=False)
+    assert coll.meta["comparator"] == "max_sim"
+    coll.upsert(spark, mv, vec_col="vectors")
+    assert coll.count(spark) == emb.count()
+
+    corpus = coll.read(spark)
+    query = mv.filter(F.col("id") == "0").select(
+        F.col("vectors").alias("query_vectors")
+    )
+    top = maxsim_knn(corpus, query, k=3, id_col="id").collect()
+    assert top[0].id == "0"  # self-match first
+    # matches the registry maxsim result on the same data
+    want = [str(r.vec_id) for r in
+            REGISTRY["maxsim_top5"].builder(spark, sf_smoke).limit(3).collect()]
+    assert [r.id for r in top] == want
