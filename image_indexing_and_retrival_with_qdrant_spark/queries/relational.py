@@ -234,6 +234,34 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Approximate + exact distinct (sketch ops; approx is rows-only —
 # HLL implementations differ across engines, so no value oracle).
 @register(
+    "part_brand_volume",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 6) AS avg_retail,
+           ROUND(SUM(l.l_quantity), 2) AS shipped_qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 25
+    GROUP BY p.p_brand
+    """,
+)
+def part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension join: brand-level shipped volume (part is small
+    → broadcast; the size filter pushes into its scan)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            F.round(F.sum("l_quantity"), 2).alias("shipped_qty"),
+        )
+    )
+
+
+@register(
     "supplier_part_distinct",
     """
     SELECT l_suppkey,

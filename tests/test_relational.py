@@ -14,6 +14,7 @@ NAMES = [
     "order_priority_rollup",
     "customers_open_and_finished",
     "customers_without_orders",
+    "part_brand_volume",
     "supplier_part_distinct",
     "events_tumbling_5min",
     "events_sliding_10min",
