@@ -64,6 +64,26 @@ def maxsim_score_udf():
     return _score
 
 
+def maxsim_score_flat_udf(dim: int):
+    """MaxSim scorer over *flat* vector columns (length = n_vecs×dim),
+    reshaped to (n, dim) in numpy. Mathematically identical to the
+    nested scorer, but the Arrow transfer of a flat array<double> is
+    several times cheaper than array<array<double>> — this is the
+    high-throughput path (multivectors should be *stored* flat with a
+    dim column for exactly this reason; SCALE.md MaxSim notes)."""
+
+    @F.pandas_udf("double")
+    def _score(doc_flat: pd.Series, query_flat: pd.Series) -> pd.Series:
+        out = np.empty(len(doc_flat), dtype=np.float64)
+        for i, (d, q) in enumerate(zip(doc_flat, query_flat)):
+            D = np.asarray(d, dtype=np.float64).reshape(-1, dim)
+            Q = np.asarray(q, dtype=np.float64).reshape(-1, dim)
+            out[i] = (Q @ D.T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return _score
+
+
 def maxsim_knn(
     corpus: DataFrame,
     query: DataFrame,
@@ -73,9 +93,18 @@ def maxsim_knn(
     query_mv_col: str = "query_vectors",
     payload_cols: Sequence[str] = (),
     round_digits: int | None = 6,
+    flat_dim: int | None = None,
 ) -> DataFrame:
-    """Single-query MaxSim top-k via the vectorized pandas-UDF scorer."""
-    score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
+    """Single-query MaxSim top-k via the vectorized pandas-UDF scorer.
+
+    With ``flat_dim`` set, ``mv_col``/``query_mv_col`` are flat
+    arrays (n×dim doubles) and the cheap flat scorer is used."""
+    if flat_dim is not None:
+        score = maxsim_score_flat_udf(flat_dim)(
+            F.col(mv_col), F.col(query_mv_col)
+        )
+    else:
+        score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (

@@ -55,10 +55,16 @@ def _multivec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def maxsim_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxSim top-5 via the vectorized pandas-UDF scorer (the
     production path — reference comparator semantics at
-    ``with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:128-130``)."""
-    return maxsim_knn(
-        _multivec_corpus(spark, sf_dir), _multivec_query(spark, sf_dir), k=5
+    ``with_colpali_v1.3/incremental_indexing_colpali_with_qdrant.py:128-130``).
+    Uses the flat-storage scorer: the 64-d embedding IS the flat 8×8
+    multivector, so no nested-array Arrow transfer is needed."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("mv"))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("query_mv")
     )
+    return maxsim_knn(corpus, query, k=5, mv_col="mv",
+                      query_mv_col="query_mv", flat_dim=_DIM)
 
 
 @register("maxsim_exact_top5", _MAXSIM_ORACLE)
