@@ -51,6 +51,10 @@ HEADLINE = [
     "events_moving_avg",
     "lineitem_price_stats",
     "text_rolling_hash",
+    "colbert_text_search_top5",
+    "scd2_corpus_refresh",
+    "events_click_purchase_band",
+    "events_profile",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -53,11 +53,13 @@ from .queries import (  # noqa: E402,F401
     advanced,
     ann,
     cdc,
+    colbert,
     dedup,
     events,
     ingest,
     knn,
     maxsim,
+    quality,
     relational,
     scale,
     text,

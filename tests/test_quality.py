@@ -1,0 +1,24 @@
+"""Data-quality / robustness queries vs DuckDB oracle."""
+
+import pytest
+
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+
+from .oracle import compare
+
+NAMES = [
+    "ingest_failure_stats",
+    "customer_window_showcase",
+    "part_name_fuzzy_pairs",
+    "events_profile",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_quality_oracle(spark, sf_smoke, name):
+    compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_colbert_text_search_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["colbert_text_search_top5"], sf_smoke,
+            "colbert_text_search_top5")
