@@ -44,7 +44,7 @@ def _score(vec_col: Column, query_col: Column, prenormalized: bool) -> Column:
 def dense_knn(
     corpus: DataFrame,
     query: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
