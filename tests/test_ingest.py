@@ -114,3 +114,20 @@ def test_point_id_uuid_mode(spark, sf_smoke):
     ]
     assert len(set(ids)) == len(ids)  # append-duplication: all distinct ids
     assert run1.schema["indexed_at"].dataType.typeName() == "timestamp"
+
+
+def test_hf_embedder_gated(spark, sf_smoke):
+    """E1-E6 adapter: clear gate when torch/transformers are absent
+    (mirrors the reference's local_files_only offline requirement)."""
+    from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import (
+        HuggingFaceEmbedder,
+    )
+
+    emb = HuggingFaceEmbedder("some/model", multivector=True)
+    docs = load(spark, sf_smoke, "documents").limit(2)
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="torch/transformers"):
+            emb.embed(docs)
