@@ -181,7 +181,7 @@ def knn_batch_pruned_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return dense_knn_batch(emb, queries, k=3, local_prune=True)
+    return dense_knn_batch(emb, queries, k=3, local_prune=True, dim=64)
 
 
 # --- two-stage MaxSim retrieval (SURVEY.md §4) ----------------------------

@@ -114,7 +114,7 @@ def ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
         text_col="text", mode="query",
     ).select(F.col("embedding").alias("query_vec"))
-    return dense_knn(corpus, query, k=5, id_col="doc_id")
+    return dense_knn(corpus, query, k=5, id_col="doc_id", dim=8)
 
 
 @register(

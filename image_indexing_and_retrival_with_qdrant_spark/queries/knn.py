@@ -43,7 +43,7 @@ def knn_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: ``query_vdr_2b_multi_v1.py:78-83`` (cosine KNN, k=5).
     """
     emb = load(spark, sf_dir, "embeddings")
-    return dense_knn(emb, _query_of(emb, 0), k=5, payload_cols=["label"])
+    return dense_knn(emb, _query_of(emb, 0), k=5, payload_cols=["label"], dim=64)
 
 
 @register(
@@ -71,7 +71,7 @@ def knn_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return dense_knn_batch(emb, queries, k=3)
+    return dense_knn_batch(emb, queries, k=3, dim=64)
 
 
 @register(
@@ -92,7 +92,7 @@ def knn_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return dense_knn(
         emb, _query_of(emb, 0), k=5, payload_cols=["label"],
-        prefilter=F.col("label") == 7,
+        prefilter=F.col("label") == 7, dim=64,
     )
 
 
@@ -110,7 +110,7 @@ def knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-threshold search (Qdrant ``score_threshold`` analog):
     all matches with cosine ≥ 0.25, unranked."""
     emb = load(spark, sf_dir, "embeddings")
-    return dense_knn(emb, _query_of(emb, 0), k=None, score_threshold=0.25)
+    return dense_knn(emb, _query_of(emb, 0), k=None, score_threshold=0.25, dim=64)
 
 
 @register(
@@ -137,7 +137,7 @@ def knn_projection_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table (broadcast: top-k side is k rows)."""
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
-    top5 = dense_knn(emb, _query_of(emb, 0), k=5)
+    top5 = dense_knn(emb, _query_of(emb, 0), k=5, dim=64)
     return (
         F.broadcast(top5.drop("label"))
         .join(docs, top5.vec_id == docs.doc_id, "left")

@@ -1,0 +1,103 @@
+"""Stress run: core operators against a synthetic 10M-row corpus
+generated in-plan (no storage) — evidence that the operator shapes
+hold beyond the driver fixtures. Not part of the driver contract;
+run manually: ``python stress.py [n_rows]``.
+
+The corpus is `range(n)` + expression-derived 16-d vectors and
+payload columns, so generation itself is codegen'd and streams
+through the operators without materializing anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+    as_double,
+    dot,
+)
+from image_indexing_and_retrival_with_qdrant_spark.operators.knn import dense_knn
+from image_indexing_and_retrival_with_qdrant_spark.operators.topk import grouped_topk
+from image_indexing_and_retrival_with_qdrant_spark.session import get_spark
+
+DIM = 16
+
+
+def synth_corpus(spark, n: int):
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    # deterministic pseudo-vectors from xxhash64 (cheap, JVM-side)
+    dims = [
+        (
+            (F.xxhash64(F.col("vec_id"), F.lit(i)) % 2000001 - 1000000)
+            / F.lit(1000000.0)
+        )
+        for i in range(DIM)
+    ]
+    return df.select(
+        "vec_id",
+        F.array(*dims).alias("embedding"),
+        (F.col("vec_id") % 100).cast("int").alias("label"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus = synth_corpus(spark, n)
+    query = corpus.filter(F.col("vec_id") == 12345).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+    timings = {}
+
+    t0 = time.perf_counter()
+    top = dense_knn(corpus, query, k=10, dim=DIM).collect()
+    timings["knn_top10"] = round(time.perf_counter() - t0, 2)
+    assert top[0].vec_id == 12345, "self-match must rank first"
+
+    t0 = time.perf_counter()
+    queries = corpus.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .withColumn(
+            "score",
+            F.round(dot(as_double(F.col("embedding")),
+                        as_double(F.col("query_vec"))), 6),
+        )
+        .select("query_id", "vec_id", "score")
+    )
+    pruned = grouped_topk(
+        scored, ["query_id"], [("score", False), ("vec_id", True)], 5,
+        local_prune=True,
+    )
+    assert pruned.count() == 20
+    timings["batch4_knn_pruned_top5"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    agg = (
+        corpus.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_d0"))
+        .collect()
+    )
+    assert len(agg) == 100
+    timings["groupby_agg"] = round(time.perf_counter() - t0, 2)
+
+    rate = round(n / timings["knn_top10"] / 1e6, 1)
+    print(json.dumps({
+        "metric": "stress", "rows": n, "dim": DIM,
+        "timings_sec": timings,
+        "knn_mrows_per_sec": rate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
