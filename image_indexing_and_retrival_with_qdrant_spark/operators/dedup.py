@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signature", "minhash_band_pairs",
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs",
+    "ml_minhash_similarity_join",
 ]
 
 
@@ -242,3 +243,38 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# --- spark.ml MinHashLSH tier --------------------------------------------
+
+def ml_minhash_similarity_join(df_a: DataFrame, df_b: DataFrame,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               max_jaccard_dist: float = 0.5,
+                               num_hash_tables: int = 5,
+                               vocab_size: int = 1 << 18,
+                               seed: int = 42) -> DataFrame:
+    """Near-dup similarity join via pyspark.ml's MinHashLSH
+    ``approxSimilarityJoin`` (SURVEY.md §7 M6): shingle → sparse
+    binary vector (hashing-trick) → banded minhash join → pairs with
+    Jaccard *distance* ≤ threshold.
+
+    Complements the expression-level MinHash (minhash_signature):
+    that one is oracle-checkable; this one plugs into the ml Pipeline
+    ecosystem. Returns (id_a, id_b, jaccard_dist)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__toks",
+                         pattern=r"\W+", minTokenLength=1)
+    tf = HashingTF(inputCol="__toks", outputCol="__features",
+                   numFeatures=vocab_size, binary=True)
+    fa = tf.transform(tok.transform(df_a))
+    fb = tf.transform(tok.transform(df_b))
+    model = MinHashLSH(inputCol="__features", outputCol="__hashes",
+                       numHashTables=num_hash_tables, seed=seed).fit(fa)
+    joined = model.approxSimilarityJoin(fa, fb, max_jaccard_dist,
+                                        distCol="jaccard_dist")
+    return joined.select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    ).filter(F.col("id_a") < F.col("id_b"))

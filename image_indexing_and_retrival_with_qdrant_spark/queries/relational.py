@@ -276,3 +276,58 @@ def supplier_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- correlated-subquery shape (TPC-H Q2-style): row vs per-group min.
+@register(
+    "cheapest_part_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, ROUND(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape). Catalyst rewrites
+    it to an aggregate + join — written here in subquery form via the
+    SQL API to exercise that rewrite."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql("""
+        SELECT p.p_brand, p.p_partkey, ROUND(p.p_retailprice, 2) AS price
+        FROM v_part p
+        WHERE p.p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM v_part p2
+          WHERE p2.p_brand = p.p_brand
+        )
+    """)
+
+
+# --- unpivot / melt
+@register(
+    "lineitem_unpivot_measures",
+    """
+    SELECT l_returnflag, measure, ROUND(SUM(val), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via stack(): wide measure columns → long
+    (measure, value) rows, then aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )

@@ -16,6 +16,8 @@ NAMES = [
     "customers_without_orders",
     "part_brand_volume",
     "supplier_part_distinct",
+    "cheapest_part_per_brand",
+    "lineitem_unpivot_measures",
     "events_tumbling_5min",
     "events_sliding_10min",
     "events_sessionization",

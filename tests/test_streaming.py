@@ -77,3 +77,55 @@ def test_incremental_index_exactly_once(spark, sf_smoke, tmp_path):
     )
     q.awaitTermination(120)
     assert coll.count(spark) == 100
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: rows arriving
+    after the watermark passed their window are dropped; closed
+    windows emit exactly once."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def rows(*minutes):
+        return [(base + dt.timedelta(minutes=m), "click", 1.0) for m in minutes]
+
+    schema = "ts timestamp, event_type string, value double"
+    src = str(tmp_path / "late_src")
+    # batch A: 3 rows in window [00:00,00:05) + one at 01:00 that
+    # advances the watermark far past that window
+    spark.createDataFrame(rows(0, 1, 2, 60), schema).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    # batch B: one LATE row for the closed window + one at 02:00
+    b_dir = str(tmp_path / "late_b")
+    spark.createDataFrame(rows(1, 120), schema).coalesce(1).write.parquet(b_dir)
+
+    from image_indexing_and_retrival_with_qdrant_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(stream, width="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: only A visible; watermark → 00:50
+        for f in os.listdir(b_dir):  # now deliver the late batch
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(b_dir, f), os.path.join(src, f"b_{f}"))
+        q.processAllAvailable()  # batch 2: late 00:01 row vs closed window
+    finally:
+        q.stop()
+
+    out = {r.window_start: r.n_events
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    w0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # the 00:00 window closed with batch A's 3 rows; batch B's late
+    # row (00:01) arrived after the watermark and was dropped
+    assert out.get(w0) == 3

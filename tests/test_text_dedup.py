@@ -22,3 +22,27 @@ DEDUP = [
 @pytest.mark.parametrize("name", TEXT + DEDUP)
 def test_text_dedup_oracle(spark, sf_smoke, name):
     compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_ml_minhash_similarity_join_finds_planted_dups(spark, sf_smoke):
+    """spark.ml approxSimilarityJoin tier: planted near-duplicates
+    (doc + itself with one word changed) must surface as pairs."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        ml_minhash_similarity_join,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents").limit(40)
+    near = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    pairs = ml_minhash_similarity_join(corpus, corpus,
+                                       max_jaccard_dist=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(d, d + 10000) for d in range(40)}
+    hit = len(planted & found) / len(planted)
+    assert hit >= 0.9, f"planted near-dup recall too low: {hit}"
