@@ -33,25 +33,61 @@ from pyspark.sql import functions as F
 from ..functions.vector import as_double, cosine, dot
 from .topk import global_topk
 
-__all__ = ["ivf_build", "ivf_search", "lsh_signatures", "lsh_search"]
+__all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
+           "lsh_signatures", "lsh_search"]
 
 
 # --- IVF ------------------------------------------------------------------
 
+def assign_centroid_expr(centroids: list[list[float]], vec_col: Column) -> Column:
+    """Nearest-centroid id as a pure column expression: per centroid an
+    unrolled squared distance over literal coordinates, argmin via
+    ``array_min`` over (distance, id) structs (lexicographic struct
+    ordering). Whole-stage codegen, no ml transformer, no Python — the
+    assignment pass is just another projection over the scan, which is
+    what a 100 TB backfill needs."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        d = None
+        for j, cj in enumerate(c):
+            diff = F.element_at(vec_col, j + 1).cast("double") - F.lit(float(cj))
+            term = diff * diff
+            d = term if d is None else d + term
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
 def ivf_build(corpus: DataFrame, k_centroids: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed: int = 42, max_iter: int = 10):
+              seed: int = 42, max_iter: int = 10,
+              sample_fraction: float | None = None):
     """KMeans coarse quantizer. Returns (assigned_corpus, centroids)
     where ``assigned_corpus`` carries a ``centroid_id`` column — at
-    scale, write it ``partitionBy("centroid_id")``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    scale, write it ``partitionBy("centroid_id")``.
 
-    feat = corpus.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
+    With ``sample_fraction`` set, KMeans trains on a seeded sample and
+    the full corpus is assigned by ``assign_centroid_expr`` — the
+    scale path (SCALE.md): training cost is bounded by the sample, the
+    assignment is a codegen'd projection over one scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction is not None:
+        train = corpus.sample(fraction=sample_fraction, seed=seed)
+    feat = train.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
     model = KMeans(k=k_centroids, seed=seed, maxIter=max_iter,
                    featuresCol="__features", predictionCol="centroid_id").fit(feat)
-    assigned = model.transform(feat).drop("__features")
     centroids = [c.tolist() for c in model.clusterCenters()]
+    if sample_fraction is not None:
+        assigned = corpus.withColumn(
+            "centroid_id", assign_centroid_expr(centroids, as_double(F.col(vec_col)))
+        )
+    else:
+        full_feat = corpus.withColumn(
+            "__features", array_to_vector(as_double(F.col(vec_col)))
+        )
+        assigned = model.transform(full_feat).drop("__features")
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -66,9 +102,11 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
                round_digits: int | None = 6) -> DataFrame:
     """Probe the nprobe nearest centroids, exact cosine within them.
 
-    The centroid shortlist is computed on the (tiny) centroid table and
-    broadcast into the corpus filter — with a partitioned layout this
-    predicate prunes partitions; here it is a pushed-down IN filter."""
+    The centroid shortlist (≤ nprobe ints) is computed on the tiny
+    centroid table and collected driver-side, so the corpus filter is
+    a *literal* ``centroid_id IN (...)`` — statically partition-pruned
+    on a ``partitionBy("centroid_id")`` layout (a broadcast join here
+    would scan every partition instead)."""
     probed = global_topk(
         centroids.join(F.broadcast(query.select(query_vec_col)))
         .withColumn(
@@ -78,8 +116,9 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
         [("cdist", False), ("centroid_id", True)],
         nprobe,
     ).select("centroid_id")
+    probe_ids = [r.centroid_id for r in probed.collect()]
 
-    candidates = assigned.join(F.broadcast(probed), on="centroid_id")
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     score = cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col)))
     if round_digits is not None:
         score = F.round(score, round_digits)

@@ -66,3 +66,24 @@ def test_lsh_self_hit_and_recall(spark, sf_smoke):
     exact = _exact_ids(emb, q, 10)
     recall = len(exact & {r.vec_id for r in got}) / 10
     assert recall >= 0.3, f"LSH recall@10 too low: {recall}"
+
+
+def test_expr_assignment_matches_ml_transformer(spark, sf_smoke):
+    """Sample-trained + expression-assigned IVF must agree with the
+    ml-transformer assignment for the same centroids."""
+    emb = load(spark, sf_smoke, "embeddings")
+    a1, c1 = ivf_build(emb, k_centroids=8, seed=42)
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroid_expr,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        as_double,
+    )
+
+    cents = [r.centroid for r in c1.orderBy("centroid_id").collect()]
+    a2 = emb.withColumn(
+        "centroid_id", assign_centroid_expr(cents, as_double(F.col("embedding")))
+    )
+    m1 = {r.vec_id: r.centroid_id for r in a1.select("vec_id", "centroid_id").collect()}
+    m2 = {r.vec_id: r.centroid_id for r in a2.select("vec_id", "centroid_id").collect()}
+    assert m1 == m2
