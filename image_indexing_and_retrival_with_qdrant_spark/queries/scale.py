@@ -143,3 +143,75 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
     )
+
+
+@register(
+    "orders_intersect_all_statuses",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def orders_intersect_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving INTERSECT ALL (bag semantics — min of the
+    per-side multiplicities), complementing the distinct set ops."""
+    o = load(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersectAll(fin_c).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "events_signup_purchase_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(first_signup) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_purchase > first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM per_user
+    """,
+)
+def events_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users whose first purchase follows their first signup —
+    one conditional-min aggregation pass, no self-join."""
+    ev = load(spark, sf_dir, "events").withColumn("sec", F.unix_timestamp("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("sec"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        ).cast("long").alias("n_converted"),
+    )
+
+
+@register(
+    "documents_length_histogram",
+    """
+    SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (bucketed groupBy)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    return d.groupBy(bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

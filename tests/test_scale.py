@@ -20,6 +20,9 @@ NAMES = [
     "orders_status_cube",
     "customers_open_not_finished",
     "events_moving_avg",
+    "orders_intersect_all_statuses",
+    "events_signup_purchase_funnel",
+    "documents_length_histogram",
 ]
 
 
