@@ -293,12 +293,15 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H Q2 shape). Catalyst rewrites
     it to an aggregate + join — written here in subquery form via the
     SQL API to exercise that rewrite."""
-    load(spark, sf_dir, "part").createOrReplaceTempView("v_part")
-    return spark.sql("""
+    import uuid
+
+    view = f"v_part_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "part").createOrReplaceTempView(view)
+    return spark.sql(f"""
         SELECT p.p_brand, p.p_partkey, ROUND(p.p_retailprice, 2) AS price
-        FROM v_part p
+        FROM {view} p
         WHERE p.p_retailprice = (
-          SELECT MIN(p2.p_retailprice) FROM v_part p2
+          SELECT MIN(p2.p_retailprice) FROM {view} p2
           WHERE p2.p_brand = p.p_brand
         )
     """)

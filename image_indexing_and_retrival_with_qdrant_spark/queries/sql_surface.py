@@ -8,6 +8,8 @@ from SQL.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sql_functions import register_sql_functions
@@ -37,13 +39,14 @@ def sql_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     function, planned as TakeOrderedAndProject (pinned in
     tests/test_sql_surface.py)."""
     register_sql_functions(spark)
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("v_embeddings")
-    return spark.sql("""
+    view = f"v_emb_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    return spark.sql(f"""
         WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
-                   FROM v_embeddings WHERE vec_id = 0)
+                   FROM {view} WHERE vec_id = 0)
         SELECT e.vec_id, e.label,
                ROUND(cosine_sim(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv), 6) AS score
-        FROM v_embeddings e CROSS JOIN q
+        FROM {view} e CROSS JOIN q
         ORDER BY score DESC, e.vec_id
         LIMIT 5
     """)
@@ -75,13 +78,14 @@ def sql_maxsim_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Per-pair dot summation is left-to-right like the oracle's slice
     dot products; SUM over the 8 maxima is order-free after round.)"""
     register_sql_functions(spark)
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("v_embeddings")
-    return spark.sql("""
+    view = f"v_emb_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView(view)
+    return spark.sql(f"""
         WITH mv AS (
           SELECT vec_id,
                  transform(sequence(0, 7), j ->
                    CAST(slice(embedding, j * 8 + 1, 8) AS ARRAY<DOUBLE>)) AS vecs
-          FROM v_embeddings
+          FROM {view}
         ),
         q AS (SELECT vecs AS qvecs FROM mv WHERE vec_id = 0)
         SELECT m.vec_id, ROUND(max_sim(q.qvecs, m.vecs), 6) AS score

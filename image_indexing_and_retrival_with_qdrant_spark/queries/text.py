@@ -83,11 +83,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     once in a first projection and combined in a second (the naive
     form re-runs regexp_extract_all four times per row)."""
     d = load(spark, sf_dir, "documents")
-    base = d.select(
+    toked = d.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tok"),
+        tokens(F.col("text")).alias("toks"),  # one regexp pass
         punct_ratio(F.col("text")).alias("p_ratio"),
-        stopword_ratio(F.col("text")).alias("s_ratio"),
+    )
+    base = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        "p_ratio",
+        (
+            F.size(F.filter("toks", lambda t: F.lower(t).isin(*STOPWORDS)))
+            / F.size("toks")
+        ).alias("s_ratio"),
     )
     return base.select(
         "doc_id",
