@@ -1,0 +1,94 @@
+"""Product quantization (PQ) — the memory-compression tier of
+similarity search (SURVEY.md §7 M5 scale path, alongside IVF/LSH).
+
+A d-dim float vector (4d bytes) becomes ``n_blocks`` one-byte codes:
+each block's subvector is replaced by the id of its nearest codeword
+from a per-block KMeans codebook. At 64-d/8 blocks that is 256 B →
+8 B per vector (32×), which is what lets a 100 TB corpus's index live
+in cluster memory.
+
+Search is asymmetric-distance (ADC): the query stays full-precision;
+for each block a lookup table ``lut[b][c] = <query_b, codebook[b][c]>``
+is computed driver-side (n_blocks × k_codes doubles — tiny) and the
+approximate inner product is ``Σ_b lut[b][code_b]`` — implemented as
+literal-array ``element_at`` lookups, so scoring a row touches only
+its 8 codes and never the original vector. Pure whole-stage-codegen
+expressions; no Python, no UDF.
+
+Exactness: PQ is approximate by construction — judged by recall
+against the exact scan (tests/test_pq.py), like the other ANN tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ann import assign_centroid_expr
+from .topk import global_topk
+
+__all__ = ["pq_build", "pq_search"]
+
+
+def pq_build(corpus: DataFrame, dim: int, n_blocks: int = 8,
+             k_codes: int = 16, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             sample_fraction: float | None = None, max_iter: int = 10):
+    """Train per-block codebooks and encode the corpus.
+
+    Returns (codes_df, codebooks): ``codes_df`` is (id, code0..code{B-1})
+    — the compressed index; ``codebooks[b]`` is a k_codes×subdim list.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    subdim = dim // n_blocks
+    train = corpus
+    if sample_fraction is not None:
+        train = corpus.sample(fraction=sample_fraction, seed=seed)
+
+    codebooks = []
+    for b in range(n_blocks):
+        sub = train.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), b * subdim + 1, subdim)
+                .cast("array<double>")
+            ).alias("__features")
+        )
+        model = KMeans(k=k_codes, seed=seed + b, maxIter=max_iter,
+                       featuresCol="__features").fit(sub)
+        codebooks.append([c.tolist() for c in model.clusterCenters()])
+
+    code_cols = [
+        assign_centroid_expr(
+            codebooks[b],
+            F.slice(F.col(vec_col), b * subdim + 1, subdim).cast("array<double>"),
+        ).alias(f"code{b}")
+        for b in range(n_blocks)
+    ]
+    codes = corpus.select(F.col(id_col), *code_cols)
+    return codes, codebooks
+
+
+def pq_search(codes: DataFrame, codebooks: list, query_vec: list,
+              k: int = 5, id_col: str = "vec_id",
+              round_digits: int | None = 6) -> DataFrame:
+    """ADC top-k over the compressed index for one full-precision
+    query vector (python list)."""
+    n_blocks = len(codebooks)
+    subdim = len(codebooks[0][0])
+    score = None
+    for b in range(n_blocks):
+        q_sub = query_vec[b * subdim:(b + 1) * subdim]
+        lut = [
+            sum(float(q) * float(c) for q, c in zip(q_sub, codeword))
+            for codeword in codebooks[b]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"code{b}") + 1
+        )
+        score = term if score is None else score + term
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = codes.select(F.col(id_col), score.alias("score"))
+    return global_topk(scored, [("score", False), (id_col, True)], k)

@@ -50,3 +50,34 @@ def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     query."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_search(emb, _query_of(emb, 0), dim=64, k=5)
+
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _PQ_CACHE:
+        from ..operators.pq import pq_build
+
+        emb = load(spark, sf_dir, "embeddings")
+        codes, codebooks = pq_build(emb, dim=64, n_blocks=8, k_codes=16,
+                                    seed=42, max_iter=5)
+        codes = codes.persist()
+        codes.count()
+        _PQ_CACHE[key] = (codes, codebooks)
+    return _PQ_CACHE[key]
+
+
+@register("ann_pq_top5", None)
+def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC search (8 blocks × 16 codes → 32×
+    compression) for the vec_id=0 query; codebooks cached per
+    (session, sf). Rows-only: PQ is approximate by construction
+    (recall pinned in tests/test_pq.py)."""
+    from ..operators.pq import pq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    codes, codebooks = _pq_index(spark, sf_dir)
+    return pq_search(codes, codebooks, qvec, k=5)

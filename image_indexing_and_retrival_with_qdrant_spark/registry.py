@@ -52,6 +52,7 @@ def register(name: str, oracle: Optional[str]):
 from .queries import (  # noqa: E402,F401
     advanced,
     ann,
+    bm25,
     cdc,
     colbert,
     dedup,

@@ -1,0 +1,43 @@
+"""Product quantization: compression is real, recall is reasonable,
+ADC scoring approximates the true inner product."""
+
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.operators.knn import dense_knn
+from image_indexing_and_retrival_with_qdrant_spark.operators.pq import (
+    pq_build,
+    pq_search,
+)
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+
+def test_pq_roundtrip_and_recall(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    codes, codebooks = pq_build(emb, dim=64, n_blocks=8, k_codes=16, seed=42)
+
+    # compressed index: 8 small-int codes per row
+    row = codes.limit(1).collect()[0]
+    assert len([c for c in row.asDict() if c.startswith("code")]) == 8
+    assert all(0 <= row[f"code{b}"] < 16 for b in range(8))
+
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    approx = pq_search(codes, codebooks, list(qvec), k=20).collect()
+    approx_ids = {r.vec_id for r in approx}
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    exact_ids = {r.vec_id for r in dense_knn(emb, q, k=20, dim=64).collect()}
+
+    recall = len(approx_ids & exact_ids) / 20
+    assert recall >= 0.25, f"PQ recall@20 too low: {recall}"
+    # the query's own vector should land very near the top
+    assert 0 in {r.vec_id for r in approx[:5]}
+
+
+def test_pq_deterministic(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    codes1, cb1 = pq_build(emb, dim=64, seed=42)
+    codes2, cb2 = pq_build(emb, dim=64, seed=42)
+    assert cb1 == cb2
+    assert sorted(map(tuple, codes1.collect())) == sorted(map(tuple, codes2.collect()))

@@ -22,3 +22,13 @@ def test_quality_oracle(spark, sf_smoke, name):
 def test_colbert_text_search_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["colbert_text_search_top5"], sf_smoke,
             "colbert_text_search_top5")
+
+
+def test_bm25_search_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["bm25_search_top10"], sf_smoke,
+            "bm25_search_top10")
+
+
+def test_bm25_oracle_sf001(spark, sf_oracle):
+    compare(spark, REGISTRY["bm25_search_top10"], sf_oracle,
+            "bm25_search_top10")
