@@ -55,6 +55,8 @@ HEADLINE = [
     "scd2_corpus_refresh",
     "events_click_purchase_band",
     "events_profile",
+    "bm25_search_top10",
+    "hybrid_search_rrf_top10",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

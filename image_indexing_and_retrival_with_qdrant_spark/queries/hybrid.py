@@ -1,0 +1,104 @@
+"""Hybrid retrieval: BM25 lexical ranking ⊕ dense vector ranking,
+fused with Reciprocal Rank Fusion — the modern retrieval-stack shape
+(Qdrant exposes the same hybrid/fusion API server-side; here it is
+two deterministic rankers + one join, so the WHOLE hybrid pipeline is
+oracle-checked).
+
+RRF: ``score(d) = Σ_r 1 / (K + rank_r(d))`` over the rankers where d
+appears (K = 60), each ranker truncated to its top-50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.bm25 import bm25_rank
+from ..operators.knn import dense_knn
+from ..registry import register
+from ..sources.embedder import HashEmbedder
+from ..tables import load
+from .bm25 import _B, _BM25_ORACLE, _K1, _TERMS
+
+_E = HashEmbedder(dim=8)
+_QUERY_TEXT = " ".join(_TERMS)
+_RRF_K = 60
+_DEPTH = 50
+
+
+def _vector_oracle_scored() -> str:
+    dims_d = [_E.oracle_dim_sql(i, "d.text", "passage") for i in range(8)]
+    dims_q = [_E.oracle_dim_sql(i, f"'{_QUERY_TEXT}'", "query") for i in range(8)]
+    dot = " + ".join(f"({q}) * ({d})" for q, d in zip(dims_q, dims_d))
+    dn = " + ".join(f"({d}) * ({d})" for d in dims_d)
+    qn = " + ".join(f"({q}) * ({q})" for q in dims_q)
+    return (
+        f"SELECT d.doc_id, ROUND(({dot}) / (sqrt({dn}) * sqrt({qn})), 6) AS score"
+        " FROM documents d"
+    )
+
+
+# the BM25 oracle, untruncated, as a CTE body (drop its LIMIT)
+_BM25_BODY = _BM25_ORACLE.replace("LIMIT 10", "")
+
+_HYBRID_ORACLE = f"""
+WITH lex_scores AS ({_BM25_BODY}),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS lrank
+  FROM lex_scores QUALIFY lrank <= {_DEPTH}
+),
+vec_scores AS ({_vector_oracle_scored()}),
+vec AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS vrank
+  FROM vec_scores QUALIFY vrank <= {_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + l.lrank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.vrank), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_search_rrf_top10", _HYBRID_ORACLE)
+def hybrid_search_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 ⊕ dense top-50 → RRF → top-10."""
+    docs = load(spark, sf_dir, "documents")
+
+    lex = bm25_rank(docs, _TERMS, k=_DEPTH, k1=_K1, b=_B).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("lrank"),
+    )
+
+    corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
+    query = _E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query",
+    ).select(F.col("embedding").alias("query_vec"))
+    vec = dense_knn(corpus, query, k=_DEPTH, id_col="doc_id", dim=8).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("vrank"),
+    )
+
+    fused = (
+        lex.join(vec, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vrank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -57,6 +57,7 @@ from .queries import (  # noqa: E402,F401
     colbert,
     dedup,
     events,
+    hybrid,
     ingest,
     knn,
     maxsim,

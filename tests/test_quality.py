@@ -32,3 +32,8 @@ def test_bm25_search_oracle(spark, sf_smoke):
 def test_bm25_oracle_sf001(spark, sf_oracle):
     compare(spark, REGISTRY["bm25_search_top10"], sf_oracle,
             "bm25_search_top10")
+
+
+def test_hybrid_search_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["hybrid_search_rrf_top10"], sf_smoke,
+            "hybrid_search_rrf_top10")
