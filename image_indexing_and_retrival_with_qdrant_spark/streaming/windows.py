@@ -97,3 +97,35 @@ def session_aggregate(events: DataFrame, gap: str = "30 minutes",
             "n_events", "session_value",
         )
     )
+
+
+def stream_stream_band_join(clicks: DataFrame, purchases: DataFrame,
+                            window_sec: int = 600,
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: purchases within ``window_sec``
+    after a click by the same user (streaming twin of the batch
+    ``time_band_join``). Both sides carry watermarks so Spark can
+    bound the join state: a buffered click can be dropped once the
+    purchase-side watermark passes click_ts + window."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"))
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window_sec} SECONDS"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("long")
+        .alias("delay_sec"),
+    )

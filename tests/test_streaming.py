@@ -129,3 +129,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window closed with batch A's 3 rows; batch B's late
     # row (00:01) arrived after the watermark and was dropped
     assert out.get(w0) == 3
+
+
+def test_stream_stream_band_join_matches_batch(spark, sf_smoke):
+    """Stream-stream interval join equals the oracle-checked batch
+    range join on the same data."""
+    import uuid
+
+    from image_indexing_and_retrival_with_qdrant_spark.streaming.windows import (
+        stream_stream_band_join,
+    )
+
+    ev = stream_events(spark, sf_smoke)
+    clicks = ev.filter(ev.event_type == "click")
+    purchases = ev.filter(ev.event_type == "purchase")
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_band_join(clicks, purchases)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["events_click_purchase_band"].builder(spark, sf_smoke).collect()
+    }
+    assert got == want
