@@ -73,6 +73,39 @@ class Collection:
         except Exception:
             return False
 
+    # -- query_points analog ---------------------------------------------
+
+    def search(self, spark: SparkSession, query_vector: list,
+               k: int = 5, query_filter=None, score_threshold=None,
+               id_col: str = "id", vec_col: str = "embedding"):
+        """The engine's ``client.query_points``
+        (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
+        top-k by the collection's declared metric/comparator, with the
+        optional payload filter Qdrant declares but the reference never
+        uses (F4), and score_threshold. Dispatches on the collection
+        config: dense cosine (dot if normalize-at-write is on) vs
+        multivector MaxSim."""
+        from pyspark.sql import functions as F
+
+        from .operators.knn import dense_knn
+        from .operators.maxsim import maxsim_knn
+
+        corpus = self.read(spark)
+        if self.meta.get("multivector"):
+            qdf = spark.createDataFrame(
+                [(query_vector,)], f"query_vectors array<array<double>>"
+            )
+            return maxsim_knn(corpus, qdf, k=k, id_col=id_col, mv_col=vec_col)
+        qdf = spark.createDataFrame([(query_vector,)], "query_vec array<double>")
+        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        return dense_knn(
+            corpus, qdf, k=k, id_col=id_col, vec_col=vec_col,
+            payload_cols=payload, prefilter=query_filter,
+            score_threshold=score_threshold,
+            prenormalized=bool(self.meta.get("normalize")),
+            dim=self.meta.get("dim"),
+        )
+
     # -- S9: stats --------------------------------------------------------
 
     def count(self, spark: SparkSession) -> int:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from .ann import assign_centroid_expr
 from .topk import global_topk
 
-__all__ = ["pq_build", "pq_search"]
+__all__ = ["pq_build", "pq_search", "ivfpq_search"]
 
 
 def pq_build(corpus: DataFrame, dim: int, n_blocks: int = 8,
@@ -92,3 +92,63 @@ def pq_search(codes: DataFrame, codebooks: list, query_vec: list,
         score = F.round(score, round_digits)
     scored = codes.select(F.col(id_col), score.alias("score"))
     return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
+                 codebooks: list, corpus: DataFrame, query_vec: list,
+                 k: int = 5, nprobe: int = 4, rescore: int = 50,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_digits: int | None = 6) -> DataFrame:
+    """Composed IVF+PQ retrieval (the FAISS IVFPQ shape):
+
+    1. probe the ``nprobe`` nearest coarse centroids (partition-pruned
+       scan of the *code* table — 8 bytes/row);
+    2. ADC-score the probed codes, shortlist ``rescore`` candidates;
+    3. exact cosine rescoring of the shortlist against the original
+       vectors (a semi-join fetch of ``rescore`` rows), final top-k.
+
+    At 100 TB: step 2 touches compressed codes only (fits in memory),
+    step 3 reads ``rescore`` full vectors — the expensive scan never
+    happens.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import as_double, cosine_unrolled
+
+    spark = assigned_codes.sparkSession
+    dim = len(query_vec)
+    qdf = spark.createDataFrame([(query_vec,)], "query_vec array<double>")
+
+    probed = global_topk(
+        centroids.join(F.broadcast(qdf))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(F.col("centroid"), F.col("query_vec"),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            ),
+        )
+        .select("centroid_id", "cdist"),
+        [("cdist", False), ("centroid_id", True)],
+        nprobe,
+    )
+    probe_ids = [r.centroid_id for r in probed.collect()]
+
+    candidates = assigned_codes.filter(F.col("centroid_id").isin(probe_ids))
+    shortlist = pq_search(candidates, codebooks, query_vec, k=rescore,
+                          id_col=id_col, round_digits=None)
+
+    fetched = corpus.join(
+        F.broadcast(shortlist.select(id_col)), on=id_col, how="left_semi"
+    )
+    score = cosine_unrolled(
+        as_double(F.col(vec_col)), as_double(F.col("query_vec")), dim
+    )
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    exact = (
+        fetched.join(F.broadcast(qdf))
+        .select(F.col(id_col), score.alias("score"))
+    )
+    return global_topk(exact, [("score", False), (id_col, True)], k)

@@ -131,3 +131,36 @@ def test_hf_embedder_gated(spark, sf_smoke):
     except ImportError:
         with pytest.raises(NotImplementedError, match="torch/transformers"):
             emb.embed(docs)
+
+
+def test_collection_search_api(spark, sf_smoke, tmp_path):
+    """Collection.search = the client.query_points analog: dense path
+    honors normalize-at-write + filters; multivector path MaxSims."""
+    from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import (
+        HashEmbedder,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.sources.ingest import (
+        build_points,
+    )
+
+    docs = load(spark, sf_smoke, "documents").limit(100)
+    pts = build_points(
+        HashEmbedder(dim=8).embed(docs),
+        id_key=F.col("text"),
+        payload={"doc_id": F.col("doc_id"), "lang": F.col("lang")},
+        with_timestamp=False,
+    )
+    coll = create_collection(str(tmp_path), "s", dim=8, metric="cosine")
+    coll.upsert(spark, pts)
+
+    qvec = [float(x) for x in
+            coll.read(spark).limit(1).collect()[0].embedding]
+    hits = coll.search(spark, qvec, k=3).collect()
+    assert len(hits) == 3 and hits[0].score == 1.0  # self-match
+
+    only_de = coll.search(spark, qvec, k=5,
+                          query_filter=F.col("lang") == "de").collect()
+    assert all(r.lang == "de" for r in only_de)
+
+    thr = coll.search(spark, qvec, k=None, score_threshold=0.99).collect()
+    assert all(r.score >= 0.99 for r in thr)

@@ -41,3 +41,29 @@ def test_pq_deterministic(spark, sf_smoke):
     codes2, cb2 = pq_build(emb, dim=64, seed=42)
     assert cb1 == cb2
     assert sorted(map(tuple, codes1.collect())) == sorted(map(tuple, codes2.collect()))
+
+
+def test_ivfpq_composed_search(spark, sf_smoke):
+    """IVFPQ: coarse probe → ADC shortlist → exact rescore. With a
+    generous probe/rescore budget the result must contain the exact
+    top hits that live in probed partitions; self-match is rank 1."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import ivf_build
+    from image_indexing_and_retrival_with_qdrant_spark.operators.pq import ivfpq_search
+
+    emb = load(spark, sf_smoke, "embeddings")
+    assigned, centroids = ivf_build(emb, k_centroids=8, seed=42)
+    codes, codebooks = pq_build(emb, dim=64, n_blocks=8, k_codes=16, seed=42)
+    assigned_codes = codes.join(
+        assigned.select("vec_id", "centroid_id"), on="vec_id"
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    got = ivfpq_search(assigned_codes, centroids, codebooks, emb, qvec,
+                       k=10, nprobe=8, rescore=100).collect()
+    assert got[0].vec_id == 0 and got[0].score == 1.0
+    # exhaustive probe + big rescore ⇒ high overlap with exact scan
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    exact = {r.vec_id for r in dense_knn(emb, q, k=10, dim=64).collect()}
+    overlap = len(exact & {r.vec_id for r in got}) / 10
+    assert overlap >= 0.5, f"IVFPQ overlap too low: {overlap}"
