@@ -34,7 +34,7 @@ from ..functions.vector import as_double, cosine, dot
 from .topk import global_topk
 
 __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
-           "lsh_signatures", "lsh_search"]
+           "lsh_signatures", "lsh_band_frame", "lsh_search"]
 
 
 # --- IVF ------------------------------------------------------------------
@@ -157,30 +157,51 @@ def lsh_signatures(df: DataFrame, dim: int, vec_col: str = "embedding",
     return out
 
 
+def lsh_band_frame(df: DataFrame, dim: int, vec_col: str = "embedding",
+                   carry_cols: tuple[str, ...] = (), n_planes: int = 8,
+                   n_bands: int = 2, seed: int = 7) -> DataFrame:
+    """Stacked ``(band_idx, band_sig, *carry)`` frame — one row per
+    (row, band). This is the bucket-materialized layout: at scale,
+    persist it ``bucketBy(band_sig)`` (or partition on a band_sig
+    prefix) once, and every probe becomes a bucket-pruned equi-join.
+    Mirrors ``dedup.minhash_band_pairs``'s stacked-band shape."""
+    sig = lsh_signatures(df, dim, vec_col, n_planes, n_bands, seed)
+    bands = F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+    return sig.select(
+        *carry_cols, F.posexplode(bands).alias("band_idx", "band_sig")
+    )
+
+
 def lsh_search(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                query_vec_col: str = "query_vec", n_planes: int = 8,
                n_bands: int = 2, seed: int = 7,
                round_digits: int | None = 6) -> DataFrame:
     """Candidate generation by band-bucket match against the query's
-    signature, then exact cosine rescoring of candidates only."""
-    c_sig = lsh_signatures(corpus, dim, vec_col, n_planes, n_bands, seed)
-    q_sig = lsh_signatures(
+    signature, then exact cosine rescoring of candidates only.
+
+    The corpus bands are a stacked ``(band_idx, band_sig)`` frame and
+    the probe is an **equi-join** on that pair against the broadcast
+    query bands (BroadcastHashJoin — the hashed relation rejects
+    non-matching buckets at scan speed, and on a band-bucketed layout
+    the scan itself prunes). The earlier OR-of-band-equalities
+    formulation planned as a BroadcastNestedLoopJoin that evaluated
+    every corpus row — a full scan, the thing LSH exists to avoid;
+    tests/test_plans.py pins the fixed shape."""
+    c_stack = lsh_band_frame(corpus, dim, vec_col, (id_col, vec_col),
+                             n_planes, n_bands, seed)
+    q_stack = lsh_band_frame(
         query.withColumnRenamed(query_vec_col, vec_col), dim, vec_col,
-        n_planes, n_bands, seed,
+        (vec_col,), n_planes, n_bands, seed,
     ).withColumnRenamed(vec_col, query_vec_col)
 
-    match = None
-    for b in range(n_bands):
-        m = F.col(f"c.band{b}") == F.col(f"q.band{b}")
-        match = m if match is None else (match | m)
-    candidates = c_sig.alias("c").join(F.broadcast(q_sig.alias("q")), match)
+    # a row matching in several bands is still one candidate
+    candidates = c_stack.join(
+        F.broadcast(q_stack), on=["band_idx", "band_sig"]
+    ).dropDuplicates([id_col])
 
-    score = cosine(
-        as_double(F.col(f"c.{vec_col}")), as_double(F.col(f"q.{query_vec_col}"))
-    )
+    score = cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col)))
     if round_digits is not None:
         score = F.round(score, round_digits)
-    scored = candidates.select(F.col(f"c.{id_col}").alias(id_col),
-                               score.alias("score"))
+    scored = candidates.select(F.col(id_col), score.alias("score"))
     return global_topk(scored, [("score", False), (id_col, True)], k)

@@ -50,6 +50,15 @@ def test_projection_pruning_reaches_scan(spark, sf_smoke):
     )
 
 
+def test_lsh_probe_is_hash_join_not_full_scan(spark, sf_smoke):
+    """LSH candidate generation must be a band equi-join (hash join on
+    (band_idx, band_sig)), never a BroadcastNestedLoopJoin evaluating
+    signatures against every corpus row."""
+    plan = _plan(spark, sf_smoke, "ann_lsh_top5")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_maxsim_exact_aggregates_partially(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "maxsim_exact_top5")
     # two-level agg (max then sum) must include partial aggregation
