@@ -12,28 +12,56 @@ Write modes (SURVEY.md §1.4):
 - ``append`` — reproduces reference behavior exactly: every upsert
   adds rows, re-indexing duplicates points (fresh ``uuid4`` ids,
   ``incremental_indexing_colpali_with_qdrant.py:258``).
-- ``merge`` — the honest upsert: deterministic content-keyed ids, a
-  left-anti join drops rows whose id is already stored, then append.
-  (With Delta/Iceberg on the classpath this becomes MERGE INTO; the
-  anti-join formulation needs no extra jars and shuffles only the id
-  column of the existing table.)
+- ``merge`` — the honest upsert with Qdrant's overwrite-by-id
+  semantics: an incoming id that already exists *replaces* the stored
+  row (re-indexing a modified file refreshes its vector/payload).
+  When no id collides (the common content-keyed case) this is a plain
+  append; on conflict the table is rewritten minus the superseded
+  rows. With Delta/Iceberg on the classpath this becomes MERGE INTO
+  (file-level rewrite); the plain-parquet fallback rewrites the
+  table, which is the correct-but-heavier shape.
 
 For COSINE collections vectors are L2-normalized at write
 (``normalize=True``), so query-time scoring is a plain dot product —
-Qdrant does exactly this server-side for ``Distance.COSINE``.
+Qdrant does exactly this server-side for ``Distance.COSINE``. Query
+vectors are normalized the same way at search time (Qdrant normalizes
+the query server-side too), so ``score_threshold`` filters on true
+cosine, not a scaled dot product.
+
+Multivector collections store vectors **flat**: ``array<double>`` of
+length ``n_vecs × dim`` plus an ``n_vecs`` column. The dim is always
+declared (S7), reshape is free in numpy, and the Arrow transfer of a
+flat array is several times cheaper than ``array<array<double>>`` —
+this is the high-throughput MaxSim path (SCALE.md). ``upsert``
+accepts nested input and flattens; ``search`` reads either layout.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from .functions.vector import as_double, l2_normalize
 
 __all__ = ["Collection", "create_collection", "collection_exists"]
+
+
+def _unit(v: list[float]) -> list[float]:
+    """Driver-side L2 normalization, bit-matching the write path's
+    ``l2_normalize`` (left-to-right double sum, sqrt, divide)."""
+    n = math.sqrt(sum(x * x for x in v))
+    return v if n == 0.0 else [x / n for x in v]
+
+
+def _is_nested(df: DataFrame, col: str) -> bool:
+    t = df.schema[col].dataType
+    return isinstance(t, ArrayType) and isinstance(t.elementType, ArrayType)
 
 
 class Collection:
@@ -48,22 +76,61 @@ class Collection:
     def upsert(self, spark: SparkSession, points: DataFrame,
                mode: str = "append", id_col: str = "id",
                vec_col: str = "embedding") -> None:
-        if self.meta.get("normalize") and vec_col in points.columns:
-            points = points.withColumn(
-                vec_col, l2_normalize(as_double(F.col(vec_col)))
-            )
         dim = self.meta.get("dim")
-        if dim and vec_col in points.columns and not self.meta.get("multivector"):
-            # dimension check at write (schema discipline, SURVEY.md §1.3)
-            bad = points.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
-            if bad:
-                raise ValueError(
-                    f"vector dimension mismatch: expected {dim} "
-                    f"(collection {self.path})"
+        if self.meta.get("multivector") and vec_col in points.columns \
+                and _is_nested(points, vec_col):
+            # nested input → per-subvector normalize, then store flat
+            if dim:
+                bad = points.filter(
+                    F.exists(F.col(vec_col), lambda v: F.size(v) != dim)
+                ).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"vector dimension mismatch: expected {dim} "
+                        f"(collection {self.path})"
+                    )
+            if self.meta.get("normalize"):
+                points = points.withColumn(
+                    vec_col,
+                    F.transform(F.col(vec_col),
+                                lambda v: l2_normalize(v.cast("array<double>"))),
                 )
+            points = points.withColumn(
+                "n_vecs", F.size(F.col(vec_col)).cast("int")
+            ).withColumn(
+                vec_col,
+                F.flatten(F.col(vec_col).cast("array<array<double>>")),
+            )
+        elif vec_col in points.columns and not self.meta.get("multivector"):
+            if self.meta.get("normalize"):
+                points = points.withColumn(
+                    vec_col, l2_normalize(as_double(F.col(vec_col)))
+                )
+            if dim:
+                # dimension check at write (schema discipline, SURVEY.md §1.3)
+                bad = points.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"vector dimension mismatch: expected {dim} "
+                        f"(collection {self.path})"
+                    )
         if mode == "merge" and self._has_data(spark):
-            existing_ids = spark.read.parquet(self.path).select(id_col)
-            points = points.join(existing_ids, on=id_col, how="left_anti")
+            existing = spark.read.parquet(self.path)
+            incoming_ids = points.select(id_col)
+            conflicts = existing.join(
+                incoming_ids, on=id_col, how="left_semi"
+            ).limit(1).count()
+            if conflicts:
+                # replace-on-conflict (Qdrant upsert overwrites by id):
+                # rewrite = kept ∪ incoming, staged then swapped so the
+                # read and the overwrite never race on the same files
+                kept = existing.join(incoming_ids, on=id_col, how="left_anti")
+                combined = kept.unionByName(points.select(*existing.columns))
+                staging = self.path + ".__rewrite__"
+                combined.write.mode("overwrite").parquet(staging)
+                shutil.rmtree(self.path)
+                os.rename(staging, self.path)
+                return
         points.write.mode("append").parquet(self.path)
 
     def _has_data(self, spark: SparkSession) -> bool:
@@ -84,26 +151,56 @@ class Collection:
         optional payload filter Qdrant declares but the reference never
         uses (F4), and score_threshold. Dispatches on the collection
         config: dense cosine (dot if normalize-at-write is on) vs
-        multivector MaxSim."""
+        multivector MaxSim. Both branches honor
+        ``query_filter``/``score_threshold`` and project payload
+        columns (the multivector call surface is identical in the
+        reference, ``qdrant_query_with_colpali.py:109-114``).
+
+        For ``normalize`` collections the query vector is L2-normalized
+        here (per subvector on the multivector path) — Qdrant does the
+        same server-side for COSINE, so scores are true cosine and
+        ``score_threshold`` means what the caller thinks it means."""
         from pyspark.sql import functions as F
 
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
 
         corpus = self.read(spark)
+        dim = self.meta.get("dim")
         if self.meta.get("multivector"):
+            qv = [[float(x) for x in v] for v in query_vector]
+            if self.meta.get("normalize"):
+                qv = [_unit(v) for v in qv]
+            payload = [c for c in corpus.columns
+                       if c not in (id_col, vec_col, "n_vecs")]
+            if _is_nested(corpus, vec_col):  # compatibility reader
+                qdf = spark.createDataFrame(
+                    [(qv,)], "query_vectors array<array<double>>"
+                )
+                return maxsim_knn(
+                    corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
+                    payload_cols=payload, prefilter=query_filter,
+                    score_threshold=score_threshold,
+                )
             qdf = spark.createDataFrame(
-                [(query_vector,)], f"query_vectors array<array<double>>"
+                [([x for v in qv for x in v],)], "query_vectors array<double>"
             )
-            return maxsim_knn(corpus, qdf, k=k, id_col=id_col, mv_col=vec_col)
-        qdf = spark.createDataFrame([(query_vector,)], "query_vec array<double>")
+            return maxsim_knn(
+                corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
+                payload_cols=payload, prefilter=query_filter,
+                score_threshold=score_threshold, flat_dim=dim,
+            )
+        qv = [float(x) for x in query_vector]
+        if self.meta.get("normalize"):
+            qv = _unit(qv)
+        qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
         return dense_knn(
             corpus, qdf, k=k, id_col=id_col, vec_col=vec_col,
             payload_cols=payload, prefilter=query_filter,
             score_threshold=score_threshold,
             prenormalized=bool(self.meta.get("normalize")),
-            dim=self.meta.get("dim"),
+            dim=dim,
         )
 
     # -- S9: stats --------------------------------------------------------

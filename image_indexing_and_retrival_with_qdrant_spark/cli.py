@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from .catalog import Collection, collection_exists, create_collection
 from .config import EngineConfig
-from .operators.knn import dense_knn
 from .session import get_spark
 from .sources.embedder import HashEmbedder
 from .sources.files import read_json_documents, scan_images, with_path_parts
@@ -111,16 +110,17 @@ def cmd_query(cfg: EngineConfig, args) -> int:
         print(f"collection {name} not found under {root}", file=sys.stderr)
         return 1
     coll = Collection(root, name)
-    corpus = coll.read(spark)
     embedder = cfg.embedder()
-    qdf = embedder.embed(
+    qvec = embedder.embed(
         spark.createDataFrame([(args.text,)], "text string"),
         text_col="text", mode="query",
-    ).select(F.col("embedding").alias("query_vec"))
+    ).collect()[0].embedding
+    # Collection.search normalizes the query for cosine collections
+    # (the stub embedder's output is not unit-norm) and projects the
+    # payload columns with the collection's declared scoring.
+    hits = coll.search(spark, list(qvec), k=args.top_k)
     payload = [c for c in ("content", "title", "filename", "relative_path")
-               if c in corpus.columns]
-    hits = dense_knn(corpus, qdf, k=args.top_k, id_col="id",
-                     payload_cols=payload, prenormalized=True)
+               if c in hits.columns]
     for i, row in enumerate(hits.collect(), 1):
         label = next((row[c] for c in payload if row[c] is not None), "Unknown")
         print(f"{i}. score={row.score:.4f} id={row.id[:12]}… {str(label)[:60]}")

@@ -92,13 +92,24 @@ def maxsim_knn(
     mv_col: str = "vectors",
     query_mv_col: str = "query_vectors",
     payload_cols: Sequence[str] = (),
+    prefilter: Column | None = None,
+    score_threshold: float | None = None,
     round_digits: int | None = 6,
     flat_dim: int | None = None,
 ) -> DataFrame:
     """Single-query MaxSim top-k via the vectorized pandas-UDF scorer.
 
     With ``flat_dim`` set, ``mv_col``/``query_mv_col`` are flat
-    arrays (n×dim doubles) and the cheap flat scorer is used."""
+    arrays (n×dim doubles) and the cheap flat scorer is used.
+
+    ``prefilter``/``score_threshold`` mirror the dense path
+    (``knn.dense_knn``): the payload predicate runs *before* scoring
+    (Catalyst pushes it into the scan), the threshold after — matching
+    Qdrant's ``query_points(query_filter=..., score_threshold=...)``
+    surface, which the reference declares on multivector calls too
+    (``with_colpali_v1.3/qdrant_query_with_colpali.py:109-114``)."""
+    if prefilter is not None:
+        corpus = corpus.filter(prefilter)
     if flat_dim is not None:
         score = maxsim_score_flat_udf(flat_dim)(
             F.col(mv_col), F.col(query_mv_col)
@@ -112,6 +123,8 @@ def maxsim_knn(
         .withColumn("score", score)
         .select(id_col, *payload_cols, "score")
     )
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= score_threshold)
     return global_topk(scored, [("score", False), (id_col, True)], k)
 
 

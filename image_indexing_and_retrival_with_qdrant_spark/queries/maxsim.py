@@ -73,3 +73,42 @@ def maxsim_exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_knn_exact(
         _multivec_corpus(spark, sf_dir), _multivec_query(spark, sf_dir), k=5
     )
+
+
+_MAXSIM_FILTERED_ORACLE = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, e.label, qi.i, dj.j,
+         list_dot_product(
+           (CAST(e.embedding AS DOUBLE[]))[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM embeddings e
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+  WHERE e.label = 7
+),
+mx AS (SELECT vec_id, label, i, MAX(dp) AS m FROM pairs GROUP BY vec_id, label, i),
+sc AS (SELECT vec_id, label, ROUND(SUM(m), 6) AS score FROM mx GROUP BY vec_id, label)
+SELECT vec_id, label, score FROM sc ORDER BY score DESC, vec_id LIMIT 5
+"""
+
+
+@register("maxsim_filtered_top5", _MAXSIM_FILTERED_ORACLE)
+def maxsim_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-filtered MaxSim (F4 on the multivector path): the
+    ``query_filter`` surface the reference declares on every
+    multivector ``query_points`` call
+    (``with_colpali_v1.3/qdrant_query_with_colpali.py:109-114``) —
+    WHERE label=7 runs before scoring, pushed into the scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("mv")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("query_mv")
+    )
+    return maxsim_knn(corpus, query, k=5, mv_col="mv", query_mv_col="query_mv",
+                      payload_cols=["label"], prefilter=F.col("label") == 7,
+                      flat_dim=_DIM)

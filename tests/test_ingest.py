@@ -97,6 +97,45 @@ def test_collection_normalizes_on_write(spark, tmp_path):
     assert row.embedding == pytest.approx([0.6, 0.8])
 
 
+def test_merge_replaces_on_conflict(spark, tmp_path):
+    """merge = Qdrant upsert semantics: a re-delivered id takes the
+    NEW row (vector/payload refresh), it is not silently ignored."""
+    coll = create_collection(str(tmp_path), "m", dim=2, metric="cosine",
+                             normalize=False)
+    v1 = spark.createDataFrame(
+        [("a", [1.0, 0.0], "old")],
+        "id string, embedding array<double>, tag string",
+    )
+    coll.upsert(spark, v1, mode="merge")
+    v2 = spark.createDataFrame(
+        [("a", [0.0, 1.0], "new"), ("b", [1.0, 1.0], "fresh")],
+        "id string, embedding array<double>, tag string",
+    )
+    coll.upsert(spark, v2, mode="merge")
+    rows = {r.id: r for r in coll.read(spark).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].tag == "new" and rows["a"].embedding == [0.0, 1.0]
+    # idempotent re-delivery of identical rows keeps the count stable
+    coll.upsert(spark, v2, mode="merge")
+    assert coll.count(spark) == 2
+
+
+def test_search_normalizes_query_vector(spark, tmp_path):
+    """For cosine (normalize-at-write) collections the query vector is
+    normalized at search time too, so scores are true cosine — an
+    unnormalized query must score exactly like its normalized self."""
+    coll = create_collection(str(tmp_path), "nq", dim=2, metric="cosine")
+    pts = spark.createDataFrame(
+        [("a", [3.0, 4.0]), ("b", [1.0, 0.0])],
+        "id string, embedding array<double>",
+    )
+    coll.upsert(spark, pts)
+    scaled = coll.search(spark, [30.0, 40.0], k=2).collect()
+    unit = coll.search(spark, [0.6, 0.8], k=2).collect()
+    assert [(r.id, r.score) for r in scaled] == [(r.id, r.score) for r in unit]
+    assert scaled[0].id == "a" and scaled[0].score == 1.0
+
+
 def test_point_id_uuid_mode(spark, sf_smoke):
     """P1 reference mode: uuid4 per row — unique across re-runs
     (append-duplication semantics, SURVEY.md §1.4)."""

@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
 from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
     as_multivector,
-    maxsim_knn,
 )
 from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
 from image_indexing_and_retrival_with_qdrant_spark.tables import load
@@ -68,13 +67,23 @@ def test_multivector_collection_end_to_end(spark, sf_smoke, tmp_path):
     coll.upsert(spark, mv, vec_col="vectors")
     assert coll.count(spark) == emb.count()
 
-    corpus = coll.read(spark)
-    query = mv.filter(F.col("id") == "0").select(
-        F.col("vectors").alias("query_vectors")
-    )
-    top = maxsim_knn(corpus, query, k=3, id_col="id").collect()
+    # stored flat (array<double> + n_vecs), the high-throughput layout
+    stored = coll.read(spark)
+    assert not stored.schema["vectors"].dataType.elementType.typeName().startswith("array")
+    assert stored.select("n_vecs").first().n_vecs == 8
+
+    qv = [r.vectors for r in
+          mv.filter(F.col("id") == "0").collect()][0]
+    top = coll.search(spark, qv, k=3, id_col="id", vec_col="vectors").collect()
     assert top[0].id == "0"  # self-match first
     # matches the registry maxsim result on the same data
     want = [str(r.vec_id) for r in
             REGISTRY["maxsim_top5"].builder(spark, sf_smoke).limit(3).collect()]
     assert [r.id for r in top] == want
+
+    # query_filter + score_threshold thread through the MaxSim branch
+    filtered = coll.search(spark, qv, k=5, id_col="id", vec_col="vectors",
+                           query_filter=F.col("id") != "0",
+                           score_threshold=top[2].score).collect()
+    assert all(r.id != "0" for r in filtered)
+    assert all(r.score >= top[2].score for r in filtered)
