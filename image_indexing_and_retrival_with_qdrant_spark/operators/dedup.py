@@ -163,17 +163,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id",
-                       bits: int = 16, max_hamming: int = 3,
-                       block_bits: int = 8) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ t, blocked on the top
-    ``block_bits`` (equi-join blocking; exact within block)."""
-    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), bits - block_bits))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+                       bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """**All** pairs at Hamming distance ≤ t, via pigeonhole
+    multi-block blocking: the fingerprint is split into
+    ``t + 1`` contiguous segments, and a pair differing in ≤ t bits
+    must agree on at least one *whole* segment — so candidates are the
+    union of per-segment equi-joins, deduped, then verified with the
+    exact Hamming distance. Complete (no false negatives) *and*
+    linear-ish: each join shuffles on a segment value whose
+    cardinality grows with the corpus, unlike fixed top-k-bit blocking
+    (256 buckets → O((n/256)²) pairs — quadratic at 100 TB)."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    segs, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.shiftright(F.col("simhash"), off).bitwiseAND(mask).alias("seg_val"),
+            )
+        )
+        off += width
+    stacked = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*segs)).alias("seg"),
+    ).select(id_col, "simhash", "seg.seg_idx", "seg.seg_val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, on="block")
+        a.join(b, on=["seg_idx", "seg_val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -181,6 +201,7 @@ def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id",
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])  # pairs sharing several segments
     )
 
 

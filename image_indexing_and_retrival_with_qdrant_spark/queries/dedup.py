@@ -170,20 +170,22 @@ sh AS (
          CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
            AS simhash
   FROM bitsum GROUP BY doc_id
-),
-blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sh)
+)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_near_pairs
-FROM blocked a JOIN blocked b
-  ON a.block = b.block AND a.doc_id < b.doc_id
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
 @register("dedup_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pair count (Hamming ≤ 3, top-8-bit blocking)."""
+    """SimHash near-dup pair count (Hamming ≤ 3). The Spark side uses
+    pigeonhole multi-block blocking (4 segments → per-segment
+    equi-joins); the oracle is the *unblocked* exact pair count —
+    matching it proves the blocking is complete, not an
+    approximation."""
     sh = simhash(load(spark, sf_dir, "documents"), bits=16)
-    pairs = simhash_near_pairs(sh, bits=16, max_hamming=3, block_bits=8)
+    pairs = simhash_near_pairs(sh, bits=16, max_hamming=3)
     return pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
 
 
