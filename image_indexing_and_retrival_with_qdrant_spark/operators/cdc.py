@@ -38,14 +38,17 @@ def scd2_apply(current: DataFrame, updates: DataFrame, key: str,
     )
     changed = (
         updates.join(live, updates[key] == F.col("__lk"), "left")
-        .filter(F.col("__lc").isNull() | (F.col("__lc") != updates[compare_col]))
+        # null-safe inequality: x→NULL and NULL→x are changes too
+        # (plain != would silently drop them)
+        .filter(~F.col("__lc").eqNullSafe(updates[compare_col]))
         .select(
             updates[key].alias(key),
             updates[compare_col].alias(compare_col),
             F.coalesce(F.col("__lv"), F.lit(0)).alias("__prev_v"),
         )
     )
-    ch_keys = changed.select(F.col(key).alias("__ck"))
+    # distinct: duplicate keys in one batch must not fan out current rows
+    ch_keys = changed.select(F.col(key).alias("__ck")).distinct()
     closed = (
         current.join(F.broadcast(ch_keys), current[key] == F.col("__ck"), "left")
         .select(

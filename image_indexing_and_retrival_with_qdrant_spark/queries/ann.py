@@ -20,13 +20,27 @@ def _query_of(emb: DataFrame, vec_id: int) -> DataFrame:
 
 # Index builds are one-time costs amortized over many queries (Qdrant
 # builds HNSW once past indexing_threshold); cache the IVF layout per
-# (session, sf_dir) so repeated queries pay only the probe.
+# (application, sf_dir) so repeated queries pay only the probe.
+# applicationId is stable for a session's lifetime and never reused
+# after restart — unlike id(), which can recycle addresses and hand
+# back frames persisted on a stopped SparkContext.
 _IVF_CACHE: dict = {}
 
 
+def _cache_key(spark: SparkSession, sf_dir: str):
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _IVF_CACHE:
+    key = _cache_key(spark, sf_dir)
+    if key not in _IVF_CACHE or not _session_alive(spark):
         emb = load(spark, sf_dir, "embeddings")
         assigned, centroids = ivf_build(emb, k_centroids=16, seed=42)
         assigned = assigned.persist()
@@ -56,8 +70,8 @@ _PQ_CACHE: dict = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _PQ_CACHE:
+    key = _cache_key(spark, sf_dir)
+    if key not in _PQ_CACHE or not _session_alive(spark):
         from ..operators.pq import pq_build
 
         emb = load(spark, sf_dir, "embeddings")

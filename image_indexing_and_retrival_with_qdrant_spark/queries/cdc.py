@@ -32,7 +32,7 @@ from ..tables import load
     changed AS (
       SELECT u.doc_id, u.text, COALESCE(l.lv, 0) AS prev_v
       FROM upd u LEFT JOIN live l ON u.doc_id = l.lk
-      WHERE l.lc IS NULL OR l.lc <> u.text
+      WHERE u.text IS DISTINCT FROM l.lc
     ),
     closed AS (
       SELECT c.doc_id, c.text, c.version,

@@ -37,3 +37,24 @@ def test_bm25_oracle_sf001(spark, sf_oracle):
 def test_hybrid_search_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["hybrid_search_rrf_top10"], sf_smoke,
             "hybrid_search_rrf_top10")
+
+
+def test_bm25_repeated_query_term_counts_twice(spark, sf_smoke):
+    """BM25 sums over query terms with multiplicity: repeating a term
+    doubles exactly that term's contribution."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.bm25 import bm25_rank
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    n = docs.count()  # k >= corpus size: nothing truncated
+    single = {r.doc_id: r.score
+              for r in bm25_rank(docs, ["join"], k=n,
+                                 round_digits=None).collect()}
+    double = {r.doc_id: r.score
+              for r in bm25_rank(docs, ["join", "join"], k=n,
+                                 round_digits=None).collect()}
+    assert set(single) == set(double)
+    for d, s in single.items():
+        assert double[d] == pytest.approx(2.0 * s)
