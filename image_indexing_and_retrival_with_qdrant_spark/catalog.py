@@ -34,6 +34,23 @@ declared (S7), reshape is free in numpy, and the Arrow transfer of a
 flat array is several times cheaper than ``array<array<double>>`` —
 this is the high-throughput MaxSim path (SCALE.md). ``upsert``
 accepts nested input and flattens; ``search`` reads either layout.
+
+Auto-indexing (``indexing_threshold``): Qdrant defers ANN-index build
+until a collection passes a configured point count
+(``incremental_indexing_colpali_with_qdrant.py:132``). The analog here
+is an IVF layout: the first upsert that crosses the threshold trains a
+sampled KMeans coarse quantizer and writes a copy of the table
+``partitionBy(centroid_id)`` next to it; later upserts *incrementally*
+assign only the incoming points with the existing centroids (a codegen
+projection — no retrain, mirroring Qdrant's incremental indexing) and
+append to the layout. ``search`` then routes dense queries through the
+layout: the nprobe nearest centroids are picked driver-side (the
+centroid table is tiny) and the corpus scan becomes a literal
+``centroid_id IN (...)`` filter — statically partition-pruned, reading
+``nprobe/k_centroids`` of the data. ``nprobe = k_centroids`` (the
+default) is exhaustive probing ≡ the exact scan, so routed search
+stays oracle-checkable; callers opt into approximation by passing a
+smaller ``nprobe``.
 """
 
 from __future__ import annotations
@@ -59,6 +76,14 @@ def _unit(v: list[float]) -> list[float]:
     return v if n == 0.0 else [x / n for x in v]
 
 
+def _cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine for ranking a handful of centroids."""
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+
+
 def _is_nested(df: DataFrame, col: str) -> bool:
     t = df.schema[col].dataType
     return isinstance(t, ArrayType) and isinstance(t.elementType, ArrayType)
@@ -70,6 +95,93 @@ class Collection:
         self.meta_path = os.path.join(root, f"{name}.meta.json")
         with open(self.meta_path) as f:
             self.meta = json.load(f)
+        self._centroid_cache: list[list[float]] | None = None
+
+    def _save_meta(self) -> None:
+        with open(self.meta_path, "w") as f:
+            json.dump(self.meta, f)
+
+    # -- IVF auto-index (indexing_threshold parity) -----------------------
+
+    @property
+    def _ivf_points(self) -> str:
+        return self.path + ".ivf"
+
+    @property
+    def _ivf_centroids(self) -> str:
+        return self.path + ".centroids"
+
+    def has_index(self) -> bool:
+        return bool(self.meta.get("index_built"))
+
+    def _centroids(self, spark: SparkSession) -> list[list[float]]:
+        """centroid_id-ordered centroid list (≤ k_centroids rows — a
+        driver-side fetch by design; the probe shortlist must be a
+        *literal* IN-list for static partition pruning)."""
+        if self._centroid_cache is None:
+            rows = spark.read.parquet(self._ivf_centroids).collect()
+            rows.sort(key=lambda r: r.centroid_id)
+            self._centroid_cache = [list(r.centroid) for r in rows]
+        return self._centroid_cache
+
+    def _refresh_index(self, spark: SparkSession, incoming: DataFrame | None,
+                       id_col: str, vec_col: str, rewrote: bool) -> None:
+        """Build or incrementally extend the IVF layout after an upsert.
+
+        First crossing of the threshold: train sampled KMeans on the
+        table, assign every row with the codegen'd nearest-centroid
+        expression, write ``partitionBy(centroid_id)``. Afterwards:
+        assign only the incoming batch with the *existing* centroids
+        and append — one projection over the new rows, no retrain (a
+        merge that rewrote the table re-assigns the whole table the
+        same cheap way). Centroid drift is bounded by the quantizer
+        being coarse; a full retrain is an explicit rebuild_index().
+        """
+        thr = self.meta.get("indexing_threshold")
+        if not thr or self.meta.get("multivector"):
+            return
+        from .operators.ann import assign_centroid_expr, ivf_build
+
+        if not self.has_index():
+            n = self.count(spark)
+            if n < thr:
+                return
+            table = self.read(spark)
+            if vec_col not in table.columns:
+                return
+            k = int(self.meta.get("k_centroids") or 16)
+            assigned, centroids = ivf_build(
+                table, k_centroids=k, vec_col=vec_col, seed=42,
+                sample_fraction=self.meta.get("train_fraction"),
+            )
+            assigned.write.mode("overwrite").partitionBy(
+                "centroid_id").parquet(self._ivf_points)
+            centroids.write.mode("overwrite").parquet(self._ivf_centroids)
+            self._centroid_cache = None
+            self.meta["index_built"] = True
+            self._save_meta()
+            return
+
+        source = self.read(spark) if rewrote or incoming is None else incoming
+        if vec_col not in source.columns:
+            return
+        assigned = source.withColumn(
+            "centroid_id",
+            assign_centroid_expr(self._centroids(spark),
+                                 as_double(F.col(vec_col))),
+        )
+        mode = "overwrite" if rewrote else "append"
+        assigned.write.mode(mode).partitionBy(
+            "centroid_id").parquet(self._ivf_points)
+
+    def rebuild_index(self, spark: SparkSession, vec_col: str = "embedding",
+                      id_col: str = "id") -> None:
+        """Explicit full retrain + layout rewrite (the maintenance
+        analog of dropping and re-creating Qdrant's index)."""
+        self.meta.pop("index_built", None)
+        self._centroid_cache = None
+        self._save_meta()
+        self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
 
     # -- S8: upsert -------------------------------------------------------
 
@@ -130,8 +242,11 @@ class Collection:
                 combined.write.mode("overwrite").parquet(staging)
                 shutil.rmtree(self.path)
                 os.rename(staging, self.path)
+                self._refresh_index(spark, None, id_col, vec_col,
+                                    rewrote=True)
                 return
         points.write.mode("append").parquet(self.path)
+        self._refresh_index(spark, points, id_col, vec_col, rewrote=False)
 
     def _has_data(self, spark: SparkSession) -> bool:
         try:
@@ -144,7 +259,8 @@ class Collection:
 
     def search(self, spark: SparkSession, query_vector: list,
                k: int = 5, query_filter=None, score_threshold=None,
-               id_col: str = "id", vec_col: str = "embedding"):
+               id_col: str = "id", vec_col: str = "embedding",
+               nprobe: int | None = None, exact: bool = False):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -193,6 +309,21 @@ class Collection:
         qv = [float(x) for x in query_vector]
         if self.meta.get("normalize"):
             qv = _unit(qv)
+        if self.has_index() and not exact:
+            # route through the IVF layout: nearest-nprobe centroids
+            # picked driver-side (≤ k_centroids rows), corpus scan
+            # reduced to a literal centroid_id IN (...) — statically
+            # partition-pruned on the partitionBy(centroid_id) layout
+            cents = self._centroids(spark)
+            if nprobe is None:
+                nprobe = len(cents)  # exhaustive probe ≡ exact scan
+            ranked = sorted(
+                range(len(cents)),
+                key=lambda i: (-_cosine(qv, cents[i]), i),
+            )[:nprobe]
+            corpus = spark.read.parquet(self._ivf_points).filter(
+                F.col("centroid_id").isin([int(i) for i in ranked])
+            ).drop("centroid_id")
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
         return dense_knn(
@@ -221,11 +352,21 @@ def collection_exists(root: str, name: str) -> bool:
 def create_collection(root: str, name: str, dim: int,
                       metric: str = "cosine", multivector: bool = False,
                       comparator: str | None = None,
-                      normalize: bool | None = None) -> Collection:
+                      normalize: bool | None = None,
+                      indexing_threshold: int | None = None,
+                      k_centroids: int = 16,
+                      train_fraction: float | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
-    Idempotent: an existing collection is returned unchanged."""
+    Idempotent: an existing collection is returned unchanged.
+
+    ``indexing_threshold`` mirrors Qdrant's deferred index build
+    (``:132``): once the collection holds at least that many points,
+    the next upsert builds the IVF layout (``k_centroids`` coarse
+    cells, KMeans trained on ``train_fraction`` of the data — None
+    trains on everything, fine below ~1M rows) and dense searches
+    route through it. None (default) = never auto-index."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
         if normalize is None:
@@ -237,6 +378,11 @@ def create_collection(root: str, name: str, dim: int,
             "comparator": comparator or ("max_sim" if multivector else None),
             "normalize": normalize,
         }
+        if indexing_threshold is not None:
+            meta["indexing_threshold"] = int(indexing_threshold)
+            meta["k_centroids"] = int(k_centroids)
+            if train_fraction is not None:
+                meta["train_fraction"] = float(train_fraction)
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)

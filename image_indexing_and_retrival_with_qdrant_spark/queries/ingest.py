@@ -117,6 +117,56 @@ def ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_knn(corpus, query, k=5, id_col="doc_id", dim=8)
 
 
+def _auto_index_oracle() -> str:
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents)
+    SELECT sha256(t.text) AS id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM t
+    ORDER BY score DESC, id
+    LIMIT 5
+    """
+
+
+@register("ingest_auto_index_search", _auto_index_oracle())
+def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexing_threshold parity
+    (``incremental_indexing_colpali_with_qdrant.py:132``): the upsert
+    crosses the threshold, which builds the IVF layout
+    (``partitionBy(centroid_id)``), and ``search`` routes through it —
+    with the default exhaustive probe (nprobe = k_centroids) the
+    routed result is exactly the full scan's, so the whole
+    auto-index → probe → score path is oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"),
+        id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_auto_index_")
+    try:
+        coll = create_collection(
+            root, "docs_auto", dim=8, metric="cosine", normalize=False,
+            indexing_threshold=1, k_centroids=4,
+        )
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index(), "threshold crossed but index not built"
+        qv = _E.embed(
+            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            text_col="text", mode="query",
+        ).collect()[0].embedding
+        res = coll.search(spark, qv, k=5).select("id", "score")
+        # materialize before the temp layout is removed
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "ingest_collection_lifecycle",
     """

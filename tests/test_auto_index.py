@@ -1,0 +1,104 @@
+"""Auto-index threshold on Collection (indexing_threshold parity,
+``incremental_indexing_colpali_with_qdrant.py:132``): deferred IVF
+build, incremental assignment on later upserts, partition-pruned
+routed search."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.plans.explain import formatted_plan
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import HashEmbedder
+from image_indexing_and_retrival_with_qdrant_spark.sources.ingest import build_points
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+from tests.oracle import compare
+
+_E = HashEmbedder(dim=8)
+
+
+def _points(spark, sf_dir, lo=None, hi=None):
+    docs = load(spark, sf_dir, "documents")
+    if lo is not None:
+        docs = docs.filter(
+            (F.crc32(F.col("text")) % 100 >= lo)
+            & (F.crc32(F.col("text")) % 100 < hi)
+        )
+    return build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"])
+
+
+def test_below_threshold_no_index(spark, sf_smoke, tmp_path):
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=10**9, k_centroids=4)
+    coll.upsert(spark, _points(spark, sf_smoke), mode="merge")
+    assert not coll.has_index()
+    assert not os.path.exists(coll._ivf_points)
+
+
+def test_threshold_crossing_builds_then_incremental(spark, sf_smoke, tmp_path):
+    """First crossing trains + writes the layout; the next upsert
+    appends assigned rows without retraining (centroids unchanged)."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4)
+    coll.upsert(spark, _points(spark, sf_smoke, 0, 60), mode="append")
+    assert coll.has_index()
+    cents_before = coll._centroids(spark)
+    n_layout = spark.read.parquet(coll._ivf_points).count()
+    assert n_layout == coll.count(spark)
+
+    coll.upsert(spark, _points(spark, sf_smoke, 60, 100), mode="append")
+    coll._centroid_cache = None
+    assert coll._centroids(spark) == cents_before  # no retrain
+    assert spark.read.parquet(coll._ivf_points).count() == coll.count(spark)
+
+
+def test_routed_search_partition_prunes(spark, sf_smoke, tmp_path):
+    """nprobe < k_centroids turns the corpus scan into a partition
+    filter over the layout; exhaustive nprobe reproduces the exact
+    scan's results."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4)
+    coll.upsert(spark, _points(spark, sf_smoke), mode="append")
+    qv = _E.embed(
+        spark.createDataFrame([("spark query engine",)], "text string"),
+        text_col="text", mode="query",
+    ).collect()[0].embedding
+
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, exact=True).collect()]
+    routed = coll.search(spark, qv, k=5)  # nprobe defaults exhaustive
+    assert [(r.id, r.score) for r in routed.collect()] == exact
+
+    pruned = coll.search(spark, qv, k=5, nprobe=1)
+    plan = formatted_plan(pruned)
+    assert "centroid_id" in plan  # partition filter on the layout
+    res = [(r.id, r.score) for r in pruned.collect()]
+    assert 0 < len(res) <= 5
+    # every routed score must agree with the exact scan's score
+    exact_all = {r.id: r.score for r in
+                 coll.search(spark, qv, k=None, exact=True).collect()}
+    for i, s in res:
+        assert exact_all[i] == s
+
+
+def test_merge_rewrite_refreshes_layout(spark, sf_smoke, tmp_path):
+    """A merge that rewrites the table re-assigns the whole layout, so
+    superseded rows disappear from the index too."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4)
+    pts = _points(spark, sf_smoke)
+    coll.upsert(spark, pts, mode="merge")
+    n = coll.count(spark)
+    coll.upsert(spark, pts, mode="merge")  # all ids conflict → rewrite
+    assert coll.count(spark) == n
+    assert spark.read.parquet(coll._ivf_points).count() == n
+
+
+def test_auto_index_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_auto_index_search"], sf_smoke,
+            "ingest_auto_index_search")
