@@ -76,12 +76,10 @@ def _unit(v: list[float]) -> list[float]:
     return v if n == 0.0 else [x / n for x in v]
 
 
-def _cosine(a: list[float], b: list[float]) -> float:
-    """Driver-side cosine for ranking a handful of centroids."""
-    dot = sum(x * y for x, y in zip(a, b))
-    na = math.sqrt(sum(x * x for x in a))
-    nb = math.sqrt(sum(x * x for x in b))
-    return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+def _sq_dist(a: list[float], b: list[float]) -> float:
+    """Driver-side squared euclidean — the centroid-assignment metric,
+    so probing ranks cells the same way they were carved."""
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
 def _is_nested(df: DataFrame, col: str) -> bool:
@@ -140,7 +138,7 @@ class Collection:
         thr = self.meta.get("indexing_threshold")
         if not thr or self.meta.get("multivector"):
             return
-        from .operators.ann import assign_centroid_expr, ivf_build
+        from .operators.ann import assign_centroids, ivf_build
 
         if not self.has_index():
             n = self.count(spark)
@@ -167,8 +165,8 @@ class Collection:
             return
         assigned = source.withColumn(
             "centroid_id",
-            assign_centroid_expr(self._centroids(spark),
-                                 as_double(F.col(vec_col))),
+            assign_centroids(self._centroids(spark),
+                             as_double(F.col(vec_col))),
         )
         mode = "overwrite" if rewrote else "append"
         assigned.write.mode(mode).partitionBy(
@@ -319,7 +317,7 @@ class Collection:
                 nprobe = len(cents)  # exhaustive probe ≡ exact scan
             ranked = sorted(
                 range(len(cents)),
-                key=lambda i: (-_cosine(qv, cents[i]), i),
+                key=lambda i: (_sq_dist(qv, cents[i]), i),
             )[:nprobe]
             corpus = spark.read.parquet(self._ivf_points).filter(
                 F.col("centroid_id").isin([int(i) for i in ranked])

@@ -27,6 +27,7 @@ design, rows-only in the driver):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +35,7 @@ from ..functions.vector import as_double, cosine, dot
 from .topk import global_topk
 
 __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
+           "assign_centroid_udf", "assign_centroids",
            "lsh_signatures", "lsh_band_frame", "lsh_search"]
 
 
@@ -45,7 +47,12 @@ def assign_centroid_expr(centroids: list[list[float]], vec_col: Column) -> Colum
     ``array_min`` over (distance, id) structs (lexicographic struct
     ordering). Whole-stage codegen, no ml transformer, no Python — the
     assignment pass is just another projection over the scan, which is
-    what a 100 TB backfill needs."""
+    what a 100 TB backfill needs.
+
+    Limit: janino caps generated methods at 64 KB, which this unrolled
+    form exceeds somewhere past ~64 centroids (measured: 128×8 dies,
+    64×16 is fine). Use ``assign_centroids`` to dispatch automatically.
+    """
     entries = []
     for cid, c in enumerate(centroids):
         d = None
@@ -55,6 +62,43 @@ def assign_centroid_expr(centroids: list[list[float]], vec_col: Column) -> Colum
             d = term if d is None else d + term
         entries.append(F.struct(d.alias("d"), F.lit(cid).alias("i")))
     return F.array_min(F.array(*entries))["i"]
+
+
+def assign_centroid_udf(centroids: list[list[float]], vec_col: Column) -> Column:
+    """Nearest-centroid id as an Arrow-batched pandas UDF — the
+    large-codebook path (big ``k_centroids``/``k_codes`` overflow the
+    codegen'd expression's 64 KB method limit). The centroid matrix is
+    a closure-captured numpy array; per batch the distance is one BLAS
+    matmul: ``argmin(||c||² − 2 V·Cᵀ)`` (||v||² is row-constant). Same
+    first-minimum tie-break as the expression form; float rounding may
+    differ in the last ulp on exact ties (irrelevant for a coarse
+    quantizer)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        if V.size == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(
+            np.argmin(c_sq - 2.0 * (V @ C.T), axis=1).astype(np.int32)
+        )
+
+    return nearest(vec_col)
+
+
+def assign_centroids(centroids: list[list[float]], vec_col: Column,
+                     max_expr_centroids: int = 64,
+                     max_expr_literals: int = 1024) -> Column:
+    """Dispatch: codegen'd expression for small codebooks (scan-local,
+    zero Python), Arrow-batched numpy for large ones."""
+    k, d = len(centroids), len(centroids[0])
+    if k <= max_expr_centroids and k * d <= max_expr_literals:
+        return assign_centroid_expr(centroids, vec_col)
+    return assign_centroid_udf(centroids, vec_col)
 
 
 def ivf_build(corpus: DataFrame, k_centroids: int = 16,
@@ -81,7 +125,7 @@ def ivf_build(corpus: DataFrame, k_centroids: int = 16,
     centroids = [c.tolist() for c in model.clusterCenters()]
     if sample_fraction is not None:
         assigned = corpus.withColumn(
-            "centroid_id", assign_centroid_expr(centroids, as_double(F.col(vec_col)))
+            "centroid_id", assign_centroids(centroids, as_double(F.col(vec_col)))
         )
     else:
         full_feat = corpus.withColumn(
@@ -106,14 +150,22 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     centroid table and collected driver-side, so the corpus filter is
     a *literal* ``centroid_id IN (...)`` — statically partition-pruned
     on a ``partitionBy("centroid_id")`` layout (a broadcast join here
-    would scan every partition instead)."""
+    would scan every partition instead).
+
+    Cells are probed by **squared euclidean** distance — the same
+    metric the vectors were assigned with (Voronoi cells are euclidean
+    constructs; ranking them by dot/cosine loses the query's own cell
+    on non-normalized corpora)."""
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("centroid"), as_double(F.col(query_vec_col)),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
     probed = global_topk(
         centroids.join(F.broadcast(query.select(query_vec_col)))
-        .withColumn(
-            "cdist", cosine(F.col("centroid"), as_double(F.col(query_vec_col)))
-        )
+        .withColumn("cdist", sq_dist)
         .select("centroid_id", "cdist"),
-        [("cdist", False), ("centroid_id", True)],
+        [("cdist", True), ("centroid_id", True)],
         nprobe,
     ).select("centroid_id")
     probe_ids = [r.centroid_id for r in probed.collect()]

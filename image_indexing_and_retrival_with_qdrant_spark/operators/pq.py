@@ -21,13 +21,45 @@ against the exact scan (tests/test_pq.py), like the other ANN tiers.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .ann import assign_centroid_expr
+from .ann import assign_centroids
 from .topk import global_topk
 
-__all__ = ["pq_build", "pq_search", "ivfpq_search"]
+__all__ = ["pq_build", "pq_encode_udf", "pq_search", "ivfpq_search"]
+
+
+def pq_encode_udf(codebooks: list, vec_col: Column) -> Column:
+    """All-block PQ encoding in one Arrow-batched pandas UDF → an
+    ``array<int>`` of ``n_blocks`` codes.
+
+    Per-block codegen'd assignment expressions are fine alone, but
+    projecting 8+ of them together overflows whole-stage codegen's
+    64 KB method budget and Spark silently falls back to interpreted
+    evaluation (measured 97 s vs ~15 s per 1M×16-d rows). This path
+    moves the whole encode into numpy: one matmul per block over the
+    Arrow batch, argmin over codewords — encode cost is BLAS-bound."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sq = [(m * m).sum(axis=1) for m in mats]
+    subdim = mats[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((V.shape[0], len(mats)), dtype=np.int32)
+        for b, (C, c_sq) in enumerate(zip(mats, sq)):
+            sub = V[:, b * subdim:(b + 1) * subdim]
+            codes[:, b] = np.argmin(c_sq - 2.0 * (sub @ C.T), axis=1)
+        return pd.Series(list(codes))
+
+    return encode(vec_col)
 
 
 def pq_build(corpus: DataFrame, dim: int, n_blocks: int = 8,
@@ -59,14 +91,31 @@ def pq_build(corpus: DataFrame, dim: int, n_blocks: int = 8,
                        featuresCol="__features").fit(sub)
         codebooks.append([c.tolist() for c in model.clusterCenters()])
 
-    code_cols = [
-        assign_centroid_expr(
-            codebooks[b],
-            F.slice(F.col(vec_col), b * subdim + 1, subdim).cast("array<double>"),
-        ).alias(f"code{b}")
-        for b in range(n_blocks)
-    ]
-    codes = corpus.select(F.col(id_col), *code_cols)
+    # one codegen'd expression per block stays in whole-stage codegen
+    # only while the *combined* projection is small; past that Spark
+    # silently drops to interpreted eval (~6× slower) — so any
+    # non-trivial codebook set encodes via the batched numpy UDF
+    if n_blocks * k_codes * subdim <= 512:
+        code_cols = [
+            assign_centroids(
+                codebooks[b],
+                F.slice(F.col(vec_col), b * subdim + 1, subdim)
+                .cast("array<double>"),
+            ).alias(f"code{b}")
+            for b in range(n_blocks)
+        ]
+        codes = corpus.select(F.col(id_col), *code_cols)
+    else:
+        codes = corpus.select(
+            F.col(id_col),
+            pq_encode_udf(
+                codebooks, F.col(vec_col).cast("array<double>")
+            ).alias("__codes"),
+        ).select(
+            F.col(id_col),
+            *[F.element_at("__codes", b + 1).alias(f"code{b}")
+              for b in range(n_blocks)],
+        )
     return codes, codebooks
 
 
@@ -119,18 +168,21 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
     dim = len(query_vec)
     qdf = spark.createDataFrame([(query_vec,)], "query_vec array<double>")
 
+    # probe by squared euclidean — the assignment metric (a dot-product
+    # ranking can miss the query's own Voronoi cell on non-normalized
+    # corpora, dropping the true neighbors before rescore ever runs)
     probed = global_topk(
         centroids.join(F.broadcast(qdf))
         .withColumn(
             "cdist",
             F.aggregate(
                 F.zip_with(F.col("centroid"), F.col("query_vec"),
-                           lambda x, y: x * y),
+                           lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0), lambda a, x: a + x,
             ),
         )
         .select("centroid_id", "cdist"),
-        [("cdist", False), ("centroid_id", True)],
+        [("cdist", True), ("centroid_id", True)],
         nprobe,
     )
     probe_ids = [r.centroid_id for r in probed.collect()]

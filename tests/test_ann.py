@@ -68,6 +68,39 @@ def test_lsh_self_hit_and_recall(spark, sf_smoke):
     assert recall >= 0.3, f"LSH recall@10 too low: {recall}"
 
 
+def test_udf_assignment_matches_expr_and_survives_big_codebooks(spark, sf_smoke):
+    """The Arrow-batched numpy assignment agrees with the codegen'd
+    expression, and handles codebooks past janino's 64 KB method limit
+    (128 centroids × 8 dims crashes the unrolled expression with
+    'Code grows beyond 64 KB')."""
+    import numpy as np
+
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        as_double,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroid_expr,
+        assign_centroid_udf,
+        assign_centroids,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    rng = np.random.RandomState(5)
+    small = rng.standard_normal((8, 64)).tolist()
+    v = as_double(F.col("embedding"))
+    by_expr = {r.vec_id: r.c for r in emb.select(
+        "vec_id", assign_centroid_expr(small, v).alias("c")).collect()}
+    by_udf = {r.vec_id: r.c for r in emb.select(
+        "vec_id", assign_centroid_udf(small, v).alias("c")).collect()}
+    assert by_expr == by_udf
+
+    big = rng.standard_normal((128, 8)).tolist()
+    sub = F.slice(F.col("embedding"), 1, 8).cast("array<double>")
+    got = emb.select("vec_id", assign_centroids(big, sub).alias("c")).collect()
+    assert len(got) == emb.count()
+    assert all(0 <= r.c < 128 for r in got)
+
+
 def test_expr_assignment_matches_ml_transformer(spark, sf_smoke):
     """Sample-trained + expression-assigned IVF must agree with the
     ml-transformer assignment for the same centroids."""

@@ -1,0 +1,96 @@
+"""ANN recall on clustered vectors — the corpus shape ANN is for.
+
+The driver fixture's vectors are uniform-random (no cluster
+structure), where any partition-pruning method bottoms out near
+nprobe/k. These tests use the seeded mixture-of-Gaussians corpus from
+``recall_curve.py`` and pin recall at thresholds meaningfully above
+that floor (measured values in BASELINE.md §ANN recall; thresholds sit
+safely below them)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.operators.ann import ivf_build, ivf_search
+from image_indexing_and_retrival_with_qdrant_spark.operators.knn import dense_knn
+from image_indexing_and_retrival_with_qdrant_spark.operators.pq import (
+    ivfpq_search,
+    pq_build,
+)
+from recall_curve import DIM, clustered_corpus
+
+N = 2000
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = clustered_corpus(spark, N)
+    c.count()
+    yield c
+    c.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    rng = np.random.RandomState(99)
+    qids = sorted(int(i) for i in rng.choice(N, size=8, replace=False))
+    qvecs = {r.vec_id: r.embedding for r in
+             corpus.filter(F.col("vec_id").isin(qids)).collect()}
+    exact = {}
+    for qid in qids:
+        qdf = spark.createDataFrame([(qvecs[qid],)],
+                                    "query_vec array<double>")
+        exact[qid] = {r.vec_id for r in
+                      dense_knn(corpus, qdf, k=K, dim=DIM).collect()}
+    return qids, qvecs, exact
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    assigned, centroids = ivf_build(corpus, k_centroids=16, seed=42)
+    assigned = assigned.cache()
+    assigned.count()
+    yield assigned, centroids
+    assigned.unpersist()
+
+
+def _mean_recall(result_ids_by_q, exact):
+    return float(np.mean([
+        len(result_ids_by_q[q] & exact[q]) / len(exact[q])
+        for q in result_ids_by_q
+    ]))
+
+
+def test_ivf_recall_on_clustered(spark, corpus, queries, ivf):
+    """nprobe=2 of 16 (⅛ of the data) must recover ≥0.85 of the exact
+    top-10 when the corpus clusters (measured 0.995)."""
+    qids, qvecs, exact = queries
+    assigned, centroids = ivf
+    got = {}
+    for q in qids:
+        qdf = spark.createDataFrame([(qvecs[q],)], "query_vec array<double>")
+        got[q] = {r.vec_id for r in
+                  ivf_search(assigned, centroids, qdf, k=K,
+                             nprobe=2).collect()}
+    assert _mean_recall(got, exact) >= 0.85
+
+
+def test_ivfpq_rerank_recall_on_clustered(spark, corpus, queries, ivf):
+    """Composed tier: probe compressed codes (nprobe=4), exact-rerank
+    100 candidates — ≥0.7 recall@10 (measured 0.83–0.89 at 5k rows).
+    The 8×64 codebook exercises the Arrow-batched assignment path."""
+    qids, qvecs, exact = queries
+    assigned, centroids = ivf
+    codes, codebooks = pq_build(corpus, dim=DIM, n_blocks=8, k_codes=64)
+    acodes = codes.join(assigned.select("vec_id", "centroid_id"),
+                        on="vec_id").cache()
+    acodes.count()
+    got = {}
+    for q in qids:
+        got[q] = {r.vec_id for r in
+                  ivfpq_search(acodes, centroids, codebooks, corpus,
+                               qvecs[q], k=K, nprobe=4,
+                               rescore=100).collect()}
+    assert _mean_recall(got, exact) >= 0.7
+    acodes.unpersist()
