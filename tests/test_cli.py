@@ -60,6 +60,44 @@ def test_cli_index_query_stats_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert "6 points" in capsys.readouterr().out
 
 
+def test_cli_index_images_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """Image-folder smoke (reference §3.1 surface): scan → hash-embed →
+    upsert → query → stats, plus merge-refresh — re-indexing a
+    *modified* file must update its point in place (ids key on
+    full_path; Qdrant upsert overwrites by id)."""
+    monkeypatch.setenv("ENGINE_EMBED_DIM", "8")
+    root = str(tmp_path / "colls")
+    imgroot = tmp_path / "imgs"
+    (imgroot / "cats").mkdir(parents=True)
+    (imgroot / "dogs").mkdir()
+    (imgroot / "cats" / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (imgroot / "cats" / "b.jpg").write_bytes(b"\xff\xd8-fake-b")
+    (imgroot / "dogs" / "c.jpeg").write_bytes(b"\xff\xd8-fake-c")
+    (imgroot / "dogs" / "notes.txt").write_bytes(b"not an image")
+
+    rc = cli.main(["index-images", "--folder", str(imgroot),
+                   "--collection", "imgs", "--root", root])
+    assert rc == 0
+    assert "3 points" in capsys.readouterr().out  # .txt excluded
+
+    rc = cli.main(["query", "fluffy cat", "--collection", "imgs",
+                   "--root", root, "--top-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("score=") == 2
+
+    # merge-refresh: grow a.png; its surrogate (filename:length) and
+    # embedding change, the point count must not
+    (imgroot / "cats" / "a.png").write_bytes(b"\x89PNG-fake-a-grown")
+    cli.main(["index-images", "--folder", str(imgroot),
+              "--collection", "imgs", "--root", root])
+    assert "3 points" in capsys.readouterr().out
+
+    rc = cli.main(["stats", "--collection", "imgs", "--root", root])
+    assert rc == 0
+    assert "3 points" in capsys.readouterr().out
+
+
 def test_cli_query_missing_collection(tmp_path, capsys):
     rc = cli.main(["query", "x", "--collection", "nope",
                    "--root", str(tmp_path)])
