@@ -1,0 +1,393 @@
+"""Training-data pipeline queries: corpus quality filters, chunking,
+PII scrubbing, and reduced-dimension retrieval.
+
+These are the operations a 100 TB pretraining-data pipeline runs
+between raw ingest and the embedding/indexing stages the reference
+covers (SURVEY.md §7 M6 extends here): Gopher/C4-style heuristic
+filters, n-gram repetition detection, sliding-window chunking for
+context-bounded embedders, and email/URL redaction. Every operator is
+a pure Catalyst expression over one scan — no Python, no shuffle
+except final tiny aggregations — so each scales linearly with the
+corpus and whole-stage-codegens.
+
+Reduced-dimension retrieval (Matryoshka truncation, seeded random
+projection) mirrors how large corpora cut ANN cost: score in a cheap
+subspace, keep the full vector only for reranking. Both are expressed
+as the same broadcast-query cosine top-k as the dense path, so the
+plan shape (broadcast + TakeOrderedAndProject) is identical to
+operators/knn.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..functions.vector import as_double, dot
+from ..registry import register
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# Repetition detection (Gopher §A.1.2: excess duplicate n-grams)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = r"""
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks,
+         len(regexp_extract_all(text, '\w+')) AS n
+  FROM documents
+"""
+
+
+@register(
+    "docs_repetition_stats",
+    f"""
+    WITH t AS ({_BIGRAM_SQL}),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN n >= 2
+                  THEN list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           ROUND(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+             AS dup_bigram_frac,
+           ROUND(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x))))
+                 / CAST(len(bg) AS DOUBLE), 6) AS top_bigram_frac,
+           (1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)) <= 0.2
+             AS keep
+    FROM b
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-bigram repetition: duplicate-bigram fraction
+    and most-frequent-bigram share (the Gopher repetition signals), and
+    a keep flag at the standard 0.2 duplicate threshold.
+
+    The top-bigram share is an O(distinct × total) per-row expression —
+    bounded by document length, scan-local, no shuffle; at 100 TB this
+    is exactly as parallel as the scan itself."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    bg = F.when(
+        F.col("n") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.concat(F.element_at("toks", i), F.lit(" "),
+                               F.element_at("toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = t.select("doc_id", bg.alias("bg"))
+    dup_frac = 1.0 - F.size(F.array_distinct("bg")) / F.size("bg").cast("double")
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("bg"),
+                lambda x: F.size(F.filter("bg", lambda y: y == x)),
+            )
+        )
+        / F.size("bg").cast("double")
+    )
+    return b.select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (dup_frac <= 0.2).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_gopher_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\w+') AS toks,
+             len(regexp_extract_all(text, '\w+')) AS n,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_sym
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n, n_sym,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / n AS mean_len,
+             len(list_filter(toks, x -> lower(x) IN
+                 ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           ROUND(mean_len, 6) AS mean_word_len,
+           ROUND(n_sym / CAST(n AS DOUBLE), 6) AS symbol_word_ratio,
+           n BETWEEN 20 AND 80 AS word_count_ok,
+           mean_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+           n_stop >= 2 AS stopword_ok,
+           (n BETWEEN 20 AND 80) AND (mean_len BETWEEN 3.0 AND 10.0)
+             AND n_stop >= 2 AS keep
+    FROM m
+    """,
+)
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule battery per document: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, minimum stopword evidence —
+    each rule surfaced as its own flag plus the conjunction, so a
+    pipeline can tune one rule without re-deriving the rest."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.length(
+            F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", "")
+        ).alias("n_sym"),
+    )
+    mean_len = (
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        / F.col("n")
+    )
+    n_stop = F.size(
+        F.filter("toks", lambda x: F.lower(x).isin(
+            "the", "a", "of", "and", "to", "in"))
+    )
+    m = t.select("doc_id", "n", "n_sym", mean_len.alias("mean_len"),
+                 n_stop.alias("n_stop"))
+    word_ok = F.col("n").between(20, 80)
+    len_ok = F.col("mean_len").between(3.0, 10.0)
+    stop_ok = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.round("mean_len", 6).alias("mean_word_len"),
+        F.round(F.col("n_sym") / F.col("n").cast("double"), 6)
+          .alias("symbol_word_ratio"),
+        word_ok.alias("word_count_ok"),
+        len_ok.alias("mean_len_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_ok & len_ok & stop_ok).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (context-bounded embedders)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "docs_chunk_sliding",
+    f"""
+    WITH t AS ({_BIGRAM_SQL})
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}]) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' ')
+             AS chunk
+    FROM t, UNNEST(range(0, CAST(1 + ceil(greatest(n - {_CHUNK}, 0)
+                                          / {_STRIDE}.0) AS BIGINT))) AS u(i)
+    """,
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (size {C}, stride {S}) — the chunking
+    pass that feeds context-bounded embedding models; the tail chunk is
+    partial rather than dropped. Explode is scan-local (no shuffle):
+    each document's chunks are produced where its row is read.
+    """.format(C=_CHUNK, S=_STRIDE)
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_chunks = (
+        1 + F.ceil(F.greatest(F.col("n") - _CHUNK, F.lit(0)) / _STRIDE)
+    ).cast("int")
+    exploded = t.select(
+        "doc_id", "toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_pos", "i"),
+    )
+    window = F.slice("toks", F.col("i") * _STRIDE + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.size(window).alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "docs_scrub_pii",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com or https://site' || doc_id || '.example/x'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT)
+             AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS scrubbed_md5
+    FROM src
+    """,
+)
+def docs_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL redaction with per-document match counts. The fixture
+    text is a closed vocabulary, so PII is injected deterministically
+    (every 7th doc) the same way on both sides — the regexes and the
+    replace-all are what's under test. Output carries the md5 of the
+    scrubbed text (the full string would bloat the hash compare)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                     F.lit("@example.com or https://site"), F.col("doc_id"),
+                     F.lit(".example/x")),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _URL_RE, "<URL>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+          .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), 0))
+          .cast("long").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reduced-dimension retrieval: Matryoshka truncation + random projection
+# ---------------------------------------------------------------------------
+
+_MAT_DIM = 16
+
+_COS16 = (
+    "list_dot_product(CAST({a} AS DOUBLE[])[1:16], CAST({b} AS DOUBLE[])[1:16])"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[])[1:16],"
+    "                          CAST({a} AS DOUBLE[])[1:16]))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[])[1:16],"
+    "                         CAST({b} AS DOUBLE[])[1:16])))"
+)
+
+
+@register(
+    "emb_matryoshka_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id, e.label,
+           ROUND({_COS16.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def emb_matryoshka_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style retrieval: score in the first-{d} prefix
+    subspace (cosine over the truncated vectors ≡ truncate + renorm +
+    dot), top-5. The plan is the dense-KNN shape — broadcast one query
+    row, TakeOrderedAndProject — with 4× less arithmetic per row; the
+    full vector is only needed by a rerank stage.
+    """.format(d=_MAT_DIM)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.slice(as_double(F.col("embedding")), 1, _MAT_DIM).alias("qv")
+    )
+    ev = F.slice(as_double(F.col("embedding")), 1, _MAT_DIM)
+    score = dot(ev, F.col("qv")) / (
+        F.sqrt(dot(ev, ev)) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "vec_id", "label", F.round(score, 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+_RP_OUT = 4
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Seeded Gaussian projection (64→4), inlined as literals on both
+    sides so the oracle shares the exact constants."""
+    rng = np.random.RandomState(17)
+    return [[float(x) for x in row]
+            for row in rng.standard_normal((_RP_OUT, 64))]
+
+
+_RP = _rp_matrix()
+
+
+def _rp_sql(vec: str) -> str:
+    comps = ", ".join(
+        "list_dot_product(CAST({v} AS DOUBLE[]), [{lits}])".format(
+            v=vec, lits=", ".join(repr(x) for x in row))
+        for row in _RP
+    )
+    return f"[{comps}]"
+
+
+@register(
+    "emb_random_projection_top5",
+    f"""
+    WITH p AS (
+      SELECT vec_id, label, {_rp_sql('embedding')} AS pe
+      FROM embeddings
+    ),
+    q AS (SELECT pe AS qv FROM p WHERE vec_id = 7)
+    SELECT p.vec_id, p.label,
+           ROUND(list_dot_product(p.pe, q.qv)
+                 / (sqrt(list_dot_product(p.pe, p.pe))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+    FROM p CROSS JOIN q
+    ORDER BY score DESC, p.vec_id
+    LIMIT 5
+    """,
+)
+def emb_random_projection_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sketch retrieval: project 64-d → 4-d with
+    a seeded Gaussian matrix (literal constants, shared with the
+    oracle), cosine top-5 in the sketch space. The projection is one
+    scan-local expression per output dim — at 100 TB it runs inside
+    the same whole-stage-codegen pass as the scan, and the 16×-smaller
+    sketch is what gets cached/shuffled downstream."""
+    emb = load(spark, sf_dir, "embeddings")
+    ev = as_double(F.col("embedding"))
+    pe = F.array(*[
+        dot(ev, F.array(*[F.lit(x) for x in row])) for row in _RP
+    ])
+    p = emb.select("vec_id", "label", pe.alias("pe"))
+    q = p.filter(F.col("vec_id") == 7).select(F.col("pe").alias("qv"))
+    score = dot(F.col("pe"), F.col("qv")) / (
+        F.sqrt(dot(F.col("pe"), F.col("pe")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    scored = p.join(F.broadcast(q)).select(
+        "vec_id", "label", F.round(score, 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)

@@ -61,6 +61,7 @@ from .queries import (  # noqa: E402,F401
     ingest,
     knn,
     maxsim,
+    pipeline,
     quality,
     relational,
     scale,
