@@ -57,6 +57,13 @@ HEADLINE = [
     "events_profile",
     "bm25_search_top10",
     "hybrid_search_rrf_top10",
+    # round 2: training-data pipeline family (BASELINE.md §round-2)
+    "docs_repetition_stats",
+    "docs_gopher_filter",
+    "docs_chunk_sliding",
+    "docs_scrub_pii",
+    "emb_matryoshka_top5",
+    "emb_random_projection_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -95,3 +95,23 @@ def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
     codes, codebooks = _pq_index(spark, sf_dir)
     return pq_search(codes, codebooks, qvec, k=5)
+
+
+@register("ann_ivfpq_top5", None)
+def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF→PQ→exact-rerank (the graph-index-class quality
+    tier, BASELINE.md §ANN recall: 0.99 recall@10 on clustered vectors
+    at nprobe=4/rescore=200): probe compressed codes in the nprobe
+    nearest cells, exact-rescore a 100-row shortlist. Reuses both
+    cached indexes — the probe touches 8-byte codes, never the corpus
+    scan. Rows-only: approximate by design; recall pinned in
+    tests/test_ann_clustered.py."""
+    from ..operators.pq import ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    codes, codebooks = _pq_index(spark, sf_dir)
+    acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
+    return ivfpq_search(acodes, centroids, codebooks, emb, qvec,
+                        k=5, nprobe=4, rescore=100)
