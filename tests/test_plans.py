@@ -63,3 +63,25 @@ def test_maxsim_exact_aggregates_partially(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "maxsim_exact_top5")
     # two-level agg (max then sum) must include partial aggregation
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pipeline_docs_queries_are_map_only(spark, sf_smoke):
+    """The training-data pipeline claims scan-locality (SCALE.md):
+    quality filters, repetition stats, scrubbing, and chunking must
+    compile to exchange-free map pipelines (chunking adds a Generate
+    for the explode, still inside the scan stage)."""
+    for name in ("docs_repetition_stats", "docs_gopher_filter",
+                 "docs_scrub_pii", "docs_chunk_sliding"):
+        plan = _plan(spark, sf_smoke, name)
+        assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_reduced_dim_retrieval_has_knn_plan_shape(spark, sf_smoke):
+    """Matryoshka / random-projection retrieval must keep the dense-KNN
+    physical shape: broadcast the one-row query, per-partition top-k
+    heaps, never a corpus shuffle or global sort."""
+    for name in ("emb_matryoshka_top5", "emb_random_projection_top5"):
+        plan = _plan(spark, sf_smoke, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
