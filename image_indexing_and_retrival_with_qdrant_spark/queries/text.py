@@ -139,6 +139,44 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, minus the \s+(?!\S) lookahead (RE2 —
+# DuckDB's engine — has no lookahead; the difference only moves which
+# side of a space run a token claims). Single-quote escaped for SQL.
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "text_bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_chars4,
+           ROUND(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+                 / CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE), 6)
+             AS pieces_per_word
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation: a BPE-ish pretokenizer piece count
+    (the GPT-2 split pattern) alongside the chars/4 rule of thumb —
+    the two estimators pipelines use to budget context windows before
+    a real tokenizer runs. Pure regex expressions, scan-local."""
+    d = load(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens_chars4"),
+        F.round(F.size(pieces) / F.size(words).cast("double"), 6)
+          .alias("pieces_per_word"),
+    )
+
+
 @register(
     "text_fingerprint",
     """

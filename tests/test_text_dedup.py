@@ -6,7 +6,8 @@ from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
 
 from .oracle import compare
 
-TEXT = ["text_token_stats", "text_quality", "text_langid", "text_fingerprint"]
+TEXT = ["text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+        "text_bpe_token_estimate"]
 DEDUP = [
     "dedup_exact_groups",
     "dedup_rerun_semantics",
