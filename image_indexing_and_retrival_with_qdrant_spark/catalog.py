@@ -51,6 +51,12 @@ centroid table is tiny) and the corpus scan becomes a literal
 default) is exhaustive probing ≡ the exact scan, so routed search
 stays oracle-checkable; callers opt into approximation by passing a
 smaller ``nprobe``.
+
+Multivector collections index the same way, with one twist: the
+coarse quantizer sees each point's **mean-pooled** flat multivector
+(one dim-length routing vector per point — the coarse stage of a
+PLAID-style late-interaction index), queries route on the mean-pooled
+query vectors, and exact MaxSim scores the probed cells.
 """
 
 from __future__ import annotations
@@ -64,7 +70,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
-from .functions.vector import as_double, l2_normalize
+from .functions.vector import as_double, l2_normalize, mean_pool_flat
 
 __all__ = ["Collection", "create_collection", "collection_exists"]
 
@@ -136,23 +142,34 @@ class Collection:
         being coarse; a full retrain is an explicit rebuild_index().
         """
         thr = self.meta.get("indexing_threshold")
-        if not thr or self.meta.get("multivector"):
+        if not thr:
             return
         from .operators.ann import assign_centroids, ivf_build
+
+        def routing_vec(df: DataFrame) -> Column:
+            """The vector the coarse quantizer sees: the embedding
+            itself for dense collections, the mean-pooled flat
+            multivector for MaxSim collections (one routing vector per
+            point — the coarse stage of a PLAID-style late-interaction
+            index; exact MaxSim runs inside the probed cells)."""
+            if self.meta.get("multivector"):
+                return mean_pool_flat(F.col(vec_col), int(self.meta["dim"]))
+            return as_double(F.col(vec_col))
 
         if not self.has_index():
             n = self.count(spark)
             if n < thr:
                 return
             table = self.read(spark)
-            if vec_col not in table.columns:
-                return
+            if vec_col not in table.columns or _is_nested(table, vec_col):
+                return  # legacy nested layout: no flat routing vector
             k = int(self.meta.get("k_centroids") or 16)
             assigned, centroids = ivf_build(
-                table, k_centroids=k, vec_col=vec_col, seed=42,
+                table.withColumn("__routing", routing_vec(table)),
+                k_centroids=k, vec_col="__routing", seed=42,
                 sample_fraction=self.meta.get("train_fraction"),
             )
-            assigned.write.mode("overwrite").partitionBy(
+            assigned.drop("__routing").write.mode("overwrite").partitionBy(
                 "centroid_id").parquet(self._ivf_points)
             centroids.write.mode("overwrite").parquet(self._ivf_centroids)
             self._centroid_cache = None
@@ -161,12 +178,11 @@ class Collection:
             return
 
         source = self.read(spark) if rewrote or incoming is None else incoming
-        if vec_col not in source.columns:
+        if vec_col not in source.columns or _is_nested(source, vec_col):
             return
         assigned = source.withColumn(
             "centroid_id",
-            assign_centroids(self._centroids(spark),
-                             as_double(F.col(vec_col))),
+            assign_centroids(self._centroids(spark), routing_vec(source)),
         )
         mode = "overwrite" if rewrote else "append"
         assigned.write.mode(mode).partitionBy(
@@ -281,6 +297,22 @@ class Collection:
 
         corpus = self.read(spark)
         dim = self.meta.get("dim")
+
+        def routed(routing_qv: list[float]) -> DataFrame:
+            # route through the IVF layout: nearest-nprobe centroids
+            # picked driver-side (≤ k_centroids rows), corpus scan
+            # reduced to a literal centroid_id IN (...) — statically
+            # partition-pruned on the partitionBy(centroid_id) layout
+            cents = self._centroids(spark)
+            np_ = len(cents) if nprobe is None else nprobe
+            ranked = sorted(
+                range(len(cents)),
+                key=lambda i: (_sq_dist(routing_qv, cents[i]), i),
+            )[:np_]  # exhaustive probe ≡ exact scan
+            return spark.read.parquet(self._ivf_points).filter(
+                F.col("centroid_id").isin([int(i) for i in ranked])
+            ).drop("centroid_id")
+
         if self.meta.get("multivector"):
             qv = [[float(x) for x in v] for v in query_vector]
             if self.meta.get("normalize"):
@@ -296,6 +328,13 @@ class Collection:
                     payload_cols=payload, prefilter=query_filter,
                     score_threshold=score_threshold,
                 )
+            if self.has_index() and not exact:
+                # coarse stage routes on the mean-pooled query (cells
+                # were carved over mean-pooled doc vectors); exact
+                # MaxSim scores the probed cells
+                pooled = [sum(v[j] for v in qv) / len(qv)
+                          for j in range(len(qv[0]))]
+                corpus = routed(pooled)
             qdf = spark.createDataFrame(
                 [([x for v in qv for x in v],)], "query_vectors array<double>"
             )
@@ -308,20 +347,7 @@ class Collection:
         if self.meta.get("normalize"):
             qv = _unit(qv)
         if self.has_index() and not exact:
-            # route through the IVF layout: nearest-nprobe centroids
-            # picked driver-side (≤ k_centroids rows), corpus scan
-            # reduced to a literal centroid_id IN (...) — statically
-            # partition-pruned on the partitionBy(centroid_id) layout
-            cents = self._centroids(spark)
-            if nprobe is None:
-                nprobe = len(cents)  # exhaustive probe ≡ exact scan
-            ranked = sorted(
-                range(len(cents)),
-                key=lambda i: (_sq_dist(qv, cents[i]), i),
-            )[:nprobe]
-            corpus = spark.read.parquet(self._ivf_points).filter(
-                F.col("centroid_id").isin([int(i) for i in ranked])
-            ).drop("centroid_id")
+            corpus = routed(qv)
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
         return dense_knn(

@@ -23,7 +23,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["as_double", "dot", "l2_norm", "cosine", "l2_normalize",
-           "cosine_prenorm", "dot_unrolled", "cosine_unrolled"]
+           "cosine_prenorm", "dot_unrolled", "cosine_unrolled",
+           "mean_pool_flat"]
 
 
 def as_double(col: Column | str) -> Column:
@@ -84,4 +85,21 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Unrolled cosine — bit-identical to ``cosine`` (same op order)."""
     return dot_unrolled(a, b, dim) / (
         F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    )
+
+
+def mean_pool_flat(col: Column, dim: int) -> Column:
+    """Mean-pool a *flat* multivector (length n×dim) down to one
+    dim-length vector: ``pooled[j] = mean_i v[i·dim + j]``. Pure
+    Catalyst (nested aggregate over a sequence) — the pooling pass is
+    a projection over the scan, used to give multivector collections a
+    single routing vector for the IVF coarse stage."""
+    n = (F.size(col) / dim).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0.0).cast("double"),
+            lambda acc, i: acc + F.element_at(col, i * dim + j).cast("double"),
+        ) / n,
     )

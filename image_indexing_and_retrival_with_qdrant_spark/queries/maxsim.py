@@ -112,3 +112,59 @@ def maxsim_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_knn(corpus, query, k=5, mv_col="mv", query_mv_col="query_mv",
                       payload_cols=["label"], prefilter=F.col("label") == 7,
                       flat_dim=_DIM)
+
+
+_MAXSIM_INDEXED_ORACLE = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, qi.i, dj.j,
+         list_dot_product(
+           (CAST(e.embedding AS DOUBLE[]))[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM embeddings e
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+mx AS (SELECT id, i, MAX(dp) AS m FROM pairs GROUP BY id, i),
+sc AS (SELECT id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY id)
+SELECT id, score FROM sc ORDER BY score DESC, CAST(id AS BIGINT) LIMIT 5
+"""
+
+
+@register("maxsim_indexed_top5", _MAXSIM_INDEXED_ORACLE)
+def maxsim_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-indexed multivector collection end-to-end: upsert nested
+    8×8 multivectors past ``indexing_threshold`` (flattened at write,
+    IVF built over mean-pooled routing vectors — the coarse stage of a
+    PLAID-style late-interaction index), then ``search`` routes
+    through the layout. Exhaustive probing ≡ the exact MaxSim scan, so
+    the whole pool → carve → probe → MaxSim path is oracle-checked;
+    ``nprobe < k_centroids`` is the approximate mode (pinned in
+    tests/test_auto_index.py)."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        as_multivector(F.col("embedding"), _DIM, _N).alias("embedding"),
+    )
+    qv = [list(v) for v in
+          pts.filter(F.col("id") == "0").collect()[0].embedding]
+    root = tempfile.mkdtemp(prefix="qd_mv_index_")
+    try:
+        from ..catalog import create_collection
+
+        coll = create_collection(root, "mv", dim=_DIM, multivector=True,
+                                 normalize=False, indexing_threshold=1,
+                                 k_centroids=4)
+        coll.upsert(spark, pts, mode="append")
+        assert coll.has_index(), "threshold crossed but index not built"
+        res = coll.search(spark, qv, k=5)
+        # materialize before the temp layout is removed; sort ties the
+        # same way as the oracle (score desc, numeric id)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -102,3 +102,42 @@ def test_merge_rewrite_refreshes_layout(spark, sf_smoke, tmp_path):
 def test_auto_index_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_auto_index_search"], sf_smoke,
             "ingest_auto_index_search")
+
+
+def test_multivector_auto_index_routes_maxsim(spark, sf_smoke, tmp_path):
+    """Multivector collections index too: the coarse quantizer runs
+    over mean-pooled routing vectors, exhaustive probing reproduces
+    the exact MaxSim scan, and nprobe=1 prunes to one cell while
+    keeping every surfaced score exact."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        as_multivector,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        as_multivector(F.col("embedding"), dim=8, n=8).alias("embedding"),
+    )
+    coll = create_collection(str(tmp_path), "mv", dim=8, multivector=True,
+                             normalize=False, indexing_threshold=1,
+                             k_centroids=4)
+    coll.upsert(spark, pts, mode="append")
+    assert coll.has_index()
+    assert spark.read.parquet(coll._ivf_points).count() == coll.count(spark)
+
+    qv = pts.filter(F.col("id") == "3").collect()[0].embedding
+
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, exact=True).collect()]
+    routed = [(r.id, r.score) for r in coll.search(spark, qv, k=5).collect()]
+    assert routed == exact  # exhaustive probe ≡ exact scan
+
+    pruned = coll.search(spark, qv, k=5, nprobe=1)
+    assert "centroid_id" in formatted_plan(pruned)
+    res = [(r.id, r.score) for r in pruned.collect()]
+    assert 0 < len(res) <= 5
+    assert res[0][0] == "3"  # self-match lives in the query's own cell
+    exact_all = dict(exact)
+    for i, s in res:
+        if i in exact_all:
+            assert exact_all[i] == s

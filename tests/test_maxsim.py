@@ -7,7 +7,9 @@ from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
 from .oracle import compare
 
 
-@pytest.mark.parametrize("name", ["maxsim_top5", "maxsim_exact_top5"])
+@pytest.mark.parametrize("name", ["maxsim_top5", "maxsim_exact_top5",
+                                  "maxsim_filtered_top5",
+                                  "maxsim_indexed_top5"])
 def test_maxsim_oracle(spark, sf_smoke, name):
     compare(spark, REGISTRY[name], sf_smoke, name)
 
