@@ -66,7 +66,7 @@ import math
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
@@ -357,6 +357,69 @@ class Collection:
             prenormalized=bool(self.meta.get("normalize")),
             dim=dim,
         )
+
+    # -- point management (Qdrant client surface beyond the reference) ----
+
+    def delete(self, spark: SparkSession, predicate: Column,
+               id_col: str = "id", vec_col: str = "embedding") -> int:
+        """Qdrant's ``delete(points_selector=Filter(...))`` analog:
+        remove every point matching the predicate. Plain-parquet
+        fallback is a staged rewrite of the survivors (Delta/Iceberg
+        would make this a metadata-only DELETE); the IVF layout is
+        re-derived so deleted points leave the index too. Returns the
+        number of points removed."""
+        if not self._has_data(spark):
+            return 0
+        table = self.read(spark)
+        n_before = table.count()
+        kept = table.filter(~predicate)
+        staging = self.path + ".__rewrite__"
+        kept.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+        n_after = self.read(spark).count()
+        if self.has_index():
+            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        return n_before - n_after
+
+    def scroll(self, spark: SparkSession, limit: int = 100,
+               after_id=None, id_col: str = "id",
+               with_vectors: bool = False,
+               vec_col: str = "embedding") -> DataFrame:
+        """Qdrant's ``scroll`` analog: keyset pagination ordered by id
+        — ``after_id`` is the last id of the previous page (strictly
+        greater-than, so pages never overlap or skip under concurrent
+        appends of higher ids). Keyset beats OFFSET at scale: the
+        predicate pushes to the scan instead of reading+discarding
+        ``offset`` rows."""
+        df = self.read(spark)
+        if not with_vectors:
+            df = df.drop(vec_col, "n_vecs")
+        if after_id is not None:
+            df = df.filter(F.col(id_col) > after_id)
+        return df.orderBy(F.col(id_col).asc()).limit(limit)
+
+    def compact(self, spark: SparkSession, target_rows_per_file: int = 500_000,
+                id_col: str = "id", vec_col: str = "embedding") -> int:
+        """Segment-merge maintenance (the analog of Qdrant's optimizer
+        merging small segments): rewrite the table into
+        ``ceil(n / target_rows_per_file)`` files. Append-mode upserts
+        accumulate one file-set per batch; compaction restores scan
+        efficiency (fewer, larger row groups → fewer tasks, better
+        vectorized-reader throughput). Returns the new file count."""
+        if not self._has_data(spark):
+            return 0
+        table = self.read(spark)
+        n = table.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        staging = self.path + ".__rewrite__"
+        table.repartition(n_files).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+        if self.has_index():
+            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        return len([f for f in os.listdir(self.path)
+                    if f.endswith(".parquet")])
 
     # -- S9: stats --------------------------------------------------------
 

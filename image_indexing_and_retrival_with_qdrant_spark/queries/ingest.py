@@ -168,6 +168,47 @@ def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_point_management",
+    """
+    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_deleted,
+           CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n_remaining,
+           CAST(LEAST(200, COUNT(*) FILTER (WHERE lang <> 'en')) AS BIGINT)
+             AS n_scrolled
+    FROM u
+    """,
+)
+def ingest_point_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-management lifecycle (Qdrant client surface beyond the
+    reference's usage — delete by filter, keyset scroll): ingest the
+    corpus, delete every lang='en' point, scroll two 100-row pages.
+    The counts are all oracle-derivable from ``documents``."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_point_mgmt_")
+    try:
+        coll = create_collection(root, "pm", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        n_total = coll.count(spark)
+        n_deleted = coll.delete(spark, F.col("lang") == "en")
+        n_remaining = coll.count(spark)
+        page1 = coll.scroll(spark, limit=100).collect()
+        page2 = coll.scroll(spark, limit=100,
+                            after_id=page1[-1].id).collect() if page1 else []
+        assert not ({r.id for r in page1} & {r.id for r in page2})
+        return spark.createDataFrame(
+            [(n_total, n_deleted, n_remaining, len(page1) + len(page2))],
+            "n_total long, n_deleted long, n_remaining long, n_scrolled long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "ingest_collection_lifecycle",
     """
     SELECT 'append' AS mode, CAST(COUNT(*) * 2 AS BIGINT) AS n_points FROM documents

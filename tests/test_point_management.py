@@ -1,0 +1,86 @@
+"""Collection point-management surface: delete-by-filter, keyset
+scroll, compaction (the Qdrant client ops beyond the reference's own
+usage — a reference user switching engines keeps their workflow)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import HashEmbedder
+from image_indexing_and_retrival_with_qdrant_spark.sources.ingest import build_points
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+_E = HashEmbedder(dim=8)
+
+
+def _fill(spark, sf_dir, tmp_path, **kw):
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"doc_id": F.col("doc_id"), "lang": F.col("lang")},
+        with_timestamp=False,
+    ).dropDuplicates(["id"])
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False, **kw)
+    coll.upsert(spark, points, mode="merge")
+    return coll
+
+
+def test_delete_by_filter(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n = coll.count(spark)
+    n_en = coll.read(spark).filter(F.col("lang") == "en").count()
+    assert 0 < n_en < n
+    removed = coll.delete(spark, F.col("lang") == "en")
+    assert removed == n_en
+    assert coll.count(spark) == n - n_en
+    assert coll.read(spark).filter(F.col("lang") == "en").count() == 0
+
+
+def test_delete_refreshes_index(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path,
+                 indexing_threshold=1, k_centroids=4)
+    assert coll.has_index()
+    removed = coll.delete(spark, F.col("lang") == "en")
+    assert removed > 0
+    layout = spark.read.parquet(coll._ivf_points)
+    assert layout.count() == coll.count(spark)
+    assert layout.filter(F.col("lang") == "en").count() == 0
+
+
+def test_scroll_keyset_pagination(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n = coll.count(spark)
+    seen, after, pages = [], None, 0
+    while True:
+        page = coll.scroll(spark, limit=150, after_id=after).collect()
+        if not page:
+            break
+        assert "embedding" not in page[0].asDict()  # ids+payload only
+        seen.extend(r.id for r in page)
+        after = page[-1].id
+        pages += 1
+    assert len(seen) == n == len(set(seen))  # no overlap, no skips
+    assert seen == sorted(seen)
+    assert pages == -(-n // 150)
+    with_vec = coll.scroll(spark, limit=1, with_vectors=True).collect()[0]
+    assert len(with_vec.embedding) == 8
+
+
+def test_compact_merges_files(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    # append-mode churn: many small file-sets
+    docs = load(spark, sf_smoke, "documents").limit(20)
+    for _ in range(3):
+        pts = build_points(_E.embed(docs, text_col="text"), id_key=None,
+                           payload={"doc_id": F.col("doc_id"),
+                                    "lang": F.col("lang")},
+                           with_timestamp=False)
+        coll.upsert(spark, pts, mode="append")
+    n = coll.count(spark)
+    files_before = len([f for f in os.listdir(coll.path)
+                        if f.endswith(".parquet")])
+    assert files_before > 1
+    files_after = coll.compact(spark, target_rows_per_file=10**6)
+    assert files_after == 1 < files_before
+    assert coll.count(spark) == n  # lossless
