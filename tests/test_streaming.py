@@ -159,3 +159,44 @@ def test_stream_stream_band_join_matches_batch(spark, sf_smoke):
         for r in REGISTRY["events_click_purchase_band"].builder(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_triggers_auto_index(spark, sf_smoke, tmp_path):
+    """The streaming MERGE path composes with indexing_threshold: a
+    micro-batch that crosses the threshold builds the IVF layout, the
+    next batch extends it incrementally (no retrain), and routed
+    search works over streamed points."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_smoke, "documents").dropDuplicates(["text"])
+    batch1 = str(tmp_path / "in1")
+    docs.limit(60).write.parquet(batch1)
+    schema = spark.read.parquet(batch1).schema
+
+    coll = create_collection(str(tmp_path / "colls"), "docs", dim=8,
+                             normalize=False, indexing_threshold=50,
+                             k_centroids=4)
+    q = incremental_index_stream(
+        spark, spark.readStream.schema(schema).parquet(batch1), coll,
+        HashEmbedder(dim=8), str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert coll.has_index()  # 60 > threshold=50
+    cents = coll._centroids(spark)
+
+    # stream a second disjoint batch into the same collection
+    docs.filter(~docs.text.isin(
+        [r.text for r in docs.limit(60).collect()]
+    )).limit(40).write.mode("overwrite").parquet(str(tmp_path / "in2"))
+    q = incremental_index_stream(
+        spark, spark.readStream.schema(schema).parquet(str(tmp_path / "in2")),
+        coll, HashEmbedder(dim=8), str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+
+    coll._centroid_cache = None
+    assert coll._centroids(spark) == cents  # incremental, no retrain
+    layout = spark.read.parquet(coll._ivf_points)
+    assert layout.count() == coll.count(spark)
+
+    qv = list(coll.read(spark).limit(1).collect()[0].embedding)
+    hits = coll.search(spark, qv, k=3, nprobe=2).collect()
+    assert 0 < len(hits) <= 3
