@@ -358,6 +358,53 @@ class Collection:
             dim=dim,
         )
 
+    def search_batch(self, spark: SparkSession,
+                     query_vectors: list, k: int = 5,
+                     query_filter=None, score_threshold=None,
+                     id_col: str = "id", vec_col: str = "embedding",
+                     nprobe: int | None = None,
+                     exact: bool = False) -> DataFrame:
+        """Qdrant's ``query_batch_points`` analog (dense collections):
+        one result frame keyed by ``query_idx``, ranked per query.
+        All queries share ONE corpus pass (broadcast query set +
+        per-group top-k with map-side pruning) — N queries cost one
+        scan, not N. With an IVF layout, the scan prunes to the
+        *union* of every query's nprobe cells (still a literal IN —
+        static partition pruning)."""
+        from .operators.knn import dense_knn_batch
+
+        if self.meta.get("multivector"):
+            raise ValueError("search_batch supports dense collections; "
+                             "loop search() for multivector")
+        qvs = [[float(x) for x in v] for v in query_vectors]
+        if self.meta.get("normalize"):
+            qvs = [_unit(v) for v in qvs]
+        corpus = self.read(spark)
+        if self.has_index() and not exact:
+            cents = self._centroids(spark)
+            np_ = len(cents) if nprobe is None else nprobe
+            probe = set()
+            for qv in qvs:
+                probe.update(sorted(
+                    range(len(cents)),
+                    key=lambda i: (_sq_dist(qv, cents[i]), i),
+                )[:np_])
+            corpus = spark.read.parquet(self._ivf_points).filter(
+                F.col("centroid_id").isin([int(i) for i in sorted(probe)])
+            ).drop("centroid_id")
+        queries = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(qvs)],
+            "query_idx int, query_vec array<double>",
+        )
+        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        return dense_knn_batch(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col="query_idx", payload_cols=payload,
+            prefilter=query_filter, score_threshold=score_threshold,
+            prenormalized=bool(self.meta.get("normalize")),
+            dim=self.meta.get("dim"), local_prune=True,
+        )
+
     # -- point management (Qdrant client surface beyond the reference) ----
 
     def delete(self, spark: SparkSession, predicate: Column,

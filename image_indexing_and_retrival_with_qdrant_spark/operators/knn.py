@@ -102,10 +102,13 @@ def dense_knn_batch(
     round_digits: int | None = 6,
     local_prune: bool = False,
     dim: int | None = None,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """Multi-query cosine top-k: broadcast the query set, score each
     (corpus row × query), rank per query with a window (optionally
     pre-pruned map-side — see ``topk.grouped_topk``).
+    ``score_threshold`` filters candidates *before* ranking (Qdrant's
+    semantics: the threshold bounds the candidate set, then top-k).
     """
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
@@ -117,6 +120,8 @@ def dense_knn_batch(
         .withColumn("score", score)
         .select(query_id_col, id_col, *payload_cols, "score")
     )
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= score_threshold)
     return grouped_topk(
         scored,
         [query_id_col],

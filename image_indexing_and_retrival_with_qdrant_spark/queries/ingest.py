@@ -167,6 +167,62 @@ def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_BATCH_TEXTS = ["spark query engine", "vector similarity search",
+                "window aggregation"]
+
+
+def _search_batch_oracle() -> str:
+    d = _embed_dims_sql("t.text", "passage")
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    branches = []
+    for idx, text in enumerate(_BATCH_TEXTS):
+        q = _embed_dims_sql(f"'{text}'", "query")
+        dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+        qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+        branches.append(f"""
+        SELECT {idx} AS query_idx, sha256(t.text) AS id,
+               ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+        FROM t""")
+    scored = " UNION ALL ".join(branches)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    scored AS ({scored}),
+    ranked AS (
+      SELECT query_idx, id, score,
+             CAST(row_number() OVER (PARTITION BY query_idx
+                                     ORDER BY score DESC, id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_idx, id, score, rank FROM ranked WHERE rank <= 3
+    """
+
+
+@register("ingest_search_batch", _search_batch_oracle())
+def ingest_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``query_batch_points`` analog end-to-end: three text
+    queries embedded in query mode hit one collection in a single
+    corpus pass (broadcast query set, per-group top-k with map-side
+    pruning — N queries ≠ N scans). Fully oracle-checked including
+    the per-query ranking."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qvs = [list(r.embedding) for r in _E.embed(
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        text_col="text", mode="query",
+    ).collect()]
+    root = tempfile.mkdtemp(prefix="qd_batch_search_")
+    try:
+        coll = create_collection(root, "b", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        res = coll.search_batch(spark, qvs, k=3)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "ingest_point_management",
     """

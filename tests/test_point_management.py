@@ -84,3 +84,22 @@ def test_compact_merges_files(spark, sf_smoke, tmp_path):
     files_after = coll.compact(spark, target_rows_per_file=10**6)
     assert files_after == 1 < files_before
     assert coll.count(spark) == n  # lossless
+
+
+def test_search_batch_matches_per_query_search(spark, sf_smoke, tmp_path):
+    """query_batch_points analog: one corpus pass must return exactly
+    what per-query search() returns, including through the IVF route
+    (union of every query's probed cells)."""
+    coll = _fill(spark, sf_smoke, tmp_path,
+                 indexing_threshold=1, k_centroids=4)
+    assert coll.has_index()
+    qvs = [list(r.embedding) for r in
+           coll.read(spark).orderBy("id").limit(3).collect()]
+    batch = coll.search_batch(spark, qvs, k=4)
+    got = {(r.query_idx, r.id, r.score, r.rank) for r in batch.collect()}
+    want = set()
+    for i, qv in enumerate(qvs):
+        for rank, r in enumerate(
+                coll.search(spark, qv, k=4).collect(), 1):
+            want.add((i, r.id, r.score, rank))
+    assert got == want
