@@ -64,6 +64,7 @@ HEADLINE = [
     "docs_scrub_pii",
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
+    "ann_sq_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -97,6 +97,65 @@ def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(codes, codebooks, qvec, k=5)
 
 
+def _sq_oracle(dim: int = 64) -> str:
+    """SQ is closed-form (no KMeans), so unlike IVF/LSH/PQ this tier
+    gets a FULL value oracle: DuckDB recomputes per-dim (min, step),
+    the int8 encode, the bucket-center dequantize, and the dot."""
+    mm = ", ".join(
+        f"min(CAST(embedding[{j}] AS DOUBLE)) AS mn{j}, "
+        f"max(CAST(embedding[{j}] AS DOUBLE)) AS mx{j}"
+        for j in range(1, dim + 1)
+    )
+    terms = []
+    for j in range(1, dim + 1):
+        st = f"((s.mx{j} - s.mn{j}) / 256.0)"
+        code = (f"LEAST(255, GREATEST(0, FLOOR((CAST(e.embedding[{j}] AS "
+                f"DOUBLE) - s.mn{j}) / {st})))")
+        terms.append(f"(s.mn{j} + ({code} + 0.5) * {st}) * q.qe[{j}]")
+    score = " + ".join(terms)
+    return f"""
+    WITH s AS (SELECT {mm} FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({score}, 6) AS score
+    FROM embeddings e CROSS JOIN s CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """
+
+
+_SQ_CACHE: dict = {}
+
+
+def _sq_index(spark: SparkSession, sf_dir: str):
+    key = _cache_key(spark, sf_dir)
+    if key not in _SQ_CACHE or not _session_alive(spark):
+        from ..operators.sq import sq_encode, sq_train
+
+        emb = load(spark, sf_dir, "embeddings")
+        mins, steps = sq_train(emb, dim=64)
+        codes = sq_encode(emb, mins, steps).persist()
+        codes.count()
+        _SQ_CACHE[key] = (codes, mins, steps)
+    return _SQ_CACHE[key]
+
+
+@register("ann_sq_top5", _sq_oracle())
+def ann_sq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized search (Qdrant's ScalarQuantization
+    analog, 4× compression): train per-dim (min, step) in one agg
+    pass, encode to byte codes, dequantize-dot against the
+    full-precision vec_id=0 query. Deterministic end-to-end —
+    the one compressed tier with a full value oracle. Train/encode
+    cached per (session, sf) like the IVF/PQ builds."""
+    from ..operators.sq import sq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes, mins, steps = _sq_index(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    return sq_search(codes, mins, steps, qvec, k=5)
+
+
 @register("ann_ivfpq_top5", None)
 def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF→PQ→exact-rerank (the graph-index-class quality
