@@ -355,7 +355,7 @@ class Collection:
             payload_cols=payload, prefilter=query_filter,
             score_threshold=score_threshold,
             prenormalized=bool(self.meta.get("normalize")),
-            dim=dim,
+            dim=dim, metric=self.meta.get("metric", "cosine"),
         )
 
     def search_batch(self, spark: SparkSession,
@@ -403,6 +403,7 @@ class Collection:
             prefilter=query_filter, score_threshold=score_threshold,
             prenormalized=bool(self.meta.get("normalize")),
             dim=self.meta.get("dim"), local_prune=True,
+            metric=self.meta.get("metric", "cosine"),
         )
 
     # -- point management (Qdrant client surface beyond the reference) ----

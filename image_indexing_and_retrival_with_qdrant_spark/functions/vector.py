@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["as_double", "dot", "l2_norm", "cosine", "l2_normalize",
            "cosine_prenorm", "dot_unrolled", "cosine_unrolled",
+           "euclid", "euclid_unrolled", "manhattan", "manhattan_unrolled",
            "mean_pool_flat"]
 
 
@@ -86,6 +87,47 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (
         F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
     )
+
+
+def euclid(a: Column, b: Column) -> Column:
+    """Euclidean distance (Qdrant ``Distance.EUCLID``): squared diffs
+    summed left-to-right, then sqrt — same numeric discipline as
+    ``dot``."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    ))
+
+
+def euclid_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled euclidean — bit-identical to ``euclid`` (same op
+    order), no per-row array allocation."""
+    s = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        term = d * d
+        s = term if s is None else s + term
+    return F.sqrt(s)
+
+
+def manhattan(a: Column, b: Column) -> Column:
+    """Manhattan / L1 distance (Qdrant ``Distance.MANHATTAN``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def manhattan_unrolled(a: Column, b: Column, dim: int) -> Column:
+    s = None
+    for i in range(1, dim + 1):
+        term = F.abs(
+            F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        )
+        s = term if s is None else s + term
+    return s
 
 
 def mean_pool_flat(col: Column, dim: int) -> Column:

@@ -36,18 +36,37 @@ from ..functions.vector import (
     cosine_unrolled,
     dot,
     dot_unrolled,
+    euclid,
+    euclid_unrolled,
+    manhattan,
+    manhattan_unrolled,
 )
 from .topk import global_topk, grouped_topk
 
 __all__ = ["dense_knn", "dense_knn_batch"]
 
+# Distance metrics rank ascending (closer = better) and score_threshold
+# is a MAX bound — Qdrant's documented semantics for Euclid/Manhattan.
+_DISTANCE_METRICS = {"euclid", "manhattan"}
+
 
 def _score(vec_col: Column, query_col: Column, prenormalized: bool,
-           dim: int | None) -> Column:
-    """Cosine (or dot, if pre-normalized) score. With ``dim`` known —
-    collections always declare it (SURVEY.md §1.1) — uses the
-    statically-unrolled form: bit-identical, ~2.6× faster per scan."""
+           dim: int | None, metric: str = "cosine") -> Column:
+    """Score by the collection's declared metric (Qdrant
+    ``Distance.{COSINE,DOT,EUCLID,MANHATTAN}``). ``prenormalized``
+    turns cosine into a plain dot (normalize-at-write collections).
+    With ``dim`` known — collections always declare it (SURVEY.md
+    §1.1) — uses the statically-unrolled form: bit-identical, ~2.6×
+    faster per scan."""
     a, b = as_double(vec_col), as_double(query_col)
+    if metric == "euclid":
+        return euclid_unrolled(a, b, dim) if dim is not None else euclid(a, b)
+    if metric == "manhattan":
+        return manhattan_unrolled(a, b, dim) if dim is not None else manhattan(a, b)
+    if metric == "dot":
+        prenormalized = True
+    elif metric != "cosine":
+        raise ValueError(f"unknown metric: {metric}")
     if dim is not None:
         return dot_unrolled(a, b, dim) if prenormalized else cosine_unrolled(a, b, dim)
     return dot(a, b) if prenormalized else cosine(a, b)
@@ -66,14 +85,19 @@ def dense_knn(
     prenormalized: bool = False,
     round_digits: int | None = 6,
     dim: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Single-query cosine top-k. ``query`` must have exactly one row
-    with column ``query_vec_col``. ``k=None`` disables the limit
-    (threshold-only search). Pass ``dim`` for the unrolled fast path.
+    """Single-query top-k by ``metric``. ``query`` must have exactly
+    one row with column ``query_vec_col``. ``k=None`` disables the
+    limit (threshold-only search). Pass ``dim`` for the unrolled fast
+    path. Distance metrics (euclid/manhattan) rank ascending and treat
+    ``score_threshold`` as a max bound.
     """
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
-    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim)
+    asc = metric in _DISTANCE_METRICS
+    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim,
+                   metric)
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
@@ -82,10 +106,13 @@ def dense_knn(
         .select(id_col, *payload_cols, "score")
     )
     if score_threshold is not None:
-        scored = scored.filter(F.col("score") >= score_threshold)
+        scored = scored.filter(
+            F.col("score") <= score_threshold if asc
+            else F.col("score") >= score_threshold
+        )
     if k is None:
         return scored
-    return global_topk(scored, [("score", False), (id_col, True)], k)
+    return global_topk(scored, [("score", asc), (id_col, True)], k)
 
 
 def dense_knn_batch(
@@ -103,16 +130,19 @@ def dense_knn_batch(
     local_prune: bool = False,
     dim: int | None = None,
     score_threshold: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Multi-query cosine top-k: broadcast the query set, score each
-    (corpus row × query), rank per query with a window (optionally
+    """Multi-query top-k by ``metric``: broadcast the query set, score
+    each (corpus row × query), rank per query with a window (optionally
     pre-pruned map-side — see ``topk.grouped_topk``).
     ``score_threshold`` filters candidates *before* ranking (Qdrant's
     semantics: the threshold bounds the candidate set, then top-k).
     """
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
-    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim)
+    asc = metric in _DISTANCE_METRICS
+    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim,
+                   metric)
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
@@ -121,11 +151,14 @@ def dense_knn_batch(
         .select(query_id_col, id_col, *payload_cols, "score")
     )
     if score_threshold is not None:
-        scored = scored.filter(F.col("score") >= score_threshold)
+        scored = scored.filter(
+            F.col("score") <= score_threshold if asc
+            else F.col("score") >= score_threshold
+        )
     return grouped_topk(
         scored,
         [query_id_col],
-        [("score", False), (id_col, True)],
+        [("score", asc), (id_col, True)],
         k,
         local_prune=local_prune,
     )

@@ -113,6 +113,64 @@ def knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_knn(emb, _query_of(emb, 0), k=None, score_threshold=0.25, dim=64)
 
 
+def _euclid_sql(dim: int = 64) -> str:
+    """Explicit left-to-right squared-diff sum, mirroring
+    ``euclid_unrolled``'s op shape term by term."""
+    terms = " + ".join(
+        f"(CAST(e.embedding[{j}] AS DOUBLE) - q.qv[{j}])"
+        f" * (CAST(e.embedding[{j}] AS DOUBLE) - q.qv[{j}])"
+        for j in range(1, dim + 1)
+    )
+    return f"SQRT({terms})"
+
+
+def _manhattan_sql(dim: int = 64) -> str:
+    terms = " + ".join(
+        f"ABS(CAST(e.embedding[{j}] AS DOUBLE) - q.qv[{j}])"
+        for j in range(1, dim + 1)
+    )
+    return terms
+
+
+@register(
+    "knn_euclid_top5",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_euclid_sql()}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score ASC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_euclid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean-metric KNN (Qdrant ``Distance.EUCLID``): distance
+    ranks ascending — closest 5 to the vec_id=0 vector (itself at
+    distance 0). Same scan-local plan as cosine; only the codegen'd
+    score expression changes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(emb, _query_of(emb, 0), k=5, dim=64, metric="euclid")
+
+
+@register(
+    "knn_manhattan_threshold",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_manhattan_sql()}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE ROUND({_manhattan_sql()}, 6) <= 8.0
+    """,
+)
+def knn_manhattan_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan-metric threshold search: for distance metrics
+    ``score_threshold`` is a MAX bound (Qdrant semantics) — all points
+    within L1 distance 8.0 of the query, unranked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(emb, _query_of(emb, 0), k=None, dim=64,
+                     metric="manhattan", score_threshold=8.0)
+
+
 @register(
     "knn_projection_top5",
     f"""

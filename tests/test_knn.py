@@ -12,6 +12,8 @@ KNN_QUERIES = [
     "knn_filtered_top5",
     "knn_threshold",
     "knn_projection_top5",
+    "knn_euclid_top5",
+    "knn_manhattan_threshold",
 ]
 
 
