@@ -406,6 +406,78 @@ class Collection:
             metric=self.meta.get("metric", "cosine"),
         )
 
+    def recommend(self, spark: SparkSession, positive: list, negative:
+                  list = (), k: int = 5, query_filter=None,
+                  score_threshold=None, id_col: str = "id",
+                  vec_col: str = "embedding", nprobe: int | None = None,
+                  exact: bool = False) -> DataFrame:
+        """Qdrant's ``recommend`` analog (``strategy=average_vector``,
+        the client default): the query vector is ``avg(positive
+        examples) − avg(negative examples)`` over the *stored* vectors
+        (for COSINE collections those are already normalized — exactly
+        Qdrant's behavior of averaging post-normalization), and the
+        example points are excluded from the results. The example
+        fetch is an O(#examples) driver-side lookup by id; the search
+        itself is the normal one-pass dense path."""
+        if self.meta.get("multivector"):
+            raise ValueError("recommend supports dense collections")
+        if not positive:
+            raise ValueError("recommend requires at least one positive id")
+        ids = [*positive, *negative]
+        rows = self.read(spark).filter(
+            F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+        vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+        missing = [i for i in ids if i not in vecs]
+        if missing:
+            raise ValueError(f"example points not found: {missing}")
+
+        def _avg(example_ids):
+            vs = [vecs[i] for i in example_ids]
+            return [sum(col) / len(vs) for col in zip(*vs)]
+
+        qv = _avg(positive)
+        if negative:
+            qv = [p - n for p, n in zip(qv, _avg(negative))]
+        excl = ~F.col(id_col).isin(ids)
+        flt = excl if query_filter is None else (excl & query_filter)
+        return self.search(
+            spark, qv, k=k, query_filter=flt,
+            score_threshold=score_threshold, id_col=id_col,
+            vec_col=vec_col, nprobe=nprobe, exact=exact,
+        )
+
+    def search_groups(self, spark: SparkSession, query_vector: list,
+                      group_by: str, limit: int = 3, group_size: int = 2,
+                      query_filter=None, id_col: str = "id",
+                      vec_col: str = "embedding") -> DataFrame:
+        """Qdrant's ``query_points_groups`` analog (dense collections):
+        results grouped by a payload field — the best ``group_size``
+        hits from each of the top ``limit`` groups, groups ranked by
+        their best hit. One corpus pass: score (scan-local), per-group
+        window, ≤limit-row group verdict broadcast back."""
+        from .operators.knn import _DISTANCE_METRICS, dense_knn
+        from .operators.topk import top_groups
+
+        if self.meta.get("multivector"):
+            raise ValueError("search_groups supports dense collections")
+        metric = self.meta.get("metric", "cosine")
+        qv = [float(x) for x in query_vector]
+        if self.meta.get("normalize"):
+            qv = _unit(qv)
+        corpus = self.read(spark)
+        qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        scored = dense_knn(
+            corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
+            payload_cols=payload, prefilter=query_filter,
+            prenormalized=bool(self.meta.get("normalize")),
+            dim=self.meta.get("dim"), metric=metric,
+        )
+        asc = metric in _DISTANCE_METRICS
+        return top_groups(scored, group_by,
+                          [("score", asc), (id_col, True)],
+                          limit=limit, group_size=group_size)
+
     # -- point management (Qdrant client surface beyond the reference) ----
 
     def delete(self, spark: SparkSession, predicate: Column,

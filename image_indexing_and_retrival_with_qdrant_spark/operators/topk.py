@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_topk", "grouped_topk"]
+__all__ = ["global_topk", "grouped_topk", "top_groups"]
 
 OrderSpec = Sequence[tuple[str, bool]]  # (column name, ascending)
 
@@ -74,3 +74,35 @@ def grouped_topk(
     if rank_col:
         return ranked.withColumnRenamed("__rank", rank_col)
     return ranked.drop("__rank")
+
+
+def top_groups(
+    df: DataFrame,
+    group: str,
+    order: OrderSpec,
+    limit: int,
+    group_size: int,
+    local_prune: bool = False,
+) -> DataFrame:
+    """Qdrant ``query_points_groups`` shape: keep the best
+    ``group_size`` rows per group, rank groups by their best row under
+    the same order, return the top ``limit`` groups' hits with a
+    ``group_rank`` column.
+
+    Two stages: (1) per-group top-``group_size`` (window shuffle on the
+    group key — a skewed payload key salts via ``local_prune``'s
+    map-side cap, which bounds shuffle input at ``batches·G·size``
+    rows); (2) group ranking over the rank-1 representatives — at most
+    one row per group, so the unpartitioned window is safe at any
+    corpus size; the ≤``limit``-row verdict broadcasts back onto the
+    kept hits."""
+    hits = grouped_topk(df, [group], order, group_size,
+                        rank_col="rank", local_prune=local_prune)
+    reps = hits.filter(F.col("rank") == 1)
+    w = Window.orderBy(*_order_cols(order))
+    granked = (
+        reps.withColumn("group_rank", F.row_number().over(w))
+        .filter(F.col("group_rank") <= limit)
+        .select(group, "group_rank")
+    )
+    return hits.join(F.broadcast(granked), on=group)

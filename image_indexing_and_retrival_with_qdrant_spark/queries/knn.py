@@ -171,6 +171,94 @@ def knn_manhattan_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                      metric="manhattan", score_threshold=8.0)
 
 
+def _recommend_oracle(dim: int = 64) -> str:
+    """Unrolled cosine against the composed recommendation vector
+    ``avg(pos 1,2) − avg(neg 3)`` — per-dim AVG CTEs (2-element sums
+    are order-exact), then the same left-to-right dot/norm shapes as
+    ``cosine_unrolled``."""
+    pa = ", ".join(f"avg(CAST(embedding[{j}] AS DOUBLE)) AS p{j}"
+                   for j in range(1, dim + 1))
+    na = ", ".join(f"avg(CAST(embedding[{j}] AS DOUBLE)) AS n{j}"
+                   for j in range(1, dim + 1))
+    qj = [f"(p.p{j} - n.n{j})" for j in range(1, dim + 1)]
+    dot = " + ".join(f"CAST(e.embedding[{j}] AS DOUBLE) * {qj[j-1]}"
+                     for j in range(1, dim + 1))
+    ne = " + ".join(
+        f"CAST(e.embedding[{j}] AS DOUBLE) * CAST(e.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1))
+    nq = " + ".join(f"{q} * {q}" for q in qj)
+    return f"""
+    WITH p AS (SELECT {pa} FROM embeddings WHERE vec_id IN (1, 2)),
+    n AS (SELECT {na} FROM embeddings WHERE vec_id = 3)
+    SELECT e.vec_id,
+           ROUND(({dot}) / (SQRT({ne}) * SQRT({nq})), 6) AS score
+    FROM embeddings e CROSS JOIN p CROSS JOIN n
+    WHERE e.vec_id NOT IN (1, 2, 3)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """
+
+
+@register("knn_recommend_top5", _recommend_oracle())
+def knn_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation search (Qdrant ``recommend``,
+    ``strategy=average_vector``): query = avg(vectors 1,2) − avg(vector
+    3), examples excluded from results. The example fetch is an O(3)
+    driver lookup; the search is the ordinary one-pass dense plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        "vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    qv = [(a + b) / 2 - c
+          for a, b, c in zip(vecs[1], vecs[2], vecs[3])]
+    qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+    return dense_knn(emb, qdf, k=5, dim=64,
+                     prefilter=~F.col("vec_id").isin(1, 2, 3))
+
+
+@register(
+    "knn_grouped_top3",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    hits AS (
+      SELECT label, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ),
+    kept AS (SELECT * FROM hits WHERE rank <= 2),
+    granked AS (
+      SELECT label,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER)
+               AS group_rank
+      FROM kept WHERE rank = 1
+    )
+    SELECT k.label, k.vec_id, k.score, k.rank, g.group_rank
+    FROM kept k JOIN granked g USING (label)
+    WHERE g.group_rank <= 3
+    """,
+)
+def knn_grouped_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped search (Qdrant ``query_points_groups``): the 2 best
+    hits from each of the 3 best label groups, groups ranked by their
+    best hit — e.g. 'top matching documents, at most 2 per source'.
+    One corpus pass; the group verdict is a ≤3-row broadcast."""
+    from ..operators.topk import top_groups
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = dense_knn(emb, _query_of(emb, 0), k=None,
+                       payload_cols=["label"], dim=64)
+    return top_groups(
+        scored, "label", [("score", False), ("vec_id", True)],
+        limit=3, group_size=2,
+    ).select("label", "vec_id", "score", "rank", "group_rank")
+
+
 @register(
     "knn_projection_top5",
     f"""

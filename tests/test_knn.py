@@ -14,6 +14,8 @@ KNN_QUERIES = [
     "knn_projection_top5",
     "knn_euclid_top5",
     "knn_manhattan_threshold",
+    "knn_grouped_top3",
+    "knn_recommend_top5",
 ]
 
 

@@ -65,6 +65,58 @@ def test_batch_search_euclid(spark, tmp_path):
     assert rows[(0, 1)] == 1 and rows[(1, 1)] == 4
 
 
+def test_search_groups(spark, tmp_path):
+    """query_points_groups analog: per-group cap + group ranking by
+    best hit, on a collection with a payload group key."""
+    coll = create_collection(str(tmp_path), "g", dim=2, metric="euclid")
+    pts = spark.createDataFrame(
+        [(1, "a", [0.0, 0.0]), (2, "a", [0.1, 0.0]), (3, "a", [0.2, 0.0]),
+         (4, "b", [1.0, 0.0]), (5, "b", [1.1, 0.0]),
+         (6, "c", [9.0, 0.0])],
+        "id int, src string, embedding array<double>",
+    )
+    coll.upsert(spark, pts)
+    out = coll.search_groups(spark, [0.0, 0.0], group_by="src",
+                             limit=2, group_size=2).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.src, []).append(r)
+    assert set(by_group) == {"a", "b"}  # c's best (9.0) loses the group race
+    a = sorted(by_group["a"], key=lambda r: r.rank)
+    assert [r.id for r in a] == [1, 2]  # capped at group_size=2: id 3 dropped
+    assert a[0].group_rank == 1
+    assert by_group["b"][0].group_rank == 2
+
+
+def test_recommend_average_vector(spark, tmp_path):
+    """Qdrant recommend: avg(pos) − avg(neg) query, examples
+    excluded. With pos={2,3} along +x and neg={4} along +y, the
+    composed query points toward +x−y territory: id 5 (x-axis point)
+    must beat id 6 (y-axis point)."""
+    coll = create_collection(str(tmp_path), "r", dim=2, metric="dot",
+                             normalize=False)
+    pts = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.8, 0.0]), (4, [0.0, 1.0]),
+         (5, [0.9, 0.1]), (6, [0.1, 0.9])],
+        "id int, embedding array<double>",
+    )
+    coll.upsert(spark, pts)
+    hits = coll.recommend(spark, positive=[2, 3], negative=[4], k=5).collect()
+    ids = [r.id for r in hits]
+    assert set(ids) == {5, 6}  # examples excluded
+    assert ids[0] == 5
+    # qv = (0.9, 0) - (0, 1) = (0.9, -1); dot with id5 = .81-.1=.71
+    assert hits[0].score == pytest.approx(0.71, abs=1e-6)
+
+
+def test_recommend_missing_example_rejected(spark, tmp_path):
+    coll = _mk(spark, tmp_path, "dot")
+    with pytest.raises(ValueError, match="not found"):
+        coll.recommend(spark, positive=[99])
+    with pytest.raises(ValueError, match="positive"):
+        coll.recommend(spark, positive=[])
+
+
 def test_unknown_metric_rejected(spark, tmp_path):
     from image_indexing_and_retrival_with_qdrant_spark.operators.knn import _score
     from pyspark.sql import functions as F
