@@ -1,0 +1,110 @@
+"""Sparse-vector retrieval (Qdrant sparse vectors — the public
+``SparseVector(indices=[...], values=[...])`` surface backing
+SPLADE/BM42-style learned-sparse search; the reference's engine
+exposes the same point type alongside dense/multivector).
+
+A sparse point is ``(id, indices array<bigint>, values array<double>)``
+with strictly increasing indices. Scoring is the sparse dot product:
+``Σ values[i]·q[j]`` over matching indices — exactly Qdrant's sparse
+metric (dot, no normalization).
+
+Plan shape: ``arrays_zip → explode`` turns each point into posting
+rows (scan-local, no shuffle); the broadcast-joined query side (|q|
+rows) prunes non-query terms *before* the groupBy shuffle, so the
+aggregate's input is bounded by the postings that mention query terms
+— the inverted-index access pattern, expressed relationally. The
+groupBy keys on point id (uniform), then TakeOrderedAndProject.
+
+At 100 TB: materialize the exploded posting frame once, bucketed by
+``idx`` (``sparse_postings`` + bucketBy) — per-query cost becomes a
+bucket-pruned scan of |q| term buckets, never the full corpus; same
+layout story as BM25's (term, doc, tf) frame (SCALE.md §Sparse).
+
+Vocabulary assignment (``term_vocabulary``) orders distinct terms with
+one vocabulary-sized sort — fine up to ~1e8 terms; past that, hash
+indices (SPLADE uses the tokenizer's fixed vocab ids anyway, no global
+sort needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .topk import global_topk
+
+__all__ = ["term_vocabulary", "sparse_from_text", "sparse_postings",
+           "sparse_knn"]
+
+
+def term_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(term, term_id)`` — dense ids assigned in lexicographic term
+    order, so ids are deterministic across runs/engines."""
+    terms = docs.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+    ).distinct()
+    w = Window.orderBy("term")
+    return terms.withColumn(
+        "term_id", F.row_number().over(w).cast("bigint"))
+
+
+def sparse_from_text(docs: DataFrame, vocab: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encode each document as a sparse tf vector: ``indices`` =
+    vocabulary ids of its terms (ascending), ``values`` = term counts.
+    The tf weights are integers, which keeps downstream dot products
+    order-exact (the learned-weight variant would broadcast a model's
+    per-term weights instead)."""
+    tf = (
+        docs.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    enc = tf.join(vocab, on="term")
+    pairs = enc.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("term_id", "tf"))).alias("ps")
+    )
+    return pairs.select(
+        F.col(id_col),
+        F.transform("ps", lambda p: p["term_id"]).alias("indices"),
+        F.transform("ps", lambda p: p["tf"]).alias("values"),
+    )
+
+
+def sparse_postings(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode sparse points into posting rows ``(id, idx, val)`` —
+    the frame to persist ``bucketBy(idx)`` for bucket-pruned probes."""
+    return corpus.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip("indices", "values")).alias("p"),
+    ).select(
+        F.col(id_col),
+        F.col("p.indices").alias("idx"),
+        F.col("p.values").alias("val"),
+    )
+
+
+def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
+               k: int = 10, id_col: str = "doc_id",
+               round_digits: int | None = 6) -> DataFrame:
+    """Top-k by sparse dot product against one query. The broadcast
+    query side prunes the exploded postings to query terms before any
+    shuffle."""
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in zip(query_indices, query_values)],
+        "idx bigint, qval double",
+    )
+    posting = sparse_postings(corpus, id_col=id_col)
+    score = F.sum(F.col("val") * F.col("qval"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        posting.join(F.broadcast(qdf), on="idx")
+        .groupBy(id_col)
+        .agg(score.alias("score"))
+    )
+    return global_topk(scored, [("score", False), (id_col, True)], k)

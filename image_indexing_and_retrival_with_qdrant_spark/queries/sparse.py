@@ -1,0 +1,49 @@
+"""Sparse-vector retrieval queries (Qdrant SparseVector surface).
+
+Oracle note: the oracle scores by joining on *terms* while the Spark
+path round-trips through the real sparse encoding (term → vocabulary
+id → indices/values arrays → posting explode). The vocabulary map is
+a bijection, so the two formulations are equivalent — the oracle
+checks the retrieval math, the Spark path additionally exercises the
+array plumbing. tf weights are integer-valued doubles, so sums are
+order-exact on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sparse import sparse_from_text, sparse_knn, term_vocabulary
+from ..registry import register
+from ..tables import load
+
+_SPARSE_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toked)
+  GROUP BY doc_id, term
+),
+q AS (SELECT term, tf AS qval FROM tf WHERE doc_id = 0)
+SELECT tf.doc_id, ROUND(SUM(tf.tf * q.qval), 6) AS score
+FROM tf JOIN q ON tf.term = q.term
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+
+@register("sparse_knn_top10", _SPARSE_ORACLE)
+def sparse_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse dot-product top-10: documents encoded as tf sparse
+    vectors over a lexicographic vocabulary, query = doc 0's own
+    sparse vector (it must rank first). The probe prunes postings to
+    query terms via the broadcast join before any shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_vocabulary(docs)
+    corpus = sparse_from_text(docs, vocab)
+    qrow = corpus.filter(F.col("doc_id") == 0).collect()[0]
+    return sparse_knn(corpus, list(qrow.indices), list(qrow.values), k=10)

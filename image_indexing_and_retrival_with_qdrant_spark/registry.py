@@ -65,6 +65,7 @@ from .queries import (  # noqa: E402,F401
     quality,
     relational,
     scale,
+    sparse,
     sql_surface,
     text,
 )

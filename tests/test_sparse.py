@@ -1,0 +1,68 @@
+"""Sparse-vector retrieval: encoding round-trip, oracle parity,
+posting-prune semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.operators.sparse import (
+    sparse_from_text,
+    sparse_knn,
+    sparse_postings,
+    term_vocabulary,
+)
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_sparse_oracle_parity(spark, sf, request):
+    sf_dir = request.getfixturevalue(sf)
+    compare(spark, REGISTRY["sparse_knn_top10"], sf_dir, "sparse_knn_top10")
+
+
+def test_sparse_encoding_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c")], "doc_id int, text string")
+    vocab = term_vocabulary(docs)
+    # lexicographic ids: a=1, b=2, c=3
+    assert {(r.term, r.term_id) for r in vocab.collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)}
+    sp = {r.doc_id: r for r in sparse_from_text(docs, vocab).collect()}
+    assert list(sp[1].indices) == [1, 2]       # ascending indices
+    assert list(sp[1].values) == [1.0, 2.0]    # tf of a, b
+    assert list(sp[2].indices) == [1, 3]
+
+
+def test_sparse_knn_exact_dot(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "w")], "doc_id int, text string")
+    vocab = term_vocabulary(docs)
+    corpus = sparse_from_text(docs, vocab)
+    # query {x:1, y:2} -> doc1 = 2*1 + 1*2 = 4, doc2 = 1*2 = 2, doc3 = miss
+    x_id, y_id = [r.term_id for r in
+                  vocab.filter(F.col("term").isin("x", "y"))
+                  .orderBy("term").collect()]
+    out = sparse_knn(corpus, [x_id, y_id], [1.0, 2.0], k=10).collect()
+    assert [(r.doc_id, r.score) for r in out] == [(1, 4.0), (2, 2.0)]
+
+
+def test_self_query_score_is_norm_squared(spark, sf_smoke):
+    """Raw sparse dot (Qdrant's sparse metric — no normalization):
+    the query doc's own score is exactly Σ tf². Longer docs may
+    legitimately out-rank it, so pin the value, not the rank."""
+    docs = load(spark, sf_smoke, "documents")
+    vocab = term_vocabulary(docs)
+    corpus = sparse_from_text(docs, vocab)
+    q = corpus.filter(F.col("doc_id") == 0).collect()[0]
+    out = sparse_knn(corpus, list(q.indices), list(q.values), k=1000).collect()
+    self_score = {r.doc_id: r.score for r in out}[0]
+    assert self_score == sum(v * v for v in q.values)
+
+
+def test_postings_explode(spark):
+    docs = spark.createDataFrame([(7, "a b a")], "doc_id int, text string")
+    corpus = sparse_from_text(docs, term_vocabulary(docs))
+    rows = sparse_postings(corpus).collect()
+    assert {(r.doc_id, r.idx, r.val) for r in rows} == {
+        (7, 1, 2.0), (7, 2, 1.0)}
