@@ -70,6 +70,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
+from .filters import as_predicate
 from .functions.vector import as_double, l2_normalize, mean_pool_flat
 
 __all__ = ["Collection", "create_collection", "collection_exists"]
@@ -295,6 +296,7 @@ class Collection:
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
 
+        query_filter = as_predicate(query_filter)
         corpus = self.read(spark)
         dim = self.meta.get("dim")
 
@@ -376,6 +378,7 @@ class Collection:
         if self.meta.get("multivector"):
             raise ValueError("search_batch supports dense collections; "
                              "loop search() for multivector")
+        query_filter = as_predicate(query_filter)
         qvs = [[float(x) for x in v] for v in query_vectors]
         if self.meta.get("normalize"):
             qvs = [_unit(v) for v in qvs]
@@ -438,6 +441,7 @@ class Collection:
         qv = _avg(positive)
         if negative:
             qv = [p - n for p, n in zip(qv, _avg(negative))]
+        query_filter = as_predicate(query_filter)
         excl = ~F.col(id_col).isin(ids)
         flt = excl if query_filter is None else (excl & query_filter)
         return self.search(
@@ -460,6 +464,7 @@ class Collection:
 
         if self.meta.get("multivector"):
             raise ValueError("search_groups supports dense collections")
+        query_filter = as_predicate(query_filter)
         metric = self.meta.get("metric", "cosine")
         qv = [float(x) for x in query_vector]
         if self.meta.get("normalize"):
@@ -490,6 +495,7 @@ class Collection:
         number of points removed."""
         if not self._has_data(spark):
             return 0
+        predicate = as_predicate(predicate)
         table = self.read(spark)
         n_before = table.count()
         kept = table.filter(~predicate)

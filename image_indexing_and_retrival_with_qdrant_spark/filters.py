@@ -1,0 +1,165 @@
+"""Qdrant ``Filter`` DSL → Catalyst predicate compiler.
+
+The reference passes ``query_filter=Filter(...)`` on every
+``query_points`` call (declared-unused, SURVEY.md §2.3 F4 —
+``qdrant_query_with_colpali.py:109-114``); Qdrant's public filter
+model is boolean clauses over field conditions:
+
+- ``must``      — every condition matches (AND)
+- ``should``    — at least one matches (OR); combined with ``must``,
+                  both constraints apply
+- ``must_not``  — none matches (NOT OR)
+
+and ``FieldCondition`` with ``match`` (exact value), ``match_any``
+(IN), ``match_text`` (token containment), ``range`` (gt/gte/lt/lte),
+``is_null``. Clauses nest (a ``Filter`` is itself a condition).
+
+Two compilers, one tree:
+
+- ``to_column()`` — a Spark ``Column`` predicate. Compiled filters are
+  ordinary Catalyst expressions, so they push down into the parquet
+  scan exactly like hand-written ``F.col`` predicates (plan-pinned in
+  tests/test_plans.py for the F4 path).
+- ``to_sql()`` — the same predicate as an ANSI-SQL string, so a
+  registry query built from a DSL object gets its DuckDB oracle twin
+  from the *same tree* — the filter semantics are oracle-checked, not
+  just mirrored by hand.
+
+Scale: a compiled filter is a pre-score scan predicate — it prunes
+*before* any scoring or shuffle, which is precisely what Qdrant's
+filterable-index does; no extra machinery needed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["FieldCondition", "Filter", "as_predicate"]
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+@dataclass(frozen=True)
+class FieldCondition:
+    """One field predicate (Qdrant ``FieldCondition``)."""
+
+    key: str
+    match: Any = None
+    match_any: Sequence[Any] | None = None
+    match_text: str | None = None
+    range: dict | None = None
+    is_null: bool | None = None
+
+    def to_column(self) -> Column:
+        c = F.col(self.key)
+        preds: list[Column] = []
+        if self.match is not None:
+            preds.append(c == F.lit(self.match))
+        if self.match_any is not None:
+            preds.append(c.isin(list(self.match_any)))
+        if self.match_text is not None:
+            # token containment on \w+ tokens (Qdrant MatchText analog)
+            from .functions.text import tokens
+            preds.append(
+                F.array_contains(tokens(c), self.match_text))
+        if self.range is not None:
+            ops = {"gt": c.__gt__, "gte": c.__ge__,
+                   "lt": c.__lt__, "lte": c.__le__}
+            for op, bound in self.range.items():
+                preds.append(ops[op](F.lit(bound)))
+        if self.is_null is not None:
+            preds.append(c.isNull() if self.is_null else c.isNotNull())
+        if not preds:
+            raise ValueError(f"empty FieldCondition on {self.key!r}")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def to_sql(self) -> str:
+        k = self.key
+        preds: list[str] = []
+        if self.match is not None:
+            preds.append(f"{k} = {_sql_lit(self.match)}")
+        if self.match_any is not None:
+            vals = ", ".join(_sql_lit(v) for v in self.match_any)
+            preds.append(f"{k} IN ({vals})")
+        if self.match_text is not None:
+            preds.append(
+                f"list_contains(regexp_extract_all({k}, '\\w+'), "
+                f"{_sql_lit(self.match_text)})")
+        if self.range is not None:
+            sym = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+            for op, bound in self.range.items():
+                preds.append(f"{k} {sym[op]} {_sql_lit(bound)}")
+        if self.is_null is not None:
+            preds.append(f"{k} IS {'NULL' if self.is_null else 'NOT NULL'}")
+        if not preds:
+            raise ValueError(f"empty FieldCondition on {self.key!r}")
+        return "(" + " AND ".join(preds) + ")"
+
+
+@dataclass(frozen=True)
+class Filter:
+    """Boolean clause tree (Qdrant ``Filter``). Conditions are
+    ``FieldCondition`` or nested ``Filter`` objects."""
+
+    must: Sequence = field(default_factory=tuple)
+    should: Sequence = field(default_factory=tuple)
+    must_not: Sequence = field(default_factory=tuple)
+
+    def _parts_col(self) -> list[Column]:
+        parts: list[Column] = []
+        for c in self.must:
+            parts.append(c.to_column())
+        if self.should:
+            s = None
+            for c in self.should:
+                s = c.to_column() if s is None else (s | c.to_column())
+            parts.append(s)
+        for c in self.must_not:
+            parts.append(~c.to_column())
+        if not parts:
+            raise ValueError("empty Filter")
+        return parts
+
+    def to_column(self) -> Column:
+        parts = self._parts_col()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+
+    def to_sql(self) -> str:
+        parts: list[str] = []
+        for c in self.must:
+            parts.append(c.to_sql())
+        if self.should:
+            parts.append(
+                "(" + " OR ".join(c.to_sql() for c in self.should) + ")")
+        for c in self.must_not:
+            parts.append(f"(NOT {c.to_sql()})")
+        if not parts:
+            raise ValueError("empty Filter")
+        return "(" + " AND ".join(parts) + ")"
+
+
+def as_predicate(query_filter) -> Column | None:
+    """Accept a DSL ``Filter``/``FieldCondition``, a raw Spark
+    ``Column``, or None — the collection surface takes any of them."""
+    if query_filter is None or isinstance(query_filter, Column):
+        return query_filter
+    if isinstance(query_filter, (Filter, FieldCondition)):
+        return query_filter.to_column()
+    raise TypeError(
+        f"query_filter must be a Column or Filter, got {type(query_filter)}")

@@ -171,6 +171,41 @@ def knn_manhattan_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                      metric="manhattan", score_threshold=8.0)
 
 
+# Qdrant Filter-DSL query: the Spark predicate and the oracle's WHERE
+# clause compile from the SAME tree (filters.py), so the DSL semantics
+# themselves are oracle-checked.
+from ..filters import FieldCondition, Filter  # noqa: E402
+
+_DSL = Filter(
+    must=[FieldCondition("label", range={"gte": 2, "lte": 8})],
+    should=[FieldCondition("vec_id", range={"lt": 200}),
+            FieldCondition("label", match=7)],
+    must_not=[FieldCondition("label", match_any=[4, 5])],
+)
+
+
+@register(
+    "knn_dsl_filtered_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE {_DSL.to_sql()}
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_dsl_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN under a Qdrant ``Filter`` clause tree (must + should +
+    must_not with range/match/match_any conditions). The compiled
+    predicate is an ordinary Catalyst expression — it pushes into the
+    scan before scoring, like every F4 filter."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dense_knn(emb, _query_of(emb, 0), k=5, payload_cols=["label"],
+                     prefilter=_DSL.to_column(), dim=64)
+
+
 def _recommend_oracle(dim: int = 64) -> str:
     """Unrolled cosine against the composed recommendation vector
     ``avg(pos 1,2) − avg(neg 3)`` — per-dim AVG CTEs (2-element sums

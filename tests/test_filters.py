@@ -1,0 +1,106 @@
+"""Qdrant Filter-DSL compiler: Column/SQL twins agree, clause
+semantics match Qdrant's documented behavior, collection surface
+accepts DSL objects."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.filters import (
+    FieldCondition,
+    Filter,
+    as_predicate,
+)
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_dsl_oracle_parity(spark, sf, request):
+    compare(spark, REGISTRY["knn_dsl_filtered_top5"],
+            request.getfixturevalue(sf), "knn_dsl_filtered_top5")
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "en", 10, "alpha beta"), (2, "de", 20, "gamma"),
+         (3, "en", 30, "beta delta"), (4, None, 40, "epsilon")],
+        "id int, lang string, n int, text string",
+    )
+
+
+def test_must_is_and(spark):
+    f = Filter(must=[FieldCondition("lang", match="en"),
+                     FieldCondition("n", range={"gte": 20})])
+    assert [r.id for r in _df(spark).filter(f.to_column()).collect()] == [3]
+
+
+def test_should_is_at_least_one(spark):
+    f = Filter(should=[FieldCondition("n", match=10),
+                       FieldCondition("lang", match="de")])
+    ids = {r.id for r in _df(spark).filter(f.to_column()).collect()}
+    assert ids == {1, 2}
+
+
+def test_must_not_and_nesting(spark):
+    f = Filter(
+        must=[Filter(should=[FieldCondition("lang", match="en"),
+                             FieldCondition("lang", match="de")])],
+        must_not=[FieldCondition("n", range={"gt": 25})],
+    )
+    ids = {r.id for r in _df(spark).filter(f.to_column()).collect()}
+    assert ids == {1, 2}
+
+
+def test_match_text_and_is_null(spark):
+    f = Filter(must=[FieldCondition("text", match_text="beta")])
+    assert {r.id for r in _df(spark).filter(f.to_column()).collect()} == {1, 3}
+    f2 = Filter(must=[FieldCondition("lang", is_null=True)])
+    assert {r.id for r in _df(spark).filter(f2.to_column()).collect()} == {4}
+
+
+def test_sql_twin_matches_column(spark):
+    """Same rows whether the tree compiles to Catalyst or to SQL."""
+    f = Filter(
+        must=[FieldCondition("n", range={"gte": 10, "lte": 30})],
+        should=[FieldCondition("lang", match_any=["en", "de"]),
+                FieldCondition("n", match=30)],
+        must_not=[FieldCondition("text", match_text="gamma")],
+    )
+    df = _df(spark)
+    df.createOrReplaceTempView("t_dsl")
+    col_ids = {r.id for r in df.filter(f.to_column()).collect()}
+    sql = f.to_sql().replace(
+        "list_contains(regexp_extract_all(text, '\\w+'), 'gamma')",
+        "array_contains(regexp_extract_all(text, '\\\\w+', 0), 'gamma')",
+    )  # duckdb spelling -> spark spelling for the tokenizer builtin
+    sql_ids = {r.id for r in
+               spark.sql(f"SELECT id FROM t_dsl WHERE {sql}").collect()}
+    assert col_ids == sql_ids == {1, 3}
+
+
+def test_collection_surface_accepts_dsl(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "f", dim=2, metric="dot",
+                             normalize=False)
+    pts = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", [0.9, 0.0]), (3, "a", [0.8, 0.0])],
+        "id int, tag string, embedding array<double>",
+    )
+    coll.upsert(spark, pts)
+    flt = Filter(must=[FieldCondition("tag", match="a")])
+    hits = coll.search(spark, [1.0, 0.0], k=5, query_filter=flt).collect()
+    assert [r.id for r in hits] == [1, 3]
+    removed = coll.delete(spark, FieldCondition("tag", match="b"))
+    assert removed == 1
+
+
+def test_as_predicate_validation():
+    assert as_predicate(None) is None
+    c = F.col("x") > 1
+    assert as_predicate(c) is c
+    with pytest.raises(TypeError):
+        as_predicate("x > 1")
+    with pytest.raises(ValueError):
+        Filter().to_column()
+    with pytest.raises(ValueError):
+        FieldCondition("x").to_sql()
