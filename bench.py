@@ -65,6 +65,7 @@ HEADLINE = [
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
     "ann_sq_top5",
+    "ann_bq_rescore_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

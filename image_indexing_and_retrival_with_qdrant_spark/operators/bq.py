@@ -1,0 +1,95 @@
+"""Binary quantization (BQ) — Qdrant's 1-bit compression tier
+(``BinaryQuantization`` in the public API; 32× smaller than fp32,
+the most aggressive of Qdrant's three quantization options).
+
+Encode: bit j of a vector is 1 iff ``x_j > 0``. Bits pack into 32-bit
+words stored as BIGINTs (32 per word keeps every shift well inside
+signed-64 range on both engines). Score: symmetric Hamming distance
+``Σ_w bit_count(xor(w, q_w))`` — for ±1-binarized vectors the binary
+dot is ``dim − 2·hamming``, a monotone transform, so ranking by
+Hamming ascending IS ranking by binarized dot descending (Qdrant
+scores BQ the same way, then rescores survivors with full vectors).
+
+Everything here is integer math on codegen expressions — no Python,
+no randomness, no shuffle before the top-k — so unlike real-valued
+approximate tiers the whole path is DuckDB-oracle-checkable exactly,
+*including* the composed BQ-shortlist → exact-rescore query.
+
+Scale: codes are ``dim/8`` bytes/row (64-dim → 16 B vs 512 B fp32);
+the compressed index of a 100 TB corpus fits in a fraction of cluster
+memory, encode is a map-only projection over the scan, and the
+shortlist→rescore pattern fetches only ``shortlist`` full vectors —
+the same two-phase shape as PQ/SQ (SCALE.md §ANN tiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import global_topk
+
+__all__ = ["bq_encode", "bq_query_words", "bq_hamming", "bq_search"]
+
+_WORD = 32  # bits per packed word
+
+
+def _word_expr(vec: Column, word: int) -> Column:
+    """One packed word: Σ_bit (x > 0 ? 2^bit : 0) — equivalent to OR
+    of distinct bits, expressed as BIGINT addition so both engines
+    fold it identically."""
+    s = None
+    for bit in range(_WORD):
+        j = word * _WORD + bit + 1  # 1-based element index
+        term = F.when(
+            F.element_at(vec, j).cast("double") > 0.0,
+            F.lit(1 << bit).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        s = term if s is None else s + term
+    return s
+
+
+def bq_encode(corpus: DataFrame, dim: int, vec_col: str = "embedding",
+              id_col: str = "vec_id", code_col: str = "bits") -> DataFrame:
+    """Pack sign bits into ``dim/32`` BIGINT words (``array<bigint>``).
+    ``dim`` must be a multiple of 32 (pad upstream otherwise)."""
+    if dim % _WORD:
+        raise ValueError(f"dim must be a multiple of {_WORD}, got {dim}")
+    v = F.col(vec_col)
+    words = [_word_expr(v, w) for w in range(dim // _WORD)]
+    return corpus.select(F.col(id_col), F.array(*words).alias(code_col))
+
+
+def bq_query_words(query_vec: list) -> list[int]:
+    """Driver-side encode of the query (same packing as bq_encode)."""
+    if len(query_vec) % _WORD:
+        raise ValueError(f"dim must be a multiple of {_WORD}")
+    out = []
+    for w in range(len(query_vec) // _WORD):
+        word = 0
+        for bit in range(_WORD):
+            if float(query_vec[w * _WORD + bit]) > 0.0:
+                word |= 1 << bit
+        out.append(word)
+    return out
+
+
+def bq_hamming(code_col: Column, query_words: list[int]) -> Column:
+    """Σ_w bit_count(xor(word, q_word)) — left-to-right BIGINT sum."""
+    s = None
+    for w, qw in enumerate(query_words, start=1):
+        term = F.bit_count(
+            F.element_at(code_col, w).bitwiseXOR(F.lit(qw).cast("bigint"))
+        ).cast("bigint")
+        s = term if s is None else s + term
+    return s
+
+
+def bq_search(codes: DataFrame, query_vec: list, k: int = 5,
+              id_col: str = "vec_id", code_col: str = "bits") -> DataFrame:
+    """Top-k by Hamming distance, ascending (≡ binarized dot
+    descending). Integer scores — exact, no rounding needed."""
+    qwords = bq_query_words(query_vec)
+    scored = codes.select(
+        F.col(id_col), bq_hamming(F.col(code_col), qwords).alias("hamming"))
+    return global_topk(scored, [("hamming", True), (id_col, True)], k)

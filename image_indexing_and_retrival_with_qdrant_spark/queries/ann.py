@@ -156,6 +156,105 @@ def ann_sq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_search(codes, mins, steps, qvec, k=5)
 
 
+def _bq_word_sql(word: int, col: str = "embedding") -> str:
+    terms = " + ".join(
+        f"CASE WHEN CAST({col}[{word * 32 + bit + 1}] AS DOUBLE) > 0.0 "
+        f"THEN {1 << bit} ELSE 0 END"
+        for bit in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _bq_oracle(dim: int = 64) -> str:
+    """BQ is pure integer math — full value oracle (like SQ)."""
+    words = dim // 32
+    enc = ", ".join(f"{_bq_word_sql(w)} AS w{w}" for w in range(words))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(e.w{w}, q.w{w})) AS BIGINT)"
+        for w in range(words)
+    )
+    return f"""
+    WITH enc AS (SELECT vec_id, {enc} FROM embeddings),
+    q AS (SELECT * FROM enc WHERE vec_id = 0)
+    SELECT e.vec_id, {ham} AS hamming
+    FROM enc e CROSS JOIN q
+    ORDER BY hamming ASC, e.vec_id
+    LIMIT 5
+    """
+
+
+_BQ_CACHE: dict = {}
+
+
+def _bq_index(spark: SparkSession, sf_dir: str):
+    key = _cache_key(spark, sf_dir)
+    if key not in _BQ_CACHE or not _session_alive(spark):
+        from ..operators.bq import bq_encode
+
+        emb = load(spark, sf_dir, "embeddings")
+        codes = bq_encode(emb, dim=64).persist()
+        codes.count()
+        _BQ_CACHE[key] = codes
+    return _BQ_CACHE[key]
+
+
+@register("ann_bq_top5", _bq_oracle())
+def ann_bq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search (Qdrant BinaryQuantization analog, 32×
+    compression): sign bits packed into BIGINT words, ranked by
+    Hamming distance (≡ binarized dot). Integer math end-to-end —
+    full value oracle despite being a compressed tier."""
+    from ..operators.bq import bq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = _bq_index(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    return bq_search(codes, qvec, k=5)
+
+
+from .knn import _COS  # noqa: E402  (shared cosine oracle fragment)
+
+
+@register(
+    "ann_bq_rescore_top5",
+    f"""
+    WITH enc AS (SELECT vec_id,
+                        {_bq_word_sql(0)} AS w0, {_bq_word_sql(1)} AS w1
+                 FROM embeddings),
+    q AS (SELECT * FROM enc WHERE vec_id = 0),
+    short AS (
+      SELECT e.vec_id,
+             CAST(bit_count(xor(e.w0, q.w0)) AS BIGINT)
+             + CAST(bit_count(xor(e.w1, q.w1)) AS BIGINT) AS hamming
+      FROM enc e CROSS JOIN q
+      ORDER BY hamming ASC, e.vec_id
+      LIMIT 50
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS.format(a='e.embedding', b='qv.qv')}, 6) AS score
+    FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def ann_bq_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed BQ-shortlist → exact-rescore (Qdrant's documented BQ
+    usage: oversampled binary probe, full-precision rescoring): top-50
+    by Hamming over 16-byte codes, exact cosine over just those 50.
+    BOTH stages are deterministic, so the entire approximate tier is
+    value-oracle-checked — shortlist membership included."""
+    from ..operators.bq import bq_search
+    from ..operators.knn import dense_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = _bq_index(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    short = bq_search(codes, qvec, k=50).select("vec_id")
+    corpus = emb.join(F.broadcast(short), on="vec_id")
+    return dense_knn(corpus, _query_of(emb, 0), k=5, dim=64)
+
+
 @register("ann_ivfpq_top5", None)
 def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF→PQ→exact-rerank (the graph-index-class quality
