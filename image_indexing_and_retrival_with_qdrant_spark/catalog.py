@@ -508,6 +508,92 @@ class Collection:
             self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
         return n_before - n_after
 
+    def _selector_pred(self, selector, id_col: str) -> Column:
+        """Qdrant points-selector: a list of ids or a Filter/Column."""
+        if isinstance(selector, (list, tuple, set)):
+            return F.col(id_col).isin(list(selector))
+        pred = as_predicate(selector)
+        if pred is None:
+            raise ValueError("points selector required (ids or Filter)")
+        return pred
+
+    def retrieve(self, spark: SparkSession, ids: list,
+                 id_col: str = "id", with_vectors: bool = False,
+                 vec_col: str = "embedding") -> DataFrame:
+        """Qdrant's ``retrieve`` analog: fetch points by id. The id
+        predicate pushes into the parquet scan; vectors are projected
+        away unless asked for (column pruning keeps them unread)."""
+        df = self.read(spark).filter(F.col(id_col).isin(list(ids)))
+        if not with_vectors:
+            df = df.drop(vec_col, "n_vecs")
+        return df
+
+    def _rewrite(self, spark: SparkSession, table: DataFrame,
+                 id_col: str, vec_col: str) -> None:
+        """Staged swap + index refresh (shared by the payload ops)."""
+        staging = self.path + ".__rewrite__"
+        table.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+        if self.has_index():
+            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+
+    def set_payload(self, spark: SparkSession, payload: dict, selector,
+                    id_col: str = "id", vec_col: str = "embedding") -> int:
+        """Qdrant's ``set_payload``: merge literal payload values onto
+        the points matching ``selector`` (ids list or Filter). New keys
+        become columns (NULL elsewhere) — the columnar analog of
+        Qdrant's schemaless payload merge. Plain-parquet fallback is a
+        staged rewrite; Delta/Iceberg would make this MERGE INTO.
+        Returns the number of points updated."""
+        if not payload:
+            raise ValueError("empty payload")
+        if not self._has_data(spark):
+            return 0
+        pred = self._selector_pred(selector, id_col)
+        table = self.read(spark)
+        n = table.filter(pred).count()
+        for col, val in payload.items():
+            if col in (id_col, vec_col, "n_vecs"):
+                raise ValueError(f"cannot set reserved column {col!r}")
+            base = F.col(col) if col in table.columns else F.lit(None)
+            table = table.withColumn(
+                col, F.when(pred, F.lit(val)).otherwise(base))
+        self._rewrite(spark, table, id_col, vec_col)
+        return n
+
+    def delete_payload(self, spark: SparkSession, keys: list, selector,
+                       id_col: str = "id",
+                       vec_col: str = "embedding") -> int:
+        """Qdrant's ``delete_payload``: null out the given payload keys
+        on matching points (columns stay in the schema — the columnar
+        reading of key removal)."""
+        if not self._has_data(spark):
+            return 0
+        pred = self._selector_pred(selector, id_col)
+        table = self.read(spark)
+        n = table.filter(pred).count()
+        for col in keys:
+            if col in (id_col, vec_col, "n_vecs"):
+                raise ValueError(f"cannot delete reserved column {col!r}")
+            if col in table.columns:
+                table = table.withColumn(
+                    col,
+                    F.when(pred, F.lit(None).cast(table.schema[col].dataType))
+                    .otherwise(F.col(col)))
+        self._rewrite(spark, table, id_col, vec_col)
+        return n
+
+    def clear_payload(self, spark: SparkSession, selector,
+                      id_col: str = "id",
+                      vec_col: str = "embedding") -> int:
+        """Qdrant's ``clear_payload``: null every payload column on the
+        matching points (id and vector are kept — Qdrant semantics)."""
+        cols = [c for c in self.read(spark).columns
+                if c not in (id_col, vec_col, "n_vecs")]
+        return self.delete_payload(spark, cols, selector,
+                                   id_col=id_col, vec_col=vec_col)
+
     def scroll(self, spark: SparkSession, limit: int = 100,
                after_id=None, id_col: str = "id",
                with_vectors: bool = False,
@@ -549,10 +635,16 @@ class Collection:
 
     # -- S9: stats --------------------------------------------------------
 
-    def count(self, spark: SparkSession) -> int:
+    def count(self, spark: SparkSession, count_filter=None) -> int:
+        """S9 stats; with ``count_filter`` this is Qdrant's ``count``
+        endpoint (exact=True) — the predicate pushes to the scan."""
         if not self._has_data(spark):
             return 0
-        return spark.read.parquet(self.path).count()
+        df = spark.read.parquet(self.path)
+        pred = as_predicate(count_filter)
+        if pred is not None:
+            df = df.filter(pred)
+        return df.count()
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

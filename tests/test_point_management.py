@@ -103,3 +103,68 @@ def test_search_batch_matches_per_query_search(spark, sf_smoke, tmp_path):
                 coll.search(spark, qv, k=4).collect(), 1):
             want.add((i, r.id, r.score, rank))
     assert got == want
+
+
+def test_retrieve_by_ids(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = [r.id for r in coll.read(spark).limit(3).collect()]
+    got = coll.retrieve(spark, some).collect()
+    assert {r.id for r in got} == set(some)
+    assert "embedding" not in got[0].asDict()
+    withv = coll.retrieve(spark, some[:1], with_vectors=True).collect()
+    assert len(withv[0].embedding) == 8
+
+
+def test_count_with_filter(spark, sf_smoke, tmp_path):
+    from image_indexing_and_retrival_with_qdrant_spark.filters import FieldCondition, Filter
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n = coll.count(spark)
+    n_en = coll.count(spark, Filter(must=[FieldCondition("lang", match="en")]))
+    assert 0 < n_en < n
+    assert n_en == coll.read(spark).filter(F.col("lang") == "en").count()
+
+
+def test_set_payload_by_ids_and_filter(spark, sf_smoke, tmp_path):
+    from image_indexing_and_retrival_with_qdrant_spark.filters import FieldCondition
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = [r.id for r in coll.read(spark).limit(2).collect()]
+    n = coll.set_payload(spark, {"reviewed": True}, some)
+    assert n == 2
+    t = coll.read(spark)
+    assert t.filter(F.col("reviewed")).count() == 2
+    assert t.filter(F.col("reviewed").isNull()).count() == coll.count(spark) - 2
+    # filter selector + overwrite of an existing column
+    n2 = coll.set_payload(spark, {"lang": "xx"},
+                          FieldCondition("lang", match="en"))
+    assert n2 > 0
+    assert coll.count(spark, FieldCondition("lang", match="en")) == 0
+    assert coll.count(spark, FieldCondition("lang", match="xx")) == n2
+
+
+def test_delete_and_clear_payload(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = [r.id for r in coll.read(spark).limit(2).collect()]
+    n = coll.delete_payload(spark, ["lang"], some)
+    assert n == 2
+    t = coll.read(spark)
+    assert t.filter(F.col("id").isin(some) & F.col("lang").isNotNull()).count() == 0
+    assert t.schema["lang"].dataType.typeName() == "string"  # type kept
+    coll.clear_payload(spark, some)
+    row = coll.read(spark).filter(F.col("id") == some[0]).collect()[0]
+    assert row.doc_id is None and row.lang is None
+    assert row.embedding is not None  # vector untouched
+
+
+def test_payload_reserved_columns_rejected(spark, sf_smoke, tmp_path):
+    import pytest
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = [r.id for r in coll.read(spark).limit(1).collect()]
+    with pytest.raises(ValueError, match="reserved"):
+        coll.set_payload(spark, {"embedding": 1}, some)
+    with pytest.raises(ValueError, match="reserved"):
+        coll.delete_payload(spark, ["id"], some)
+    with pytest.raises(ValueError, match="empty payload"):
+        coll.set_payload(spark, {}, some)
