@@ -198,49 +198,101 @@ class Collection:
         self._save_meta()
         self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
 
+    # -- named vector spaces (Qdrant vectors_config={name: ...}) ----------
+
+    def _vector_cfg(self, using: str | None, vec_col_default: str) -> dict:
+        """Resolve one vector space's config: the named entry for
+        ``using`` (Qdrant ``query_points(using=...)``), or the
+        collection-level config for single-space collections."""
+        named = self.meta.get("vectors")
+        if named:
+            if using is None:
+                if len(named) == 1:
+                    using = next(iter(named))
+                else:
+                    raise ValueError(
+                        f"collection has named vectors {sorted(named)}; "
+                        "pass using=<name>")
+            if using not in named:
+                raise ValueError(f"unknown vector name {using!r} "
+                                 f"(have {sorted(named)})")
+            return {**named[using], "vec_col": using,
+                    "nv_col": using + "__nv"}
+        if using is not None:
+            raise ValueError("collection has no named vectors")
+        return {**self.meta, "vec_col": vec_col_default, "nv_col": "n_vecs"}
+
+    def _vector_columns(self, vec_col_default: str = "embedding") -> set[str]:
+        """Every vector-data column (all spaces + their n_vecs) — the
+        complement of the payload."""
+        named = self.meta.get("vectors")
+        if named:
+            out = set()
+            for name in named:
+                out.update((name, name + "__nv"))
+            return out
+        return {vec_col_default, "n_vecs"}
+
+    @staticmethod
+    def _prep_vec(points: DataFrame, cfg: dict, path: str) -> DataFrame:
+        """Write-path vector discipline for one space: dimension check,
+        normalize-at-write, nested→flat multivector conversion."""
+        col, nv = cfg["vec_col"], cfg["nv_col"]
+        dim = cfg.get("dim")
+        if col not in points.columns:
+            return points
+        if cfg.get("multivector") and _is_nested(points, col):
+            if dim:
+                bad = points.filter(
+                    F.exists(F.col(col), lambda v: F.size(v) != dim)
+                ).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"vector dimension mismatch: expected {dim} "
+                        f"(collection {path})"
+                    )
+            if cfg.get("normalize"):
+                points = points.withColumn(
+                    col,
+                    F.transform(F.col(col),
+                                lambda v: l2_normalize(v.cast("array<double>"))),
+                )
+            return points.withColumn(
+                nv, F.size(F.col(col)).cast("int")
+            ).withColumn(
+                col, F.flatten(F.col(col).cast("array<array<double>>")),
+            )
+        if not cfg.get("multivector"):
+            if cfg.get("normalize"):
+                points = points.withColumn(
+                    col, l2_normalize(as_double(F.col(col)))
+                )
+            if dim:
+                # dimension check at write (schema discipline, SURVEY.md §1.3)
+                bad = points.filter(F.size(F.col(col)) != dim).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"vector dimension mismatch: expected {dim} "
+                        f"(collection {path})"
+                    )
+        return points
+
     # -- S8: upsert -------------------------------------------------------
 
     def upsert(self, spark: SparkSession, points: DataFrame,
                mode: str = "append", id_col: str = "id",
                vec_col: str = "embedding") -> None:
-        dim = self.meta.get("dim")
-        if self.meta.get("multivector") and vec_col in points.columns \
-                and _is_nested(points, vec_col):
-            # nested input → per-subvector normalize, then store flat
-            if dim:
-                bad = points.filter(
-                    F.exists(F.col(vec_col), lambda v: F.size(v) != dim)
-                ).limit(1).count()
-                if bad:
-                    raise ValueError(
-                        f"vector dimension mismatch: expected {dim} "
-                        f"(collection {self.path})"
-                    )
-            if self.meta.get("normalize"):
-                points = points.withColumn(
-                    vec_col,
-                    F.transform(F.col(vec_col),
-                                lambda v: l2_normalize(v.cast("array<double>"))),
-                )
-            points = points.withColumn(
-                "n_vecs", F.size(F.col(vec_col)).cast("int")
-            ).withColumn(
-                vec_col,
-                F.flatten(F.col(vec_col).cast("array<array<double>>")),
-            )
-        elif vec_col in points.columns and not self.meta.get("multivector"):
-            if self.meta.get("normalize"):
-                points = points.withColumn(
-                    vec_col, l2_normalize(as_double(F.col(vec_col)))
-                )
-            if dim:
-                # dimension check at write (schema discipline, SURVEY.md §1.3)
-                bad = points.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
-                if bad:
-                    raise ValueError(
-                        f"vector dimension mismatch: expected {dim} "
-                        f"(collection {self.path})"
-                    )
+        named = self.meta.get("vectors")
+        if named:
+            missing = [n for n in named if n not in points.columns]
+            if missing:
+                raise ValueError(f"missing vector columns: {missing}")
+            for name in named:
+                points = self._prep_vec(
+                    points, self._vector_cfg(name, vec_col), self.path)
+        else:
+            points = self._prep_vec(
+                points, self._vector_cfg(None, vec_col), self.path)
         if mode == "merge" and self._has_data(spark):
             existing = spark.read.parquet(self.path)
             incoming_ids = points.select(id_col)
@@ -275,7 +327,8 @@ class Collection:
     def search(self, spark: SparkSession, query_vector: list,
                k: int = 5, query_filter=None, score_threshold=None,
                id_col: str = "id", vec_col: str = "embedding",
-               nprobe: int | None = None, exact: bool = False):
+               nprobe: int | None = None, exact: bool = False,
+               using: str | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -297,8 +350,11 @@ class Collection:
         from .operators.maxsim import maxsim_knn
 
         query_filter = as_predicate(query_filter)
+        cfg = self._vector_cfg(using, vec_col)
+        vec_col = cfg["vec_col"]
         corpus = self.read(spark)
-        dim = self.meta.get("dim")
+        dim = cfg.get("dim")
+        not_payload = self._vector_columns(vec_col) | {id_col}
 
         def routed(routing_qv: list[float]) -> DataFrame:
             # route through the IVF layout: nearest-nprobe centroids
@@ -315,12 +371,11 @@ class Collection:
                 F.col("centroid_id").isin([int(i) for i in ranked])
             ).drop("centroid_id")
 
-        if self.meta.get("multivector"):
+        if cfg.get("multivector"):
             qv = [[float(x) for x in v] for v in query_vector]
-            if self.meta.get("normalize"):
+            if cfg.get("normalize"):
                 qv = [_unit(v) for v in qv]
-            payload = [c for c in corpus.columns
-                       if c not in (id_col, vec_col, "n_vecs")]
+            payload = [c for c in corpus.columns if c not in not_payload]
             if _is_nested(corpus, vec_col):  # compatibility reader
                 qdf = spark.createDataFrame(
                     [(qv,)], "query_vectors array<array<double>>"
@@ -346,18 +401,18 @@ class Collection:
                 score_threshold=score_threshold, flat_dim=dim,
             )
         qv = [float(x) for x in query_vector]
-        if self.meta.get("normalize"):
+        if cfg.get("normalize"):
             qv = _unit(qv)
         if self.has_index() and not exact:
             corpus = routed(qv)
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
-        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        payload = [c for c in corpus.columns if c not in not_payload]
         return dense_knn(
             corpus, qdf, k=k, id_col=id_col, vec_col=vec_col,
             payload_cols=payload, prefilter=query_filter,
             score_threshold=score_threshold,
-            prenormalized=bool(self.meta.get("normalize")),
-            dim=dim, metric=self.meta.get("metric", "cosine"),
+            prenormalized=bool(cfg.get("normalize")),
+            dim=dim, metric=cfg.get("metric", "cosine"),
         )
 
     def search_batch(self, spark: SparkSession,
@@ -365,7 +420,8 @@ class Collection:
                      query_filter=None, score_threshold=None,
                      id_col: str = "id", vec_col: str = "embedding",
                      nprobe: int | None = None,
-                     exact: bool = False) -> DataFrame:
+                     exact: bool = False,
+                     using: str | None = None) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
         All queries share ONE corpus pass (broadcast query set +
@@ -375,12 +431,14 @@ class Collection:
         static partition pruning)."""
         from .operators.knn import dense_knn_batch
 
-        if self.meta.get("multivector"):
+        cfg = self._vector_cfg(using, vec_col)
+        vec_col = cfg["vec_col"]
+        if cfg.get("multivector"):
             raise ValueError("search_batch supports dense collections; "
                              "loop search() for multivector")
         query_filter = as_predicate(query_filter)
         qvs = [[float(x) for x in v] for v in query_vectors]
-        if self.meta.get("normalize"):
+        if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
         corpus = self.read(spark)
         if self.has_index() and not exact:
@@ -399,21 +457,23 @@ class Collection:
             [(i, v) for i, v in enumerate(qvs)],
             "query_idx int, query_vec array<double>",
         )
-        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        payload = [c for c in corpus.columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
         return dense_knn_batch(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
             query_id_col="query_idx", payload_cols=payload,
             prefilter=query_filter, score_threshold=score_threshold,
-            prenormalized=bool(self.meta.get("normalize")),
-            dim=self.meta.get("dim"), local_prune=True,
-            metric=self.meta.get("metric", "cosine"),
+            prenormalized=bool(cfg.get("normalize")),
+            dim=cfg.get("dim"), local_prune=True,
+            metric=cfg.get("metric", "cosine"),
         )
 
     def recommend(self, spark: SparkSession, positive: list, negative:
                   list = (), k: int = 5, query_filter=None,
                   score_threshold=None, id_col: str = "id",
                   vec_col: str = "embedding", nprobe: int | None = None,
-                  exact: bool = False) -> DataFrame:
+                  exact: bool = False,
+                  using: str | None = None) -> DataFrame:
         """Qdrant's ``recommend`` analog (``strategy=average_vector``,
         the client default): the query vector is ``avg(positive
         examples) − avg(negative examples)`` over the *stored* vectors
@@ -422,13 +482,14 @@ class Collection:
         example points are excluded from the results. The example
         fetch is an O(#examples) driver-side lookup by id; the search
         itself is the normal one-pass dense path."""
-        if self.meta.get("multivector"):
+        cfg = self._vector_cfg(using, vec_col)
+        if cfg.get("multivector"):
             raise ValueError("recommend supports dense collections")
         if not positive:
             raise ValueError("recommend requires at least one positive id")
         ids = [*positive, *negative]
         rows = self.read(spark).filter(
-            F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+            F.col(id_col).isin(ids)).select(id_col, cfg["vec_col"]).collect()
         vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
         missing = [i for i in ids if i not in vecs]
         if missing:
@@ -447,13 +508,14 @@ class Collection:
         return self.search(
             spark, qv, k=k, query_filter=flt,
             score_threshold=score_threshold, id_col=id_col,
-            vec_col=vec_col, nprobe=nprobe, exact=exact,
+            vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
         )
 
     def search_groups(self, spark: SparkSession, query_vector: list,
                       group_by: str, limit: int = 3, group_size: int = 2,
                       query_filter=None, id_col: str = "id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      using: str | None = None) -> DataFrame:
         """Qdrant's ``query_points_groups`` analog (dense collections):
         results grouped by a payload field — the best ``group_size``
         hits from each of the top ``limit`` groups, groups ranked by
@@ -462,21 +524,24 @@ class Collection:
         from .operators.knn import _DISTANCE_METRICS, dense_knn
         from .operators.topk import top_groups
 
-        if self.meta.get("multivector"):
+        cfg = self._vector_cfg(using, vec_col)
+        vec_col = cfg["vec_col"]
+        if cfg.get("multivector"):
             raise ValueError("search_groups supports dense collections")
         query_filter = as_predicate(query_filter)
-        metric = self.meta.get("metric", "cosine")
+        metric = cfg.get("metric", "cosine")
         qv = [float(x) for x in query_vector]
-        if self.meta.get("normalize"):
+        if cfg.get("normalize"):
             qv = _unit(qv)
         corpus = self.read(spark)
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
-        payload = [c for c in corpus.columns if c not in (id_col, vec_col)]
+        payload = [c for c in corpus.columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
         scored = dense_knn(
             corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
             payload_cols=payload, prefilter=query_filter,
-            prenormalized=bool(self.meta.get("normalize")),
-            dim=self.meta.get("dim"), metric=metric,
+            prenormalized=bool(cfg.get("normalize")),
+            dim=cfg.get("dim"), metric=metric,
         )
         asc = metric in _DISTANCE_METRICS
         return top_groups(scored, group_by,
@@ -654,13 +719,14 @@ def collection_exists(root: str, name: str) -> bool:
     return os.path.exists(os.path.join(root, f"{name}.meta.json"))
 
 
-def create_collection(root: str, name: str, dim: int,
+def create_collection(root: str, name: str, dim: int | None = None,
                       metric: str = "cosine", multivector: bool = False,
                       comparator: str | None = None,
                       normalize: bool | None = None,
                       indexing_threshold: int | None = None,
                       k_centroids: int = 16,
-                      train_fraction: float | None = None) -> Collection:
+                      train_fraction: float | None = None,
+                      vectors: dict | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -674,20 +740,45 @@ def create_collection(root: str, name: str, dim: int,
     route through it. None (default) = never auto-index."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
-        if normalize is None:
-            normalize = metric == "cosine"
-        meta = {
-            "dim": dim,
-            "metric": metric,
-            "multivector": multivector,
-            "comparator": comparator or ("max_sim" if multivector else None),
-            "normalize": normalize,
-        }
-        if indexing_threshold is not None:
-            meta["indexing_threshold"] = int(indexing_threshold)
-            meta["k_centroids"] = int(k_centroids)
-            if train_fraction is not None:
-                meta["train_fraction"] = float(train_fraction)
+        if vectors is not None:
+            # named vector spaces (Qdrant vectors_config={name: ...}):
+            # each space declares its own dim/metric/multivector; the
+            # vector column is named after the space. Auto-indexing is
+            # single-space-only (which space would the layout carve?).
+            if dim is not None or indexing_threshold is not None:
+                raise ValueError(
+                    "named-vector collections take per-space config in "
+                    "`vectors`; top-level dim/indexing_threshold don't "
+                    "apply")
+            spaces = {}
+            for vname, cfg in vectors.items():
+                if "dim" not in cfg:
+                    raise ValueError(f"vector space {vname!r} needs a dim")
+                vm = cfg.get("metric", "cosine")
+                spaces[vname] = {
+                    "dim": int(cfg["dim"]),
+                    "metric": vm,
+                    "multivector": bool(cfg.get("multivector")),
+                    "normalize": cfg.get("normalize", vm == "cosine"),
+                }
+            meta = {"vectors": spaces}
+        else:
+            if dim is None:
+                raise ValueError("dim is required (or pass `vectors`)")
+            if normalize is None:
+                normalize = metric == "cosine"
+            meta = {
+                "dim": dim,
+                "metric": metric,
+                "multivector": multivector,
+                "comparator": comparator or ("max_sim" if multivector else None),
+                "normalize": normalize,
+            }
+            if indexing_threshold is not None:
+                meta["indexing_threshold"] = int(indexing_threshold)
+                meta["k_centroids"] = int(k_centroids)
+                if train_fraction is not None:
+                    meta["train_fraction"] = float(train_fraction)
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)

@@ -1,0 +1,103 @@
+"""Named vector spaces (Qdrant ``vectors_config={name: ...}`` +
+``query_points(using=...)``): one collection holding several vector
+columns with independent dim/metric/normalize, searched by name."""
+
+import pytest
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    c = create_collection(
+        str(tmp_path), "nv",
+        vectors={
+            "dense": {"dim": 2, "metric": "dot", "normalize": False},
+            "late": {"dim": 2, "multivector": True, "normalize": False},
+        },
+    )
+    pts = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+         (2, "b", [0.0, 1.0], [[0.5, 0.5]]),
+         (3, "a", [0.5, 0.5], [[1.0, 1.0], [2.0, 0.0]])],
+        "id int, tag string, dense array<double>, "
+        "late array<array<double>>",
+    )
+    c.upsert(spark, pts)
+    return c
+
+
+def test_storage_layout(spark, coll):
+    t = coll.read(spark)
+    assert set(t.columns) == {"id", "tag", "dense", "late", "late__nv"}
+    row = {r.id: r for r in t.collect()}
+    assert list(row[1].late) == [1.0, 0.0, 0.0, 1.0]  # flat multivector
+    assert row[1].late__nv == 2
+    assert list(row[1].dense) == [1.0, 0.0]  # normalize off: raw
+
+
+def test_search_using_dense(spark, coll):
+    hits = coll.search(spark, [1.0, 0.0], k=3, using="dense").collect()
+    assert [r.id for r in hits] == [1, 3, 2]
+    assert hits[0].score == 1.0
+    # payload excludes every vector column of every space
+    assert set(hits[0].asDict()) == {"id", "tag", "score"}
+
+
+def test_search_using_maxsim(spark, coll):
+    # query [[1,0]]: maxsim = max dot against each doc's subvectors
+    hits = coll.search(spark, [[1.0, 0.0]], k=3, using="late").collect()
+    assert [r.id for r in hits] == [3, 1, 2]  # 2.0, 1.0, 0.5
+    assert hits[0].score == 2.0
+
+
+def test_using_required_when_ambiguous(spark, coll):
+    with pytest.raises(ValueError, match="pass using="):
+        coll.search(spark, [1.0, 0.0], k=1)
+    with pytest.raises(ValueError, match="unknown vector name"):
+        coll.search(spark, [1.0, 0.0], k=1, using="nope")
+
+
+def test_single_space_defaults(spark, tmp_path):
+    c = create_collection(
+        str(tmp_path), "one",
+        vectors={"img": {"dim": 2, "metric": "euclid"}})
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id int, img array<double>")
+    c.upsert(spark, pts)
+    hits = c.search(spark, [0.0, 0.0], k=2).collect()  # using implied
+    assert [r.id for r in hits] == [1, 2]
+    assert hits[1].score == 5.0
+
+
+def test_batch_and_groups_and_recommend_route_by_name(spark, coll):
+    out = coll.search_batch(spark, [[1.0, 0.0], [0.0, 1.0]], k=1,
+                            using="dense").collect()
+    assert {(r.query_idx, r.id) for r in out} == {(0, 1), (1, 2)}
+    g = coll.search_groups(spark, [1.0, 0.0], group_by="tag",
+                           limit=1, group_size=2, using="dense").collect()
+    assert {r.id for r in g} == {1, 3}
+    r = coll.recommend(spark, positive=[1], k=1, using="dense").collect()
+    assert r[0].id == 3  # id 1 excluded; [1,0]·[0.5,.5] > [1,0]·[0,1]
+    with pytest.raises(ValueError, match="dense collections"):
+        coll.search_batch(spark, [[[1.0, 0.0]]], using="late")
+
+
+def test_upsert_validates_named_spaces(spark, tmp_path, coll):
+    with pytest.raises(ValueError, match="missing vector columns"):
+        coll.upsert(spark, spark.createDataFrame(
+            [(9, [1.0, 0.0])], "id int, dense array<double>"))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        coll.upsert(spark, spark.createDataFrame(
+            [(9, [1.0, 0.0, 3.0], [[1.0, 0.0]])],
+            "id int, dense array<double>, late array<array<double>>"))
+
+
+def test_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="don't"):
+        create_collection(str(tmp_path), "bad1", dim=4,
+                          vectors={"a": {"dim": 2}})
+    with pytest.raises(ValueError, match="needs a dim"):
+        create_collection(str(tmp_path), "bad2", vectors={"a": {}})
+    with pytest.raises(ValueError, match="dim is required"):
+        create_collection(str(tmp_path), "bad3")
