@@ -34,12 +34,12 @@ __all__ = ["bq_encode", "bq_query_words", "bq_hamming", "bq_search"]
 _WORD = 32  # bits per packed word
 
 
-def _word_expr(vec: Column, word: int) -> Column:
+def _word_expr(vec: Column, word: int, nbits: int) -> Column:
     """One packed word: Σ_bit (x > 0 ? 2^bit : 0) — equivalent to OR
     of distinct bits, expressed as BIGINT addition so both engines
-    fold it identically."""
+    fold it identically. The last word may hold fewer than 32 bits."""
     s = None
-    for bit in range(_WORD):
+    for bit in range(nbits):
         j = word * _WORD + bit + 1  # 1-based element index
         term = F.when(
             F.element_at(vec, j).cast("double") > 0.0,
@@ -51,23 +51,23 @@ def _word_expr(vec: Column, word: int) -> Column:
 
 def bq_encode(corpus: DataFrame, dim: int, vec_col: str = "embedding",
               id_col: str = "vec_id", code_col: str = "bits") -> DataFrame:
-    """Pack sign bits into ``dim/32`` BIGINT words (``array<bigint>``).
-    ``dim`` must be a multiple of 32 (pad upstream otherwise)."""
-    if dim % _WORD:
-        raise ValueError(f"dim must be a multiple of {_WORD}, got {dim}")
+    """Pack sign bits into ``ceil(dim/32)`` BIGINT words
+    (``array<bigint>``); the final word is partial when 32∤dim."""
     v = F.col(vec_col)
-    words = [_word_expr(v, w) for w in range(dim // _WORD)]
+    words = [
+        _word_expr(v, w, min(_WORD, dim - w * _WORD))
+        for w in range((dim + _WORD - 1) // _WORD)
+    ]
     return corpus.select(F.col(id_col), F.array(*words).alias(code_col))
 
 
 def bq_query_words(query_vec: list) -> list[int]:
     """Driver-side encode of the query (same packing as bq_encode)."""
-    if len(query_vec) % _WORD:
-        raise ValueError(f"dim must be a multiple of {_WORD}")
     out = []
-    for w in range(len(query_vec) // _WORD):
+    dim = len(query_vec)
+    for w in range((dim + _WORD - 1) // _WORD):
         word = 0
-        for bit in range(_WORD):
+        for bit in range(min(_WORD, dim - w * _WORD)):
             if float(query_vec[w * _WORD + bit]) > 0.0:
                 word |= 1 << bit
         out.append(word)

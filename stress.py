@@ -158,6 +158,46 @@ def main() -> None:
         timings["ivfpq_probe_rerank_top10"] = round(time.perf_counter() - t0, 2)
         assert pq_top[0].vec_id == 12345  # exact rerank recovers self
         acodes.unpersist()
+
+        # SQ tier: one-pass (min, step) train + codegen encode; the
+        # probe is a dequantize-dot projection over int8 codes
+        from image_indexing_and_retrival_with_qdrant_spark.operators.sq import (
+            sq_encode,
+            sq_search,
+            sq_train,
+        )
+
+        t0 = time.perf_counter()
+        mins, steps = sq_train(corpus, dim=DIM)
+        sq_codes = sq_encode(corpus, mins, steps).persist()
+        sq_codes.count()
+        timings["sq_train_encode"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        sq_top = sq_search(sq_codes, mins, steps, list(qvec), k=10).collect()
+        timings["sq_probe_top10"] = round(time.perf_counter() - t0, 2)
+        assert sq_top[0].vec_id == 12345  # int8 keeps the self-match
+        sq_codes.unpersist()
+
+        # BQ tier: sign-bit pack (no train), xor/popcount Hamming probe
+        # + exact rescore of a 200-row shortlist
+        from image_indexing_and_retrival_with_qdrant_spark.operators.bq import (
+            bq_encode,
+            bq_search,
+        )
+
+        t0 = time.perf_counter()
+        bq_codes = bq_encode(corpus, dim=DIM).persist()
+        bq_codes.count()
+        timings["bq_encode"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        short = bq_search(bq_codes, list(qvec), k=200).select("vec_id")
+        rescored = dense_knn(
+            corpus.join(F.broadcast(short), on="vec_id"), query,
+            k=10, dim=DIM,
+        ).collect()
+        timings["bq_probe_rescore_top10"] = round(time.perf_counter() - t0, 2)
+        assert rescored[0].vec_id == 12345
+        bq_codes.unpersist()
     finally:
         shutil.rmtree(layout, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)

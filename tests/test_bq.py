@@ -55,10 +55,16 @@ def test_known_vectors(spark):
     assert [(r.vec_id, r.hamming) for r in out] == [(1, 0), (3, 32), (2, 64)]
 
 
-def test_dim_must_be_word_multiple(spark):
-    df = spark.createDataFrame([(1, [1.0] * 48)],
-                               "vec_id int, embedding array<double>")
-    with pytest.raises(ValueError, match="multiple of 32"):
-        bq_encode(df, dim=48)
-    with pytest.raises(ValueError, match="multiple of 32"):
-        bq_query_words([1.0] * 48)
+def test_partial_last_word(spark):
+    """32∤dim packs a partial final word; Hamming stays exact."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 48), (2, [1.0] * 32 + [-1.0] * 16)],
+        "vec_id int, embedding array<double>",
+    )
+    codes = bq_encode(df, dim=48)
+    rows = {r.vec_id: list(r.bits) for r in codes.collect()}
+    assert rows[1] == [2**32 - 1, 2**16 - 1]
+    assert rows[2] == [2**32 - 1, 0]
+    assert bq_query_words([1.0] * 48) == [2**32 - 1, 2**16 - 1]
+    out = bq_search(codes, [1.0] * 48, k=2).collect()
+    assert [(r.vec_id, r.hamming) for r in out] == [(1, 0), (2, 16)]
