@@ -89,6 +89,8 @@ def main() -> None:
     # likewise one-time, outside the reference's search timer)
     REGISTRY["knn_dense_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_ivf_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -662,19 +662,49 @@ class Collection:
     def scroll(self, spark: SparkSession, limit: int = 100,
                after_id=None, id_col: str = "id",
                with_vectors: bool = False,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               order_by: str | None = None,
+               start_from=None, desc: bool = False) -> DataFrame:
         """Qdrant's ``scroll`` analog: keyset pagination ordered by id
         — ``after_id`` is the last id of the previous page (strictly
         greater-than, so pages never overlap or skip under concurrent
         appends of higher ids). Keyset beats OFFSET at scale: the
         predicate pushes to the scan instead of reading+discarding
-        ``offset`` rows."""
+        ``offset`` rows.
+
+        With ``order_by`` (Qdrant's ``scroll(order_by=OrderBy(...))``):
+        pages walk a payload field instead, ``start_from`` bounding the
+        field value (inclusive, like Qdrant), id as tie-break."""
         df = self.read(spark)
         if not with_vectors:
-            df = df.drop(vec_col, "n_vecs")
+            drop = self._vector_columns(vec_col)
+            df = df.drop(*[c for c in drop if c in df.columns])
+        if order_by is not None:
+            ob = F.col(order_by)
+            if start_from is not None:
+                df = df.filter(ob <= start_from if desc else ob >= start_from)
+            keys = [ob.desc() if desc else ob.asc(), F.col(id_col).asc()]
+            return df.orderBy(*keys).limit(limit)
         if after_id is not None:
             df = df.filter(F.col(id_col) > after_id)
         return df.orderBy(F.col(id_col).asc()).limit(limit)
+
+    def facet(self, spark: SparkSession, key: str, facet_filter=None,
+              limit: int = 10) -> DataFrame:
+        """Qdrant's ``facet`` endpoint: value counts for a payload
+        field, optionally under a filter — ``(value, count)`` ordered
+        by count desc. One groupBy on the facet key (partial aggs
+        map-side; cardinality = #distinct values, tiny)."""
+        df = self.read(spark)
+        pred = as_predicate(facet_filter)
+        if pred is not None:
+            df = df.filter(pred)
+        return (
+            df.groupBy(F.col(key).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col("value").asc())
+            .limit(limit)
+        )
 
     def compact(self, spark: SparkSession, target_rows_per_file: int = 500_000,
                 id_col: str = "id", vec_col: str = "embedding") -> int:

@@ -49,9 +49,20 @@ def _sql_lit(v: Any) -> str:
     return repr(v)
 
 
+_EARTH_R_M = 6371000.0  # mean earth radius (haversine convention)
+
+
 @dataclass(frozen=True)
 class FieldCondition:
-    """One field predicate (Qdrant ``FieldCondition``)."""
+    """One field predicate (Qdrant ``FieldCondition``). Geo conditions
+    expect ``key`` to name a struct column with ``lat``/``lon`` double
+    fields (the columnar reading of Qdrant's GeoPoint payload):
+
+    - ``geo_radius={"lat": .., "lon": .., "radius_m": ..}`` — great-
+      circle (haversine) distance within ``radius_m`` meters.
+    - ``geo_bounding_box={"top_left": {"lat","lon"}, "bottom_right":
+      {"lat","lon"}}`` — axis-aligned lat/lon box.
+    """
 
     key: str
     match: Any = None
@@ -59,6 +70,8 @@ class FieldCondition:
     match_text: str | None = None
     range: dict | None = None
     is_null: bool | None = None
+    geo_radius: dict | None = None
+    geo_bounding_box: dict | None = None
 
     def to_column(self) -> Column:
         c = F.col(self.key)
@@ -79,6 +92,25 @@ class FieldCondition:
                 preds.append(ops[op](F.lit(bound)))
         if self.is_null is not None:
             preds.append(c.isNull() if self.is_null else c.isNotNull())
+        if self.geo_radius is not None:
+            g = self.geo_radius
+            lat, lon = c["lat"], c["lon"]
+            dphi = F.radians(lat - F.lit(g["lat"]))
+            dlmb = F.radians(lon - F.lit(g["lon"]))
+            a = (
+                F.sin(dphi / 2) * F.sin(dphi / 2)
+                + F.cos(F.radians(F.lit(g["lat"]))) * F.cos(F.radians(lat))
+                * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+            )
+            dist = F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(a))
+            preds.append(dist <= F.lit(float(g["radius_m"])))
+        if self.geo_bounding_box is not None:
+            tl = self.geo_bounding_box["top_left"]
+            br = self.geo_bounding_box["bottom_right"]
+            preds.append(
+                (c["lat"] <= F.lit(tl["lat"])) & (c["lat"] >= F.lit(br["lat"]))
+                & (c["lon"] >= F.lit(tl["lon"])) & (c["lon"] <= F.lit(br["lon"]))
+            )
         if not preds:
             raise ValueError(f"empty FieldCondition on {self.key!r}")
         out = preds[0]
@@ -104,6 +136,27 @@ class FieldCondition:
                 preds.append(f"{k} {sym[op]} {_sql_lit(bound)}")
         if self.is_null is not None:
             preds.append(f"{k} IS {'NULL' if self.is_null else 'NOT NULL'}")
+        if self.geo_radius is not None:
+            g = self.geo_radius
+            qlat, qlon = float(g["lat"]), float(g["lon"])
+            dist = (
+                f"(2.0 * {_EARTH_R_M} * asin(sqrt("
+                f"sin(radians({k}.lat - ({qlat})) / 2)"
+                f" * sin(radians({k}.lat - ({qlat})) / 2)"
+                f" + cos(radians({qlat})) * cos(radians({k}.lat))"
+                f" * sin(radians({k}.lon - ({qlon})) / 2)"
+                f" * sin(radians({k}.lon - ({qlon})) / 2))))"
+            )
+            preds.append(f"{dist} <= {float(g['radius_m'])}")
+        if self.geo_bounding_box is not None:
+            tl = self.geo_bounding_box["top_left"]
+            br = self.geo_bounding_box["bottom_right"]
+            preds.append(
+                f"({k}.lat <= {float(tl['lat'])} AND "
+                f"{k}.lat >= {float(br['lat'])} AND "
+                f"{k}.lon >= {float(tl['lon'])} AND "
+                f"{k}.lon <= {float(br['lon'])})"
+            )
         if not preds:
             raise ValueError(f"empty FieldCondition on {self.key!r}")
         return "(" + " AND ".join(preds) + ")"

@@ -104,3 +104,35 @@ def test_as_predicate_validation():
         Filter().to_column()
     with pytest.raises(ValueError):
         FieldCondition("x").to_sql()
+
+
+def test_geo_radius_and_bbox(spark):
+    # Berlin (52.52, 13.405), Potsdam ~27 km away, Munich ~504 km
+    df = spark.createDataFrame(
+        [(1, (52.52, 13.405)), (2, (52.40, 13.06)), (3, (48.137, 11.575))],
+        "id int, loc struct<lat:double, lon:double>",
+    )
+    near = Filter(must=[FieldCondition(
+        "loc", geo_radius={"lat": 52.52, "lon": 13.405, "radius_m": 50000})])
+    assert {r.id for r in df.filter(near.to_column()).collect()} == {1, 2}
+    tight = FieldCondition(
+        "loc", geo_radius={"lat": 52.52, "lon": 13.405, "radius_m": 1000})
+    assert {r.id for r in df.filter(tight.to_column()).collect()} == {1}
+    box = FieldCondition("loc", geo_bounding_box={
+        "top_left": {"lat": 53.0, "lon": 12.5},
+        "bottom_right": {"lat": 52.0, "lon": 14.0}})
+    assert {r.id for r in df.filter(box.to_column()).collect()} == {1, 2}
+
+
+def test_geo_sql_twin_matches_column(spark):
+    df = spark.createDataFrame(
+        [(1, (52.52, 13.405)), (2, (52.40, 13.06)), (3, (48.137, 11.575))],
+        "id int, loc struct<lat:double, lon:double>",
+    )
+    df.createOrReplaceTempView("t_geo")
+    f = FieldCondition(
+        "loc", geo_radius={"lat": 52.0, "lon": 13.0, "radius_m": 100000})
+    col_ids = {r.id for r in df.filter(f.to_column()).collect()}
+    sql_ids = {r.id for r in
+               spark.sql(f"SELECT id FROM t_geo WHERE {f.to_sql()}").collect()}
+    assert col_ids == sql_ids == {1, 2}

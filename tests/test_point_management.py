@@ -168,3 +168,31 @@ def test_payload_reserved_columns_rejected(spark, sf_smoke, tmp_path):
         coll.delete_payload(spark, ["id"], some)
     with pytest.raises(ValueError, match="empty payload"):
         coll.set_payload(spark, {}, some)
+
+
+def test_scroll_order_by_payload(spark, sf_smoke, tmp_path):
+    coll = _fill(spark, sf_smoke, tmp_path)
+    page = coll.scroll(spark, limit=5, order_by="doc_id").collect()
+    vals = [r.doc_id for r in page]
+    assert vals == sorted(vals)
+    # next page starts from the last value (inclusive, id tie-break)
+    page2 = coll.scroll(spark, limit=5, order_by="doc_id",
+                        start_from=vals[-1]).collect()
+    assert page2[0].doc_id >= vals[-1]
+    desc = coll.scroll(spark, limit=3, order_by="doc_id", desc=True).collect()
+    ds = [r.doc_id for r in desc]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_facet_counts(spark, sf_smoke, tmp_path):
+    from image_indexing_and_retrival_with_qdrant_spark.filters import FieldCondition
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    fc = coll.facet(spark, "lang").collect()
+    assert fc[0]["count"] >= fc[-1]["count"]
+    total = sum(r["count"] for r in fc)
+    assert total == coll.count(spark)
+    en = coll.facet(spark, "lang",
+                    facet_filter=FieldCondition("lang", match="en")).collect()
+    assert len(en) == 1 and en[0].value == "en"
+    assert en[0]["count"] == coll.count(spark, FieldCondition("lang", match="en"))
