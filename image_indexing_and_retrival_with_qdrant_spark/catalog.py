@@ -433,10 +433,11 @@ class Collection:
 
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
-        if cfg.get("multivector"):
-            raise ValueError("search_batch supports dense collections; "
-                             "loop search() for multivector")
         query_filter = as_predicate(query_filter)
+        if cfg.get("multivector"):
+            return self._search_batch_maxsim(
+                spark, query_vectors, cfg, k=k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col)
         qvs = [[float(x) for x in v] for v in query_vectors]
         if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
@@ -547,6 +548,36 @@ class Collection:
         return top_groups(scored, group_by,
                           [("score", asc), (id_col, True)],
                           limit=limit, group_size=group_size)
+
+    def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
+                             cfg: dict, k: int, query_filter,
+                             score_threshold, id_col: str) -> DataFrame:
+        """Batched MaxSim: every query's subvectors normalize/flatten
+        like the single-query path, then one corpus pass scores all
+        (doc x query) pairs (operators.maxsim.maxsim_knn_batch)."""
+        from .operators.maxsim import maxsim_knn_batch
+
+        vec_col = cfg["vec_col"]
+        corpus = self.read(spark)
+        if _is_nested(corpus, vec_col):
+            raise ValueError("batched MaxSim needs the flat layout; "
+                             "re-upsert or loop search()")
+        dim = cfg.get("dim")
+        rows = []
+        for i, mv in enumerate(query_vectors):
+            qv = [[float(x) for x in v] for v in mv]
+            if cfg.get("normalize"):
+                qv = [_unit(v) for v in qv]
+            rows.append((i, [x for v in qv for x in v]))
+        qdf = spark.createDataFrame(
+            rows, "query_idx int, query_vectors array<double>")
+        payload = [c for c in corpus.columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
+        return maxsim_knn_batch(
+            corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
+            payload_cols=payload, prefilter=query_filter,
+            score_threshold=score_threshold, flat_dim=dim,
+        )
 
     # -- point management (Qdrant client surface beyond the reference) ----
 

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot
 from .topk import global_topk
 
-__all__ = ["maxsim_score_udf", "maxsim_knn", "maxsim_knn_exact", "as_multivector"]
+__all__ = ["maxsim_score_udf", "maxsim_knn", "maxsim_knn_batch",
+           "maxsim_knn_exact", "as_multivector"]
 
 
 def as_multivector(col: Column, dim: int, n: int) -> Column:
@@ -126,6 +127,50 @@ def maxsim_knn(
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= score_threshold)
     return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def maxsim_knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    mv_col: str = "vectors",
+    query_id_col: str = "query_idx",
+    query_mv_col: str = "query_vectors",
+    payload_cols: Sequence[str] = (),
+    prefilter: Column | None = None,
+    score_threshold: float | None = None,
+    round_digits: int | None = 6,
+    flat_dim: int | None = None,
+    local_prune: bool = True,
+) -> DataFrame:
+    """Batched MaxSim (``query_batch_points`` for multivector
+    collections): broadcast the query set, score every (doc × query)
+    pair in one corpus pass with the vectorized scorer, rank per query.
+    Same shuffle discipline as ``dense_knn_batch``: the map-side
+    pre-prune caps the window's shuffle at ``batches×Q×k`` rows."""
+    if prefilter is not None:
+        corpus = corpus.filter(prefilter)
+    if flat_dim is not None:
+        score = maxsim_score_flat_udf(flat_dim)(
+            F.col(mv_col), F.col(query_mv_col))
+    else:
+        score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        corpus.join(F.broadcast(queries.select(query_id_col, query_mv_col)))
+        .withColumn("score", score)
+        .select(query_id_col, id_col, *payload_cols, "score")
+    )
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= score_threshold)
+    from .topk import grouped_topk
+
+    return grouped_topk(
+        scored, [query_id_col], [("score", False), (id_col, True)], k,
+        local_prune=local_prune,
+    )
 
 
 def maxsim_knn_exact(

@@ -26,3 +26,29 @@ def test_flat_scorer_matches_nested(spark, sf_smoke):
     a = maxsim_knn(nested_corpus, nested_q, k=10).collect()
     b = maxsim_knn(flat_corpus, flat_q, k=10, flat_dim=8).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_search_batch_multivector(spark, tmp_path):
+    """query_batch_points over a MaxSim collection: one corpus pass,
+    per-query ranks, parity with looped single searches."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "mvb", dim=2, multivector=True,
+                             normalize=False)
+    pts = spark.createDataFrame(
+        [(1, [[1.0, 0.0], [0.0, 1.0]]), (2, [[0.5, 0.5]]),
+         (3, [[2.0, 0.0]])],
+        "id int, embedding array<array<double>>",
+    )
+    coll.upsert(spark, pts)
+    q0 = [[1.0, 0.0]]              # best: 3 (2.0)
+    q1 = [[0.0, 1.0], [1.0, 0.0]]  # per-doc: 1 -> 1+1=2, 3 -> 0+2=2, tie
+    out = coll.search_batch(spark, [q0, q1], k=2).collect()
+    got = {(r.query_idx, r.rank): (r.id, r.score) for r in out}
+    assert got[(0, 1)] == (3, 2.0)
+    assert got[(0, 2)] == (1, 1.0)
+    assert got[(1, 1)] == (1, 2.0)  # tie broken by id
+    assert got[(1, 2)] == (3, 2.0)
+    # parity with the single-query path
+    single = coll.search(spark, q0, k=2).collect()
+    assert [(r.id, r.score) for r in single] == [got[(0, 1)], got[(0, 2)]]

@@ -79,8 +79,9 @@ def test_batch_and_groups_and_recommend_route_by_name(spark, coll):
     assert {r.id for r in g} == {1, 3}
     r = coll.recommend(spark, positive=[1], k=1, using="dense").collect()
     assert r[0].id == 3  # id 1 excluded; [1,0]·[0.5,.5] > [1,0]·[0,1]
-    with pytest.raises(ValueError, match="dense collections"):
-        coll.search_batch(spark, [[[1.0, 0.0]]], using="late")
+    # batched MaxSim routes through the named multivector space
+    mv = coll.search_batch(spark, [[[1.0, 0.0]]], k=1, using="late").collect()
+    assert (mv[0].query_idx, mv[0].id, mv[0].score) == (0, 3, 2.0)
 
 
 def test_upsert_validates_named_spaces(spark, tmp_path, coll):

@@ -85,3 +85,45 @@ def test_reduced_dim_retrieval_has_knn_plan_shape(spark, sf_smoke):
         assert "TakeOrderedAndProject" in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_sq_probe_is_exchange_free(spark, sf_smoke):
+    """SQ dequantize-dot is a projection over the codes scan feeding
+    per-partition heaps — no shuffle anywhere in the probe."""
+    plan = _plan(spark, sf_smoke, "ann_sq_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_bq_probe_is_exchange_free(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "ann_bq_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_metric_knn_keeps_knn_shape(spark, sf_smoke):
+    """Changing the metric must not change the plan: scan-local score,
+    broadcast query, heap top-k."""
+    plan = _plan(spark, sf_smoke, "knn_euclid_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsl_filter_pushes_to_scan(spark, sf_smoke):
+    """The compiled Filter tree reaches the parquet scan as pushed
+    predicates, like any hand-written F4 filter."""
+    plan = _plan(spark, sf_smoke, "knn_dsl_filtered_top5")
+    pf = pushed_filters(plan)
+    assert any("label" in f for f in pf)
+    assert any("vec_id" in f for f in pf)
+
+
+def test_sparse_probe_prunes_before_shuffle(spark, sf_smoke):
+    """Posting rows hit the broadcast query join (pruning to query
+    terms) BEFORE the doc-id aggregation shuffle — the plan must show
+    the BroadcastHashJoin below the first Exchange."""
+    plan = _plan(spark, sf_smoke, "sparse_knn_top10")
+    assert "BroadcastHashJoin" in plan  # postings ⋈ broadcast query terms
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # the probe never shuffles postings
