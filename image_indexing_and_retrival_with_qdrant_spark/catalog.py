@@ -196,7 +196,7 @@ class Collection:
         self.meta.pop("index_built", None)
         self._centroid_cache = None
         self._save_meta()
-        self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
     # -- named vector spaces (Qdrant vectors_config={name: ...}) ----------
 
@@ -277,6 +277,69 @@ class Collection:
                     )
         return points
 
+    # -- quantization (Qdrant quantization_config parity) -----------------
+
+    @property
+    def _codes_path(self) -> str:
+        return self.path + ".codes"
+
+    def _refresh_quant(self, spark: SparkSession, incoming: DataFrame | None,
+                       id_col: str, vec_col: str, rewrote: bool) -> None:
+        """Maintain the quantized-code sidecar after a write. SQ trains
+        per-dim (min, step) ONCE on first build and freezes them in the
+        meta (Qdrant quantizes with build-time stats too); later
+        upserts encode only the incoming batch with the frozen params.
+        BQ is trainless. A rewrite (merge conflict / delete / compact)
+        re-encodes the surviving table — same cost shape as the scan
+        that produced it."""
+        q = self.meta.get("quantization")
+        if not q:
+            return
+        from .operators.bq import bq_encode
+        from .operators.sq import sq_encode, sq_train
+
+        if q == "sq" and "sq_mins" not in self.meta:
+            mins, steps = sq_train(self.read(spark), int(self.meta["dim"]),
+                                   vec_col=vec_col)
+            self.meta["sq_mins"] = mins
+            self.meta["sq_steps"] = steps
+            self._save_meta()
+            incoming, rewrote = None, True  # encode the whole table once
+        source = (self.read(spark) if rewrote or incoming is None
+                  else incoming)
+        if vec_col not in source.columns:
+            return
+        if q == "sq":
+            codes = sq_encode(source, self.meta["sq_mins"],
+                              self.meta["sq_steps"], vec_col=vec_col,
+                              id_col=id_col)
+        elif q == "bq":
+            codes = bq_encode(source, int(self.meta["dim"]),
+                              vec_col=vec_col, id_col=id_col)
+        else:
+            raise ValueError(f"unknown quantization {q!r}")
+        mode = "overwrite" if rewrote else "append"
+        codes.write.mode(mode).parquet(self._codes_path)
+
+    def _quant_shortlist(self, spark: SparkSession, qv: list[float],
+                         m: int, id_col: str) -> DataFrame:
+        """ids of the m best points under the quantized metric."""
+        from .operators.bq import bq_search
+        from .operators.sq import sq_search
+
+        codes = spark.read.parquet(self._codes_path)
+        if self.meta["quantization"] == "sq":
+            short = sq_search(codes, self.meta["sq_mins"],
+                              self.meta["sq_steps"], qv, k=m, id_col=id_col)
+        else:
+            short = bq_search(codes, qv, k=m, id_col=id_col)
+        return short.select(id_col)
+
+    def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
+                    id_col: str, vec_col: str, rewrote: bool) -> None:
+        self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
+        self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
+
     # -- S8: upsert -------------------------------------------------------
 
     def upsert(self, spark: SparkSession, points: DataFrame,
@@ -309,11 +372,11 @@ class Collection:
                 combined.write.mode("overwrite").parquet(staging)
                 shutil.rmtree(self.path)
                 os.rename(staging, self.path)
-                self._refresh_index(spark, None, id_col, vec_col,
-                                    rewrote=True)
+                self._post_write(spark, None, id_col, vec_col,
+                                 rewrote=True)
                 return
         points.write.mode("append").parquet(self.path)
-        self._refresh_index(spark, points, id_col, vec_col, rewrote=False)
+        self._post_write(spark, points, id_col, vec_col, rewrote=False)
 
     def _has_data(self, spark: SparkSession) -> bool:
         try:
@@ -328,7 +391,7 @@ class Collection:
                k: int = 5, query_filter=None, score_threshold=None,
                id_col: str = "id", vec_col: str = "embedding",
                nprobe: int | None = None, exact: bool = False,
-               using: str | None = None):
+               using: str | None = None, oversampling: float = 4.0):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -405,6 +468,14 @@ class Collection:
             qv = _unit(qv)
         if self.has_index() and not exact:
             corpus = routed(qv)
+        elif self.meta.get("quantization") and not exact:
+            # quantized prefetch + exact rescore (Qdrant search_params
+            # quantization semantics): the probe ranks compressed
+            # codes, the oversampled shortlist is re-scored with full
+            # vectors — scan cost moves to the 4x/32x-smaller sidecar
+            m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
+            short = self._quant_shortlist(spark, qv, m, id_col)
+            corpus = corpus.join(F.broadcast(short), on=id_col)
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in not_payload]
         return dense_knn(
@@ -600,8 +671,8 @@ class Collection:
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
         n_after = self.read(spark).count()
-        if self.has_index():
-            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        if self.has_index() or self.meta.get("quantization"):
+            self._post_write(spark, None, id_col, vec_col, rewrote=True)
         return n_before - n_after
 
     def _selector_pred(self, selector, id_col: str) -> Column:
@@ -631,8 +702,8 @@ class Collection:
         table.write.mode("overwrite").parquet(staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
-        if self.has_index():
-            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        if self.has_index() or self.meta.get("quantization"):
+            self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
     def set_payload(self, spark: SparkSession, payload: dict, selector,
                     id_col: str = "id", vec_col: str = "embedding") -> int:
@@ -754,8 +825,8 @@ class Collection:
         table.repartition(n_files).write.mode("overwrite").parquet(staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
-        if self.has_index():
-            self._refresh_index(spark, None, id_col, vec_col, rewrote=True)
+        if self.has_index() or self.meta.get("quantization"):
+            self._post_write(spark, None, id_col, vec_col, rewrote=True)
         return len([f for f in os.listdir(self.path)
                     if f.endswith(".parquet")])
 
@@ -787,7 +858,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       indexing_threshold: int | None = None,
                       k_centroids: int = 16,
                       train_fraction: float | None = None,
-                      vectors: dict | None = None) -> Collection:
+                      vectors: dict | None = None,
+                      quantization: str | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -806,11 +878,12 @@ def create_collection(root: str, name: str, dim: int | None = None,
             # each space declares its own dim/metric/multivector; the
             # vector column is named after the space. Auto-indexing is
             # single-space-only (which space would the layout carve?).
-            if dim is not None or indexing_threshold is not None:
+            if dim is not None or indexing_threshold is not None \
+                    or quantization is not None:
                 raise ValueError(
                     "named-vector collections take per-space config in "
-                    "`vectors`; top-level dim/indexing_threshold don't "
-                    "apply")
+                    "`vectors`; top-level dim/indexing_threshold/"
+                    "quantization don't apply")
             spaces = {}
             for vname, cfg in vectors.items():
                 if "dim" not in cfg:
@@ -840,6 +913,16 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 meta["k_centroids"] = int(k_centroids)
                 if train_fraction is not None:
                     meta["train_fraction"] = float(train_fraction)
+            if quantization is not None:
+                # Qdrant quantization_config: scalar(int8) or binary.
+                # Dense single-space collections only (the MaxSim and
+                # named-space quantized paths are future work).
+                if quantization not in ("sq", "bq"):
+                    raise ValueError("quantization must be 'sq' or 'bq'")
+                if multivector:
+                    raise ValueError(
+                        "quantization supports dense collections")
+                meta["quantization"] = quantization
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)
