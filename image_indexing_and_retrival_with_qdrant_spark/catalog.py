@@ -692,7 +692,8 @@ class Collection:
         away unless asked for (column pruning keeps them unread)."""
         df = self.read(spark).filter(F.col(id_col).isin(list(ids)))
         if not with_vectors:
-            df = df.drop(vec_col, "n_vecs")
+            drop = self._vector_columns(vec_col)
+            df = df.drop(*[c for c in drop if c in df.columns])
         return df
 
     def _rewrite(self, spark: SparkSession, table: DataFrame,

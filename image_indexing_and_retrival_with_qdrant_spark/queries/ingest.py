@@ -295,3 +295,42 @@ def ingest_collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "mode string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "ingest_payload_facet",
+    """
+    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    SELECT CASE WHEN lang IN ('en', 'de') THEN 'high' END AS value,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM u GROUP BY 1
+    ORDER BY count DESC, value ASC
+    LIMIT 10
+    """,
+)
+def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload mutation + facet (Qdrant ``set_payload`` → ``facet``):
+    tag every en/de point ``tier='high'`` through the Filter DSL
+    selector, then facet on the new column — the NULL row counts the
+    untagged points. Both the merge-write and the facet groupBy are
+    oracle-recomputed from ``documents``."""
+    from ..filters import FieldCondition
+
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_facet_")
+    try:
+        coll = create_collection(root, "fc", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        n = coll.set_payload(
+            spark, {"tier": "high"},
+            FieldCondition("lang", match_any=["en", "de"]))
+        assert n == coll.count(spark, FieldCondition("tier", match="high"))
+        rows = [(r.value, r["count"]) for r in
+                coll.facet(spark, "tier", limit=10).collect()]
+        return spark.createDataFrame(rows, "value string, count long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

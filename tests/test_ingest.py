@@ -203,3 +203,8 @@ def test_collection_search_api(spark, sf_smoke, tmp_path):
 
     thr = coll.search(spark, qvec, k=None, score_threshold=0.99).collect()
     assert all(r.score >= 0.99 for r in thr)
+
+
+def test_payload_facet_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_payload_facet"], sf_smoke,
+            "ingest_payload_facet")
