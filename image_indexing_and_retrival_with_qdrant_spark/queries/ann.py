@@ -255,6 +255,44 @@ def ann_bq_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_knn(corpus, _query_of(emb, 0), k=5, dim=64)
 
 
+@register(
+    "knn_join_top3",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id < 100),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS INTEGER)
+               AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-localized k-NN JOIN (corpus-sized query side — the
+    embedding-near-dup / semantic-blocking shape): 100 query rows each
+    get their top-3 neighbors. Probing is exhaustive here, which makes
+    the join provably exact (hence the full oracle); production uses a
+    smaller nprobe for the Σ|L_c|·|R_c| reduction (recall pinned in
+    tests/test_knnjoin.py)."""
+    from ..operators.knnjoin import knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, centroids = _ivf_index(spark, sf_dir)
+    cents = [list(r.centroid) for r in
+             sorted(centroids.collect(), key=lambda r: r.centroid_id)]
+    left = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query_vec"))
+    return knn_join(left, emb, cents, k=3, nprobe=None, dim=64)
+
+
 @register("ann_ivfpq_top5", None)
 def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF→PQ→exact-rerank (the graph-index-class quality

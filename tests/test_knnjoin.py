@@ -1,0 +1,69 @@
+"""Cell-localized k-NN join: exhaustive probe ≡ exact (oracle-
+checked), pruned probe keeps high recall, probe arrays are sane."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.operators.ann import ivf_build
+from image_indexing_and_retrival_with_qdrant_spark.operators.knnjoin import (
+    knn_join,
+    probe_cells,
+)
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+from image_indexing_and_retrival_with_qdrant_spark.tables import load
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_knn_join_oracle_parity(spark, sf, request):
+    compare(spark, REGISTRY["knn_join_top3"], request.getfixturevalue(sf),
+            "knn_join_top3")
+
+
+def _setup(spark, sf_smoke):
+    emb = load(spark, sf_smoke, "embeddings")
+    _, centroids = ivf_build(emb, k_centroids=8, seed=42)
+    cents = [list(r.centroid) for r in
+             sorted(centroids.collect(), key=lambda r: r.centroid_id)]
+    left = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query_vec"))
+    return emb, cents, left
+
+
+def test_probe_cells_first_is_own_cell(spark, sf_smoke):
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroids,
+    )
+
+    emb, cents, _ = _setup(spark, sf_smoke)
+    df = emb.select(
+        assign_centroids(cents, F.col("embedding")).alias("own"),
+        probe_cells(cents, F.col("embedding"), 3).alias("probes"),
+    )
+    rows = df.collect()
+    assert all(r.probes[0] == r.own for r in rows)
+    assert all(len(set(r.probes)) == 3 for r in rows)
+
+
+def test_pruned_join_recall(spark, sf_smoke):
+    """nprobe=4/8 must recover most of the exact top-3 lists; every
+    pruned result must also appear in the exact result (no spurious
+    neighbors, only missed ones)."""
+    emb, cents, left = _setup(spark, sf_smoke)
+    exact = {(r.qid, r.vec_id)
+             for r in knn_join(left, emb, cents, k=3, dim=64).collect()}
+    pruned = {(r.qid, r.vec_id)
+              for r in knn_join(left, emb, cents, k=3, nprobe=4,
+                                dim=64).collect()}
+    recall = len(pruned & exact) / len(exact)
+    assert recall >= 0.6, f"knn-join recall too low: {recall}"
+    # self-neighbor (qid == vec_id, own cell always probed) survives
+    assert all((q, q) in pruned for q, _ in pruned if q < 50)
+
+
+def test_join_is_duplicate_free(spark, sf_smoke):
+    emb, cents, left = _setup(spark, sf_smoke)
+    out = knn_join(left, emb, cents, k=3, nprobe=4, dim=64).collect()
+    keys = [(r.qid, r.vec_id) for r in out]
+    assert len(keys) == len(set(keys))
+    assert all(1 <= r.rank <= 3 for r in out)
