@@ -139,6 +139,36 @@ def cmd_stats(cfg: EngineConfig, args) -> int:
     return 0
 
 
+def cmd_facet(cfg: EngineConfig, args) -> int:
+    """Payload value counts (Qdrant facet endpoint)."""
+    spark = get_spark("facet")
+    root = args.collection_root or cfg.collection_root
+    name = args.collection or cfg.collection_name
+    if not collection_exists(root, name):
+        print(f"collection {name} not found under {root}", file=sys.stderr)
+        return 1
+    coll = Collection(root, name)
+    for row in coll.facet(spark, args.key, limit=args.limit).collect():
+        print(f"{row.value}\t{row['count']}")
+    return 0
+
+
+def cmd_scroll(cfg: EngineConfig, args) -> int:
+    """Page through a collection (keyset or order_by pagination)."""
+    spark = get_spark("scroll")
+    root = args.collection_root or cfg.collection_root
+    name = args.collection or cfg.collection_name
+    if not collection_exists(root, name):
+        print(f"collection {name} not found under {root}", file=sys.stderr)
+        return 1
+    coll = Collection(root, name)
+    page = coll.scroll(spark, limit=args.limit, after_id=args.after,
+                       order_by=args.order_by).collect()
+    for row in page:
+        print(row.asDict())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spark-vector-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -166,6 +196,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("stats")
     _add_common(p)
 
+    p = sub.add_parser("facet")
+    p.add_argument("key")
+    p.add_argument("--limit", type=int, default=10)
+    _add_common(p)
+
+    p = sub.add_parser("scroll")
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--after", default=None)
+    p.add_argument("--order-by", default=None)
+    _add_common(p)
+
     args = parser.parse_args(argv)
     cfg = EngineConfig()
     if getattr(args, "top_k", None) is None and args.cmd == "query":
@@ -176,6 +217,8 @@ def main(argv: list[str] | None = None) -> int:
         "index-docs": cmd_index_docs,
         "query": cmd_query,
         "stats": cmd_stats,
+        "facet": cmd_facet,
+        "scroll": cmd_scroll,
     }[args.cmd](cfg, args)
 
 

@@ -103,3 +103,28 @@ def test_cli_query_missing_collection(tmp_path, capsys):
                    "--root", str(tmp_path)])
     assert rc == 1
     assert "not found" in capsys.readouterr().err
+
+
+def test_cli_facet_and_scroll(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("ENGINE_EMBED_DIM", "8")
+    root = str(tmp_path / "colls")
+    sample = _write_sample(tmp_path)
+    assert cli.main(["index-docs", "--json", sample, "--collection", "txt",
+                     "--root", root]) == 0
+    capsys.readouterr()
+
+    rc = cli.main(["facet", "source_tag", "--collection", "txt",
+                   "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "document\t3" in out
+
+    rc = cli.main(["scroll", "--limit", "2", "--collection", "txt",
+                   "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("{") == 2
+    assert "embedding" not in out  # vectors projected away
+
+    assert cli.main(["facet", "source_tag", "--collection", "nope",
+                     "--root", root]) == 1

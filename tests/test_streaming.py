@@ -200,3 +200,40 @@ def test_streaming_ingest_triggers_auto_index(spark, sf_smoke, tmp_path):
     qv = list(coll.read(spark).limit(1).collect()[0].embedding)
     hits = coll.search(spark, qv, k=3, nprobe=2).collect()
     assert 0 < len(hits) <= 3
+
+
+def test_streaming_ingest_maintains_quant_codes(spark, sf_smoke, tmp_path):
+    """The streaming MERGE path composes with quantization_config: each
+    micro-batch's points land in the codes sidecar (SQ params frozen
+    after the first build), and quantized search works over streamed
+    points."""
+    docs = load(spark, sf_smoke, "documents").dropDuplicates(["text"])
+    batch1 = str(tmp_path / "in1")
+    docs.limit(50).write.parquet(batch1)
+    schema = spark.read.parquet(batch1).schema
+
+    coll = create_collection(str(tmp_path / "colls"), "qdocs", dim=8,
+                             normalize=False, quantization="sq")
+    q = incremental_index_stream(
+        spark, spark.readStream.schema(schema).parquet(batch1), coll,
+        HashEmbedder(dim=8), str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    codes = spark.read.parquet(coll._codes_path)
+    assert codes.count() == coll.count(spark) == 50
+    mins1 = list(coll.meta["sq_mins"])
+
+    docs.filter(~docs.text.isin(
+        [r.text for r in docs.limit(50).collect()]
+    )).limit(30).write.parquet(str(tmp_path / "in2"))
+    q = incremental_index_stream(
+        spark, spark.readStream.schema(schema).parquet(str(tmp_path / "in2")),
+        coll, HashEmbedder(dim=8), str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+
+    assert list(coll.meta["sq_mins"]) == mins1  # params frozen
+    assert spark.read.parquet(coll._codes_path).count() == coll.count(spark) == 80
+
+    qv = list(coll.read(spark).limit(1).collect()[0].embedding)
+    approx = coll.search(spark, qv, k=3, oversampling=30.0).collect()
+    exact = coll.search(spark, qv, k=3, exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == [(r.id, r.score) for r in exact]
