@@ -73,7 +73,8 @@ from pyspark.sql.types import ArrayType
 from .filters import as_predicate
 from .functions.vector import as_double, l2_normalize, mean_pool_flat
 
-__all__ = ["Collection", "create_collection", "collection_exists"]
+__all__ = ["Collection", "Prefetch", "create_collection",
+           "collection_exists"]
 
 
 def _unit(v: list[float]) -> list[float]:
@@ -92,6 +93,19 @@ def _sq_dist(a: list[float], b: list[float]) -> float:
 def _is_nested(df: DataFrame, col: str) -> bool:
     t = df.schema[col].dataType
     return isinstance(t, ArrayType) and isinstance(t.elementType, ArrayType)
+
+
+class Prefetch:
+    """One branch of the universal query API (Qdrant ``Prefetch``):
+    a query vector (dense list or multivector list-of-lists) against a
+    vector space, truncated to ``limit`` before fusion."""
+
+    def __init__(self, query, using: str | None = None, limit: int = 20,
+                 query_filter=None):
+        self.query = query
+        self.using = using
+        self.limit = limit
+        self.query_filter = query_filter
 
 
 class Collection:
@@ -539,6 +553,37 @@ class Collection:
             dim=cfg.get("dim"), local_prune=True,
             metric=cfg.get("metric", "cosine"),
         )
+
+    def query(self, spark: SparkSession, prefetch, fusion: str = "rrf",
+              k: int = 5, id_col: str = "id",
+              vec_col: str = "embedding") -> DataFrame:
+        """Qdrant's universal ``query_points(prefetch=[...],
+        query=FusionQuery(...))``: run each prefetch branch through the
+        ordinary search path (its own vector space, filter, and
+        depth), then fuse the ranked shortlists with RRF or DBSF. Each
+        branch is a scan-local retrieval; fusion operates on
+        ≤ Σ limits rows."""
+        from .operators.fusion import dbsf_fuse, rrf_fuse
+        from .operators.knn import _DISTANCE_METRICS
+
+        if isinstance(prefetch, Prefetch):
+            prefetch = [prefetch]
+        if not prefetch:
+            raise ValueError("query needs at least one prefetch branch")
+        branches = []
+        for p in prefetch:
+            cfg = self._vector_cfg(p.using, vec_col)
+            hits = self.search(
+                spark, p.query, k=p.limit, using=p.using,
+                query_filter=p.query_filter, id_col=id_col,
+                vec_col=vec_col)
+            asc = cfg.get("metric", "cosine") in _DISTANCE_METRICS
+            branches.append((hits.select(id_col, "score"), asc))
+        if fusion == "rrf":
+            return rrf_fuse(branches, k=k, id_col=id_col)
+        if fusion == "dbsf":
+            return dbsf_fuse(branches, k=k, id_col=id_col)
+        raise ValueError(f"unknown fusion {fusion!r} (rrf|dbsf)")
 
     def recommend(self, spark: SparkSession, positive: list, negative:
                   list = (), k: int = 5, query_filter=None,

@@ -102,3 +102,79 @@ def hybrid_search_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+_SPARSE_BODY = """
+  SELECT tf.doc_id, ROUND(SUM(tf.tf * q.qval), 6) AS score
+  FROM (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS term
+          FROM documents)
+    GROUP BY doc_id, term
+  ) tf
+  JOIN (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS qval
+    FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS term
+          FROM documents WHERE doc_id = 0)
+    GROUP BY term
+  ) q ON tf.term = q.term
+  GROUP BY tf.doc_id
+"""
+
+_COS64 = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.qv AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(qe.qv AS DOUBLE[]),"
+    " CAST(qe.qv AS DOUBLE[]))))"
+)
+
+_SPARSE_DENSE_ORACLE = f"""
+WITH sp_scores AS ({_SPARSE_BODY}),
+sp AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r0
+  FROM sp_scores QUALIFY r0 <= {_DEPTH}
+),
+dn_scores AS (
+  SELECT e.vec_id AS doc_id, ROUND({_COS64}, 6) AS score
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qe
+),
+dn AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r1
+  FROM dn_scores QUALIFY r1 <= {_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + s.r0), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + d.r1), 0.0), 6) AS rrf
+  FROM sp s FULL OUTER JOIN dn d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_sparse_dense_rrf_top10", _SPARSE_DENSE_ORACLE)
+def hybrid_sparse_dense_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example entity 0 through TWO modalities — its sparse
+    tf vector over the text AND its dense embedding — fused with RRF
+    via the generic fusion operator (Qdrant Query-API prefetch shape:
+    sparse branch + dense branch + FusionQuery(RRF))."""
+    from ..operators.fusion import rrf_fuse
+    from ..operators.sparse import sparse_from_text, sparse_knn, term_vocabulary
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_vocabulary(docs)
+    corpus = sparse_from_text(docs, vocab)
+    qrow = corpus.filter(F.col("doc_id") == 0).collect()[0]
+    sp = sparse_knn(corpus, list(qrow.indices), list(qrow.values), k=_DEPTH)
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    dn = dense_knn(emb, query, k=_DEPTH, dim=64).select(
+        F.col("vec_id").alias("doc_id"), "score")
+
+    return rrf_fuse([sp, dn], k=10, id_col="doc_id")
