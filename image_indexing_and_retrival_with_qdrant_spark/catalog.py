@@ -405,7 +405,8 @@ class Collection:
                k: int = 5, query_filter=None, score_threshold=None,
                id_col: str = "id", vec_col: str = "embedding",
                nprobe: int | None = None, exact: bool = False,
-               using: str | None = None, oversampling: float = 4.0):
+               using: str | None = None, oversampling: float = 4.0,
+               offset: int = 0):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -426,6 +427,23 @@ class Collection:
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
 
+        if offset:
+            if k is None:
+                raise ValueError("offset requires a finite k")
+            deep = self.search(
+                spark, query_vector, k=k + offset, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
+                oversampling=oversampling)
+            from pyspark.sql import Window
+
+            cfg0 = self._vector_cfg(using, vec_col)
+            from .operators.knn import _DISTANCE_METRICS
+            asc = cfg0.get("metric", "cosine") in _DISTANCE_METRICS
+            order = (F.col("score").asc() if asc else F.col("score").desc())
+            w = Window.orderBy(order, F.col(id_col).asc())
+            return (deep.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") > offset).drop("__rn"))
         query_filter = as_predicate(query_filter)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]

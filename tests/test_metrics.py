@@ -123,3 +123,15 @@ def test_unknown_metric_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metric"):
         _score(F.col("a"), F.col("b"), False, 3, "hamming")
+
+
+def test_search_offset_pagination(spark, tmp_path):
+    """Qdrant's offset param: page 2 of the ranked results, no
+    overlap with page 1 (window over <= k+offset rows only)."""
+    coll = _mk(spark, tmp_path, "euclid")
+    page1 = coll.search(spark, [0.0, 0.0, 0.0], k=2).collect()
+    page2 = coll.search(spark, [0.0, 0.0, 0.0], k=2, offset=2).collect()
+    assert [r.id for r in page1] == [1, 2]
+    assert [r.id for r in page2] == [3, 4]
+    with pytest.raises(ValueError, match="finite k"):
+        coll.search(spark, [0.0, 0.0, 0.0], k=None, offset=2)
