@@ -66,6 +66,9 @@ HEADLINE = [
     "emb_random_projection_top5",
     "ann_sq_top5",
     "ann_bq_rescore_top5",
+    # discovery API family (scan-local literal-folded passes)
+    "knn_discover_top5",
+    "matrix_pairs_top3",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -646,6 +646,94 @@ class Collection:
             vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
         )
 
+    def _resolve_examples(self, spark: SparkSession, items: list,
+                          id_col: str, vec_col: str) -> list[list[float]]:
+        """Resolve a mixed list of point ids / raw vectors to vectors
+        (Qdrant's discover/context inputs accept both). The id fetch is
+        an O(#examples) driver-side lookup, like ``recommend``."""
+        ids = [x for x in items if isinstance(x, int)]
+        vecs: dict[int, list[float]] = {}
+        if ids:
+            rows = self.read(spark).filter(
+                F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+            vecs = {r[0]: [float(v) for v in r[1]] for r in rows}
+            missing = [i for i in ids if i not in vecs]
+            if missing:
+                raise ValueError(f"example points not found: {missing}")
+        return [vecs[x] if isinstance(x, int) else [float(v) for v in x]
+                for x in items]
+
+    def discover(self, spark: SparkSession, context: list,
+                 target=None, k: int = 5, query_filter=None,
+                 id_col: str = "id", vec_col: str = "embedding",
+                 using: str | None = None) -> DataFrame:
+        """Qdrant's Discovery API analog (``client.discover``): guide
+        the search with ``context`` pairs ``(positive, negative)`` —
+        each a point id or a raw vector. With ``target`` set this is
+        discovery search (rank by zones satisfied, then target score);
+        with ``target=None`` it is context-only search (rank by
+        ``sum(min(0, s_pos - s_neg))``). One scan-local corpus pass —
+        the pairs fold into the projection as literals."""
+        from .operators.discover import context_search, discovery_search
+
+        cfg = self._vector_cfg(using, vec_col)
+        vec_col = cfg["vec_col"]
+        if cfg.get("multivector"):
+            raise ValueError("discover supports dense collections")
+        pairs = [tuple(self._resolve_examples(spark, list(p), id_col, vec_col))
+                 for p in context]
+        if cfg.get("normalize"):
+            pairs = [(_unit(p), _unit(n)) for p, n in pairs]
+        query_filter = as_predicate(query_filter)
+        corpus = self.read(spark)
+        payload = [c for c in corpus.columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
+        common = dict(
+            k=k, id_col=id_col, vec_col=vec_col, payload_cols=payload,
+            prefilter=query_filter, prenormalized=bool(cfg.get("normalize")),
+            dim=cfg.get("dim"), metric=cfg.get("metric", "cosine"),
+        )
+        if target is None:
+            return context_search(corpus, pairs, **common)
+        tv = self._resolve_examples(spark, [target], id_col, vec_col)[0]
+        if cfg.get("normalize"):
+            tv = _unit(tv)
+        return discovery_search(corpus, tv, pairs, **common)
+
+    def search_matrix(self, spark: SparkSession, sample: int = 10,
+                      k: int = 3, query_filter=None, id_col: str = "id",
+                      vec_col: str = "embedding",
+                      using: str | None = None) -> DataFrame:
+        """Qdrant's ``search_matrix_pairs`` analog: take a
+        deterministic content-hash sample of ``sample`` points (Qdrant
+        samples randomly; the hash rank is the engine's reproducible
+        equivalent — stable across runs and repartitioning) and return
+        each sampled point's ``k`` nearest within the sample. The
+        all-pairs join is sample × sample, never corpus-sized; the
+        corpus-scale analog is ``operators.knnjoin``."""
+        from .functions.text import hash64
+        from .operators.matrix import distance_matrix_pairs
+
+        cfg = self._vector_cfg(using, vec_col)
+        vec_col = cfg["vec_col"]
+        if cfg.get("multivector"):
+            raise ValueError("search_matrix supports dense collections")
+        query_filter = as_predicate(query_filter)
+        corpus = self.read(spark)
+        if query_filter is not None:
+            corpus = corpus.filter(query_filter)
+        picked = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__h", hash64(
+                F.concat(F.lit("matrix:"), F.col(id_col).cast("string"))))
+            .orderBy("__h", id_col).limit(sample).drop("__h")
+        )
+        return distance_matrix_pairs(
+            picked, k=k, id_col=id_col, vec_col=vec_col,
+            prenormalized=bool(cfg.get("normalize")), dim=cfg.get("dim"),
+            metric=cfg.get("metric", "cosine"),
+        )
+
     def search_groups(self, spark: SparkSession, query_vector: list,
                       group_by: str, limit: int = 3, group_size: int = 2,
                       query_filter=None, id_col: str = "id",

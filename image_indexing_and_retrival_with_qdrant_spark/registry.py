@@ -56,6 +56,7 @@ from .queries import (  # noqa: E402,F401
     cdc,
     colbert,
     dedup,
+    discover,
     events,
     hybrid,
     ingest,

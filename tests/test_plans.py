@@ -127,3 +127,19 @@ def test_sparse_probe_prunes_before_shuffle(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan  # postings ⋈ broadcast query terms
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # the probe never shuffles postings
+
+
+def test_discovery_is_joinless_scan(spark, sf_smoke):
+    # context pairs + target fold into the projection as literals:
+    # one scan, no join of any kind, per-partition top-k heaps.
+    plan = _plan(spark, sf_smoke, "knn_discover_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_matrix_join_is_sample_broadcast(spark, sf_smoke):
+    # all-pairs join is sample x broadcast(sample), never corpus-sized
+    plan = _plan(spark, sf_smoke, "matrix_pairs_top3")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
