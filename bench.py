@@ -69,6 +69,7 @@ HEADLINE = [
     # discovery API family (scan-local literal-folded passes)
     "knn_discover_top5",
     "matrix_pairs_top3",
+    "docs_decontaminate",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

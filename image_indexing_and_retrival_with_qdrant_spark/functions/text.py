@@ -21,7 +21,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
-    "tokens", "distinct_tokens", "char_shingles", "hash64",
+    "tokens", "distinct_tokens", "char_shingles", "word_shingles",
+    "hash64",
     "normalize_text", "fingerprint", "STOPWORDS", "stopword_ratio",
     "punct_ratio", "lang_guess", "quality_score",
 ]
@@ -43,6 +44,19 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.substring(col, i, n))
+    )
+
+
+def word_shingles(col: Column, n: int = 4) -> Column:
+    """Distinct word n-grams (space-joined) of a text column. Callers
+    must filter rows with fewer than ``n`` tokens first — Spark's
+    ``sequence`` would otherwise run descending (the ``greatest``
+    guard only keeps the expression total, yielding one short
+    shingle, same as ``char_shingles``)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
 
 

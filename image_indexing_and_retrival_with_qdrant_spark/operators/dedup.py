@@ -39,7 +39,7 @@ __all__ = [
     "minhash_signature", "minhash_band_pairs",
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs",
-    "ml_minhash_similarity_join",
+    "ml_minhash_similarity_join", "decontaminate",
 ]
 
 
@@ -299,3 +299,45 @@ def ml_minhash_similarity_join(df_a: DataFrame, df_b: DataFrame,
         F.col(f"datasetB.{id_col}").alias("id_b"),
         F.round("jaccard_dist", 6).alias("jaccard_dist"),
     ).filter(F.col("id_a") < F.col("id_b"))
+
+
+# --- benchmark decontamination -------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the published n-gram overlap method:
+    GPT-3 appendix C / PaLM §7 use 8–13-gram collision against eval
+    sets): flag corpus documents sharing ≥ ``min_hits`` distinct word
+    ``n``-grams with any benchmark document. Returns ``(id_col,
+    n_hits)`` for flagged documents — anti-join against it to scrub.
+
+    Scale shape: the benchmark side is eval sets (MBs, not TBs) — its
+    distinct-shingle frame broadcasts. The corpus side explodes
+    shingles scan-locally and hits the broadcast hash join *before*
+    any shuffle; only matched (rare) rows reach the per-doc count agg.
+    No corpus shuffle, no skew key (shingle join is broadcast-side).
+    """
+    from ..functions.text import tokens, word_shingles
+
+    def shingled(df: DataFrame, cols: list[str]) -> DataFrame:
+        return (
+            df.filter(F.size(tokens(F.col(text_col))) >= n)
+            .select(*cols,
+                    F.explode(word_shingles(F.col(text_col), n))
+                    .alias("shingle"))
+        )
+
+    bench = shingled(benchmark, []).distinct()
+    hits = (
+        shingled(corpus, [id_col])
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.filter(F.col("n_hits") >= min_hits)

@@ -391,3 +391,57 @@ def emb_random_projection_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round(score, 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+_BENCH_SPLIT_SQL = (
+    "CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 20 = 0"
+)
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks,
+             len(regexp_extract_all(text, '\\w+')) AS ntok,
+             {_BENCH_SPLIT_SQL} AS is_bench
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(list_transform(range(1, ntok - 2),
+                    i -> array_to_string(toks[i:i+3], ' ')))) AS shingle
+      FROM t WHERE ntok >= 4
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE NOT s.is_bench
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_hits >= 1
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §7 n-gram
+    collision): a deterministic 5% hash split plays the eval set; any
+    training doc sharing a distinct word 4-gram with it is flagged
+    with its overlap count. The benchmark shingle set broadcasts, so
+    the corpus is scanned once with no shuffle before the (rare)
+    matched rows aggregate — the shape that survives 100 TB."""
+    from ..functions.text import hash64
+    from ..operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    is_bench = (
+        hash64(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))) % 20
+        == 0
+    )
+    hits = decontaminate(d.filter(~is_bench), d.filter(is_bench), n=4)
+    return hits.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))

@@ -47,3 +47,34 @@ def test_ml_minhash_similarity_join_finds_planted_dups(spark, sf_smoke):
     planted = {(d, d + 10000) for d in range(40)}
     hit = len(planted & found) / len(planted)
     assert hit >= 0.9, f"planted near-dup recall too low: {hit}"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Planted contamination: doc 1 embeds a benchmark 4-gram run,
+    doc 2 shares nothing, short docs are skipped, multiplicity counts
+    distinct shingles once."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # two distinct bench 4-grams: a-b-g-d and b-g-d-e
+            (1, "zz alpha beta gamma delta epsilon yy"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma"),              # < n tokens: skipped
+            # same bench 4-gram twice: still one distinct hit
+            (4, "alpha beta gamma delta x alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits
+            for r in decontaminate(corpus, bench, n=4).collect()}
+    assert hits == {1: 2, 4: 1}
+    # min_hits raises the bar
+    strict = decontaminate(corpus, bench, n=4, min_hits=2).collect()
+    assert [(r.doc_id, r.n_hits) for r in strict] == [(1, 2)]
