@@ -648,11 +648,12 @@ class Collection:
 
     def _resolve_examples(self, spark: SparkSession, items: list,
                           id_col: str, vec_col: str) -> list[list[float]]:
-        """Resolve a mixed list of point ids / raw vectors to vectors
-        (Qdrant's discover/context inputs accept both). The id fetch is
-        an O(#examples) driver-side lookup, like ``recommend``."""
-        ids = [x for x in items if isinstance(x, int)]
-        vecs: dict[int, list[float]] = {}
+        """Resolve a mixed list of point ids (int/str) / raw vectors to
+        vectors (Qdrant's discover/context inputs accept both). The id
+        fetch is an O(#examples) driver-side lookup, like
+        ``recommend``."""
+        ids = [x for x in items if isinstance(x, (int, str))]
+        vecs: dict = {}
         if ids:
             rows = self.read(spark).filter(
                 F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
@@ -660,8 +661,8 @@ class Collection:
             missing = [i for i in ids if i not in vecs]
             if missing:
                 raise ValueError(f"example points not found: {missing}")
-        return [vecs[x] if isinstance(x, int) else [float(v) for v in x]
-                for x in items]
+        return [vecs[x] if isinstance(x, (int, str)) else
+                [float(v) for v in x] for x in items]
 
     def discover(self, spark: SparkSession, context: list,
                  target=None, k: int = 5, query_filter=None,
@@ -733,6 +734,25 @@ class Collection:
             prenormalized=bool(cfg.get("normalize")), dim=cfg.get("dim"),
             metric=cfg.get("metric", "cosine"),
         )
+
+    def sample(self, spark: SparkSession, n: int = 10, query_filter=None,
+               id_col: str = "id") -> DataFrame:
+        """Qdrant's random sampling (``query=sample(random)``) analog.
+        Qdrant draws with an RNG; the engine ranks by a content hash of
+        the id instead — same marginal behavior (uniform, filter-aware)
+        but reproducible across runs, engines, and repartitioning,
+        which is what a 100 TB pipeline actually wants from a sample.
+        Plan: scan → hash rank → TakeOrderedAndProject (per-partition
+        heaps, O(n) rows to the driver)."""
+        from .functions.text import hash64
+
+        query_filter = as_predicate(query_filter)
+        df = self.read(spark)
+        if query_filter is not None:
+            df = df.filter(query_filter)
+        h = hash64(F.concat(F.lit("sample:"), F.col(id_col).cast("string")))
+        return (df.withColumn("__h", h)
+                .orderBy("__h", id_col).limit(n).drop("__h"))
 
     def search_groups(self, spark: SparkSession, query_vector: list,
                       group_by: str, limit: int = 3, group_size: int = 2,

@@ -169,6 +169,54 @@ def cmd_scroll(cfg: EngineConfig, args) -> int:
     return 0
 
 
+def cmd_discover(cfg: EngineConfig, args) -> int:
+    """Discovery/context search by example point ids (Qdrant
+    ``discover``): ``--context POS:NEG`` pairs, optional ``--target``."""
+    spark = get_spark("discover")
+    root = args.collection_root or cfg.collection_root
+    name = args.collection or cfg.collection_name
+    if not collection_exists(root, name):
+        print(f"collection {name} not found under {root}", file=sys.stderr)
+        return 1
+    coll = Collection(root, name)
+    try:
+        pairs = [tuple(p.split(":", 1)) for p in args.context]
+        pairs = [(_id_arg(a), _id_arg(b)) for a, b in pairs]
+    except ValueError:
+        print("--context expects POS:NEG id pairs", file=sys.stderr)
+        return 1
+    target = _id_arg(args.target) if args.target is not None else None
+    hits = coll.discover(spark, context=pairs, target=target, k=args.top_k)
+    for i, row in enumerate(hits.collect(), 1):
+        rank = f" rank={row.rank}" if "rank" in hits.columns else ""
+        print(f"{i}. score={row.score:.4f}{rank} id={row.id}")
+    return 0
+
+
+def cmd_matrix(cfg: EngineConfig, args) -> int:
+    """Distance matrix over a deterministic sample
+    (Qdrant ``search_matrix_pairs``)."""
+    spark = get_spark("matrix")
+    root = args.collection_root or cfg.collection_root
+    name = args.collection or cfg.collection_name
+    if not collection_exists(root, name):
+        print(f"collection {name} not found under {root}", file=sys.stderr)
+        return 1
+    coll = Collection(root, name)
+    pairs = coll.search_matrix(spark, sample=args.sample, k=args.top_k)
+    for row in pairs.collect():
+        print(f"{row.id_a}\t{row.id_b}\t{row.score:.4f}\t{row.rank}")
+    return 0
+
+
+def _id_arg(s):
+    """Point ids on the CLI: int if it parses, else the raw string."""
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return s
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="spark-vector-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -207,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--order-by", default=None)
     _add_common(p)
 
+    p = sub.add_parser("discover")
+    p.add_argument("--context", action="append", required=True,
+                   metavar="POS:NEG", help="context pair of point ids")
+    p.add_argument("--target", default=None)
+    p.add_argument("--top-k", type=int, default=5)
+    _add_common(p)
+
+    p = sub.add_parser("matrix")
+    p.add_argument("--sample", type=int, default=10)
+    p.add_argument("--top-k", type=int, default=3)
+    _add_common(p)
+
     args = parser.parse_args(argv)
     cfg = EngineConfig()
     if getattr(args, "top_k", None) is None and args.cmd == "query":
@@ -219,6 +279,8 @@ def main(argv: list[str] | None = None) -> int:
         "stats": cmd_stats,
         "facet": cmd_facet,
         "scroll": cmd_scroll,
+        "discover": cmd_discover,
+        "matrix": cmd_matrix,
     }[args.cmd](cfg, args)
 
 

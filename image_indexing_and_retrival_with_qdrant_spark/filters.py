@@ -52,6 +52,46 @@ def _sql_lit(v: Any) -> str:
 _EARTH_R_M = 6371000.0  # mean earth radius (haversine convention)
 
 
+def _ring_edges(ring: Sequence[dict]) -> list[tuple]:
+    """Closed-ring edges as precomputed floats ``(yi, xi, dy, dx)``.
+    The deltas are computed HERE (driver-side) so the Column and SQL
+    compilers embed bit-identical constants."""
+    pts = [(float(p["lat"]), float(p["lon"])) for p in ring]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]  # accept GeoJSON-style explicitly closed rings
+    if len(pts) < 3:
+        raise ValueError("polygon ring needs at least 3 distinct points")
+    out = []
+    for i in range(len(pts)):
+        (yi, xi), (yj, xj) = pts[i], pts[(i + 1) % len(pts)]
+        out.append((yi, xi, yj - yi, xj - xi))
+    return out
+
+
+def _ring_contains_col(c: Column, ring: Sequence[dict]) -> Column:
+    """Even-odd ray casting: odd number of edges crossed by the
+    eastward ray from the point → inside. Horizontal edges are
+    guarded out; the division's by-zero branch is unreachable (and
+    null/inf under either engine folds to FALSE through the guard)."""
+    lat, lon = c["lat"], c["lon"]
+    crossings = None
+    for yi, xi, dy, dx in _ring_edges(ring):
+        guard = (F.lit(yi) > lat) != (F.lit(yi + dy) > lat)
+        xcross = lon < F.lit(dx) * (lat - F.lit(yi)) / F.lit(dy) + F.lit(xi)
+        term = F.when(guard & xcross, F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    return crossings % 2 == 1
+
+
+def _ring_contains_sql(k: str, ring: Sequence[dict]) -> str:
+    terms = []
+    for yi, xi, dy, dx in _ring_edges(ring):
+        guard = f"(({yi!r} > {k}.lat) <> ({(yi + dy)!r} > {k}.lat))"
+        xcross = f"({k}.lon < {dx!r} * ({k}.lat - {yi!r}) / {dy!r} + {xi!r})"
+        terms.append(f"CASE WHEN {guard} AND {xcross} THEN 1 ELSE 0 END")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 @dataclass(frozen=True)
 class FieldCondition:
     """One field predicate (Qdrant ``FieldCondition``). Geo conditions
@@ -62,6 +102,9 @@ class FieldCondition:
       circle (haversine) distance within ``radius_m`` meters.
     - ``geo_bounding_box={"top_left": {"lat","lon"}, "bottom_right":
       {"lat","lon"}}`` — axis-aligned lat/lon box.
+    - ``geo_polygon={"exterior": [{"lat","lon"}, ...], "interiors":
+      [[...], ...]}`` — point-in-polygon (even-odd ray casting over
+      the literal vertex ring, holes subtracted), Qdrant GeoPolygon.
     """
 
     key: str
@@ -72,6 +115,7 @@ class FieldCondition:
     is_null: bool | None = None
     geo_radius: dict | None = None
     geo_bounding_box: dict | None = None
+    geo_polygon: dict | None = None
 
     def to_column(self) -> Column:
         c = F.col(self.key)
@@ -111,6 +155,11 @@ class FieldCondition:
                 (c["lat"] <= F.lit(tl["lat"])) & (c["lat"] >= F.lit(br["lat"]))
                 & (c["lon"] >= F.lit(tl["lon"])) & (c["lon"] <= F.lit(br["lon"]))
             )
+        if self.geo_polygon is not None:
+            inside = _ring_contains_col(c, self.geo_polygon["exterior"])
+            for hole in self.geo_polygon.get("interiors", []):
+                inside = inside & ~_ring_contains_col(c, hole)
+            preds.append(inside)
         if not preds:
             raise ValueError(f"empty FieldCondition on {self.key!r}")
         out = preds[0]
@@ -157,6 +206,11 @@ class FieldCondition:
                 f"{k}.lon >= {float(tl['lon'])} AND "
                 f"{k}.lon <= {float(br['lon'])})"
             )
+        if self.geo_polygon is not None:
+            inside = _ring_contains_sql(k, self.geo_polygon["exterior"])
+            for hole in self.geo_polygon.get("interiors", []):
+                inside += f" AND NOT {_ring_contains_sql(k, hole)}"
+            preds.append(f"({inside})")
         if not preds:
             raise ValueError(f"empty FieldCondition on {self.key!r}")
         return "(" + " AND ".join(preds) + ")"

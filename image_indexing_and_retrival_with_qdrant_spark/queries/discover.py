@@ -140,3 +140,61 @@ def matrix_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__h", "vec_id").limit(20).drop("__h")
     )
     return distance_matrix_pairs(picked, k=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Geo polygon filter (Qdrant GeoPolygon condition, oracle-checked)
+# ---------------------------------------------------------------------------
+
+from ..filters import FieldCondition, Filter  # noqa: E402
+
+# Pentagon over the mid-latitudes with a triangular hole; both the
+# Column and the SQL predicate compile from this ONE tree, so the
+# ray-casting semantics themselves are oracle-checked.
+_POLY = Filter(must=[FieldCondition("loc", geo_polygon={
+    "exterior": [
+        {"lat": 70.0, "lon": -150.0}, {"lat": 75.0, "lon": 20.0},
+        {"lat": 10.0, "lon": 170.0}, {"lat": -55.0, "lon": 60.0},
+        {"lat": -40.0, "lon": -120.0},
+    ],
+    "interiors": [[
+        {"lat": 40.0, "lon": -60.0}, {"lat": 50.0, "lon": 40.0},
+        {"lat": -10.0, "lon": -10.0},
+    ]],
+})])
+
+# lat/lon synthesized from doc_id with exact integer arithmetic, then
+# identical double ops on both engines — bit-stable coordinates.
+_LOC_SQL = """
+  SELECT doc_id,
+         {'lat': (doc_id * 7) % 1800 / 10.0 - 90.0,
+          'lon': (doc_id * 13) % 3600 / 10.0 - 180.0} AS loc
+  FROM documents
+"""
+
+
+@register(
+    "docs_geo_polygon",
+    f"""
+    WITH pts AS ({_LOC_SQL})
+    SELECT doc_id, loc.lat AS lat, loc.lon AS lon
+    FROM pts
+    WHERE {_POLY.to_sql()}
+    """,
+)
+def docs_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPolygon payload filter (Qdrant ``FieldCondition.geo_polygon``):
+    even-odd ray casting with a hole, folded into the scan as a plain
+    Catalyst predicate — pushdown-eligible like every DSL filter, no
+    join, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id",
+        F.struct(
+            ((F.col("doc_id") * 7) % 1800 / 10.0 - 90.0).alias("lat"),
+            ((F.col("doc_id") * 13) % 3600 / 10.0 - 180.0).alias("lon"),
+        ).alias("loc"),
+    )
+    return (pts.filter(_POLY.to_column())
+            .select("doc_id", F.col("loc.lat").alias("lat"),
+                    F.col("loc.lon").alias("lon")))

@@ -128,3 +128,41 @@ def test_cli_facet_and_scroll(spark, tmp_path, monkeypatch, capsys):
 
     assert cli.main(["facet", "source_tag", "--collection", "nope",
                      "--root", root]) == 1
+
+
+def test_cli_discover_and_matrix(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("ENGINE_EMBED_DIM", "8")
+    root = str(tmp_path / "colls")
+    sample = _write_sample(tmp_path)
+    assert cli.main(["index-docs", "--json", sample, "--collection", "txt",
+                     "--root", root]) == 0
+    capsys.readouterr()
+
+    # point ids are content hashes (P1) — fetch them like a user would
+    # (scroll/query output), keyed by the source_id payload
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import Collection
+    pid = {r.source_id: r.id
+           for r in Collection(root, "txt").read(spark).collect()}
+
+    rc = cli.main(["discover", "--context", f"{pid['doc1']}:{pid['doc3']}",
+                   "--target", pid["doc2"],
+                   "--collection", "txt", "--root", root, "--top-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("score=") == 2 and "rank=" in out
+
+    # context-only (no target): no rank column
+    rc = cli.main(["discover", "--context", f"{pid['doc1']}:{pid['doc3']}",
+                   "--collection", "txt", "--root", root, "--top-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("score=") == 2 and "rank=" not in out
+
+    rc = cli.main(["matrix", "--sample", "3", "--top-k", "1",
+                   "--collection", "txt", "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert len(out.strip().splitlines()) == 3  # 3 sampled x top-1
+
+    assert cli.main(["discover", "--context", "badpair",
+                     "--collection", "txt", "--root", root]) == 1

@@ -136,3 +136,42 @@ def test_geo_sql_twin_matches_column(spark):
     sql_ids = {r.id for r in
                spark.sql(f"SELECT id FROM t_geo WHERE {f.to_sql()}").collect()}
     assert col_ids == sql_ids == {1, 2}
+
+
+def test_geo_polygon_with_hole(spark):
+    """Even-odd ray casting: unit square exterior, centered square
+    hole; closed (GeoJSON-style) rings accepted; degenerate rejected."""
+    from image_indexing_and_retrival_with_qdrant_spark.filters import FieldCondition, Filter
+
+    df = spark.createDataFrame(
+        [(1, (5.0, 5.0)),     # center -> in hole
+         (2, (2.0, 5.0)),     # inside exterior, outside hole
+         (3, (15.0, 5.0)),    # outside exterior
+         (4, (5.0, -1.0))],   # west of everything
+        "id int, loc struct<lat:double, lon:double>",
+    )
+    sq = lambda lo, hi: [
+        {"lat": lo, "lon": lo}, {"lat": lo, "lon": hi},
+        {"lat": hi, "lon": hi}, {"lat": hi, "lon": lo},
+    ]
+    poly = Filter(must=[FieldCondition("loc", geo_polygon={
+        "exterior": sq(0.0, 10.0), "interiors": [sq(4.0, 6.0)]})])
+    assert {r.id for r in df.filter(poly.to_column()).collect()} == {2}
+
+    # no hole: center included; explicitly closed ring is equivalent
+    ring = sq(0.0, 10.0)
+    closed = Filter(must=[FieldCondition(
+        "loc", geo_polygon={"exterior": ring + [ring[0]]})])
+    assert {r.id for r in df.filter(closed.to_column()).collect()} == {1, 2}
+
+    # SQL twin agrees
+    df.createOrReplaceTempView("t_poly")
+    sql_ids = {r.id for r in spark.sql(
+        f"SELECT id FROM t_poly WHERE {poly.to_sql()}").collect()}
+    assert sql_ids == {2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least 3"):
+        FieldCondition("loc", geo_polygon={
+            "exterior": [{"lat": 0.0, "lon": 0.0},
+                         {"lat": 1.0, "lon": 1.0}]}).to_column()

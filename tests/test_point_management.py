@@ -196,3 +196,21 @@ def test_facet_counts(spark, sf_smoke, tmp_path):
                     facet_filter=FieldCondition("lang", match="en")).collect()
     assert len(en) == 1 and en[0].value == "en"
     assert en[0]["count"] == coll.count(spark, FieldCondition("lang", match="en"))
+
+
+def test_collection_sample_deterministic(spark, tmp_path):
+    """Hash-rank sampling: filter-aware, reproducible, n-bounded."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "samp", dim=2, metric="euclid")
+    coll.upsert(spark, spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 2) for i in range(40)],
+        "id int, embedding array<double>, parity int"))
+    s1 = [r.id for r in coll.sample(spark, n=7).collect()]
+    s2 = [r.id for r in coll.sample(spark, n=7).collect()]
+    assert len(s1) == 7 and s1 == s2
+    evens = coll.sample(spark, n=50, query_filter=F.col("parity") == 0)
+    ids = [r.id for r in evens.collect()]
+    assert len(ids) == 20 and all(i % 2 == 0 for i in ids)
