@@ -198,3 +198,59 @@ def docs_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pts.filter(_POLY.to_column())
             .select("doc_id", F.col("loc.lat").alias("lat"),
                     F.col("loc.lon").alias("lon")))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Qdrant universal-query `mmr` option)
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int = 5, fetch_k: int = 50, lam: float = 0.5) -> str:
+    """Greedy MMR unrolled to ``k`` chained CTEs — an *independent*
+    SQL implementation of the same recurrence (argmax per step over
+    the shortlist, diversity term = greatest rounded cosine to the
+    already-picked set)."""
+    def rcos(a: str, b: str) -> str:
+        return _rcos(a, b)
+
+    ctes = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id = 0)",
+        f"""cand AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 {rcos('e.embedding', 'q.v')} AS rel
+          FROM embeddings e CROSS JOIN q
+          ORDER BY rel DESC, e.vec_id LIMIT {fetch_k})""",
+        "s1 AS (SELECT vec_id, v, rel, rel AS mmr FROM cand "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        sims = [rcos("c.v", f"{p}.v") for p in prev]
+        maxsim = sims[0] if len(sims) == 1 else f"GREATEST({', '.join(sims)})"
+        joins = " ".join(f"CROSS JOIN {p}" for p in prev)
+        excl = ", ".join(f"{p}.vec_id" for p in prev)
+        ctes.append(f"""s{i} AS (
+          SELECT c.vec_id, c.v, c.rel,
+                 ROUND({lam!r} * c.rel - {1.0 - lam!r} * {maxsim}, 6) AS mmr
+          FROM cand c {joins}
+          WHERE c.vec_id NOT IN ({excl})
+          ORDER BY mmr DESC, c.vec_id LIMIT 1)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i} AS pick, vec_id, rel AS relevance, mmr AS mmr_score "
+        f"FROM s{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("knn_mmr_top5", _mmr_oracle())
+def knn_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 (λ=0.5, shortlist 50, query = vector 0).
+    The shortlist is the distributed scan-local dense pass; the greedy
+    selection is sequential by definition and runs driver-side over
+    the O(fetch_k) collected rows — Qdrant's own rescoring envelope.
+    The oracle re-implements the recurrence as chained SQL CTEs."""
+    from ..operators.mmr import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"))
+    return mmr_rerank(spark, emb, q, k=5, lambda_=0.5, fetch_k=50, dim=64)
