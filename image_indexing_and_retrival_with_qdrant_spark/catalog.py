@@ -383,14 +383,65 @@ class Collection:
                 kept = existing.join(incoming_ids, on=id_col, how="left_anti")
                 combined = kept.unionByName(points.select(*existing.columns))
                 staging = self.path + ".__rewrite__"
-                combined.write.mode("overwrite").parquet(staging)
+                self._write_main(combined, "overwrite", staging)
                 shutil.rmtree(self.path)
                 os.rename(staging, self.path)
                 self._post_write(spark, None, id_col, vec_col,
                                  rewrote=True)
                 return
-        points.write.mode("append").parquet(self.path)
+        self._write_main(points, "append")
         self._post_write(spark, points, id_col, vec_col, rewrote=False)
+
+    def _write_main(self, df: DataFrame, mode: str,
+                    path: str | None = None) -> None:
+        """Every main-table write goes through here so the payload-
+        index layout (``partitionBy`` on the indexed fields) survives
+        appends, merges, and rewrites alike."""
+        w = df.write.mode(mode)
+        idx = [c for c in (self.meta.get("payload_indexes") or [])
+               if c in df.columns]
+        if idx:
+            w = w.partitionBy(*idx)
+        w.parquet(path or self.path)
+
+    def create_payload_index(self, spark: SparkSession, field: str,
+                             id_col: str = "id",
+                             vec_col: str = "embedding") -> None:
+        """Qdrant's ``create_payload_index`` analog. A payload index in
+        a columnar engine *is* the storage layout: the table is
+        rewritten ``partitionBy(field)``, so every later search whose
+        filter constrains the field prunes partitions statically — the
+        scan never opens non-matching files (Qdrant's index skips
+        points; this skips whole files). Subsequent upserts keep the
+        layout. Best for low-cardinality categorical fields; at 100 TB
+        a second index field multiplies directories, so order indexes
+        coarsest-first (same rule as any Hive-style layout)."""
+        if field in self._vector_columns(vec_col) | {id_col, "n_vecs"}:
+            raise ValueError(f"cannot index reserved column {field!r}")
+        idx = self.meta.setdefault("payload_indexes", [])
+        if field in idx:
+            return
+        table = None
+        if self._has_data(spark):
+            table = self.read(spark)
+            if field not in table.columns:
+                raise ValueError(f"unknown payload field {field!r}")
+        idx.append(field)
+        self._save_meta()
+        if table is not None:
+            self._rewrite(spark, table, id_col, vec_col)
+
+    def drop_payload_index(self, spark: SparkSession, field: str,
+                           id_col: str = "id",
+                           vec_col: str = "embedding") -> None:
+        """Remove a payload index: un-partition the layout."""
+        idx = self.meta.get("payload_indexes") or []
+        if field not in idx:
+            return
+        idx.remove(field)
+        self._save_meta()
+        if self._has_data(spark):
+            self._rewrite(spark, self.read(spark), id_col, vec_col)
 
     def _has_data(self, spark: SparkSession) -> bool:
         try:
@@ -838,7 +889,7 @@ class Collection:
         n_before = table.count()
         kept = table.filter(~predicate)
         staging = self.path + ".__rewrite__"
-        kept.write.mode("overwrite").parquet(staging)
+        self._write_main(kept, "overwrite", staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
         n_after = self.read(spark).count()
@@ -871,7 +922,7 @@ class Collection:
                  id_col: str, vec_col: str) -> None:
         """Staged swap + index refresh (shared by the payload ops)."""
         staging = self.path + ".__rewrite__"
-        table.write.mode("overwrite").parquet(staging)
+        self._write_main(table, "overwrite", staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
         if self.has_index() or self.meta.get("quantization"):

@@ -334,3 +334,51 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "value string, count long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "ingest_payload_index",
+    """
+    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM u GROUP BY lang ORDER BY lang
+    """,
+)
+def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload index lifecycle (Qdrant ``create_payload_index``): in a
+    columnar engine the index IS the layout, so indexing ``lang``
+    rewrites the collection ``partitionBy(lang)`` and a filtered search
+    then prunes partitions statically instead of scanning every file.
+    The query asserts the filtered top-k is byte-identical before and
+    after the rewrite, then returns per-lang counts read back through
+    the partitioned layout — both halves oracle-recomputed from
+    ``documents``."""
+    from ..filters import FieldCondition
+
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_pidx_")
+    try:
+        coll = create_collection(root, "px", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        qv = list(_E.embed(
+            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            text_col="text", mode="query").collect()[0].embedding)
+        flt = FieldCondition("lang", match="en")
+        before = [(r.id, round(r.score, 9)) for r in
+                  coll.search(spark, qv, k=5, query_filter=flt).collect()]
+        coll.create_payload_index(spark, "lang")
+        after = [(r.id, round(r.score, 9)) for r in
+                 coll.search(spark, qv, k=5, query_filter=flt).collect()]
+        assert before == after, "index rewrite changed search results"
+        rows = [(r.lang, r.n_points) for r in
+                coll.read(spark)
+                .groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_points"))
+                .orderBy("lang").collect()]
+        return spark.createDataFrame(rows, "lang string, n_points long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -24,6 +24,7 @@ INGEST = [
     "ingest_embed_stub",
     "ingest_search_e2e",
     "ingest_collection_lifecycle",
+    "ingest_payload_index",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)
