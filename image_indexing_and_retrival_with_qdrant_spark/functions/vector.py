@@ -19,13 +19,69 @@ last-ulp differences.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["as_double", "dot", "l2_norm", "cosine", "l2_normalize",
            "cosine_prenorm", "dot_unrolled", "cosine_unrolled",
            "euclid", "euclid_unrolled", "manhattan", "manhattan_unrolled",
-           "mean_pool_flat"]
+           "mean_pool_flat", "operand_col"]
+
+# --- operand polymorphism for the unrolled builders ----------------------
+#
+# Building a dim-64 unrolled expression out of pyspark Column objects
+# costs ~1000 py4j round-trips (~1s of driver time PER SCORE, before
+# any data moves). When an operand is a column NAME or a LITERAL
+# vector, the whole expression can instead be rendered as one SQL
+# string and parsed JVM-side by a single `F.expr` call (~ms). The SQL
+# is written so the parsed tree is value-identical to the Column
+# build: `+` is left-associative in SQL exactly as the Python loop
+# folds it, every element access is double-typed, and literals use
+# Python repr (shortest round-trip form, re-parsed by Java
+# Double.parseDouble which is correctly rounded) — so bit-parity with
+# the DuckDB oracle is preserved.
+
+
+def _sql_operand(x: Column | str | Sequence[float]) -> str | list[float] | None:
+    """Normalize a SQL-expressible operand: a column name becomes a
+    cast SQL fragment, a literal vector becomes a float list (indexed
+    driver-side — inlining a 64-element array constructor per term
+    would hand Catalyst ~dim² literal nodes to fold). None = needs the
+    Column path."""
+    if isinstance(x, str):
+        return f"CAST(`{x}` AS ARRAY<DOUBLE>)"
+    if isinstance(x, Sequence):
+        vals = [float(v) for v in x]
+        if not all(math.isfinite(v) for v in vals):
+            return None  # nan/inf have no SQL literal; Column path
+        return vals
+    return None
+
+
+def operand_col(x: Column | str | Sequence[float]) -> Column:
+    """Column form of an operand (fallback / non-unrolled paths)."""
+    if isinstance(x, str):
+        return F.col(x).cast("array<double>")
+    if isinstance(x, Sequence):
+        return F.array(*[F.lit(float(v)) for v in x])
+    return x.cast("array<double>")
+
+
+def _elem(x: str | list[float], i: int) -> str:
+    """SQL for element i (1-based) of an operand: an ``element_at``
+    on a column fragment, or a bare double literal (repr round-trips
+    exactly through Double.parseDouble)."""
+    return (f"element_at({x}, {i})" if isinstance(x, str)
+            else f"{x[i - 1]!r}D")
+
+
+def _dot_sql(a: str | list[float], b: str | list[float], dim: int) -> str:
+    return " + ".join(
+        f"({_elem(a, i)} * {_elem(b, i)})" for i in range(1, dim + 1)
+    )
 
 
 def as_double(col: Column | str) -> Column:
@@ -66,7 +122,8 @@ def l2_normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dot_unrolled(a: Column | str | Sequence[float],
+                 b: Column | str | Sequence[float], dim: int) -> Column:
     """Statically-unrolled dot product for a known dimension.
 
     ``element_at`` products summed left-to-right — the exact same
@@ -74,7 +131,16 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     results are bit-identical, but without the per-row array
     allocation of ``zip_with``: measured 2.6× faster on a 10M-row
     scan. Use whenever the collection's dim is known (it always is —
-    collections declare it at creation, SURVEY.md §1.1)."""
+    collections declare it at creation, SURVEY.md §1.1).
+
+    Operands may be column NAMES or literal vectors — then the whole
+    expression is one JVM-parsed SQL string (single py4j call) instead
+    of ~dim×5 Column round-trips; pass Columns only when a name can't
+    address the operand."""
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        return F.expr(_dot_sql(sa, sb, dim))
+    a, b = operand_col(a), operand_col(b)
     s = None
     for i in range(1, dim + 1):
         term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -82,8 +148,15 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return s
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+def cosine_unrolled(a: Column | str | Sequence[float],
+                    b: Column | str | Sequence[float], dim: int) -> Column:
     """Unrolled cosine — bit-identical to ``cosine`` (same op order)."""
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            f"({_dot_sql(sa, sb, dim)}) / (SQRT({_dot_sql(sa, sa, dim)})"
+            f" * SQRT({_dot_sql(sb, sb, dim)}))")
+    a, b = operand_col(a), operand_col(b)
     return dot_unrolled(a, b, dim) / (
         F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
     )
@@ -100,9 +173,17 @@ def euclid(a: Column, b: Column) -> Column:
     ))
 
 
-def euclid_unrolled(a: Column, b: Column, dim: int) -> Column:
+def euclid_unrolled(a: Column | str | Sequence[float],
+                    b: Column | str | Sequence[float], dim: int) -> Column:
     """Unrolled euclidean — bit-identical to ``euclid`` (same op
     order), no per-row array allocation."""
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        terms = " + ".join(
+            "({d} * {d})".format(d=f"({_elem(sa, i)} - {_elem(sb, i)})")
+            for i in range(1, dim + 1))
+        return F.expr(f"SQRT({terms})")
+    a, b = operand_col(a), operand_col(b)
     s = None
     for i in range(1, dim + 1):
         d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
@@ -120,7 +201,15 @@ def manhattan(a: Column, b: Column) -> Column:
     )
 
 
-def manhattan_unrolled(a: Column, b: Column, dim: int) -> Column:
+def manhattan_unrolled(a: Column | str | Sequence[float],
+                       b: Column | str | Sequence[float], dim: int) -> Column:
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        terms = " + ".join(
+            f"ABS({_elem(sa, i)} - {_elem(sb, i)})"
+            for i in range(1, dim + 1))
+        return F.expr(terms)
+    a, b = operand_col(a), operand_col(b)
     s = None
     for i in range(1, dim + 1):
         term = F.abs(

@@ -43,19 +43,14 @@ from .topk import global_topk
 __all__ = ["discovery_search", "context_search"]
 
 
-def _lit_vec(v: Sequence[float]) -> Column:
-    """A literal array<double> column (constant-folded by Catalyst)."""
-    return F.array(*[F.lit(float(x)) for x in v])
-
-
 def _pair_scores(vec_col: str, context, prenormalized: bool,
                  dim: int | None, metric: str,
                  round_digits: int) -> list[tuple[Column, Column]]:
     """Rounded (pos_score, neg_score) per context pair."""
     out = []
     for pos, neg in context:
-        sp = _score(F.col(vec_col), _lit_vec(pos), prenormalized, dim, metric)
-        sn = _score(F.col(vec_col), _lit_vec(neg), prenormalized, dim, metric)
+        sp = _score(vec_col, pos, prenormalized, dim, metric)
+        sn = _score(vec_col, neg, prenormalized, dim, metric)
         out.append((F.round(sp, round_digits), F.round(sn, round_digits)))
     return out
 
@@ -90,7 +85,7 @@ def discovery_search(
         term = F.when(closer, F.lit(1)).otherwise(F.lit(-1))
         rank = term if rank is None else rank + term
     tgt = F.round(
-        _score(F.col(vec_col), _lit_vec(target), prenormalized, dim, metric),
+        _score(vec_col, target, prenormalized, dim, metric),
         round_digits)
     scored = corpus.select(
         id_col, *payload_cols,

@@ -31,7 +31,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import (
-    as_double,
     cosine,
     cosine_unrolled,
     dot,
@@ -40,6 +39,7 @@ from ..functions.vector import (
     euclid_unrolled,
     manhattan,
     manhattan_unrolled,
+    operand_col,
 )
 from .topk import global_topk, grouped_topk
 
@@ -50,7 +50,8 @@ __all__ = ["dense_knn", "dense_knn_batch"]
 _DISTANCE_METRICS = {"euclid", "manhattan"}
 
 
-def _score(vec_col: Column, query_col: Column, prenormalized: bool,
+def _score(vec_col: Column | str | Sequence[float],
+           query_col: Column | str | Sequence[float], prenormalized: bool,
            dim: int | None, metric: str = "cosine") -> Column:
     """Score by the collection's declared metric (Qdrant
     ``Distance.{COSINE,DOT,EUCLID,MANHATTAN}``). ``prenormalized``
@@ -58,17 +59,28 @@ def _score(vec_col: Column, query_col: Column, prenormalized: bool,
     With ``dim`` known — collections always declare it (SURVEY.md
     §1.1) — uses the statically-unrolled form: bit-identical, ~2.6×
     faster per scan."""
-    a, b = as_double(vec_col), as_double(query_col)
+    if dim is not None:
+        # unrolled builders take names/literals directly (single-expr
+        # SQL fast path) and fall back to Columns transparently
+        if metric == "euclid":
+            return euclid_unrolled(vec_col, query_col, dim)
+        if metric == "manhattan":
+            return manhattan_unrolled(vec_col, query_col, dim)
+        if metric == "dot":
+            prenormalized = True
+        elif metric != "cosine":
+            raise ValueError(f"unknown metric: {metric}")
+        return (dot_unrolled(vec_col, query_col, dim) if prenormalized
+                else cosine_unrolled(vec_col, query_col, dim))
+    a, b = operand_col(vec_col), operand_col(query_col)
     if metric == "euclid":
-        return euclid_unrolled(a, b, dim) if dim is not None else euclid(a, b)
+        return euclid(a, b)
     if metric == "manhattan":
-        return manhattan_unrolled(a, b, dim) if dim is not None else manhattan(a, b)
+        return manhattan(a, b)
     if metric == "dot":
         prenormalized = True
     elif metric != "cosine":
         raise ValueError(f"unknown metric: {metric}")
-    if dim is not None:
-        return dot_unrolled(a, b, dim) if prenormalized else cosine_unrolled(a, b, dim)
     return dot(a, b) if prenormalized else cosine(a, b)
 
 
@@ -96,7 +108,7 @@ def dense_knn(
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
-    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim,
+    score = _score(vec_col, query_vec_col, prenormalized, dim,
                    metric)
     if round_digits is not None:
         score = F.round(score, round_digits)
@@ -141,7 +153,7 @@ def dense_knn_batch(
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
-    score = _score(F.col(vec_col), F.col(query_vec_col), prenormalized, dim,
+    score = _score(vec_col, query_vec_col, prenormalized, dim,
                    metric)
     if round_digits is not None:
         score = F.round(score, round_digits)

@@ -83,9 +83,9 @@ def knn_join(
         "cell", F.explode(probe_cells(centroids, F.col("__lv"), np_))
     )
     if dim is not None:
-        score = (dot_unrolled(F.col("__lv"), F.col("__rv"), dim)
+        score = (dot_unrolled("__lv", "__rv", dim)
                  if prenormalized else
-                 cosine_unrolled(F.col("__lv"), F.col("__rv"), dim))
+                 cosine_unrolled("__lv", "__rv", dim))
     else:
         from ..functions.vector import cosine, dot
         score = (dot(F.col("__lv"), F.col("__rv")) if prenormalized

@@ -55,7 +55,7 @@ def distance_matrix_pairs(
     b = sample.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("__vb"))
     asc = metric in _DISTANCE_METRICS
-    score = _score(F.col("__va"), F.col("__vb"), prenormalized, dim, metric)
+    score = _score("__va", "__vb", prenormalized, dim, metric)
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (

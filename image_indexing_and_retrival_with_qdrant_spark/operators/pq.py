@@ -162,7 +162,7 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
     """
     from pyspark.sql import functions as F
 
-    from ..functions.vector import as_double, cosine_unrolled
+    from ..functions.vector import cosine_unrolled
 
     spark = assigned_codes.sparkSession
     dim = len(query_vec)
@@ -194,9 +194,7 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
     fetched = corpus.join(
         F.broadcast(shortlist.select(id_col)), on=id_col, how="left_semi"
     )
-    score = cosine_unrolled(
-        as_double(F.col(vec_col)), as_double(F.col("query_vec")), dim
-    )
+    score = cosine_unrolled(vec_col, "query_vec", dim)
     if round_digits is not None:
         score = F.round(score, round_digits)
     exact = (
