@@ -74,7 +74,8 @@ from .filters import as_predicate
 from .functions.vector import as_double, l2_normalize, mean_pool_flat
 
 __all__ = ["Collection", "Prefetch", "create_collection",
-           "collection_exists"]
+           "collection_exists", "list_aliases", "update_aliases",
+           "resolve_collection"]
 
 
 def _unit(v: list[float]) -> list[float]:
@@ -119,6 +120,104 @@ class Collection:
     def _save_meta(self) -> None:
         with open(self.meta_path, "w") as f:
             json.dump(self.meta, f)
+
+    @property
+    def name(self) -> str:
+        return os.path.basename(self.path)
+
+    @property
+    def root(self) -> str:
+        return os.path.dirname(self.path)
+
+    # -- snapshots (Qdrant create_snapshot / recover_snapshot) ------------
+    #
+    # A snapshot is a byte copy of the collection's full state: the
+    # main parquet table, the meta sidecar, and every derived layout
+    # (IVF partitions, centroid table, quantized codes) — so a
+    # restored collection searches identically, index and all, with no
+    # rebuild. Qdrant snapshots are likewise whole-collection tar
+    # files (storage + indexes). Parquet files are immutable once
+    # written, so at 100 TB the copy is embarrassingly parallel and
+    # could be a manifest of file references instead; the
+    # directory-copy form here is the local-filesystem rendering of
+    # the same idea.
+
+    def _state_paths(self) -> list[str]:
+        """Every on-disk path that makes up this collection's state."""
+        return [p for p in (self.path, self._ivf_points,
+                            self._ivf_centroids, self.path + ".codes")
+                if os.path.exists(p)]
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_snapshots", self.name, name)
+
+    def create_snapshot(self, name: str | None = None) -> str:
+        """Copy the collection's current state into a named snapshot;
+        returns the snapshot name (auto: ``snap-<n>``)."""
+        if name is None:
+            taken = set(self.list_snapshots())
+            n = 0
+            while f"snap-{n}" in taken:
+                n += 1
+            name = f"snap-{n}"
+        dst = self._snap_dir(name)
+        if os.path.exists(dst):
+            raise ValueError(f"snapshot {name!r} already exists")
+        os.makedirs(dst)
+        with open(os.path.join(dst, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        for p in self._state_paths():
+            shutil.copytree(p, os.path.join(dst, os.path.basename(p)))
+        return name
+
+    def list_snapshots(self) -> list[str]:
+        base = os.path.join(self.root, "_snapshots", self.name)
+        return sorted(os.listdir(base)) if os.path.isdir(base) else []
+
+    def delete_snapshot(self, name: str) -> None:
+        shutil.rmtree(self._snap_dir(name))
+
+    def restore_snapshot(self, name: str) -> None:
+        """Replace the collection's state with the snapshot's (Qdrant
+        ``recover_snapshot``): table, meta, and index layouts all roll
+        back together, so post-restore searches bit-match the ones
+        taken at snapshot time."""
+        src = self._snap_dir(name)
+        if not os.path.isdir(src):
+            raise ValueError(f"unknown snapshot {name!r}")
+        for p in self._state_paths():
+            shutil.rmtree(p)
+        with open(os.path.join(src, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._save_meta()
+        for entry in os.listdir(src):
+            if entry != "meta.json":
+                shutil.copytree(os.path.join(src, entry),
+                                os.path.join(self.root, entry))
+        self._centroid_cache = None
+
+    # -- batch update (Qdrant batch_update_points) ------------------------
+
+    def batch_update(self, spark: SparkSession, ops) -> int:
+        """Apply an ordered sequence of point operations (Qdrant
+        ``batch_update_points``): ``("upsert", df)``,
+        ``("delete", predicate)``, ``("set_payload", payload,
+        selector)``, ``("delete_payload", keys, selector)``. Ops run
+        strictly in order — later ops see earlier ops' writes, the
+        documented Qdrant guarantee. Returns the op count."""
+        for op in ops:
+            kind, *args = op
+            if kind == "upsert":
+                self.upsert(spark, args[0], mode="merge")
+            elif kind == "delete":
+                self.delete(spark, args[0])
+            elif kind == "set_payload":
+                self.set_payload(spark, args[0], args[1])
+            elif kind == "delete_payload":
+                self.delete_payload(spark, args[0], args[1])
+            else:
+                raise ValueError(f"unknown batch op {kind!r}")
+        return len(ops)
 
     # -- IVF auto-index (indexing_threshold parity) -----------------------
 
@@ -1149,3 +1248,61 @@ def create_collection(root: str, name: str, dim: int | None = None,
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)
+
+
+# -- collection aliases (Qdrant update_collection_aliases) ----------------
+#
+# An alias is an indirection name -> collection, letting callers swap
+# the collection behind a stable name (the blue/green reindex pattern:
+# index into `docs_v2`, then atomically repoint alias `docs`). The
+# mapping is one JSON file at the root; the create+delete batch is
+# written in a single atomic rename, mirroring Qdrant's atomic alias
+# update ops.
+
+
+def _alias_path(root: str) -> str:
+    return os.path.join(root, "_aliases.json")
+
+
+def list_aliases(root: str) -> dict:
+    """alias -> collection name mapping (empty if none)."""
+    try:
+        with open(_alias_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def update_aliases(root: str, create: dict | None = None,
+                   delete: list | None = None) -> dict:
+    """Apply alias ops as one atomic batch (Qdrant
+    ``update_collection_aliases``): deletions first, then creations —
+    so ``delete=["docs"], create={"docs": "docs_v2"}`` repoints
+    atomically. Creating an alias that shadows a real collection name
+    is rejected. Returns the new mapping."""
+    aliases = list_aliases(root)
+    for a in (delete or []):
+        aliases.pop(a, None)
+    for alias, target in (create or {}).items():
+        if collection_exists(root, alias):
+            raise ValueError(
+                f"alias {alias!r} would shadow an existing collection")
+        if not collection_exists(root, target):
+            raise ValueError(f"alias target {target!r} does not exist")
+        aliases[alias] = target
+    tmp = _alias_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f)
+    os.replace(tmp, _alias_path(root))
+    return aliases
+
+
+def resolve_collection(root: str, name: str) -> Collection:
+    """Open a collection by name or alias (names win — Qdrant keeps
+    aliases in a separate namespace consulted after collections)."""
+    if collection_exists(root, name):
+        return Collection(root, name)
+    target = list_aliases(root).get(name)
+    if target is None:
+        raise ValueError(f"no collection or alias named {name!r}")
+    return Collection(root, target)

@@ -337,6 +337,54 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_snapshot_restore",
+    """
+    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    SELECT 'loaded' AS step, CAST(COUNT(*) AS BIGINT) AS n_points FROM u
+    UNION ALL
+    SELECT 'deleted', CAST(COUNT(*) AS BIGINT) FROM u WHERE lang <> 'en'
+    UNION ALL
+    SELECT 'restored', CAST(COUNT(*) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 'aliased', CAST(COUNT(*) AS BIGINT) FROM u WHERE lang = 'en'
+    """,
+)
+def ingest_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + alias lifecycle (Qdrant ``create_snapshot`` /
+    ``recover_snapshot`` / ``update_collection_aliases``): ingest the
+    corpus, snapshot, delete the en slice, restore (count returns),
+    then blue/green-switch an alias to an en-only twin collection and
+    count through the alias. Every count is oracle-recomputed from
+    ``documents``."""
+    from ..catalog import resolve_collection, update_aliases
+
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_snap_")
+    try:
+        coll = create_collection(root, "full", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        rows = [("loaded", coll.count(spark))]
+        snap = coll.create_snapshot()
+        coll.delete(spark, F.col("lang") == "en")
+        rows.append(("deleted", coll.count(spark)))
+        coll.restore_snapshot(snap)
+        rows.append(("restored", coll.count(spark)))
+        en = create_collection(root, "en_only", dim=8, normalize=False)
+        en.upsert(spark, points.filter(F.col("lang") == "en"), mode="merge")
+        update_aliases(root, create={"prod": "full"})
+        update_aliases(root, delete=["prod"], create={"prod": "en_only"})
+        rows.append(
+            ("aliased", resolve_collection(root, "prod").count(spark)))
+        return spark.createDataFrame(rows, "step string, n_points long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "ingest_payload_index",
     """
     WITH u AS (SELECT DISTINCT text, lang FROM documents)

@@ -25,6 +25,7 @@ INGEST = [
     "ingest_search_e2e",
     "ingest_collection_lifecycle",
     "ingest_payload_index",
+    "ingest_snapshot_restore",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)
