@@ -40,6 +40,7 @@ __all__ = [
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs",
     "ml_minhash_similarity_join", "decontaminate",
+    "connected_components",
 ]
 
 
@@ -341,3 +342,65 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return hits.filter(F.col("n_hits") >= min_hits)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph by min-label propagation. Returns
+    ``(id_col, cluster_id)`` where ``cluster_id`` is the smallest
+    member id of the component — the canonical "keep one per cluster"
+    key of every web-scale dedup pipeline (pairs alone can't dedup:
+    A~B and B~C must collapse to ONE cluster even when A~C was never
+    a candidate pair).
+
+    Each round joins labels to the undirected edge list, takes the
+    min neighbor label, and stops at fixpoint (no label changed).
+    Rounds needed = graph diameter, and near-dup components are
+    shallow (dup clusters are cliques-ish, diameter ≤ ~3), so 3-4
+    shuffle rounds in practice; ``localCheckpoint`` truncates the
+    growing lineage each round. At 100 TB with adversarial chain
+    graphs, swap the propagation loop for the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce") — same per-round join shape, O(log n)
+    round bound; the fixpoint contract and output schema stay
+    identical.
+    """
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+    if nodes is None:
+        labels = und.select(F.col("a").alias("id")).distinct()
+    else:
+        labels = nodes.select(F.col(id_col).alias("id")).distinct()
+    labels = labels.withColumn("lbl", F.col("id")).localCheckpoint()
+    und = und.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a").agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("a", "id")
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("lbl"),
+                          F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        ).localCheckpoint()
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("lbl").alias("cluster_id"))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     dedup_keep_first,
     embedding_near_pairs,
     exact_dedup_groups,
@@ -237,3 +238,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ 0.3 within label blocks."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, F.col("label"), min_cosine=0.3)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substring(text, i, 3))) AS shingles
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.shingles, b.shingles))
+            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS DOUBLE), 6) >= 0.6
+    ),
+    und AS (SELECT ea AS a, eb AS b FROM edges
+            UNION ALL SELECT eb, ea FROM edges),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+           id = MIN(lbl) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup resolution: 3-gram Jaccard ≥ 0.6 pairs (source-
+    blocked) → connected components → per-doc cluster id + the
+    keep-one-per-cluster survivor flag. The oracle recomputes the
+    same components with a recursive CTE (min reachable label ≡
+    min-label-propagation fixpoint), so the iterative Spark loop is
+    value-checked end to end — transitive A~B~C chains must collapse
+    identically in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, F.col("source"), n=3, min_jaccard=0.6)
+    cc = connected_components(pairs, nodes=docs, id_col="doc_id")
+    return cc.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

@@ -17,6 +17,7 @@ DEDUP = [
     "dedup_simhash_near_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_duplicate_clusters",
 ]
 
 
@@ -78,3 +79,25 @@ def test_decontaminate_flags_planted_overlap(spark):
     # min_hits raises the bar
     strict = decontaminate(corpus, bench, n=4, min_hits=2).collect()
     assert [(r.doc_id, r.n_hits) for r in strict] == [(1, 2)]
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Transitive chains collapse to one cluster labeled by the min
+    member; isolated nodes keep their own label; empty edge sets
+    converge immediately."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)],
+        "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in
+           connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got2 = {r.doc_id: r.cluster_id for r in
+            connected_components(empty, nodes=nodes).collect()}
+    assert got2 == {i: i for i in [1, 2, 3, 4, 10, 11, 99]}
