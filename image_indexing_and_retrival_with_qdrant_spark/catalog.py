@@ -757,8 +757,8 @@ class Collection:
                   list = (), k: int = 5, query_filter=None,
                   score_threshold=None, id_col: str = "id",
                   vec_col: str = "embedding", nprobe: int | None = None,
-                  exact: bool = False,
-                  using: str | None = None) -> DataFrame:
+                  exact: bool = False, using: str | None = None,
+                  strategy: str = "average_vector") -> DataFrame:
         """Qdrant's ``recommend`` analog (``strategy=average_vector``,
         the client default): the query vector is ``avg(positive
         examples) − avg(negative examples)`` over the *stored* vectors
@@ -779,6 +779,32 @@ class Collection:
         missing = [i for i in ids if i not in vecs]
         if missing:
             raise ValueError(f"example points not found: {missing}")
+
+        if strategy == "best_score":
+            # Qdrant RecommendStrategy.BEST_SCORE: literal-folded
+            # per-example similarities, max-merged with the documented
+            # -(max_neg²) negative branch (operators/discover.py).
+            from .operators.discover import recommend_best_score
+
+            query_filter = as_predicate(query_filter)
+            excl = ~F.col(id_col).isin(ids)
+            flt = excl if query_filter is None else (excl & query_filter)
+            table = self.read(spark)
+            payload = [c for c in table.columns
+                       if c not in self._vector_columns(cfg["vec_col"])
+                       | {id_col}]
+            out = recommend_best_score(
+                table, [vecs[i] for i in positive],
+                [vecs[i] for i in negative], k=k, id_col=id_col,
+                vec_col=cfg["vec_col"], payload_cols=payload,
+                prefilter=flt,
+                prenormalized=bool(cfg.get("normalize")),
+                dim=cfg.get("dim"), metric=cfg.get("metric", "cosine"))
+            if score_threshold is not None:
+                out = out.filter(F.col("score") >= score_threshold)
+            return out
+        if strategy != "average_vector":
+            raise ValueError(f"unknown recommend strategy {strategy!r}")
 
         def _avg(example_ids):
             vs = [vecs[i] for i in example_ids]

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .knn import _DISTANCE_METRICS, _score
 from .topk import global_topk
 
-__all__ = ["discovery_search", "context_search"]
+__all__ = ["discovery_search", "context_search", "recommend_best_score"]
 
 
 def _pair_scores(vec_col: str, context, prenormalized: bool,
@@ -123,5 +123,51 @@ def context_search(
         diff = (sn - sp) if asc else (sp - sn)
         term = F.least(F.lit(0.0).cast("double"), diff)
         score = term if score is None else score + term
+    scored = corpus.select(id_col, *payload_cols, score.alias("score"))
+    return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def recommend_best_score(
+    corpus: DataFrame,
+    positive: Sequence[Sequence[float]],
+    negative: Sequence[Sequence[float]] = (),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: Sequence[str] = (),
+    prefilter: Column | None = None,
+    prenormalized: bool = False,
+    dim: int | None = None,
+    metric: str = "cosine",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Qdrant ``RecommendStrategy.BEST_SCORE``: per candidate,
+    ``max_pos`` = best similarity to any positive example and
+    ``max_neg`` to any negative; score = ``max_pos`` when it beats
+    ``max_neg``, else ``-(max_neg²)`` — so points nearest a negative
+    sink to the bottom but stay ordered (the documented Qdrant
+    formula). Similarity metrics only (the formula compares
+    similarities). Same plan shape as discovery: every example is a
+    literal folded into one scan-local projection, no join, O(k) rows
+    out."""
+    if metric in _DISTANCE_METRICS:
+        raise ValueError("best_score strategy needs a similarity metric")
+    if not positive:
+        raise ValueError("recommend requires at least one positive example")
+    if prefilter is not None:
+        corpus = corpus.filter(prefilter)
+
+    def best(examples):
+        scores = [F.round(_score(vec_col, v, prenormalized, dim, metric),
+                          round_digits) for v in examples]
+        return scores[0] if len(scores) == 1 else F.greatest(*scores)
+
+    mp = best(positive)
+    if negative:
+        mn = best(negative)
+        score = F.when(mp > mn, mp).otherwise(
+            F.round(-(mn * mn), round_digits))
+    else:
+        score = mp
     scored = corpus.select(id_col, *payload_cols, score.alias("score"))
     return global_topk(scored, [("score", False), (id_col, True)], k)

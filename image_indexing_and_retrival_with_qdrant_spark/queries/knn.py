@@ -328,3 +328,43 @@ def knn_projection_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lang", F.lit("Unknown")).alias("lang"),
         )
     )
+
+
+_BEST_SCORE_ORACLE = f"""
+WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3),
+scored AS (
+  SELECT e.vec_id,
+         GREATEST(ROUND({_COS.format(a='e.embedding', b='p1.v')}, 6),
+                  ROUND({_COS.format(a='e.embedding', b='p2.v')}, 6)) AS mp,
+         ROUND({_COS.format(a='e.embedding', b='n1.v')}, 6) AS mn
+  FROM embeddings e CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN n1
+  WHERE e.vec_id NOT IN (1, 2, 3)
+)
+SELECT vec_id,
+       CASE WHEN mp > mn THEN mp ELSE ROUND(-(mn * mn), 6) END AS score
+FROM scored
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("knn_recommend_best_score_top5", _BEST_SCORE_ORACLE)
+def knn_recommend_best_score_top5(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Recommendation with ``strategy=best_score`` (Qdrant
+    ``RecommendStrategy.BEST_SCORE``): positives 1,2 / negative 3,
+    score = max-positive similarity unless the best negative wins,
+    then ``-(max_neg²)``. Examples are literal-folded into one
+    scan-local projection (same joinless plan family as discovery);
+    examples excluded from results."""
+    from ..operators.discover import recommend_best_score
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        "vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    return recommend_best_score(
+        emb, [vecs[1], vecs[2]], [vecs[3]], k=5, dim=64,
+        prefilter=~F.col("vec_id").isin(1, 2, 3))

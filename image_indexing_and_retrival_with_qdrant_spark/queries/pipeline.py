@@ -445,3 +445,69 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = decontaminate(d.filter(~is_bench), d.filter(is_bench), n=4)
     return hits.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the GPT-style pretraining step
+# that concatenates each source's token stream and cuts it into fixed
+# context windows. Per doc: its running start offset in the stream,
+# the window it starts in, and how many window boundaries cut it.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS window_id,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (start_offset + n_tokens - 1) // {_PACK_BUDGET}
+                     - start_offset // {_PACK_BUDGET} END AS BIGINT)
+             AS n_boundary_cuts
+    FROM o
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over per-source token
+    streams: a window cumsum assigns every doc its start offset, its
+    256-token context window, and the number of window boundaries
+    that split it. One shuffle (the per-source window sort); at
+    100 TB the partition key is (source, day)-grained so each window
+    sort stays executor-sized, and the same cumsum drives the actual
+    chunk writer. Deterministic doc order = stable packing across
+    reruns — the property training-data reproducibility needs."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    out = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long")
+        .alias("start_offset"),
+    )
+    b = F.lit(_PACK_BUDGET).cast("long")
+    return out.select(
+        "doc_id", "source", "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / b).cast("long").alias("window_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / b)
+            - F.floor(F.col("start_offset") / b)
+        ).cast("long").alias("n_boundary_cuts"),
+    )

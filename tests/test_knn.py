@@ -16,6 +16,7 @@ KNN_QUERIES = [
     "knn_manhattan_threshold",
     "knn_grouped_top3",
     "knn_recommend_top5",
+    "knn_recommend_best_score_top5",
 ]
 
 

@@ -109,6 +109,28 @@ def test_recommend_average_vector(spark, tmp_path):
     assert hits[0].score == pytest.approx(0.71, abs=1e-6)
 
 
+def test_recommend_best_score_strategy(spark, tmp_path):
+    """strategy=best_score: score = max positive similarity unless the
+    best negative wins, then -(max_neg^2) — a point sitting on the
+    negative example must sink below every positive-side point."""
+    coll = create_collection(str(tmp_path), "bs", dim=2, metric="dot",
+                             normalize=False)
+    pts = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (4, [0.0, 1.0]),
+         (5, [0.9, 0.1]), (6, [0.05, 0.95])],
+        "id int, embedding array<double>",
+    )
+    coll.upsert(spark, pts)
+    hits = coll.recommend(spark, positive=[2], negative=[4], k=5,
+                          strategy="best_score").collect()
+    ids = [r.id for r in hits]
+    assert set(ids) == {5, 6} and ids[0] == 5
+    assert hits[0].score == pytest.approx(0.9, abs=1e-6)   # mp wins
+    assert hits[1].score == pytest.approx(-0.9025, abs=1e-6)  # -(0.95^2)
+    with pytest.raises(ValueError, match="unknown recommend strategy"):
+        coll.recommend(spark, positive=[2], strategy="nope")
+
+
 def test_recommend_missing_example_rejected(spark, tmp_path):
     coll = _mk(spark, tmp_path, "dot")
     with pytest.raises(ValueError, match="not found"):

@@ -15,6 +15,7 @@ NAMES = [
     "docs_scrub_pii",
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
+    "docs_pack_sequences",
 ]
 
 
