@@ -458,6 +458,10 @@ class Collection:
     def upsert(self, spark: SparkSession, points: DataFrame,
                mode: str = "append", id_col: str = "id",
                vec_col: str = "embedding") -> None:
+        sk = self.meta.get("shard_key")
+        if sk and sk not in points.columns:
+            raise ValueError(
+                f"sharded collection requires column {sk!r} on every point")
         named = self.meta.get("vectors")
         if named:
             missing = [n for n in named if n not in points.columns]
@@ -534,6 +538,8 @@ class Collection:
                            id_col: str = "id",
                            vec_col: str = "embedding") -> None:
         """Remove a payload index: un-partition the layout."""
+        if field == self.meta.get("shard_key"):
+            raise ValueError("cannot drop the shard key's layout")
         idx = self.meta.get("payload_indexes") or []
         if field not in idx:
             return
@@ -549,6 +555,20 @@ class Collection:
         except Exception:
             return False
 
+    def _shard_predicate(self, selector) -> Column | None:
+        """shard_key_selector -> pushed-down partition predicate
+        (Qdrant routes the request to named shards; here the declared
+        shard-key column leads the partition layout, so this filter is
+        a static partition prune)."""
+        if selector is None:
+            return None
+        sk = self.meta.get("shard_key")
+        if not sk:
+            raise ValueError("collection was created without a shard key")
+        sel = (list(selector) if isinstance(selector, (list, tuple, set))
+               else [selector])
+        return F.col(sk).isin(sel)
+
     # -- query_points analog ---------------------------------------------
 
     def search(self, spark: SparkSession, query_vector: list,
@@ -556,7 +576,7 @@ class Collection:
                id_col: str = "id", vec_col: str = "embedding",
                nprobe: int | None = None, exact: bool = False,
                using: str | None = None, oversampling: float = 4.0,
-               offset: int = 0):
+               offset: int = 0, shard_key_selector=None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -584,7 +604,8 @@ class Collection:
                 spark, query_vector, k=k + offset, query_filter=query_filter,
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
-                oversampling=oversampling)
+                oversampling=oversampling,
+                shard_key_selector=shard_key_selector)
             from pyspark.sql import Window
 
             cfg0 = self._vector_cfg(using, vec_col)
@@ -595,6 +616,10 @@ class Collection:
             return (deep.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") > offset).drop("__rn"))
         query_filter = as_predicate(query_filter)
+        shard_pred = self._shard_predicate(shard_key_selector)
+        if shard_pred is not None:
+            query_filter = (shard_pred if query_filter is None
+                            else (shard_pred & query_filter))
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         corpus = self.read(spark)
@@ -1180,13 +1205,18 @@ class Collection:
 
     # -- S9: stats --------------------------------------------------------
 
-    def count(self, spark: SparkSession, count_filter=None) -> int:
+    def count(self, spark: SparkSession, count_filter=None,
+              shard_key_selector=None) -> int:
         """S9 stats; with ``count_filter`` this is Qdrant's ``count``
-        endpoint (exact=True) — the predicate pushes to the scan."""
+        endpoint (exact=True) — the predicate pushes to the scan (and
+        a ``shard_key_selector`` prunes partitions statically)."""
         if not self._has_data(spark):
             return 0
         df = spark.read.parquet(self.path)
         pred = as_predicate(count_filter)
+        shard_pred = self._shard_predicate(shard_key_selector)
+        if shard_pred is not None:
+            pred = shard_pred if pred is None else (shard_pred & pred)
         if pred is not None:
             df = df.filter(pred)
         return df.count()
@@ -1207,7 +1237,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       k_centroids: int = 16,
                       train_fraction: float | None = None,
                       vectors: dict | None = None,
-                      quantization: str | None = None) -> Collection:
+                      quantization: str | None = None,
+                      shard_key: str | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -1261,6 +1292,15 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 meta["k_centroids"] = int(k_centroids)
                 if train_fraction is not None:
                     meta["train_fraction"] = float(train_fraction)
+            if shard_key is not None:
+                # Qdrant custom sharding (sharding_method=CUSTOM +
+                # create_shard_key): the shard key column LEADS the
+                # partition layout, so every shard-routed operation
+                # is a static partition prune — the multitenancy
+                # pattern. Later payload indexes nest under it
+                # (coarsest-first).
+                meta["shard_key"] = shard_key
+                meta["payload_indexes"] = [shard_key]
             if quantization is not None:
                 # Qdrant quantization_config: scalar(int8) or binary.
                 # Dense single-space collections only (the MaxSim and

@@ -337,6 +337,52 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_sharded_search",
+    """
+    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    SELECT 'en' AS selector, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM u WHERE lang = 'en'
+    UNION ALL
+    SELECT 'en+de', CAST(COUNT(*) AS BIGINT) FROM u WHERE lang IN ('en','de')
+    UNION ALL
+    SELECT 'all', CAST(COUNT(*) AS BIGINT) FROM u
+    """,
+)
+def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sharding (Qdrant ``sharding_method=CUSTOM`` +
+    ``shard_key_selector``): the shard key (lang) leads the partition
+    layout, so shard-routed counts/searches prune statically to the
+    named shards. Asserts a shard-routed search never leaks
+    cross-tenant rows, then returns selector-scoped counts — all
+    oracle-recomputed from ``documents``."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_shard_")
+    try:
+        coll = create_collection(root, "sh", dim=8, normalize=False,
+                                 shard_key="lang")
+        coll.upsert(spark, points, mode="merge")
+        qv = list(_E.embed(
+            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            text_col="text", mode="query").collect()[0].embedding)
+        langs = {r.lang for r in
+                 coll.search(spark, qv, k=50,
+                             shard_key_selector="en").collect()}
+        assert langs <= {"en"}, f"shard leak: {langs}"
+        rows = [
+            ("en", coll.count(spark, shard_key_selector="en")),
+            ("en+de", coll.count(spark, shard_key_selector=["en", "de"])),
+            ("all", coll.count(spark)),
+        ]
+        return spark.createDataFrame(rows, "selector string, n_points long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "ingest_snapshot_restore",
     """
     WITH u AS (SELECT DISTINCT text, lang FROM documents)

@@ -26,6 +26,7 @@ INGEST = [
     "ingest_collection_lifecycle",
     "ingest_payload_index",
     "ingest_snapshot_restore",
+    "ingest_sharded_search",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)

@@ -102,3 +102,39 @@ def test_batch_update_runs_in_order(spark, tmp_path):
     assert len(rows) == 6
     with pytest.raises(ValueError, match="unknown batch op"):
         coll.batch_update(spark, [("frobnicate", None)])
+
+
+def test_sharded_collection_isolation(spark, tmp_path):
+    """Custom sharding (Qdrant sharding_method=CUSTOM): the shard key
+    leads the partition layout; shard_key_selector prunes to the
+    named shards and never leaks cross-tenant rows."""
+    import os
+
+    from image_indexing_and_retrival_with_qdrant_spark.plans.explain import formatted_plan
+
+    coll = create_collection(str(tmp_path), "mt", dim=2, metric="dot",
+                             normalize=False, shard_key="tenant")
+    pts = spark.createDataFrame(
+        [(i, [float(i), 0.0], ["acme", "globex", "initech"][i % 3])
+         for i in range(12)],
+        "id int, embedding array<double>, tenant string")
+    coll.upsert(spark, pts)
+    assert {d for d in os.listdir(coll.path) if d.startswith("tenant=")} == \
+        {"tenant=acme", "tenant=globex", "tenant=initech"}
+    hits = coll.search(spark, [1.0, 0.0], k=10, shard_key_selector="acme")
+    assert {r.tenant for r in hits.collect()} == {"acme"}
+    plan = formatted_plan(hits)
+    assert "PartitionFilters" in plan and "tenant" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert coll.count(spark, shard_key_selector=["acme", "globex"]) == 8
+    # no selector = all shards (Qdrant's default fan-out)
+    assert coll.count(spark) == 12
+    with pytest.raises(ValueError, match="requires column"):
+        coll.upsert(spark, pts.drop("tenant"))
+    with pytest.raises(ValueError, match="shard key"):
+        coll.drop_payload_index(spark, "tenant")
+    plain = create_collection(str(tmp_path), "plain", dim=2, metric="dot",
+                              normalize=False)
+    plain.upsert(spark, pts.drop("tenant"))
+    with pytest.raises(ValueError, match="without a shard key"):
+        plain.search(spark, [1.0, 0.0], shard_key_selector="acme")
