@@ -25,17 +25,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects; read nanos as long and convert to a
-        # microsecond timestamp (integer div — no double rounding).
-        # Set at runtime so it works under the driver's own session.
+        # Fixture generations have stored ts as TIMESTAMP(NANOS) (which
+        # Spark's parquet reader rejects without nanosAsLong) or as
+        # TIMESTAMP(MICROS). Handle both: enable nanosAsLong, and only
+        # apply the nanos->micros conversion when ts actually read back
+        # as a long (integer div — no double rounding). Set at runtime
+        # so it works under the driver's own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return (
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
