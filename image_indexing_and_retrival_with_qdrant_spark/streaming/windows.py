@@ -26,7 +26,10 @@ __all__ = ["stream_events", "tumbling_counts", "sliding_avg",
 def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based streaming source over the events fixture (stands in
-    for kafka/kinesis; same nanos→micros conversion as tables.load)."""
+    for kafka/kinesis; ts handling shared with tables.load via
+    tables.normalize_events_ts so batch and streaming cannot drift)."""
+    from image_indexing_and_retrival_with_qdrant_spark.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -38,11 +41,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.format("parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return normalize_events_ts(reader.format("parquet").load(sf_dir))
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes",

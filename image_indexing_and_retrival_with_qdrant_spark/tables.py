@@ -21,24 +21,45 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across fixture generations.
+
+    Fixtures have stored ts as TIMESTAMP(NANOS) (which Spark's parquet
+    reader surfaces as LongType nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or as TIMESTAMP(MICROS)
+    (read back as a timestamp type directly). Convert only when ts
+    actually read back as a long (integer div — no double rounding).
+    Shared by the batch loader (:func:`load`) and the streaming source
+    (``streaming.windows.stream_events``) so the two can't drift.
+    Works on both batch and streaming DataFrames (schema-only check).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads back as
+        # TIMESTAMP_NTZ, which watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast preserves the
+        # wall clock under the session timezone, so every downstream
+        # expression (unix_timestamp, hour, window) yields identical
+        # values — batch oracle results are unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     if name == "events":
-        # Fixture generations have stored ts as TIMESTAMP(NANOS) (which
-        # Spark's parquet reader rejects without nanosAsLong) or as
-        # TIMESTAMP(MICROS). Handle both: enable nanosAsLong, and only
-        # apply the nanos->micros conversion when ts actually read back
-        # as a long (integer div — no double rounding). Set at runtime
-        # so it works under the driver's own session.
+        # Set nanosAsLong at runtime so it works under the driver's own
+        # session; see normalize_events_ts for the ts handling.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
