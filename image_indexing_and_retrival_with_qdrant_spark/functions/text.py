@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens", "distinct_tokens", "char_shingles", "word_shingles",
-    "hash64",
+    "hash64", "hash64_pair",
     "normalize_text", "fingerprint", "STOPWORDS", "stopword_ratio",
     "punct_ratio", "lang_guess", "quality_score",
 ]
@@ -61,10 +61,32 @@ def word_shingles(col: Column, n: int = 4) -> Column:
 
 
 def hash64(col: Column, seed: int | None = None) -> Column:
-    """Portable 60-bit hash (md5-derived); ``seed`` derives independent
-    hash functions for MinHash."""
+    """Portable 60-bit hash (md5-derived); ``seed`` salts the input for
+    an independent hash function. For MinHash's k seed hashes prefer
+    :func:`hash64_pair` + Kirsch–Mitzenmacher derivation (one md5 per
+    value instead of k)."""
     s = col if seed is None else F.concat(col, F.lit(f"|{seed}"))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash64_pair(col: Column) -> tuple[Column, Column]:
+    """Two independent portable 60-bit hashes from ONE md5 digest:
+    hex chars 1-15 and 17-31 of the 32-char digest. Both expressions
+    share the md5 subexpression, so whole-stage codegen computes the
+    digest once per row (subexpressionElimination, on by default).
+
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` and
+    ``CAST('0x' || substr(md5(s), 17, 15) AS BIGINT)``.
+
+    Kirsch–Mitzenmacher: ``g_s = h1 + s*h2`` gives k seed hashes from
+    one digest ("Less Hashing, Same Performance", ESA 2006). With
+    60-bit halves the sum stays < 2^63 for s ≤ 7, so the arithmetic is
+    exact int64 in both Spark and DuckDB (no overflow, no wrap
+    divergence)."""
+    d = F.md5(col)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("long")
+    return h1, h2
 
 
 def normalize_text(col: Column) -> Column:

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, distinct_tokens, hash64
+from ..functions.text import char_shingles, distinct_tokens, hash64, hash64_pair
 from ..functions.vector import as_double, dot
 
 __all__ = [
@@ -83,22 +83,35 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 8,
                       use_shingles: bool = False) -> DataFrame:
-    """k independent min-hashes over the doc's distinct tokens (or
-    3-gram shingles). Output: id, mh0..mh{k-1}.
+    """k min-hashes over the doc's distinct tokens (or 3-gram
+    shingles). Output: id, mh0..mh{k-1}.
+
+    Seed hashes are Kirsch–Mitzenmacher-derived from ONE md5 per term
+    (``g_s = h1 + s*h2`` over the digest halves, see
+    functions/text.py::hash64_pair) — 8× less hashing than md5-per-seed
+    at identical MinHash quality, and still bit-reproducible in the
+    DuckDB oracle. int64-exact only for s ≤ 7, hence the cap.
 
     Shape: explode → conditional-agg per doc. The explode is
     scan-local; the single shuffle is the groupBy on id with k partial
     mins (map-side combined)."""
+    if num_hashes > 8:
+        raise ValueError(
+            "num_hashes > 8 would overflow int64 in the h1 + s*h2 seed "
+            "derivation (60-bit halves); chain a second digest instead")
     terms = (
         char_shingles(F.col(text_col)) if use_shingles
         else distinct_tokens(F.col(text_col))
     )
-    exploded = df.select(F.col(id_col), F.explode(terms).alias("term"))
+    h1, h2 = hash64_pair(F.col("term"))
+    hashed = df.select(
+        F.col(id_col), F.explode(terms).alias("term")
+    ).select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(hash64(F.col("term"), seed=s)).alias(f"mh{s}")
+        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id",

@@ -28,10 +28,19 @@ from ..registry import register
 from ..tables import load
 
 _HASH = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+# second independent 60-bit half of the same digest (hash64_pair twin)
+_HASH2 = "CAST(('0x' || substr(md5({expr}), 17, 15)) AS BIGINT)"
 
 _TOKS = (
     "SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\w+'))) AS term"
     " FROM documents"
+)
+
+# Kirsch–Mitzenmacher seed hashes from one digest: g_s = h1 + s*h2
+# (functions/text.py::hash64_pair; exact int64 for s <= 7).
+_KM_HASHED = (
+    f"SELECT doc_id, {_HASH.format(expr='term')} AS h1,"
+    f" {_HASH2.format(expr='term')} AS h2 FROM toks"
 )
 
 
@@ -77,13 +86,10 @@ def dedup_rerun_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SIG_ORACLE = (
-    f"WITH toks AS ({_TOKS})\n"
+    f"WITH toks AS ({_TOKS}), hashed AS ({_KM_HASHED})\n"
     "SELECT doc_id,\n"
-    + ",\n".join(
-        f"  MIN({_HASH.format(expr=f_term)}) AS mh{s}"
-        for s, f_term in ((s, f"term || '|{s}'") for s in range(8))
-    )
-    + "\nFROM toks GROUP BY doc_id"
+    + ",\n".join(f"  MIN(h1 + {s} * h2) AS mh{s}" for s in range(8))
+    + "\nFROM hashed GROUP BY doc_id"
 )
 
 
@@ -93,15 +99,14 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(load(spark, sf_dir, "documents"), num_hashes=8)
 
 
-_MH_COLS = ", ".join(
-    "MIN(" + _HASH.format(expr=f"term || '|{s}'") + f") AS mh{s}" for s in range(8)
-)
+_MH_COLS = ", ".join(f"MIN(h1 + {s} * h2) AS mh{s}" for s in range(8))
 
 _MINHASH_PAIRS_ORACLE = f"""
 WITH toks AS ({_TOKS}),
+hashed AS ({_KM_HASHED}),
 sig AS (
   SELECT doc_id, {_MH_COLS}
-  FROM toks GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, concat_ws('_', 0, mh0, mh1) AS band_sig FROM sig
