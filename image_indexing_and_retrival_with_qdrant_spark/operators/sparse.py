@@ -20,10 +20,11 @@ At 100 TB: materialize the exploded posting frame once, bucketed by
 bucket-pruned scan of |q| term buckets, never the full corpus; same
 layout story as BM25's (term, doc, tf) frame (SCALE.md §Sparse).
 
-Vocabulary assignment (``term_vocabulary``) orders distinct terms with
-one vocabulary-sized sort — fine up to ~1e8 terms; past that, hash
-indices (SPLADE uses the tokenizer's fixed vocab ids anyway, no global
-sort needed).
+Vocabulary assignment (``term_vocabulary``) is prefix-blocked: ranks
+are computed per first-k-chars block in parallel and shifted by
+cumulative block offsets, so no vocabulary-sized frame ever passes
+through one task. (SPLADE deployments can skip it entirely — the
+tokenizer's fixed vocab ids need no global assignment.)
 """
 
 from __future__ import annotations
@@ -38,15 +39,49 @@ __all__ = ["term_vocabulary", "sparse_from_text", "sparse_postings",
            "sparse_knn"]
 
 
-def term_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def term_vocabulary(docs: DataFrame, text_col: str = "text",
+                    prefix_len: int = 2) -> DataFrame:
     """``(term, term_id)`` — dense ids assigned in lexicographic term
-    order, so ids are deterministic across runs/engines."""
+    order, so ids are deterministic across runs/engines.
+
+    Scale shape: NO single-partition window. Terms are blocked by
+    their first ``prefix_len`` characters (a deterministic range key —
+    block order is consistent with term order, and no sampling is
+    involved, unlike ``repartitionByRange``), ranked within each block
+    in parallel, then shifted by the cumulative block offsets. The only
+    unpartitioned window runs over the per-block count frame (bounded
+    by the prefix alphabet, ~1e3-1e4 rows), and the offsets broadcast
+    back. At 1e8 distinct terms the largest 2-char block is a few
+    million rows through one window task — raise ``prefix_len`` to
+    re-split; ids are unchanged (still the global lexicographic
+    rank)."""
     terms = docs.select(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
     ).distinct()
-    w = Window.orderBy("term")
-    return terms.withColumn(
-        "term_id", F.row_number().over(w).cast("bigint"))
+    local = terms.withColumn(
+        "blk", F.substring("term", 1, prefix_len)
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("term"))
+        .cast("bigint"),
+    )
+    offsets = (
+        local.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("blk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    return local.join(F.broadcast(offsets.select("blk", "off")), "blk").select(
+        "term", (F.col("off") + F.col("rnk")).alias("term_id")
+    )
 
 
 def sparse_from_text(docs: DataFrame, vocab: DataFrame,

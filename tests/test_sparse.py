@@ -60,7 +60,35 @@ def test_self_query_score_is_norm_squared(spark, sf_smoke):
     assert self_score == sum(v * v for v in q.values)
 
 
-def test_postings_explode(spark):
+def test_vocabulary_ids_are_global_lexicographic_rank(spark, sf_smoke):
+    """The prefix-blocked id assignment must equal the naive global
+    row_number-over-sort on real data (incl. single-char terms whose
+    block is a prefix of longer blocks)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_smoke, "documents")
+    got = term_vocabulary(docs, prefix_len=2)
+    from image_indexing_and_retrival_with_qdrant_spark.functions.text import tokens
+
+    terms = docs.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    ).distinct()
+    want = terms.withColumn(
+        "term_id", F.row_number().over(Window.orderBy("term")).cast("bigint"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # ...and at a different block depth the ids are unchanged
+    got3 = term_vocabulary(docs, prefix_len=3)
+    assert {tuple(r) for r in got3.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_vocabulary_window_is_partitioned(spark, sf_smoke):
+    """Scale guard: the vocabulary-sized rank window runs hash-
+    partitioned on the prefix block — never through one task. (The
+    only SinglePartition exchange feeds the per-block count cumsum,
+    whose input is bounded by the prefix alphabet.)"""
+    docs = load(spark, sf_smoke, "documents")
+    plan = term_vocabulary(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(blk" in plan
     docs = spark.createDataFrame([(7, "a b a")], "doc_id int, text string")
     corpus = sparse_from_text(docs, term_vocabulary(docs))
     rows = sparse_postings(corpus).collect()
