@@ -92,17 +92,19 @@ def top_groups(
     Two stages: (1) per-group top-``group_size`` (window shuffle on the
     group key — a skewed payload key salts via ``local_prune``'s
     map-side cap, which bounds shuffle input at ``batches·G·size``
-    rows); (2) group ranking over the rank-1 representatives — at most
-    one row per group, so the unpartitioned window is safe at any
-    corpus size; the ≤``limit``-row verdict broadcasts back onto the
-    kept hits."""
+    rows); (2) group ranking over the rank-1 representatives. Only the
+    best ``limit`` reps can rank, so a ``TakeOrderedAndProject``
+    (per-partition heap, no shuffle) prunes the rep frame to ``limit``
+    rows FIRST — the unpartitioned row_number window then sees a
+    bounded input even at millions of groups. The ≤``limit``-row
+    verdict broadcasts back onto the kept hits."""
     hits = grouped_topk(df, [group], order, group_size,
                         rank_col="rank", local_prune=local_prune)
     reps = hits.filter(F.col("rank") == 1)
+    pruned = reps.orderBy(*_order_cols(order)).limit(limit)
     w = Window.orderBy(*_order_cols(order))
     granked = (
-        reps.withColumn("group_rank", F.row_number().over(w))
-        .filter(F.col("group_rank") <= limit)
+        pruned.withColumn("group_rank", F.row_number().over(w))
         .select(group, "group_rank")
     )
     return hits.join(F.broadcast(granked), on=group)

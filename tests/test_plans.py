@@ -129,6 +129,15 @@ def test_sparse_probe_prunes_before_shuffle(spark, sf_smoke):
     assert "SortMergeJoin" not in plan  # the probe never shuffles postings
 
 
+def test_group_ranking_window_input_is_bounded(spark, sf_smoke):
+    """top_groups: the group-ranking window must consume a
+    TakeOrderedAndProject-pruned rep frame (≤ limit rows), never the
+    full one-row-per-group frame — at millions of groups the
+    unpruned unpartitioned window would be one task."""
+    plan = _plan(spark, sf_smoke, "knn_grouped_top3")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_discovery_is_joinless_scan(spark, sf_smoke):
     # context pairs + target fold into the projection as literals:
     # one scan, no join of any kind, per-partition top-k heaps.
