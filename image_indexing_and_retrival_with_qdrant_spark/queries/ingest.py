@@ -430,6 +430,65 @@ def ingest_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _merge_overwrite_oracle() -> str:
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents WHERE lang = 'en')
+    SELECT sha256(t.text) AS id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score,
+           'en-v2' AS lang
+    FROM t
+    ORDER BY score DESC, id
+    LIMIT 5
+    """
+
+
+@register("ingest_merge_overwrite", _merge_overwrite_oracle())
+def ingest_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace-on-conflict merge pinned end-to-end (Qdrant upsert
+    overwrites by id — ``catalog.py`` staged-rewrite path): ingest the
+    corpus, re-upsert every ``lang='en'`` point under the SAME
+    content-hash id with a refreshed payload (``lang='en-v2'``), then
+    search filtered to the refreshed payload. The asserts pin that the
+    rewrite neither duplicated (count unchanged) nor left stale rows
+    (no ``lang='en'`` survivors); the oracle recomputes the filtered
+    top-5 from ``documents`` with the refreshed payload literal —
+    search results must reflect the overwrite exactly."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    updates = build_points(
+        _E.embed(docs.filter(F.col("lang") == "en"), text_col="text"),
+        id_key=F.col("text"),
+        payload={"lang": F.concat(F.col("lang"), F.lit("-v2"))},
+        with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_merge_overwrite_")
+    try:
+        coll = create_collection(root, "mo", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        n0 = coll.count(spark)
+        coll.upsert(spark, updates, mode="merge")  # conflict -> rewrite
+        assert coll.count(spark) == n0, "overwrite duplicated points"
+        assert coll.read(spark).filter(F.col("lang") == "en").count() == 0, \
+            "stale payload survived the overwrite"
+        qv = list(_E.embed(
+            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            text_col="text", mode="query").collect()[0].embedding)
+        res = coll.search(
+            spark, qv, k=5, query_filter=(F.col("lang") == "en-v2")
+        ).select("id", "score", "lang")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "ingest_payload_index",
     """

@@ -27,6 +27,7 @@ INGEST = [
     "ingest_payload_index",
     "ingest_snapshot_restore",
     "ingest_sharded_search",
+    "ingest_merge_overwrite",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)
