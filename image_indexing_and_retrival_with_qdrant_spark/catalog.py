@@ -448,6 +448,28 @@ class Collection:
             short = bq_search(codes, qv, k=m, id_col=id_col)
         return short.select(id_col)
 
+    def _maxsim_stage1(self, corpus: DataFrame, pooled_q: list[float],
+                       m: int, id_col: str, vec_col: str,
+                       dim: int) -> DataFrame:
+        """Stage 1 of two-stage MaxSim: keep the ``m`` candidates whose
+        MEAN-POOLED vector is most cosine-similar to the mean-pooled
+        query. Pure Catalyst (pooling is a projection over the scan, no
+        Python), top-m is a TakeOrderedAndProject heap, and the ≤m-row
+        keep-list broadcasts back — the corpus never shuffles. Exact
+        MaxSim then rescores only the survivors (callers guarantee
+        ``m ≥ k``)."""
+        from .functions.vector import cosine, mean_pool_flat
+        from .operators.topk import global_topk
+
+        pooled = mean_pool_flat(F.col(vec_col).cast("array<double>"), dim)
+        qlit = F.array(*[F.lit(float(x)) for x in pooled_q])
+        keep = global_topk(
+            corpus.select(F.col(id_col),
+                          cosine(pooled, qlit).alias("__ps")),
+            [("__ps", False), (id_col, True)], m,
+        ).select(id_col)
+        return corpus.join(F.broadcast(keep), on=id_col)
+
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
                     id_col: str, vec_col: str, rewrote: bool) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
@@ -576,7 +598,8 @@ class Collection:
                id_col: str = "id", vec_col: str = "embedding",
                nprobe: int | None = None, exact: bool = False,
                using: str | None = None, oversampling: float = 4.0,
-               offset: int = 0, shard_key_selector=None):
+               offset: int = 0, shard_key_selector=None,
+               rescore: int | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -591,7 +614,23 @@ class Collection:
         For ``normalize`` collections the query vector is L2-normalized
         here (per subvector on the multivector path) — Qdrant does the
         same server-side for COSINE, so scores are true cosine and
-        ``score_threshold`` means what the caller thinks it means."""
+        ``score_threshold`` means what the caller thinks it means.
+
+        Multivector collections accept ``rescore=N``: two-stage MaxSim
+        (the production ColBERT/PLAID pattern, SURVEY.md §4) — a
+        mean-pooled cosine prefilter keeps the best ``max(N, k)``
+        candidates, then exact MaxSim rescores only those. At 100 TB
+        the prune turns an O(N·|Q|·|D|) matmul pass into O(N·d) +
+        O(rescore·|Q|·|D|). It is opt-in, not the default, because its
+        recall depends on how well mean-pooling preserves ranking:
+        near-perfect on real late-interaction embeddings (PLAID's
+        premise), provably poor on isotropic-random vectors (the
+        synthetic fixture needs depth ≈ 0.8·N — measured, see
+        tests/test_maxsim.py::test_two_stage_rescore_matches_exact).
+        An engine must not silently trade top-k correctness for speed,
+        so the default stays exact. The payload filter runs BEFORE
+        stage 1, so filtered searches keep full candidate depth within
+        the filtered slice."""
         from pyspark.sql import functions as F
 
         from .operators.knn import dense_knn
@@ -605,7 +644,7 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
                 oversampling=oversampling,
-                shard_key_selector=shard_key_selector)
+                shard_key_selector=shard_key_selector, rescore=rescore)
             from pyspark.sql import Window
 
             cfg0 = self._vector_cfg(using, vec_col)
@@ -655,13 +694,21 @@ class Collection:
                     payload_cols=payload, prefilter=query_filter,
                     score_threshold=score_threshold,
                 )
+            pooled_q = [sum(v[j] for v in qv) / len(qv)
+                        for j in range(len(qv[0]))]
             if self.has_index() and not exact:
                 # coarse stage routes on the mean-pooled query (cells
                 # were carved over mean-pooled doc vectors); exact
                 # MaxSim scores the probed cells
-                pooled = [sum(v[j] for v in qv) / len(qv)
-                          for j in range(len(qv[0]))]
-                corpus = routed(pooled)
+                corpus = routed(pooled_q)
+            if query_filter is not None:
+                # before stage 1, so the prune depth is spent inside
+                # the filtered slice (and Catalyst pushes it to scan)
+                corpus = corpus.filter(query_filter)
+                query_filter = None
+            if rescore is not None and not exact and k is not None:
+                corpus = self._maxsim_stage1(
+                    corpus, pooled_q, max(k, rescore), id_col, vec_col, dim)
             qdf = spark.createDataFrame(
                 [([x for v in qv for x in v],)], "query_vectors array<double>"
             )

@@ -18,3 +18,53 @@ def test_maxsim_paths_agree(spark, sf_oracle):
     a = REGISTRY["maxsim_top5"].builder(spark, sf_oracle).collect()
     b = REGISTRY["maxsim_exact_top5"].builder(spark, sf_oracle).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_two_stage_rescore_matches_exact(spark, sf_oracle, tmp_path):
+    """Collection.search(rescore=N): the opt-in two-stage MaxSim path
+    (mean-pooled prefilter → exact rescore of the survivors) must
+    reproduce the exact scan's top-k whenever the prefilter depth
+    covers the true hits. On the isotropic-random fixture the pooled
+    ranking is weak — the measured cover depth at sf0.01 is 391/500 —
+    which is exactly why rescore is opt-in, not the default; real
+    late-interaction embeddings (PLAID's premise) cover at tiny
+    depths. Also pins that query_filter composes (filter before
+    stage 1 → full depth inside the slice)."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        as_multivector,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = load(spark, sf_oracle, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("label"),
+        as_multivector(F.col("embedding"), 8, 8).alias("embedding"),
+    )
+    qv = [list(v) for v in pts.filter(F.col("id") == "0").collect()[0].embedding]
+    coll = create_collection(str(tmp_path / "colls"), "mv2s", dim=8,
+                             multivector=True, normalize=False)
+    coll.upsert(spark, pts, mode="append")
+    n = coll.count(spark)
+
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, exact=True).select("id", "score").collect()]
+    two_stage = [(r.id, r.score) for r in
+                 coll.search(spark, qv, k=5, rescore=n).select("id", "score").collect()]
+    assert two_stage == exact  # full depth ≡ exact, through the 2-stage plan
+
+    covered = [(r.id, r.score) for r in
+               coll.search(spark, qv, k=5, rescore=400).select("id", "score").collect()]
+    assert covered == exact  # measured cover depth (391) suffices
+
+    flt = F.col("label") == 7
+    exact_f = [(r.id, r.score) for r in
+               coll.search(spark, qv, k=5, exact=True, query_filter=flt)
+               .select("id", "score").collect()]
+    two_f = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, rescore=n, query_filter=flt)
+             .select("id", "score").collect()]
+    assert two_f == exact_f
