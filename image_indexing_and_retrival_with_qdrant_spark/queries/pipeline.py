@@ -511,3 +511,135 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.floor(F.col("start_offset") / b)
         ).cast("long").alias("n_boundary_cuts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits and source mixing — the last
+# two steps between a cleaned corpus and a training run.
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH_SQL = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "docs_stratified_split",
+    f"""
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_HASH_SQL} < 90 THEN 'train'
+                  WHEN {_SPLIT_HASH_SQL} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY lang, split
+    """,
+)
+def docs_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-hash
+    bucket, reported per language: the split every training run needs,
+    reproducible across engines/reruns/repartitioning (no RNG state —
+    the same property as ``documents_hash_sample``). Map-only over the
+    scan; the only shuffle is the tiny (lang × split) count agg."""
+    from ..functions.text import hash64
+
+    d = load(spark, sf_dir, "documents")
+    bucket = hash64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "val").otherwise("test"))
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_MIX_HASH_SQL = (
+    "CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 10000"
+)
+
+# per-source sampling rates: up-weight the clean source, down-weight
+# the rest (the web-data reality: CommonCrawl gets a fraction, curated
+# sources are kept whole)
+_MIX_RATES_SQL = ("CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000"
+                  " ELSE 2500 END")
+
+
+@register(
+    "docs_source_mixture",
+    f"""
+    WITH m AS (
+      SELECT source,
+             CASE WHEN {_MIX_HASH_SQL} < {_MIX_RATES_SQL}
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+    FROM m GROUP BY source
+    """,
+)
+def docs_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing (the pretraining 'data recipe' step): keep each
+    document with a per-source rate — here 100 % of src0, 50 % of
+    src1, 25 % of the rest — decided by a deterministic content-hash
+    threshold, so the realized mixture is reproducible and any doc's
+    membership is recomputable without stored state. Same scan-local
+    shape as the split: no shuffle before the per-source counts."""
+    from ..functions.text import hash64
+
+    d = load(spark, sf_dir, "documents")
+    bucket = hash64(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    rate = (F.when(F.col("source") == "src0", 10000)
+            .when(F.col("source") == "src1", 5000).otherwise(2500))
+    kept = F.when(bucket < rate, 1).otherwise(0)
+    return (
+        d.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+    )
+
+
+@register(
+    "docs_source_profile",
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT text) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_frac,
+           ROUND(AVG(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)), 6)
+             AS avg_tokens,
+           ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: volume, exact-dup rate, and mean
+    token/char lengths — the profile sheet a curation run prints per
+    input source. One shuffle (groupBy source; count-distinct adds its
+    partial-agg expand). The averages are over integer-valued doubles,
+    so they are order-independent (exact integer sums below 2^53) and
+    hash-match the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.round(1.0 - F.countDistinct("text") / F.count(F.lit(1)), 6)
+        .alias("dup_frac"),
+        F.round(F.avg(F.size(tokens(F.col("text"))).cast("double")), 6)
+        .alias("avg_tokens"),
+        F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+    )

@@ -16,6 +16,9 @@ NAMES = [
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
     "docs_pack_sequences",
+    "docs_stratified_split",
+    "docs_source_mixture",
+    "docs_source_profile",
 ]
 
 
