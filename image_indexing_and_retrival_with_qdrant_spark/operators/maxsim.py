@@ -71,10 +71,31 @@ def maxsim_score_flat_udf(dim: int):
     nested scorer, but the Arrow transfer of a flat array<double> is
     several times cheaper than array<array<double>> — this is the
     high-throughput path (multivectors should be *stored* flat with a
-    dim column for exactly this reason; SCALE.md MaxSim notes)."""
+    dim column for exactly this reason; SCALE.md MaxSim notes).
+
+    When every doc in an Arrow batch has the same vector count (the
+    common case: fixed-layout embedders, and always true of the
+    fixtures), the whole batch scores as ONE stacked matmul
+    ``Q @ D_stack`` — each (q, n) slice is the same dgemm the per-row
+    path runs, so results are bit-identical (pinned in
+    tests/test_maxsim_flat.py), but the per-row Python/asarray
+    overhead — which dominates for small multivectors — is gone.
+    Ragged batches fall back to the per-row loop."""
 
     @F.pandas_udf("double")
     def _score(doc_flat: pd.Series, query_flat: pd.Series) -> pd.Series:
+        if len(doc_flat) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        if doc_flat.map(len).nunique() == 1 and query_flat.map(len).nunique() == 1:
+            B = len(doc_flat)
+            D = np.asarray(
+                np.stack(doc_flat.to_numpy()), dtype=np.float64
+            ).reshape(B, -1, dim)                       # (B, n, dim)
+            Qs = np.asarray(
+                np.stack(query_flat.to_numpy()), dtype=np.float64
+            ).reshape(B, -1, dim)                       # (B, q, dim)
+            sims = np.matmul(Qs, D.transpose(0, 2, 1))  # (B, q, n)
+            return pd.Series(sims.max(axis=2).sum(axis=1))
         out = np.empty(len(doc_flat), dtype=np.float64)
         for i, (d, q) in enumerate(zip(doc_flat, query_flat)):
             D = np.asarray(d, dtype=np.float64).reshape(-1, dim)

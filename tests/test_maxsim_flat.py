@@ -28,6 +28,37 @@ def test_flat_scorer_matches_nested(spark, sf_smoke):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_stacked_batch_scorer_matches_relational(spark, sf_smoke):
+    """The stacked fast path with DISTINCT queries per row (uniform
+    lengths → one batched matmul) must equal the pure-relational
+    scorer per query — pins that the (B, q, n) matmul slices are the
+    same dgemms the per-row loop runs, including tie order."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        maxsim_knn_batch,
+        maxsim_knn_exact,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    flat = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vectors"))
+    queries = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_idx"),
+        F.col("embedding").cast("array<double>").alias("query_vectors"))
+    batched = maxsim_knn_batch(flat, queries, k=5, flat_dim=8,
+                               local_prune=False)
+    got = {qid: [] for qid in (1, 2)}
+    for r in batched.orderBy("query_idx", "rank").collect():
+        got[r.query_idx].append((r.vec_id, r.score))
+    for qid in (1, 2):
+        nested_q = emb.filter(F.col("vec_id") == qid).select(
+            as_multivector(F.col("embedding"), 8, 8).alias("query_vectors"))
+        nested_c = emb.select(
+            "vec_id", as_multivector(F.col("embedding"), 8, 8).alias("vectors"))
+        want = [(r.vec_id, r.score)
+                for r in maxsim_knn_exact(nested_c, nested_q, k=5).collect()]
+        assert got[qid] == want
+
+
 def test_search_batch_multivector(spark, tmp_path):
     """query_batch_points over a MaxSim collection: one corpus pass,
     per-query ranks, parity with looped single searches."""
