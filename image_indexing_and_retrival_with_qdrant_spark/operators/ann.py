@@ -41,7 +41,27 @@ __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
 
 # --- IVF ------------------------------------------------------------------
 
-def assign_centroid_expr(centroids: list[list[float]], vec_col: Column) -> Column:
+def _sq_dist_sql(vec: str, c: list[float]) -> str:
+    """SQL for the unrolled squared distance to one centroid —
+    left-associated sums and extract-then-cast elements, matching the
+    Column-built tree exactly (same float result)."""
+    terms = " + ".join(
+        f"((CAST(element_at({vec}, {j + 1}) AS DOUBLE) - {float(cj)!r}D)"
+        f" * (CAST(element_at({vec}, {j + 1}) AS DOUBLE) - {float(cj)!r}D))"
+        for j, cj in enumerate(c)
+    )
+    return f"({terms})"
+
+
+def _centroid_structs_sql(centroids: list[list[float]], vec: str) -> str:
+    return ", ".join(
+        f"named_struct('d', {_sq_dist_sql(vec, c)}, 'i', {cid})"
+        for cid, c in enumerate(centroids)
+    )
+
+
+def assign_centroid_expr(centroids: list[list[float]],
+                         vec_col: Column | str) -> Column:
     """Nearest-centroid id as a pure column expression: per centroid an
     unrolled squared distance over literal coordinates, argmin via
     ``array_min`` over (distance, id) structs (lexicographic struct
@@ -49,10 +69,20 @@ def assign_centroid_expr(centroids: list[list[float]], vec_col: Column) -> Colum
     assignment pass is just another projection over the scan, which is
     what a 100 TB backfill needs.
 
+    Pass a column NAME to render the whole expression as ONE
+    JVM-parsed SQL string: the Column build costs ~k·d·5 py4j round
+    trips of driver time (~20 s at 16×64 — measured, data-independent)
+    before any task runs; the SQL path is ~ms with a value-identical
+    tree (same left-associated sums, same casts — the
+    functions/vector.py operand discipline).
+
     Limit: janino caps generated methods at 64 KB, which this unrolled
     form exceeds somewhere past ~64 centroids (measured: 128×8 dies,
     64×16 is fine). Use ``assign_centroids`` to dispatch automatically.
     """
+    if isinstance(vec_col, str):
+        entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
+        return F.expr(f"array_min(array({entries})).i")
     entries = []
     for cid, c in enumerate(centroids):
         d = None
@@ -90,14 +120,17 @@ def assign_centroid_udf(centroids: list[list[float]], vec_col: Column) -> Column
     return nearest(vec_col)
 
 
-def assign_centroids(centroids: list[list[float]], vec_col: Column,
+def assign_centroids(centroids: list[list[float]], vec_col: Column | str,
                      max_expr_centroids: int = 64,
                      max_expr_literals: int = 1024) -> Column:
     """Dispatch: codegen'd expression for small codebooks (scan-local,
-    zero Python), Arrow-batched numpy for large ones."""
+    zero Python; pass a column NAME for ms-cheap SQL-string plan
+    construction), Arrow-batched numpy for large ones."""
     k, d = len(centroids), len(centroids[0])
     if k <= max_expr_centroids and k * d <= max_expr_literals:
         return assign_centroid_expr(centroids, vec_col)
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     return assign_centroid_udf(centroids, vec_col)
 
 

@@ -35,12 +35,23 @@ from .topk import grouped_topk
 __all__ = ["probe_cells", "knn_join"]
 
 
-def probe_cells(centroids: list[list[float]], vec_col: Column,
+def probe_cells(centroids: list[list[float]], vec_col: Column | str,
                 nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids — squared-euclid
     ranking with centroid-id tie-break, as one codegen'd sorted-slice
     expression (same metric as ``assign_centroids``, so a row's own
-    cell is always its first probe)."""
+    cell is always its first probe).
+
+    Pass a column NAME for the one-SQL-string build (~ms instead of
+    ~k·d·5 py4j round trips of driver time — the functions/vector.py
+    operand discipline; tree is value-identical)."""
+    if isinstance(vec_col, str):
+        from .ann import _centroid_structs_sql
+
+        entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
+        return F.expr(
+            f"transform(slice(sort_array(array({entries})), 1, {int(nprobe)}),"
+            " s -> s.i)")
     entries = []
     for cid, c in enumerate(centroids):
         d = None
@@ -76,11 +87,11 @@ def knn_join(
 
     r = right.select(
         F.col(right_id), F.col(right_vec).alias("__rv")
-    ).withColumn("cell", assign_centroids(centroids, F.col("__rv")))
+    ).withColumn("cell", assign_centroids(centroids, "__rv"))
     l = left.select(
         F.col(left_id), F.col(left_vec).alias("__lv")
     ).withColumn(
-        "cell", F.explode(probe_cells(centroids, F.col("__lv"), np_))
+        "cell", F.explode(probe_cells(centroids, "__lv", np_))
     )
     if dim is not None:
         score = (dot_unrolled("__lv", "__rv", dim)
