@@ -126,17 +126,19 @@ def pq_search(codes: DataFrame, codebooks: list, query_vec: list,
     query vector (python list)."""
     n_blocks = len(codebooks)
     subdim = len(codebooks[0][0])
-    score = None
+    # one SQL string for the whole ADC sum: the Column build costs
+    # n_blocks*k_codes py4j literal round-trips of driver latency per
+    # query; the parsed tree is value-identical (left-associated +,
+    # repr'd double literals — functions/vector.py discipline)
+    terms = []
     for b in range(n_blocks):
         q_sub = query_vec[b * subdim:(b + 1) * subdim]
-        lut = [
-            sum(float(q) * float(c) for q, c in zip(q_sub, codeword))
+        lut = ", ".join(
+            f"{sum(float(q) * float(c) for q, c in zip(q_sub, codeword))!r}D"
             for codeword in codebooks[b]
-        ]
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]), F.col(f"code{b}") + 1
         )
-        score = term if score is None else score + term
+        terms.append(f"element_at(array({lut}), `code{b}` + 1)")
+    score = F.expr(" + ".join(terms))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = codes.select(F.col(id_col), score.alias("score"))
