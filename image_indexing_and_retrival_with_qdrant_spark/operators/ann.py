@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import as_double, cosine, dot, dot_unrolled
 from .topk import global_topk
 
 __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
@@ -230,9 +230,11 @@ def lsh_signatures(df: DataFrame, dim: int, vec_col: str = "embedding",
     column expressions — signature computation is scan-local."""
     planes = _hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
-    v = as_double(F.col(vec_col))
+    # dot_unrolled on (name, literal plane) renders one SQL string per
+    # plane (~ms) instead of dim F.lit py4j calls; the sum order is
+    # identical to the zip_with dot, so signatures are unchanged
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, "1").otherwise("0")
+        F.when(dot_unrolled(vec_col, p, dim) >= 0, "1").otherwise("0")
         for p in planes
     ]
     out = df
