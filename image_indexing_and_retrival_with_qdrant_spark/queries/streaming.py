@@ -1,0 +1,106 @@
+"""Streaming registry queries — Structured Streaming twins run to
+completion and ORACLE-CHECKED (SURVEY.md §2.7).
+
+A bounded file stream over the events fixture drains through
+``processAllAvailable`` into a memory sink, and the sink table is
+returned as an ordinary DataFrame — so the SAME DuckDB oracle that
+gates the batch query gates the streaming plan (watermarks, streaming
+aggregation state, stream-stream join state and all). This is the
+strongest correctness signal a streaming operator can carry here:
+value-hash parity with an independent engine, not just a pytest
+behavior check.
+
+The registered twins pick outputs that are exactly reproducible
+through incremental execution: the band join emits integer delays
+(join = no re-aggregation), and the tumbling aggregate's sums are
+single-batch here (one fixture file per trigger set) with the same
+partial/final aggregation tree as the batch plan — verified by the
+driver's value hash at sf0.01 and by tests/test_streaming.py at
+sf0.001.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+
+__all__ = ["stream_tumbling_5min", "stream_click_purchase_band"]
+
+
+def _drain_to_table(stream_df, spark: SparkSession, mode: str) -> DataFrame:
+    """Run a bounded stream to completion into a memory sink; return
+    the materialized result (collected before the query object goes
+    away, so the frame survives the sink)."""
+    name = f"strq_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "stream_tumbling_5min",
+    # same oracle as the batch twin events_tumbling_5min
+    """
+    SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (watermarked, complete
+    mode) drained to completion — the memory-sink rows must value-hash
+    match the batch oracle, pinning the whole streaming agg pipeline:
+    file source schema handling, event-time windows, watermark
+    bookkeeping, incremental state merge."""
+    from ..streaming.windows import stream_events, tumbling_counts
+
+    return _drain_to_table(
+        tumbling_counts(stream_events(spark, sf_dir)), spark, "complete")
+
+
+@register(
+    "stream_click_purchase_band",
+    # same oracle as the batch twin events_click_purchase_band
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_sec
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id,
+           CAST(p.p_sec - c.c_sec AS BIGINT) AS delay_sec
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.p_sec - c.c_sec > 0 AND p.p_sec - c.c_sec <= 600
+    """,
+)
+def stream_click_purchase_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (watermarked both sides, append
+    mode) drained to completion: purchases within 10 minutes after a
+    click by the same user. Integer outputs — exactly reproducible
+    through incremental join-state execution, so the batch oracle
+    gates the streaming join bit-for-bit."""
+    from ..streaming.windows import stream_events, stream_stream_band_join
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(ev.event_type == "click")
+    purchases = ev.filter(ev.event_type == "purchase")
+    return _drain_to_table(
+        stream_stream_band_join(clicks, purchases), spark, "append")

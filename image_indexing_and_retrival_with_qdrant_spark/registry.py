@@ -13,9 +13,11 @@ hashes. Conventions (FIXTURES.md §4):
   HUGEINT, Spark's is long); row_number is cast to INTEGER;
 - timestamps never appear raw in outputs — epoch seconds (BIGINT) do.
 
-Entries with ``oracle=None`` are approximate/non-SQL-expressible ops
-(ANN tiers, streaming): the driver records a rows-only check; pytest
-holds the stronger recall/behavior assertions.
+Entries with ``oracle=None`` are approximate ops (ANN tiers): the
+driver records a rows-only check; pytest holds the stronger
+recall/behavior assertions. Streaming twins ARE oracle-backed — they
+drain a bounded stream to a memory sink and return its rows
+(queries/streaming.py).
 
 Query builders live in the ``queries/`` subpackage, one module per
 operator family; importing this module populates the registry.
@@ -68,5 +70,6 @@ from .queries import (  # noqa: E402,F401
     scale,
     sparse,
     sql_surface,
+    streaming,
     text,
 )

@@ -52,6 +52,16 @@ def test_streaming_sessions_cover_all_events(spark, sf_smoke):
     assert stream_sessions == batch_sessions
 
 
+def test_streaming_registry_queries_match_oracle(spark, sf_smoke):
+    """The registered streaming twins (drained to a memory sink) are
+    oracle-checked like any batch query — the driver-facing contract
+    for SURVEY §2.7."""
+    from tests.oracle import compare
+
+    for name in ["stream_tumbling_5min", "stream_click_purchase_band"]:
+        compare(spark, REGISTRY[name], sf_smoke, name)
+
+
 def test_incremental_index_exactly_once(spark, sf_smoke, tmp_path):
     """Streaming MERGE ingest: restarts and re-runs never duplicate
     (the honest fix for SURVEY.md §1.4)."""
