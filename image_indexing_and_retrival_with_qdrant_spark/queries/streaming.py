@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 
-__all__ = ["stream_tumbling_5min", "stream_click_purchase_band"]
+__all__ = ["stream_tumbling_5min", "stream_click_purchase_band",
+           "stream_session_windows"]
 
 
 def _drain_to_table(stream_df, spark: SparkSession, mode: str) -> DataFrame:
@@ -70,6 +71,51 @@ def stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_to_table(
         tumbling_counts(stream_events(spark, sf_dir)), spark, "complete")
+
+
+@register(
+    "stream_session_windows",
+    # independent DuckDB recomputation of native session-window
+    # semantics: exact-microsecond gap islands (epoch_us is BIGINT —
+    # no float in the boundary math), session start = first event,
+    # merge while inactivity < 30 min
+    """
+    WITH e AS (
+      SELECT user_id, ts, value, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 1800000000
+                       OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (``session_window`` with a
+    30-minute inactivity gap, watermarked, complete mode) drained to
+    completion. The oracle recomputes the sessions independently with
+    exact-microsecond gap islands, so Spark's merging session-state
+    implementation is value-hashed end to end — per-session starts,
+    counts, and value sums."""
+    from ..streaming.windows import session_aggregate, stream_events
+
+    return _drain_to_table(
+        session_aggregate(stream_events(spark, sf_dir)), spark, "complete")
+
 
 
 @register(

@@ -58,7 +58,8 @@ def test_streaming_registry_queries_match_oracle(spark, sf_smoke):
     for SURVEY §2.7."""
     from tests.oracle import compare
 
-    for name in ["stream_tumbling_5min", "stream_click_purchase_band"]:
+    for name in ["stream_tumbling_5min", "stream_click_purchase_band",
+                 "stream_session_windows"]:
         compare(spark, REGISTRY[name], sf_smoke, name)
 
 
