@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 
 __all__ = ["stream_tumbling_5min", "stream_click_purchase_band",
-           "stream_session_windows"]
+           "stream_session_windows", "stream_stateful_dedup"]
 
 
 def _drain_to_table(stream_df, spark: SparkSession, mode: str) -> DataFrame:
@@ -150,3 +150,50 @@ def stream_click_purchase_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(ev.event_type == "purchase")
     return _drain_to_table(
         stream_stream_band_join(clicks, purchases), spark, "append")
+
+
+@register(
+    "stream_stateful_dedup",
+    # integer-exact oracle: in-flight dedup of a twice-delivered
+    # stream must reduce to exactly the original events
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) under the
+    oracle: the events file is delivered TWICE as two micro-batches
+    (``maxFilesPerTrigger=1`` forces the state to carry across batch
+    boundaries), and the in-flight seen-id dedup must emit each event
+    exactly once — per-type counts equal the original table's. This is
+    the append-only-sink analog of MERGE ingest (SURVEY.md §1.4) with
+    the state machinery value-checked, not just behavior-tested."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import streaming_dedup
+    from ..tables import load
+
+    ev = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="qd_stream_dedup_")
+    try:
+        src = os.path.join(root, "src")
+        ev.coalesce(1).write.parquet(src)
+        for f in os.listdir(src):  # duplicate delivery
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f),
+                            os.path.join(src, "dup_" + f))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        deduped = _drain_to_table(
+            streaming_dedup(stream, key_col="user_id", id_col="event_id"),
+            spark, "append")
+        return deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
