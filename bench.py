@@ -70,6 +70,11 @@ HEADLINE = [
     "knn_discover_top5",
     "matrix_pairs_top3",
     "docs_decontaminate",
+    # round 3: dataset assembly + oracle-checked streaming
+    "docs_stratified_split",
+    "docs_source_mixture",
+    "docs_source_profile",
+    "stream_tumbling_5min",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
