@@ -197,3 +197,52 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_incremental_index",
+    # integer-exact oracle for exactly-once MERGE ingest: after the
+    # corpus streams in TWICE (restart + full redelivery), the
+    # collection holds one point per distinct text — the honest fix
+    # for the reference's duplicate-on-rerun (SURVEY.md §1.4)
+    """
+    SELECT 'after_first_run' AS step,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_points FROM documents
+    UNION ALL
+    SELECT 'after_redelivery',
+           CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    """,
+)
+def stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed streaming MERGE ingest under the oracle: stream
+    the documents fixture into a collection (embed → point-build →
+    foreachBatch merge-upsert), then re-deliver the whole corpus under
+    a FRESH checkpoint — both counts must equal COUNT(DISTINCT text).
+    Pins exactly-once semantics through checkpoint restart AND through
+    content-level redelivery, driver-stamped instead of pytest-only."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import create_collection
+    from ..sources.embedder import HashEmbedder
+    from ..streaming.incremental import incremental_index_stream
+    from ..tables import load
+
+    root = tempfile.mkdtemp(prefix="qd_stream_ingest_")
+    try:
+        src = os.path.join(root, "docs_in")
+        load(spark, sf_dir, "documents").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        coll = create_collection(os.path.join(root, "colls"), "sdocs", dim=8)
+        rows = []
+        for step, ckpt in [("after_first_run", "ck1"),
+                           ("after_redelivery", "ck2")]:
+            q = incremental_index_stream(
+                spark, spark.readStream.schema(schema).parquet(src), coll,
+                HashEmbedder(dim=8), os.path.join(root, ckpt))
+            q.awaitTermination(300)
+            rows.append((step, coll.count(spark)))
+        return spark.createDataFrame(rows, "step string, n_points long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -59,7 +59,8 @@ def test_streaming_registry_queries_match_oracle(spark, sf_smoke):
     from tests.oracle import compare
 
     for name in ["stream_tumbling_5min", "stream_click_purchase_band",
-                 "stream_session_windows", "stream_stateful_dedup"]:
+                 "stream_session_windows", "stream_stateful_dedup",
+                 "stream_incremental_index"]:
         compare(spark, REGISTRY[name], sf_smoke, name)
 
 
