@@ -76,13 +76,17 @@ def sq_search(codes: DataFrame, mins: list[float], steps: list[float],
     """Asymmetric dequantize-dot top-k: the query stays full-precision,
     each corpus code dequantizes to its bucket center in-expression.
     Terms accumulate left-to-right (dim order), matching the oracle's
-    explicit sum."""
-    score = None
+    explicit sum. Rendered as one JVM-parsed SQL string (the
+    functions/vector.py operand discipline) — the Column build costs
+    ~dim·6 py4j round trips of driver latency per query."""
+    terms = []
     for j, (mn, st) in enumerate(zip(mins, steps), start=1):
-        c = F.element_at(F.col(code_col), j).cast("double")
-        dq = F.lit(mn) + (c + F.lit(0.5)) * F.lit(st)
-        term = dq * F.lit(float(query_vec[j - 1]))
-        score = term if score is None else score + term
+        c = f"CAST(element_at(`{code_col}`, {j}) AS DOUBLE)"
+        terms.append(
+            f"(({float(mn)!r}D + (({c} + 0.5D) * {float(st)!r}D))"
+            f" * {float(query_vec[j - 1])!r}D)"
+        )
+    score = F.expr(" + ".join(terms))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = codes.select(F.col(id_col), score.alias("score"))
