@@ -661,7 +661,10 @@ class Collection:
                             else (shard_pred & query_filter))
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
-        corpus = self.read(spark)
+        # a point without this space's vector (delete_vectors, or a
+        # named space it never carried) is not searchable in it —
+        # Qdrant semantics; the IsNotNull pushes to the scan
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         dim = cfg.get("dim")
         not_payload = self._vector_columns(vec_col) | {id_col}
 
@@ -766,7 +769,7 @@ class Collection:
         qvs = [[float(x) for x in v] for v in query_vectors]
         if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
-        corpus = self.read(spark)
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         if self.has_index() and not exact:
             cents = self._centroids(spark)
             np_ = len(cents) if nprobe is None else nprobe
@@ -934,7 +937,7 @@ class Collection:
         if cfg.get("normalize"):
             pairs = [(_unit(p), _unit(n)) for p, n in pairs]
         query_filter = as_predicate(query_filter)
-        corpus = self.read(spark)
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
         common = dict(
@@ -968,7 +971,7 @@ class Collection:
         if cfg.get("multivector"):
             raise ValueError("search_matrix supports dense collections")
         query_filter = as_predicate(query_filter)
-        corpus = self.read(spark)
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         if query_filter is not None:
             corpus = corpus.filter(query_filter)
         picked = (
@@ -1024,7 +1027,7 @@ class Collection:
         qv = [float(x) for x in query_vector]
         if cfg.get("normalize"):
             qv = _unit(qv)
-        corpus = self.read(spark)
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
@@ -1048,7 +1051,7 @@ class Collection:
         from .operators.maxsim import maxsim_knn_batch
 
         vec_col = cfg["vec_col"]
-        corpus = self.read(spark)
+        corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         if _is_nested(corpus, vec_col):
             raise ValueError("batched MaxSim needs the flat layout; "
                              "re-upsert or loop search()")
@@ -1180,6 +1183,76 @@ class Collection:
                 if c not in (id_col, vec_col, "n_vecs")]
         return self.delete_payload(spark, cols, selector,
                                    id_col=id_col, vec_col=vec_col)
+
+    def update_vectors(self, spark: SparkSession, points: DataFrame,
+                       id_col: str = "id",
+                       vec_col: str = "embedding") -> int:
+        """Qdrant's ``update_vectors``: replace ONLY the provided
+        vector columns on existing points — payload and any other
+        named vectors untouched, ids not present in the collection
+        ignored (Qdrant updates existing points only). ``points``
+        carries the id column plus one or more vector columns.
+        Write-path normalization/dim validation applies exactly as in
+        ``upsert`` (cosine collections re-normalize), and the staged
+        rewrite refreshes index layouts and quantization codes, so a
+        routed or quantized search never sees stale vectors."""
+        vcols = [c for c in points.columns if c != id_col]
+        if not vcols:
+            raise ValueError("points must carry at least one vector column")
+        named = self.meta.get("vectors")
+        if named:
+            unknown = [c for c in vcols if c not in named]
+            if unknown:
+                raise ValueError(f"unknown vector columns: {unknown}")
+            for name in vcols:
+                points = self._prep_vec(
+                    points, self._vector_cfg(name, vec_col), self.path)
+        else:
+            if vcols != [vec_col]:
+                raise ValueError(
+                    f"collection has a single vector column {vec_col!r}; "
+                    f"got {vcols}")
+            points = self._prep_vec(
+                points, self._vector_cfg(None, vec_col), self.path)
+        if not self._has_data(spark):
+            return 0
+        table = self.read(spark)
+        upd = points.select(
+            F.col(id_col),
+            *[F.col(c).alias(f"__new_{c}") for c in vcols])
+        joined = table.join(upd, on=id_col, how="left")
+        n = joined.filter(F.col(f"__new_{vcols[0]}").isNotNull()).count()
+        for c in vcols:
+            joined = joined.withColumn(
+                c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+        self._rewrite(spark, joined.drop(*[f"__new_{c}" for c in vcols]),
+                      id_col, vec_col)
+        return n
+
+    def delete_vectors(self, spark: SparkSession, names: list, selector,
+                       id_col: str = "id",
+                       vec_col: str = "embedding") -> int:
+        """Qdrant's ``delete_vectors``: null the named vector columns
+        on the matching points (payload and the other vector spaces
+        kept). A nulled vector drops the point from that space's
+        search results — the columnar reading of Qdrant removing the
+        vector from the point."""
+        if not self._has_data(spark):
+            return 0
+        pred = self._selector_pred(selector, id_col)
+        table = self.read(spark)
+        allowed = self._vector_columns(vec_col)
+        for c in names:
+            if c not in allowed or c not in table.columns:
+                raise ValueError(f"unknown vector column {c!r}")
+        n = table.filter(pred).count()
+        for c in names:
+            table = table.withColumn(
+                c,
+                F.when(pred, F.lit(None).cast(table.schema[c].dataType))
+                .otherwise(F.col(c)))
+        self._rewrite(spark, table, id_col, vec_col)
+        return n
 
     def scroll(self, spark: SparkSession, limit: int = 100,
                after_id=None, id_col: str = "id",

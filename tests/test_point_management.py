@@ -214,3 +214,65 @@ def test_collection_sample_deterministic(spark, tmp_path):
     evens = coll.sample(spark, n=50, query_filter=F.col("parity") == 0)
     ids = [r.id for r in evens.collect()]
     assert len(ids) == 20 and all(i % 2 == 0 for i in ids)
+
+
+def test_update_vectors_replaces_only_vectors(spark, sf_smoke, tmp_path):
+    """Qdrant update_vectors: provided ids get the new vector (search
+    reflects it), payload untouched, unknown ids ignored."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    two = coll.read(spark).limit(2).collect()
+    target, other = two[0], two[1]
+    new_vec = [9.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    upd = spark.createDataFrame(
+        [(target.id, new_vec), ("no_such_id", new_vec)],
+        "id string, embedding array<double>")
+    n = coll.update_vectors(spark, upd)
+    assert n == 1  # unknown id ignored
+    row = coll.retrieve(spark, [target.id], with_vectors=True).collect()[0]
+    assert list(row.embedding) == new_vec
+    assert row.lang == target.lang  # payload untouched
+    # search for the new direction finds the updated point first
+    hits = coll.search(spark, new_vec, k=1).collect()
+    assert hits[0].id == target.id
+    # untouched point keeps its vector
+    row2 = coll.retrieve(spark, [other.id], with_vectors=True).collect()[0]
+    assert list(row2.embedding) == list(other.embedding)
+
+
+def test_update_vectors_renormalizes_on_cosine(spark, sf_smoke, tmp_path):
+    """normalize-at-write collections re-normalize updated vectors."""
+    docs = load(spark, sf_smoke, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False).dropDuplicates(["id"])
+    coll = create_collection(str(tmp_path), "cn", dim=8, normalize=True)
+    coll.upsert(spark, points, mode="merge")
+    pid = coll.read(spark).limit(1).collect()[0].id
+    upd = spark.createDataFrame(
+        [(pid, [3.0, 4.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "id string, embedding array<double>")
+    assert coll.update_vectors(spark, upd) == 1
+    v = list(coll.retrieve(spark, [pid], with_vectors=True)
+             .collect()[0].embedding)
+    assert abs(v[0] - 0.6) < 1e-12 and abs(v[1] - 0.8) < 1e-12
+
+
+def test_delete_vectors_nulls_space(spark, sf_smoke, tmp_path):
+    """delete_vectors nulls the vector on matching points: they drop
+    out of search but keep id + payload."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n = coll.count(spark)
+    n_en = coll.read(spark).filter(F.col("lang") == "en").count()
+    removed = coll.delete_vectors(
+        spark, ["embedding"], F.col("lang") == "en")
+    assert removed == n_en
+    assert coll.count(spark) == n  # points remain
+    t = coll.read(spark)
+    assert t.filter(F.col("embedding").isNull()).count() == n_en
+    qv = [1.0] + [0.0] * 7
+    hit_ids = {r.id for r in coll.search(spark, qv, k=n).collect()}
+    en_ids = {r.id for r in t.filter(F.col("lang") == "en").collect()}
+    assert not (hit_ids & en_ids)  # nulled vectors unsearchable
+    import pytest
+    with pytest.raises(ValueError):
+        coll.delete_vectors(spark, ["lang"], F.col("lang") == "de")
