@@ -129,6 +129,19 @@ def test_sparse_probe_prunes_before_shuffle(spark, sf_smoke):
     assert "SortMergeJoin" not in plan  # the probe never shuffles postings
 
 
+def test_dataset_assembly_is_map_then_tiny_agg(spark, sf_smoke):
+    """Split and mixture membership are pure hash predicates on the
+    scan: exactly ONE exchange each (the bounded count agg), no join,
+    no window — the shape that stays as parallel as the scan at
+    100 TB."""
+    for name in ["docs_stratified_split", "docs_source_mixture"]:
+        plan = _plan(spark, sf_smoke, name)
+        # tree lines read "Exchange (n)"; details read "(n) Exchange"
+        assert plan.count("Exchange (") == 1, name
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+
+
 def test_group_ranking_window_input_is_bounded(spark, sf_smoke):
     """top_groups: the group-ranking window must consume a
     TakeOrderedAndProject-pruned rep frame (≤ limit rows), never the
