@@ -833,7 +833,8 @@ class Collection:
                   score_threshold=None, id_col: str = "id",
                   vec_col: str = "embedding", nprobe: int | None = None,
                   exact: bool = False, using: str | None = None,
-                  strategy: str = "average_vector") -> DataFrame:
+                  strategy: str = "average_vector",
+                  lookup_from=None) -> DataFrame:
         """Qdrant's ``recommend`` analog (``strategy=average_vector``,
         the client default): the query vector is ``avg(positive
         examples) − avg(negative examples)`` over the *stored* vectors
@@ -841,19 +842,41 @@ class Collection:
         Qdrant's behavior of averaging post-normalization), and the
         example points are excluded from the results. The example
         fetch is an O(#examples) driver-side lookup by id; the search
-        itself is the normal one-pass dense path."""
+        itself is the normal one-pass dense path.
+
+        ``lookup_from`` (Qdrant ``LookupLocation``): resolve example
+        ids in ANOTHER collection — a `Collection` or a
+        ``(Collection, using)`` pair for a named space there (e.g.
+        user-profile vectors recommending over a document corpus; dims
+        must agree). As in Qdrant, example exclusion applies only when
+        the examples live in THIS collection — foreign ids don't name
+        points here."""
         cfg = self._vector_cfg(using, vec_col)
         if cfg.get("multivector"):
             raise ValueError("recommend supports dense collections")
         if not positive:
             raise ValueError("recommend requires at least one positive id")
         ids = [*positive, *negative]
-        rows = self.read(spark).filter(
-            F.col(id_col).isin(ids)).select(id_col, cfg["vec_col"]).collect()
+        if lookup_from is None:
+            lookup, lookup_using = self, using
+        elif isinstance(lookup_from, tuple):
+            lookup, lookup_using = lookup_from
+        else:
+            lookup, lookup_using = lookup_from, None
+        lcfg = lookup._vector_cfg(lookup_using, vec_col)
+        if lcfg.get("multivector"):
+            raise ValueError("lookup_from space must be dense")
+        rows = lookup.read(spark).filter(
+            F.col(id_col).isin(ids)).select(id_col, lcfg["vec_col"]).collect()
         vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
         missing = [i for i in ids if i not in vecs]
         if missing:
             raise ValueError(f"example points not found: {missing}")
+        dim = cfg.get("dim")
+        if dim and any(len(v) != dim for v in vecs.values()):
+            raise ValueError(
+                f"lookup_from vectors must match this space's dim {dim}")
+        exclude_ids = ids if lookup is self else []
 
         if strategy == "best_score":
             # Qdrant RecommendStrategy.BEST_SCORE: literal-folded
@@ -862,8 +885,12 @@ class Collection:
             from .operators.discover import recommend_best_score
 
             query_filter = as_predicate(query_filter)
-            excl = ~F.col(id_col).isin(ids)
-            flt = excl if query_filter is None else (excl & query_filter)
+            excl = (~F.col(id_col).isin(exclude_ids)
+                    if exclude_ids else None)
+            if excl is None:
+                flt = query_filter
+            else:
+                flt = excl if query_filter is None else (excl & query_filter)
             table = self.read(spark)
             payload = [c for c in table.columns
                        if c not in self._vector_columns(cfg["vec_col"])
@@ -889,8 +916,11 @@ class Collection:
         if negative:
             qv = [p - n for p, n in zip(qv, _avg(negative))]
         query_filter = as_predicate(query_filter)
-        excl = ~F.col(id_col).isin(ids)
-        flt = excl if query_filter is None else (excl & query_filter)
+        excl = ~F.col(id_col).isin(exclude_ids) if exclude_ids else None
+        if excl is None:
+            flt = query_filter
+        else:
+            flt = excl if query_filter is None else (excl & query_filter)
         return self.search(
             spark, qv, k=k, query_filter=flt,
             score_threshold=score_threshold, id_col=id_col,

@@ -131,6 +131,32 @@ def test_recommend_best_score_strategy(spark, tmp_path):
         coll.recommend(spark, positive=[2], strategy="nope")
 
 
+def test_recommend_lookup_from_other_collection(spark, tmp_path):
+    """Qdrant LookupLocation: example ids resolve in ANOTHER
+    collection (user profiles → document corpus). Foreign ids don't
+    name points here, so nothing is excluded — a corpus point sharing
+    an id with the profile example must still be returned."""
+    corpus = create_collection(str(tmp_path / "a"), "docs", dim=2,
+                               metric="dot", normalize=False)
+    corpus.upsert(spark, spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (7, [1.0, 0.0])],
+        "id int, embedding array<double>"))
+    profiles = create_collection(str(tmp_path / "b"), "profiles", dim=2,
+                                 metric="dot", normalize=False)
+    profiles.upsert(spark, spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "id int, embedding array<double>"))
+    hits = corpus.recommend(spark, positive=[7], negative=[8], k=5,
+                            lookup_from=profiles).collect()
+    ids = [r.id for r in hits]
+    assert set(ids) == {1, 2, 7}  # id 7 NOT excluded (foreign example)
+    assert ids[0] == 7            # qv=(1,-1): dot 1.0 beats 0.8
+    assert hits[0].score == pytest.approx(1.0, abs=1e-6)
+    # unknown foreign id still rejected
+    with pytest.raises(ValueError, match="not found"):
+        corpus.recommend(spark, positive=[99], lookup_from=profiles)
+
+
 def test_recommend_missing_example_rejected(spark, tmp_path):
     coll = _mk(spark, tmp_path, "dot")
     with pytest.raises(ValueError, match="not found"):
