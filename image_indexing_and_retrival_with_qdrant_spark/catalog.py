@@ -1229,34 +1229,54 @@ class Collection:
         vcols = [c for c in points.columns if c != id_col]
         if not vcols:
             raise ValueError("points must carry at least one vector column")
+        # Duplicate ids would fan out the left join below and persist
+        # duplicated points into the staged rewrite — collapse to one
+        # row per id (batch ids should be unique; Qdrant keys by id).
+        points = points.dropDuplicates([id_col])
         named = self.meta.get("vectors")
+        cfgs = []
         if named:
             unknown = [c for c in vcols if c not in named]
             if unknown:
                 raise ValueError(f"unknown vector columns: {unknown}")
             for name in vcols:
-                points = self._prep_vec(
-                    points, self._vector_cfg(name, vec_col), self.path)
+                cfg = self._vector_cfg(name, vec_col)
+                cfgs.append(cfg)
+                points = self._prep_vec(points, cfg, self.path)
         else:
             if vcols != [vec_col]:
                 raise ValueError(
                     f"collection has a single vector column {vec_col!r}; "
                     f"got {vcols}")
-            points = self._prep_vec(
-                points, self._vector_cfg(None, vec_col), self.path)
+            cfg = self._vector_cfg(None, vec_col)
+            cfgs.append(cfg)
+            points = self._prep_vec(points, cfg, self.path)
         if not self._has_data(spark):
             return 0
         table = self.read(spark)
+        # _prep_vec derives a fresh n_vecs/__nv sidecar when a
+        # multivector update arrives nested; carry it through so a
+        # changed subvector count refreshes the stored sidecar too.
+        upd_cols = list(vcols)
+        for cfg in cfgs:
+            nv = cfg["nv_col"]
+            if nv in points.columns and nv in table.columns:
+                upd_cols.append(nv)
         upd = points.select(
             F.col(id_col),
-            *[F.col(c).alias(f"__new_{c}") for c in vcols])
+            F.lit(True).alias("__matched"),
+            *[F.col(c).alias(f"__new_{c}") for c in upd_cols])
         joined = table.join(upd, on=id_col, how="left")
-        n = joined.filter(F.col(f"__new_{vcols[0]}").isNotNull()).count()
-        for c in vcols:
+        # n = existing points whose id matched the update batch (not
+        # just rows where the first vector column happened to be set).
+        n = joined.filter(F.col("__matched")).count()
+        for c in upd_cols:
             joined = joined.withColumn(
                 c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
-        self._rewrite(spark, joined.drop(*[f"__new_{c}" for c in vcols]),
-                      id_col, vec_col)
+        self._rewrite(
+            spark,
+            joined.drop("__matched", *[f"__new_{c}" for c in upd_cols]),
+            id_col, vec_col)
         return n
 
     def delete_vectors(self, spark: SparkSession, names: list, selector,
@@ -1271,16 +1291,23 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
-        allowed = self._vector_columns(vec_col)
+        # Only real vector SPACES are deletable (named keys or the
+        # single vec_col) — never the n_vecs/__nv bookkeeping sidecars;
+        # nulling a sidecar alone would leave the vector searchable.
+        named = self.meta.get("vectors")
+        spaces = set(named) if named else {vec_col}
         for c in names:
-            if c not in allowed or c not in table.columns:
+            if c not in spaces or c not in table.columns:
                 raise ValueError(f"unknown vector column {c!r}")
         n = table.filter(pred).count()
         for c in names:
-            table = table.withColumn(
-                c,
-                F.when(pred, F.lit(None).cast(table.schema[c].dataType))
-                .otherwise(F.col(c)))
+            nv = (c + "__nv") if named else "n_vecs"
+            for col in ([c, nv] if nv in table.columns else [c]):
+                table = table.withColumn(
+                    col,
+                    F.when(pred,
+                           F.lit(None).cast(table.schema[col].dataType))
+                    .otherwise(F.col(col)))
         self._rewrite(spark, table, id_col, vec_col)
         return n
 

@@ -31,6 +31,9 @@ def stream_events(spark: SparkSession, sf_dir: str,
     from image_indexing_and_retrival_with_qdrant_spark.tables import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC alongside (see tables.load): the NTZ→timestamp cast and
+    # unix_timestamp outputs must not depend on the session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the fixture is a single file; file streams need a directory, so

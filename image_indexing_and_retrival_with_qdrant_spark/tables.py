@@ -57,6 +57,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Set nanosAsLong at runtime so it works under the driver's own
         # session; see normalize_events_ts for the ts handling.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→timestamp cast in normalize_events_ts interprets the
+        # wall clock in the session timezone; pin UTC so unix_timestamp/
+        # epoch outputs are timezone-independent under any driver-owned
+        # session (DuckDB oracle parity).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_events_ts(
             spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         )

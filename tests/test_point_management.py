@@ -276,3 +276,65 @@ def test_delete_vectors_nulls_space(spark, sf_smoke, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         coll.delete_vectors(spark, ["lang"], F.col("lang") == "de")
+
+
+def test_update_vectors_collapses_duplicate_ids(spark, sf_smoke, tmp_path):
+    """Duplicate ids in the update batch must not fan out the join and
+    duplicate points in the rewritten collection (ADVICE r3)."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n_before = coll.count(spark)
+    pid = coll.read(spark).limit(1).collect()[0].id
+    v1 = [9.0] + [0.0] * 7
+    v2 = [0.0, 9.0] + [0.0] * 6
+    upd = spark.createDataFrame(
+        [(pid, v1), (pid, v2)], "id string, embedding array<double>")
+    n = coll.update_vectors(spark, upd)
+    assert n == 1
+    assert coll.count(spark) == n_before          # no fanout
+    t = coll.read(spark)
+    assert t.filter(F.col("id") == pid).count() == 1
+    got = list(t.filter(F.col("id") == pid).collect()[0].embedding)
+    assert got in (v1, v2)                        # one of the batch rows
+
+
+def test_update_vectors_refreshes_multivector_nv(spark, tmp_path):
+    """A multivector update with a different subvector count must
+    refresh the n_vecs sidecar so MaxSim scoring sees the new shape."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "uvnv", dim=2,
+                             multivector=True, normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        [(1, [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]), (2, [[0.5, 0.5]])],
+        "id int, embedding array<array<double>>"))
+    upd = spark.createDataFrame(
+        [(1, [[2.0, 0.0], [0.0, 2.0]])],
+        "id int, embedding array<array<double>>")
+    assert coll.update_vectors(spark, upd) == 1
+    row = {r.id: r for r in coll.read(spark).collect()}
+    assert row[1].n_vecs == 2                     # sidecar refreshed
+    assert list(row[1].embedding) == [2.0, 0.0, 0.0, 2.0]
+    assert row[2].n_vecs == 1                     # untouched point kept
+    # MaxSim search over the updated collection uses the new shape
+    hits = coll.search(spark, [[1.0, 0.0]], k=1).collect()
+    assert hits[0].id == 1 and abs(hits[0].score - 2.0) < 1e-12
+
+
+def test_delete_vectors_rejects_sidecar_and_nulls_nv(spark, tmp_path):
+    """Sidecar names (n_vecs/__nv) are not deletable spaces; deleting
+    a multivector space nulls its sidecar together with the vectors."""
+    import pytest
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "dvnv", dim=2,
+                             multivector=True, normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        [(1, [[1.0, 0.0]]), (2, [[0.0, 1.0], [1.0, 0.0]])],
+        "id int, embedding array<array<double>>"))
+    with pytest.raises(ValueError):
+        coll.delete_vectors(spark, ["n_vecs"], F.col("id") == 1)
+    assert coll.delete_vectors(spark, ["embedding"], F.col("id") == 2) == 1
+    row = {r.id: r for r in coll.read(spark).collect()}
+    assert row[2].embedding is None and row[2].n_vecs is None
+    assert row[1].n_vecs == 1

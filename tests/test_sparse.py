@@ -89,6 +89,9 @@ def test_vocabulary_window_is_partitioned(spark, sf_smoke):
     docs = load(spark, sf_smoke, "documents")
     plan = term_vocabulary(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(blk" in plan
+
+
+def test_postings_explode(spark):
     docs = spark.createDataFrame([(7, "a b a")], "doc_id int, text string")
     corpus = sparse_from_text(docs, term_vocabulary(docs))
     rows = sparse_postings(corpus).collect()
