@@ -75,6 +75,15 @@ HEADLINE = [
     "docs_source_mixture",
     "docs_source_profile",
     "stream_tumbling_5min",
+    # round 4: stateful streaming paths (each pays the structural
+    # Structured-Streaming drain — source listing + state store +
+    # memory-sink collect — on top of plan cost; batch twins measure
+    # the plan alone, see BASELINE.md §streaming) + value-oracled IVF
+    # read path + multi-probe LSH on the cached band layout
+    "stream_session_windows",
+    "stream_stateful_dedup",
+    "ann_ivf_exhaustive_top5",
+    "ann_lsh_multiprobe_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
@@ -100,6 +109,7 @@ def main() -> None:
     # first UDF-bearing entry isn't billed the one-time startup
     REGISTRY["knn_dense_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_ivf_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_lsh_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
     REGISTRY["maxsim_top5"].builder(spark, sf_dir).collect()

@@ -36,7 +36,8 @@ from .topk import global_topk
 
 __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
            "assign_centroid_udf", "assign_centroids",
-           "lsh_signatures", "lsh_band_frame", "lsh_search"]
+           "lsh_signatures", "lsh_band_frame", "lsh_candidates",
+           "lsh_probe", "lsh_search"]
 
 
 # --- IVF ------------------------------------------------------------------
@@ -259,36 +260,129 @@ def lsh_band_frame(df: DataFrame, dim: int, vec_col: str = "embedding",
     )
 
 
-def lsh_search(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               query_vec_col: str = "query_vec", n_planes: int = 8,
-               n_bands: int = 2, seed: int = 7,
-               round_digits: int | None = 6) -> DataFrame:
-    """Candidate generation by band-bucket match against the query's
-    signature, then exact cosine rescoring of candidates only.
+def _flip_variant(sig: Column, positions: tuple[int, ...],
+                  length: int) -> Column:
+    """The signature string with the 1-indexed ``positions`` bits
+    flipped — one concat expression, no UDF."""
+    parts = []
+    for i in range(1, length + 1):
+        ch = F.substring(sig, i, 1)
+        if i in positions:
+            ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        parts.append(ch)
+    return F.concat(*parts)
 
-    The corpus bands are a stacked ``(band_idx, band_sig)`` frame and
-    the probe is an **equi-join** on that pair against the broadcast
-    query bands (BroadcastHashJoin — the hashed relation rejects
-    non-matching buckets at scan speed, and on a band-bucketed layout
-    the scan itself prunes). The earlier OR-of-band-equalities
-    formulation planned as a BroadcastNestedLoopJoin that evaluated
-    every corpus row — a full scan, the thing LSH exists to avoid;
-    tests/test_plans.py pins the fixed shape."""
-    c_stack = lsh_band_frame(corpus, dim, vec_col, (id_col, vec_col),
-                             n_planes, n_bands, seed)
+
+def _lsh_candidates_with_dups(c_stack: DataFrame, query: DataFrame, dim: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              query_vec_col: str = "query_vec",
+                              n_planes: int = 8, n_bands: int = 2,
+                              seed: int = 7,
+                              multiprobe: int = 0) -> DataFrame:
+    """Bucket-matched rows, one per (row, matching bucket) — a row
+    matching several bands/probe-buckets appears several times."""
     q_stack = lsh_band_frame(
         query.withColumnRenamed(query_vec_col, vec_col), dim, vec_col,
         (vec_col,), n_planes, n_bands, seed,
     ).withColumnRenamed(vec_col, query_vec_col)
 
-    # a row matching in several bands is still one candidate
-    candidates = c_stack.join(
-        F.broadcast(q_stack), on=["band_idx", "band_sig"]
+    if multiprobe:
+        from itertools import combinations
+
+        per_band = n_planes // n_bands
+        variants = [F.col("band_sig")]
+        for r in range(1, min(multiprobe, per_band) + 1):
+            for combo in combinations(range(1, per_band + 1), r):
+                variants.append(
+                    _flip_variant(F.col("band_sig"), combo, per_band))
+        q_stack = q_stack.withColumn(
+            "band_sig", F.explode(F.array(*variants)))
+
+    return c_stack.join(F.broadcast(q_stack), on=["band_idx", "band_sig"])
+
+
+def lsh_candidates(c_stack: DataFrame, query: DataFrame, dim: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_vec_col: str = "query_vec", n_planes: int = 8,
+                   n_bands: int = 2, seed: int = 7,
+                   multiprobe: int = 0) -> DataFrame:
+    """The candidate rows a probe would rescore: equi-join of the
+    corpus band frame against the (optionally multi-probe-expanded)
+    broadcast query bands, deduplicated per row. Split out so the
+    recall harness can measure candidate-set cost directly."""
+    return _lsh_candidates_with_dups(
+        c_stack, query, dim, id_col, vec_col, query_vec_col,
+        n_planes, n_bands, seed, multiprobe,
     ).dropDuplicates([id_col])
 
+
+def lsh_probe(c_stack: DataFrame, query: DataFrame, dim: int, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_vec_col: str = "query_vec", n_planes: int = 8,
+              n_bands: int = 2, seed: int = 7,
+              round_digits: int | None = 6,
+              multiprobe: int = 0) -> DataFrame:
+    """Probe a prebuilt corpus band frame (``lsh_band_frame`` with
+    ``carry_cols=(id_col, vec_col)``): candidates = rows whose
+    signature matches a query band bucket, then exact cosine rescoring
+    of candidates only. The probe is an **equi-join** on
+    ``(band_idx, band_sig)`` against the broadcast query bands
+    (BroadcastHashJoin — the hashed relation rejects non-matching
+    buckets at scan speed; on a band-bucketed/persisted layout the
+    scan itself prunes). The corpus signature build is a one-time
+    index cost — callers cache/persist ``c_stack`` and pay only this
+    probe per query, the same build-outside-the-timer policy as the
+    IVF/PQ/SQ/BQ tiers (Qdrant builds HNSW once, too).
+
+    ``multiprobe=m`` (query-directed multi-probe LSH, Lv et al.,
+    VLDB'07): additionally probe every bucket within Hamming distance
+    ``m`` of each query band signature — with ``b`` bits per band
+    that is ``Σ_{{r≤m}} C(b,r)`` buckets per band, generated as pure
+    concat/flip column expressions on the (tiny, broadcast) query
+    side. The corpus side is untouched, so recall rises without
+    touching signature layout or paying a second scan: only the
+    candidate set grows, by roughly the probe-bucket multiple."""
+    cand_dup = _lsh_candidates_with_dups(
+        c_stack, query, dim, id_col, vec_col, query_vec_col,
+        n_planes, n_bands, seed, multiprobe)
     score = cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col)))
     if round_digits is not None:
         score = F.round(score, round_digits)
-    scored = candidates.select(F.col(id_col), score.alias("score"))
-    return global_topk(scored, [("score", False), (id_col, True)], k)
+    scored = cand_dup.select(F.col(id_col), score.alias("score"))
+    # A row matching in several bands/probe-buckets appears up to
+    # n_bands·buckets times with an IDENTICAL score, so dedup can run
+    # AFTER top-k: the top k·dups rows by (score, id) are guaranteed to
+    # contain the k distinct best ids. That keeps the corpus-sized path
+    # a single TakeOrderedAndProject (map-side prune, no exchange) and
+    # moves the dropDuplicates shuffle onto ≤ k·dups rows.
+    dups = n_bands
+    if multiprobe:
+        from math import comb
+
+        per_band = n_planes // n_bands
+        dups *= sum(comb(per_band, r)
+                    for r in range(0, min(multiprobe, per_band) + 1))
+    top_dup = global_topk(scored, [("score", False), (id_col, True)], k * dups)
+    # bounded input (≤ k·dups rows): single-partition dedup is safe and
+    # skips a 32-task exchange round
+    return global_topk(top_dup.coalesce(1).dropDuplicates([id_col]),
+                       [("score", False), (id_col, True)], k)
+
+
+def lsh_search(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_vec_col: str = "query_vec", n_planes: int = 8,
+               n_bands: int = 2, seed: int = 7,
+               round_digits: int | None = 6,
+               multiprobe: int = 0) -> DataFrame:
+    """One-shot convenience: build the corpus band frame, then
+    ``lsh_probe``. Repeated queries should build
+    ``lsh_band_frame(corpus, ..., carry_cols=(id_col, vec_col))``
+    once (persist / bucketBy(band_sig) on disk) and call
+    ``lsh_probe`` directly — see queries/ann.py's cached index."""
+    c_stack = lsh_band_frame(corpus, dim, vec_col, (id_col, vec_col),
+                             n_planes, n_bands, seed)
+    return lsh_probe(c_stack, query, dim, k, id_col, vec_col,
+                     query_vec_col, n_planes, n_bands, seed,
+                     round_digits, multiprobe)

@@ -7,9 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import ivf_build, ivf_search, lsh_search
+from ..operators.ann import ivf_build, ivf_search, lsh_band_frame, lsh_probe
 from ..registry import register
 from ..tables import load
+from .knn import _COS  # shared exact-cosine oracle fragment
 
 
 def _query_of(emb: DataFrame, vec_id: int) -> DataFrame:
@@ -58,12 +59,70 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, centroids, _query_of(emb, 0), k=5, nprobe=4)
 
 
+_LSH_CACHE: dict = {}
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str):
+    """One-time corpus band layout (8 planes, 2 bands), cached and
+    persisted per (session, sf) like the IVF/PQ/SQ/BQ builds — the
+    in-memory analog of the ``bucketBy(band_sig)`` on-disk layout the
+    operator docstring prescribes; queries pay only the probe."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _LSH_CACHE or not _session_alive(spark):
+        emb = load(spark, sf_dir, "embeddings")
+        stack = lsh_band_frame(
+            emb, dim=64, carry_cols=("vec_id", "embedding")).persist()
+        stack.count()  # materialize the build
+        _LSH_CACHE[key] = stack
+    return _LSH_CACHE[key]
+
+
 @register("ann_lsh_top5", None)
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-projection LSH search (8 planes, 2 bands) for the vec_id=0
-    query."""
+    query; probes the cached band layout — the signature build is a
+    one-time index cost, not part of the query."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_search(emb, _query_of(emb, 0), dim=64, k=5)
+    return lsh_probe(_lsh_index(spark, sf_dir), _query_of(emb, 0),
+                     dim=64, k=5)
+
+
+@register("ann_lsh_multiprobe_top5", None)
+def ann_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): the vec_id=0 query also
+    probes every band bucket within Hamming distance 1 of its
+    signature, against the SAME cached layout as ann_lsh_top5 (no
+    corpus-side cost). Measured on the clustered 50k corpus
+    (BASELINE.md §recall): 16p/4b recall@10 0.77→0.99 (m=1, 3.1×
+    candidates); the ≥0.9-at-≤2×-cost point is 24p/4b m=1 —
+    recall 0.925 at 1.67× the plain-16p candidate count."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_probe(_lsh_index(spark, sf_dir), _query_of(emb, 0),
+                     dim=64, k=5, multiprobe=1)
+
+
+@register(
+    "ann_ivf_exhaustive_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def ann_ivf_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with ``nprobe = k_centroids`` — provably ≡ the exact
+    scan (every cell probed; pinned in tests/test_ann.py), so the
+    routed read path (centroid shortlist → literal IN filter →
+    partition-pruned scan → cosine → top-k) gets a FULL value oracle
+    the driver hash-checks end-to-end, unlike the approximate
+    ``ann_ivf_top5`` (rows-only by design)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    return ivf_search(assigned, centroids, _query_of(emb, 0), k=5,
+                      nprobe=16)
 
 
 _PQ_CACHE: dict = {}
@@ -210,9 +269,6 @@ def ann_bq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _bq_index(spark, sf_dir)
     qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
     return bq_search(codes, qvec, k=5)
-
-
-from .knn import _COS  # noqa: E402  (shared cosine oracle fragment)
 
 
 @register(

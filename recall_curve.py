@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
     ivf_build,
     ivf_search,
-    lsh_search,
+    lsh_band_frame,
+    lsh_candidates,
+    lsh_probe,
 )
 from image_indexing_and_retrival_with_qdrant_spark.operators.knn import dense_knn
 from image_indexing_and_retrival_with_qdrant_spark.operators.pq import (
@@ -97,11 +99,46 @@ def main() -> None:
              for q in qids]
         out[f"ivf_recall@10_nprobe{nprobe}"] = round(float(np.mean(r)), 3)
 
-    r = [recall({x.vec_id for x in
-                 lsh_search(corpus, qdf(q), dim=DIM, k=k, n_planes=16,
-                            n_bands=4).collect()}, exact[q])
-         for q in qids]
-    out["lsh_recall@10_16planes_4bands"] = round(float(np.mean(r)), 3)
+    # one-time band layout (the cached/persisted index form); every
+    # probe variant below reuses it — build outside the timer, like
+    # Qdrant's HNSW build
+    c_stack = lsh_band_frame(corpus, DIM, carry_cols=("vec_id", "embedding"),
+                             n_planes=16, n_bands=4).cache()
+    c_stack.count()
+    for m in (0, 1, 2):
+        r, cands = [], []
+        for q in qids:
+            r.append(recall(
+                {x.vec_id for x in
+                 lsh_probe(c_stack, qdf(q), dim=DIM, k=k, n_planes=16,
+                           n_bands=4, multiprobe=m).collect()}, exact[q]))
+            cands.append(lsh_candidates(
+                c_stack, qdf(q), dim=DIM, n_planes=16, n_bands=4,
+                multiprobe=m).count())
+        tag = "" if m == 0 else f"_multiprobe{m}"
+        out[f"lsh_recall@10_16planes_4bands{tag}"] = round(float(np.mean(r)), 3)
+        out[f"lsh_candidates{tag}"] = int(np.mean(cands))
+    c_stack.unpersist()
+
+    # the recall≥0.9-at-≤2×-cost configuration (BASELINE.md §recall):
+    # 6-bit bands are selective enough that Hamming-1 expansion lands
+    # under 2× the plain 16/4 candidate count
+    c_stack = lsh_band_frame(corpus, DIM, carry_cols=("vec_id", "embedding"),
+                             n_planes=24, n_bands=4).cache()
+    c_stack.count()
+    r, cands = [], []
+    for q in qids:
+        r.append(recall(
+            {x.vec_id for x in
+             lsh_probe(c_stack, qdf(q), dim=DIM, k=k, n_planes=24,
+                       n_bands=4, multiprobe=1).collect()}, exact[q]))
+        cands.append(lsh_candidates(
+            c_stack, qdf(q), dim=DIM, n_planes=24, n_bands=4,
+            multiprobe=1).count())
+    out["lsh_recall@10_24planes_4bands_multiprobe1"] = round(
+        float(np.mean(r)), 3)
+    out["lsh_candidates_24planes_multiprobe1"] = int(np.mean(cands))
+    c_stack.unpersist()
 
     # 8 blocks × 128 codewords: the large-codebook regime (Arrow-batched
     # numpy assignment — the unrolled expression dies past ~64 codes)

@@ -120,3 +120,30 @@ def test_expr_assignment_matches_ml_transformer(spark, sf_smoke):
     m1 = {r.vec_id: r.centroid_id for r in a1.select("vec_id", "centroid_id").collect()}
     m2 = {r.vec_id: r.centroid_id for r in a2.select("vec_id", "centroid_id").collect()}
     assert m1 == m2
+
+
+def test_lsh_multiprobe_supersets_plain_probe(spark, sf_smoke):
+    """Hamming-1 probing can only add candidates: the multiprobe hit
+    set must contain every plain-probe candidate, and the self-hit
+    still leads."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        lsh_band_frame,
+        lsh_candidates,
+        lsh_probe,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    q = _query_of(emb, 0)
+    stack = lsh_band_frame(emb, 64, carry_cols=("vec_id", "embedding"))
+    plain = {r.vec_id for r in lsh_candidates(stack, q, dim=64).collect()}
+    multi = {r.vec_id
+             for r in lsh_candidates(stack, q, dim=64, multiprobe=1).collect()}
+    assert plain <= multi and len(multi) > len(plain)
+    got = lsh_probe(stack, q, dim=64, k=10, multiprobe=1).collect()
+    assert got[0].vec_id == 0
+    # scores of shared hits are identical (same rescoring expression)
+    plain_scores = {r.vec_id: r.score
+                    for r in lsh_probe(stack, q, dim=64, k=10).collect()}
+    for r in got:
+        if r.vec_id in plain_scores:
+            assert r.score == plain_scores[r.vec_id]

@@ -94,3 +94,30 @@ def test_ivfpq_rerank_recall_on_clustered(spark, corpus, queries, ivf):
                                rescore=100).collect()}
     assert _mean_recall(got, exact) >= 0.7
     acodes.unpersist()
+
+
+def test_lsh_multiprobe_recall_on_clustered(spark, corpus, queries):
+    """Multi-probe m=1 must beat plain LSH recall on clustered data
+    (measured at 50k: 0.77 -> 0.99 for 16p/4b; the ≤2×-cost point is
+    24p/4b m=1 at 0.925 — BASELINE.md §recall). Thresholds sit safely
+    under the measured values at this smaller N."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        lsh_band_frame,
+        lsh_probe,
+    )
+
+    qids, qvecs, exact = queries
+    stack = lsh_band_frame(corpus, DIM, carry_cols=("vec_id", "embedding"),
+                           n_planes=16, n_bands=4).cache()
+    stack.count()
+    got = {m: {} for m in (0, 1)}
+    for q in qids:
+        qdf = spark.createDataFrame([(qvecs[q],)], "query_vec array<double>")
+        for m in (0, 1):
+            got[m][q] = {r.vec_id for r in
+                         lsh_probe(stack, qdf, dim=DIM, k=K, n_planes=16,
+                                   n_bands=4, multiprobe=m).collect()}
+    stack.unpersist()
+    plain, multi = _mean_recall(got[0], exact), _mean_recall(got[1], exact)
+    assert multi >= plain
+    assert multi >= 0.9
