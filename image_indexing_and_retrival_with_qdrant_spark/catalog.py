@@ -498,24 +498,60 @@ class Collection:
         if mode == "merge" and self._has_data(spark):
             existing = spark.read.parquet(self.path)
             incoming_ids = points.select(id_col)
-            conflicts = existing.join(
-                incoming_ids, on=id_col, how="left_semi"
-            ).limit(1).count()
-            if conflicts:
-                # replace-on-conflict (Qdrant upsert overwrites by id):
-                # rewrite = kept ∪ incoming, staged then swapped so the
-                # read and the overwrite never race on the same files
-                kept = existing.join(incoming_ids, on=id_col, how="left_anti")
-                combined = kept.unionByName(points.select(*existing.columns))
+            # replace-on-conflict (Qdrant upsert overwrites by id),
+            # scoped to the FILES that contain a conflicting id: only
+            # those files' kept rows are rewritten (staged, then the
+            # old files dropped and the staged ones moved in — a
+            # file-level analog of Delta MERGE's rewrite set); every
+            # other data file is untouched bytes. With a payload-index
+            # ``partitionBy`` layout the staged writer routes kept rows
+            # back into their partition dirs, so the blast radius is
+            # (files with conflicts), not (table) — at 100 TB an
+            # id-colliding upsert touches a handful of files. The
+            # no-conflict merge remains a plain append.
+            tagged = existing.withColumn(
+                "__file", F.col("_metadata.file_path"))
+            conflict_files = [
+                r["__file"] for r in tagged.join(
+                    incoming_ids, on=id_col, how="left_semi")
+                .select("__file").distinct().collect()]
+            if conflict_files:
+                kept = (
+                    tagged.filter(F.col("__file").isin(conflict_files))
+                    .drop("__file")
+                    .join(incoming_ids, on=id_col, how="left_anti"))
                 staging = self.path + ".__rewrite__"
-                self._write_main(combined, "overwrite", staging)
-                shutil.rmtree(self.path)
-                os.rename(staging, self.path)
+                self._write_main(kept, "overwrite", staging)
+                self._swap_staged_files(staging, conflict_files)
+                self._write_main(points.select(*existing.columns), "append")
                 self._post_write(spark, None, id_col, vec_col,
                                  rewrote=True)
                 return
         self._write_main(points, "append")
         self._post_write(spark, points, id_col, vec_col, rewrote=False)
+
+    def _swap_staged_files(self, staging: str, old_files: list) -> None:
+        """Complete a file-scoped rewrite: delete the superseded data
+        files, then move every staged parquet file into the matching
+        (partition) subdirectory of the main table."""
+        from urllib.parse import unquote, urlparse
+
+        for uri in old_files:
+            p = urlparse(uri)
+            local = unquote(p.path) if p.scheme in ("file", "") else None
+            if local and os.path.isfile(local):
+                os.remove(local)
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue  # _SUCCESS and friends
+                dest_dir = (self.path if rel == "."
+                            else os.path.join(self.path, rel))
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(root, fname),
+                          os.path.join(dest_dir, fname))
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _write_main(self, df: DataFrame, mode: str,
                     path: str | None = None) -> None:

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot
 from .topk import global_topk
 
-__all__ = ["maxsim_score_udf", "maxsim_knn", "maxsim_knn_batch",
+__all__ = ["maxsim_score_udf", "maxsim_score_flat_const_udf",
+           "maxsim_knn", "maxsim_knn_batch",
            "maxsim_knn_exact", "as_multivector"]
 
 
@@ -106,6 +107,38 @@ def maxsim_score_flat_udf(dim: int):
     return _score
 
 
+def maxsim_score_flat_const_udf(dim: int, query_flat: Sequence[float]):
+    """Flat scorer with the query CAPTURED in the UDF closure instead
+    of joined on as a column. At reference shape (ColPali ~1030×128,
+    README.md:91) the query array is tens of KB; the column form
+    duplicates it onto every corpus row — at 1M docs that is tens of
+    GB of pure query bytes through codegen + Arrow. The capture form
+    ships it once per task via the pickled closure, and the scan
+    pipeline carries only (id, doc_flat). Same stacked-matmul batch
+    path as maxsim_score_flat_udf, so scores are bit-identical
+    (pinned in tests/test_maxsim_flat.py)."""
+    Q = np.asarray(list(query_flat), dtype=np.float64).reshape(-1, dim)
+
+    @F.pandas_udf("double")
+    def _score(doc_flat: pd.Series) -> pd.Series:
+        if len(doc_flat) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        if doc_flat.map(len).nunique() == 1:
+            B = len(doc_flat)
+            D = np.asarray(
+                np.stack(doc_flat.to_numpy()), dtype=np.float64
+            ).reshape(B, -1, dim)                        # (B, n, dim)
+            sims = np.matmul(Q[None], D.transpose(0, 2, 1))  # (B, q, n)
+            return pd.Series(sims.max(axis=2).sum(axis=1))
+        out = np.empty(len(doc_flat), dtype=np.float64)
+        for i, d in enumerate(doc_flat):
+            D = np.asarray(d, dtype=np.float64).reshape(-1, dim)
+            out[i] = (Q @ D.T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return _score
+
+
 def maxsim_knn(
     corpus: DataFrame,
     query: DataFrame,
@@ -118,8 +151,15 @@ def maxsim_knn(
     score_threshold: float | None = None,
     round_digits: int | None = 6,
     flat_dim: int | None = None,
+    query_flat: Sequence[float] | None = None,
 ) -> DataFrame:
     """Single-query MaxSim top-k via the vectorized pandas-UDF scorer.
+
+    With ``query_flat`` (a plain list, requires ``flat_dim``) the
+    query is captured in the scorer closure instead of broadcast-
+    joined as a column — the at-shape path: the scan carries only
+    ``(id, doc_flat)``, no per-row query copy (see
+    ``maxsim_score_flat_const_udf``). ``query`` is ignored then.
 
     With ``flat_dim`` set, ``mv_col``/``query_mv_col`` are flat
     arrays (n×dim doubles) and the cheap flat scorer is used.
@@ -132,19 +172,28 @@ def maxsim_knn(
     (``with_colpali_v1.3/qdrant_query_with_colpali.py:109-114``)."""
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
-    if flat_dim is not None:
-        score = maxsim_score_flat_udf(flat_dim)(
-            F.col(mv_col), F.col(query_mv_col)
-        )
+    if query_flat is not None:
+        if flat_dim is None:
+            raise ValueError("query_flat requires flat_dim")
+        score = maxsim_score_flat_const_udf(flat_dim, query_flat)(
+            F.col(mv_col))
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = corpus.select(id_col, *payload_cols, score.alias("score"))
     else:
-        score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
-    if round_digits is not None:
-        score = F.round(score, round_digits)
-    scored = (
-        corpus.join(F.broadcast(query.select(query_mv_col)))
-        .withColumn("score", score)
-        .select(id_col, *payload_cols, "score")
-    )
+        if flat_dim is not None:
+            score = maxsim_score_flat_udf(flat_dim)(
+                F.col(mv_col), F.col(query_mv_col)
+            )
+        else:
+            score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = (
+            corpus.join(F.broadcast(query.select(query_mv_col)))
+            .withColumn("score", score)
+            .select(id_col, *payload_cols, "score")
+        )
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= score_threshold)
     return global_topk(scored, [("score", False), (id_col, True)], k)

@@ -53,7 +53,174 @@ def synth_corpus(spark, n: int):
     )
 
 
+def _gen_mv_chunk(args) -> None:
+    """One worker: generate [start, start+rows) docs and write one
+    parquet part file. Top-level for pickling."""
+    start, rows, n_vecs, dim, out_dir = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(start)
+    sigma = 0.75  # ||noise|| ≈ sigma vs ||center|| = 1 → cosine ≈ 0.8
+    centers = rng.standard_normal((rows, dim), dtype=np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sub = centers[:, None, :] + (sigma / np.sqrt(dim)) * \
+        rng.standard_normal((rows, n_vecs, dim), dtype=np.float32)
+    sub /= np.linalg.norm(sub, axis=2, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(start, start + rows)),
+        "flat": pa.FixedSizeListArray.from_arrays(
+            pa.array(sub.reshape(-1)), n_vecs * dim),
+        "pooled": pa.FixedSizeListArray.from_arrays(
+            pa.array(sub.mean(axis=1).reshape(-1).astype(np.float32)), dim),
+    })
+    # small row groups (1024 × 32 KB ≈ 33 MB) keep stats-based pruning
+    # useful for shortlist point-fetches (two-stage rescore)
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{start:012d}.parquet"),
+                   compression="snappy", row_group_size=1024)
+
+
+def synth_multivector_corpus(n: int, n_vecs: int, dim: int,
+                             out_dir: str, chunk: int = 12_500) -> None:
+    """ColPali-shaped flat multivector corpus written to parquet:
+    ``vec_id, flat (array<float>, n_vecs×dim), pooled (array<float>,
+    dim)``. Subvectors are seeded numpy draws around a per-doc unit
+    center (subvector↔center cosine ≈ 0.8) — the late-interaction
+    regime where mean-pooling preserves ranking (PLAID's premise),
+    unlike the isotropic fixture (tests/test_maxsim.py). float32 on
+    disk/Arrow (the dtype real embedders emit); the scorer upcasts.
+
+    Written by a plain pyarrow process pool, not Spark: this is test
+    substrate generation, and the direct Arrow→parquet path runs ~10×
+    faster than shipping generated batches through mapInPandas → JVM
+    row conversion → parquet writer (measured round 4)."""
+    from multiprocessing import Pool
+
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [(s, min(chunk, n - s), n_vecs, dim, out_dir)
+            for s in range(0, n, chunk)]
+    with Pool(min(16, len(jobs))) as pool:
+        pool.map(_gen_mv_chunk, jobs)
+
+
+def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
+                    n_qvecs: int = 16, rescore: int = 200) -> None:
+    """MaxSim at the reference's real payload shape (ColPali is
+    1030×128 per image, /root/reference/README.md:91; 64×128 here is
+    the same regime at 1M docs = 32 GB of vectors). Measures:
+
+    - exact flat-scorer scan throughput (the Arrow-transfer-bound
+      ceiling) at two Arrow batch sizes,
+    - two-stage mean-pool prefilter + exact MaxSim rescore:
+      wall-clock speedup and recall@10 vs the exact scan.
+
+    Results → BASELINE.md §stress (multivector rows)."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        maxsim_knn,
+    )
+
+    # 32 KB/row vectors: the single-JVM local[32] heap must hold
+    # 32 concurrent read buffers + Arrow transit; on a real cluster
+    # this is per-executor sizing
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark("stress-maxsim",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # At-shape finding (BASELINE.md): buffer sizes that are tuned for
+    # ~100-byte rows explode at 32 KB/row. The vectorized parquet
+    # reader's 4096-row batch = 0.5 GB per task (32 tasks OOM any
+    # reasonable heap) → 256 rows = 8 MB/task.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
+    corpus_dir = tempfile.mkdtemp(prefix="stress_maxsim_")
+    timings: dict = {}
+    try:
+        t0 = time.perf_counter()
+        synth_multivector_corpus(n, n_vecs, dim, corpus_dir)
+        timings["generate_write"] = round(time.perf_counter() - t0, 2)
+
+        corpus = spark.read.parquet(corpus_dir)
+        qrow = corpus.filter(F.col("vec_id") == 12345).collect()[0]
+        # query = the first n_qvecs subvectors of a corpus doc (a real
+        # query is shorter than a doc: ~20 ColPali query tokens)
+        qflat = [float(x) for x in qrow.flat[:n_qvecs * dim]]
+        query = spark.createDataFrame([(qflat,)], "query_flat array<double>")
+
+        def exact_scan(query_capture: bool):
+            if query_capture:
+                return maxsim_knn(
+                    corpus, None, k=10, id_col="vec_id", mv_col="flat",
+                    flat_dim=dim, query_flat=qflat,
+                ).collect()
+            return maxsim_knn(
+                corpus, query, k=10, id_col="vec_id", mv_col="flat",
+                query_mv_col="query_flat", flat_dim=dim,
+            ).collect()
+
+        # query-as-column (duplicates the 16 KB query array onto every
+        # row) vs query-captured-in-closure (scan carries doc bytes
+        # only), at two Arrow batch sizes: per-batch transit memory vs
+        # per-batch Python round-trip overhead
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        if n <= 200_000:  # comparison scan; ratio holds, skip at full n
+            t0 = time.perf_counter()
+            exact_scan(False)
+            timings["exact_scan_querycol_batch512"] = round(
+                time.perf_counter() - t0, 2)
+        for batch in (4096, 512):
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+            t0 = time.perf_counter()
+            exact = exact_scan(True)
+            timings[f"exact_scan_batch{batch}"] = round(
+                time.perf_counter() - t0, 2)
+        assert exact[0].vec_id == 12345
+        exact_ids = {r.vec_id for r in exact}
+
+        # two-stage: pooled-cosine prefilter (stage 1 reads ONLY the
+        # pooled column — dim floats/row, 1/n_vecs of the bytes; column
+        # pruning does the work) → exact MaxSim on the shortlist
+        t0 = time.perf_counter()
+        short = dense_knn(
+            corpus.select("vec_id", F.col("pooled").alias("embedding")),
+            spark.createDataFrame(
+                [([float(x) for x in qrow.pooled],)],
+                "query_vec array<double>"),
+            k=rescore, dim=dim,
+        ).select("vec_id")
+        # shortlist as a literal IN filter, not a join: the predicate
+        # pushes into the parquet scan and row-group stats on the
+        # (sorted) vec_id prune the fetch to the groups containing
+        # shortlist rows — a join would re-read every flat byte just
+        # to throw 99.98 % away. Same pattern as the IVF probe's
+        # centroid shortlist.
+        ids = [r.vec_id for r in short.collect()]
+        two = maxsim_knn(
+            corpus.filter(F.col("vec_id").isin(ids)), None, k=10,
+            id_col="vec_id", mv_col="flat", flat_dim=dim, query_flat=qflat,
+        ).collect()
+        timings[f"two_stage_rescore{rescore}"] = round(
+            time.perf_counter() - t0, 2)
+        recall = len({r.vec_id for r in two} & exact_ids) / len(exact_ids)
+
+        print(json.dumps({
+            "metric": "stress_maxsim", "rows": n, "n_vecs": n_vecs,
+            "dim": dim, "n_qvecs": n_qvecs,
+            "vector_gb": round(n * n_vecs * dim * 4 / 2**30, 1),
+            "timings_sec": timings,
+            "two_stage_recall@10": recall,
+            "exact_mrows_per_sec": round(
+                n / timings["exact_scan_batch512"] / 1e6, 2),
+        }))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "maxsim":
+        args = [int(a) for a in sys.argv[2:]]
+        maxsim_at_shape(*args)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # materialize once to parquet and read back: with in-plan

@@ -83,3 +83,25 @@ def test_search_batch_multivector(spark, tmp_path):
     # parity with the single-query path
     single = coll.search(spark, q0, k=2).collect()
     assert [(r.id, r.score) for r in single] == [got[(0, 1)], got[(0, 2)]]
+
+
+def test_query_capture_matches_query_column(spark, sf_smoke):
+    """maxsim_knn(query_flat=...) (query captured in the UDF closure —
+    the at-shape path, no per-row query copy) must be bit-identical to
+    the query-as-column form."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import maxsim_knn
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("flat"))
+    qflat = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    query = spark.createDataFrame([(qflat,)], "query_flat array<double>")
+    col_form = maxsim_knn(corpus, query, k=10, id_col="vec_id",
+                          mv_col="flat", query_mv_col="query_flat",
+                          flat_dim=8).collect()
+    cap_form = maxsim_knn(corpus, None, k=10, id_col="vec_id",
+                          mv_col="flat", flat_dim=8,
+                          query_flat=qflat).collect()
+    assert [(r.vec_id, r.score) for r in col_form] == \
+           [(r.vec_id, r.score) for r in cap_form]

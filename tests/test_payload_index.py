@@ -75,3 +75,50 @@ def test_index_validation_and_drop(spark, tmp_path):
     assert coll.meta["payload_indexes"] == []
     assert not any(d.startswith("color=") for d in os.listdir(coll.path))
     assert coll.count(spark) == 12
+
+
+def test_merge_conflict_rewrite_is_file_scoped(spark, tmp_path):
+    """A conflicting merge upsert must rewrite ONLY the files holding
+    conflicting ids: every other data file stays byte-identical
+    (round-4 scoped rewrite; the old path rewrote the whole table)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "scoped", dim=2,
+                             metric="euclid", normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        [(i, [float(i), 0.0], "en" if i < 10 else "de")
+         for i in range(20)],
+        "id int, embedding array<double>, lang string"))
+    coll.create_payload_index(spark, "lang")
+
+    def snapshot():
+        out = {}
+        for root, _d, files in os.walk(coll.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, coll.path)] = hashlib.md5(
+                        open(p, "rb").read()).hexdigest()
+        return out
+
+    before = snapshot()
+    de_files = {k for k in before if "lang=de" in k}
+    assert de_files, "expected a lang=de partition"
+    # conflict only with en ids
+    coll.upsert(spark, spark.createDataFrame(
+        [(3, [30.0, 0.0], "en"), (99, [99.0, 0.0], "de")],
+        "id int, embedding array<double>, lang string"), mode="merge")
+    after = snapshot()
+    for k in de_files:  # untouched partition files byte-identical
+        assert after[k] == before[k]
+    rows = {r.id: r for r in coll.read(spark).collect()}
+    assert len(rows) == 21
+    assert list(rows[3].embedding) == [30.0, 0.0]   # replaced
+    assert list(rows[99].embedding) == [99.0, 0.0]  # appended
+    assert list(rows[4].embedding) == [4.0, 0.0]    # kept
+    assert rows[15].lang == "de"
