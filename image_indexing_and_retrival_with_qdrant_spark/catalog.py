@@ -457,7 +457,14 @@ class Collection:
         Python), top-m is a TakeOrderedAndProject heap, and the ≤m-row
         keep-list broadcasts back — the corpus never shuffles. Exact
         MaxSim then rescores only the survivors (callers guarantee
-        ``m ≥ k``)."""
+        ``m ≥ k``).
+
+        The keep-list comes back as a literal ``id IN (...)`` filter,
+        not a join: the predicate pushes into the parquet scan, so
+        stage 2's fetch of the heavy flat vectors is row-group-pruned
+        instead of re-reading every vector byte to discard 99 %+
+        post-scan (measured at shape: BASELINE.md §MaxSim-at-shape;
+        same pattern as the IVF probe's centroid shortlist)."""
         from .functions.vector import cosine, mean_pool_flat
         from .operators.topk import global_topk
 
@@ -468,7 +475,8 @@ class Collection:
                           cosine(pooled, qlit).alias("__ps")),
             [("__ps", False), (id_col, True)], m,
         ).select(id_col)
-        return corpus.join(F.broadcast(keep), on=id_col)
+        ids = [r[id_col] for r in keep.collect()]  # ≤ m rows
+        return corpus.filter(F.col(id_col).isin(ids))
 
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
                     id_col: str, vec_col: str, rewrote: bool) -> None:
@@ -748,13 +756,15 @@ class Collection:
             if rescore is not None and not exact and k is not None:
                 corpus = self._maxsim_stage1(
                     corpus, pooled_q, max(k, rescore), id_col, vec_col, dim)
-            qdf = spark.createDataFrame(
-                [([x for v in qv for x in v],)], "query_vectors array<double>"
-            )
+            # query captured in the scorer closure (never joined on as
+            # a column): the scan carries only doc bytes — at ColPali
+            # shape the query array is tens of KB per row otherwise
+            # (BASELINE.md §MaxSim-at-shape)
             return maxsim_knn(
-                corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
+                corpus, None, k=k, id_col=id_col, mv_col=vec_col,
                 payload_cols=payload, prefilter=query_filter,
                 score_threshold=score_threshold, flat_dim=dim,
+                query_flat=[x for v in qv for x in v],
             )
         qv = [float(x) for x in query_vector]
         if cfg.get("normalize"):
