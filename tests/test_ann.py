@@ -147,3 +147,38 @@ def test_lsh_multiprobe_supersets_plain_probe(spark, sf_smoke):
     for r in got:
         if r.vec_id in plain_scores:
             assert r.score == plain_scores[r.vec_id]
+
+
+def test_lsh_literal_probe_matches_expression_probe(spark, sf_smoke):
+    """Driver-computed signatures + literal bucket predicate must give
+    the SAME ids and scores as the expression probe, for both plain
+    and multi-probe (left-to-right float64 dots are bit-identical on
+    both sides)."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        lsh_band_frame,
+        lsh_probe,
+        lsh_probe_literal,
+        lsh_query_signature,
+        lsh_signatures,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    stack = lsh_band_frame(emb, 64, carry_cols=("vec_id", "embedding"))
+    # signature parity on a handful of corpus vectors
+    rows = emb.limit(5).collect()
+    sig_rows = {r.vec_id: (r.band0, r.band1) for r in
+                lsh_signatures(emb, 64).filter(
+                    F.col("vec_id").isin([r.vec_id for r in rows]))
+                .select("vec_id", "band0", "band1").collect()}
+    for r in rows:
+        assert tuple(lsh_query_signature(list(r.embedding), 64)) == \
+            sig_rows[r.vec_id]
+    qvec = list(rows[0].embedding)
+    q = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    for m in (0, 1):
+        expr_hits = [(r.vec_id, r.score) for r in
+                     lsh_probe(stack, q, dim=64, k=10, multiprobe=m).collect()]
+        lit_hits = [(r.vec_id, r.score) for r in
+                    lsh_probe_literal(stack, qvec, dim=64, k=10,
+                                      multiprobe=m).collect()]
+        assert expr_hits == lit_hits

@@ -50,13 +50,16 @@ def test_projection_pruning_reaches_scan(spark, sf_smoke):
     )
 
 
-def test_lsh_probe_is_hash_join_not_full_scan(spark, sf_smoke):
-    """LSH candidate generation must be a band equi-join (hash join on
-    (band_idx, band_sig)), never a BroadcastNestedLoopJoin evaluating
-    signatures against every corpus row."""
+def test_lsh_probe_is_joinless_literal_filter(spark, sf_smoke):
+    """LSH candidate generation must be a literal bucket predicate on
+    the band frame (driver-computed query signature) — no join of any
+    kind, and certainly never a BroadcastNestedLoopJoin evaluating
+    signatures against every corpus row. The expression-probe twin
+    (lsh_probe) stays a BroadcastHashJoin and is parity-pinned in
+    tests/test_ann.py."""
     plan = _plan(spark, sf_smoke, "ann_lsh_top5")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "band_sig" in plan and "Filter" in plan
 
 
 def test_maxsim_exact_aggregates_partially(spark, sf_smoke):
