@@ -1,5 +1,15 @@
-"""ANN-tier queries (SURVEY.md §7 M5) — rows-only in the driver
-(approximate by design); recall invariants live in tests/test_ann.py.
+"""ANN-tier queries (SURVEY.md §7 M5).
+
+Deterministic tiers carry FULL value oracles; only the KMeans-trained
+tiers (IVF/PQ/IVFPQ — Spark-ML JVM training the oracle cannot rerun)
+stay rows-only, with recall invariants in tests/test_ann.py and the
+routed IVF read path value-checked via ``ann_ivf_exhaustive_top5``.
+LSH is seeded + data-independent (hyperplanes from
+``np.random.RandomState(seed)``), so DuckDB recomputes the identical
+sign signatures — the oracle unrolls each hyperplane dot as the same
+left-associated float64 sum the Spark expression renders
+(``_lsh_sig_sql``), making bucket membership, multi-probe expansion,
+and the rescored top-k all hash-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -82,20 +92,83 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
     return _LSH_CACHE[key]
 
 
-@register("ann_lsh_top5", None)
+def _lsh_sig_sql(vec: str, dim: int = 64, n_planes: int = 8,
+                 n_bands: int = 2, seed: int = 7) -> list[str]:
+    """Band-signature SQL fragments for DuckDB — the hyperplanes are
+    seeded and data-independent (``operators/ann.py::_hyperplanes``),
+    and each dot is rendered as the SAME left-associated
+    cast-then-multiply float64 sum as ``dot_unrolled``, so the sign
+    bits (hence bucket keys) are bit-identical to the Spark side."""
+    from ..operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for p in planes:
+        dot = " + ".join(
+            f"(CAST({vec}[{j + 1}] AS DOUBLE) * {float(pj)!r})"
+            for j, pj in enumerate(p)
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    per_band = n_planes // n_bands
+    return ["(" + " || ".join(bits[b * per_band:(b + 1) * per_band]) + ")"
+            for b in range(n_bands)]
+
+
+def _lsh_oracle(multiprobe: int = 0, dim: int = 64, n_planes: int = 8,
+                n_bands: int = 2, seed: int = 7, k: int = 5) -> str:
+    """FULL value oracle for the LSH probe: recompute signatures,
+    bucket-match (exact at ``multiprobe=0``, Hamming ≤ m per band
+    otherwise), exact-cosine-rescore candidates, top-k."""
+    per_band = n_planes // n_bands
+    sigs = _lsh_sig_sql("embedding", dim, n_planes, n_bands, seed)
+    band_cols = ", ".join(f"{s} AS band{b}" for b, s in enumerate(sigs))
+    if multiprobe == 0:
+        match = " OR ".join(f"s.band{b} = q.band{b}"
+                            for b in range(n_bands))
+    else:
+        per_band_match = []
+        for b in range(n_bands):
+            ham = " + ".join(
+                f"(CASE WHEN substring(s.band{b}, {i}, 1) <> "
+                f"substring(q.band{b}, {i}, 1) THEN 1 ELSE 0 END)"
+                for i in range(1, per_band + 1)
+            )
+            per_band_match.append(f"({ham}) <= {multiprobe}")
+        match = " OR ".join(per_band_match)
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {band_cols} FROM embeddings),
+    q AS (SELECT band0, band1 FROM sig WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT s.vec_id, s.embedding
+      FROM sig s CROSS JOIN q
+      WHERE {match}
+    )
+    SELECT c.vec_id,
+           ROUND({_COS.format(a='c.embedding', b='qv.qv')}, 6) AS score
+    FROM cand c CROSS JOIN qv
+    ORDER BY score DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@register("ann_lsh_top5", _lsh_oracle())
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-projection LSH search (8 planes, 2 bands) for the vec_id=0
     query; probes the cached band layout with a driver-computed
     signature → literal bucket predicate (bit-identical to the
     expression probe, pinned) — the signature build is a one-time
     index cost, and the query-side hash costs microseconds, as in any
-    client-side LSH system."""
+    client-side LSH system. FULL value oracle: the hyperplanes are
+    seeded + data-independent, so DuckDB re-derives the identical
+    signatures (``_lsh_oracle``) and hash-checks bucket membership and
+    the rescored top-k end-to-end."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
     return lsh_probe_literal(_lsh_index(spark, sf_dir), qvec, dim=64, k=5)
 
 
-@register("ann_lsh_multiprobe_top5", None)
+@register("ann_lsh_multiprobe_top5", _lsh_oracle(multiprobe=1))
 def ann_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH (Lv et al., VLDB'07): the vec_id=0 query also
     probes every band bucket within Hamming distance 1 of its
@@ -103,7 +176,10 @@ def ann_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side cost). Measured on the clustered 50k corpus
     (BASELINE.md §recall): 16p/4b recall@10 0.77→0.99 (m=1, 3.1×
     candidates); the ≥0.9-at-≤2×-cost point is 24p/4b m=1 —
-    recall 0.925 at 1.67× the plain-16p candidate count."""
+    recall 0.925 at 1.67× the plain-16p candidate count. FULL value
+    oracle (``_lsh_oracle(multiprobe=1)``): the Hamming-≤1 bucket
+    expansion is re-derived in DuckDB as per-bit signature compares,
+    so even the probe-set widening is hash-checked."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
     return lsh_probe_literal(_lsh_index(spark, sf_dir), qvec, dim=64, k=5,

@@ -1,7 +1,9 @@
 """ANN recall invariants vs the exact scan (FIXTURES.md §4)."""
 
+import pytest
 from pyspark.sql import functions as F
 
+from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
 from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
     ivf_build,
     ivf_search,
@@ -182,3 +184,18 @@ def test_lsh_literal_probe_matches_expression_probe(spark, sf_smoke):
                     lsh_probe_literal(stack, qvec, dim=64, k=10,
                                       multiprobe=m).collect()]
         assert expr_hits == lit_hits
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_top5", "ann_lsh_multiprobe_top5"])
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_lsh_oracle_parity(spark, name, sf, request):
+    """LSH is seeded + data-independent, so the whole probe — band
+    signatures, (multi-probe) bucket match, exact-cosine rescore,
+    top-k — hash-matches the DuckDB recomputation (queries/ann.py::
+    _lsh_oracle) at both fixture scales: a FULL value oracle for an
+    "approximate" tier, because the approximation itself is
+    deterministic."""
+    from tests.oracle import compare
+
+    sf_dir = request.getfixturevalue(sf)
+    compare(spark, REGISTRY[name], sf_dir, name)
