@@ -643,7 +643,8 @@ class Collection:
                nprobe: int | None = None, exact: bool = False,
                using: str | None = None, oversampling: float = 4.0,
                offset: int = 0, shard_key_selector=None,
-               rescore: int | None = None):
+               rescore: int | None = None, formula: str | None = None,
+               prefetch_limit: int | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -674,11 +675,53 @@ class Collection:
         An engine must not silently trade top-k correctness for speed,
         so the default stays exact. The payload filter runs BEFORE
         stage 1, so filtered searches keep full candidate depth within
-        the filtered slice."""
+        the filtered slice.
+
+        ``formula=`` (Qdrant FormulaQuery / score boosting): a SQL
+        expression over the prescore (``score``) and payload columns —
+        e.g. ``"0.7 * score + 0.3 * popularity"`` or the decay helpers
+        in ``operators/formula.py``. The engine prefetches
+        ``prefetch_limit`` (default ``max(50, 10k)``) hits with the
+        collection's metric, rescores that shortlist with the formula
+        in one Catalyst projection, and returns top-k by the formula
+        value (as ``score``, ranked descending — Qdrant's formula
+        semantics). ``offset`` pages the boosted order."""
         from pyspark.sql import functions as F
 
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
+
+        if formula is not None:
+            # Qdrant FormulaQuery: prefetch with the collection's
+            # metric, rescore the shortlist with a formula over the
+            # prescore (`score`) and payload fields, return top-k by
+            # the formula value. The rescore is one Catalyst
+            # projection over the ≤prefetch_limit-row shortlist —
+            # corpus cost is entirely the prefetch tier's.
+            from .operators.formula import formula_rescore
+
+            if k is None:
+                raise ValueError("formula rescoring requires a finite k")
+            pre_k = (prefetch_limit if prefetch_limit is not None
+                     else max(50, k * 10))
+            pre = self.search(
+                spark, query_vector, k=pre_k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
+                oversampling=oversampling,
+                shard_key_selector=shard_key_selector, rescore=rescore)
+            payload = [c for c in pre.columns if c not in (id_col, "score")]
+            out = formula_rescore(
+                pre, formula, k=k + offset, id_col=id_col,
+                boosted_col="score", payload_cols=payload)
+            if offset:
+                from pyspark.sql import Window
+
+                w = Window.orderBy(F.col("score").desc(),
+                                   F.col(id_col).asc())
+                out = (out.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") > offset).drop("__rn"))
+            return out
 
         if offset:
             if k is None:

@@ -14,7 +14,10 @@ _K1, _B = 1.2, 0.75
 
 _TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _TERMS) + ")"
 
-_BM25_ORACLE = f"""
+# CTE prefix (tokenize → tf/df → per-term contributions) shared with
+# the formula-boost oracle (queries/formula.py), which re-ranks the
+# same prescore.
+_BM25_ORACLE_PRE = f"""
 WITH toked AS (
   SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents
 ),
@@ -37,7 +40,11 @@ contrib AS (
   FROM tf JOIN df_t d ON tf.term = d.term
   JOIN lengths l ON l.doc_id = tf.doc_id
   CROSS JOIN stats s
-)
+),
+"""
+
+_BM25_ORACLE = f"""
+{_BM25_ORACLE_PRE.rstrip().rstrip(',')}
 SELECT doc_id, ROUND(SUM(c), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id

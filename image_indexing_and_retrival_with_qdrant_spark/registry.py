@@ -60,6 +60,7 @@ from .queries import (  # noqa: E402,F401
     dedup,
     discover,
     events,
+    formula,
     hybrid,
     ingest,
     knn,
