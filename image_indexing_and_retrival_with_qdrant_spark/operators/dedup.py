@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, distinct_tokens, hash64, hash64_pair
+from ..functions.text import (
+    char_shingles,
+    distinct_tokens,
+    hash64,
+    hash64_pair,
+    tokens,
+)
 from ..functions.vector import as_double, dot
 
 __all__ = [
@@ -40,7 +46,7 @@ __all__ = [
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs",
     "ml_minhash_similarity_join", "decontaminate",
-    "connected_components",
+    "connected_components", "duplicated_window_stats",
 ]
 
 
@@ -417,3 +423,60 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds")
     return labels.select(F.col("id").alias(id_col),
                          F.col("lbl").alias("cluster_id"))
+
+
+def duplicated_window_stats(df: DataFrame, window: int = 10,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            use_hash: bool = True) -> DataFrame:
+    """Exact-substring duplication — the distributed analog of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated ≥w-token
+    spans are memorization hazards). Every length-``window`` token
+    window is keyed; a key occurring in MORE THAN ONE document marks a
+    duplicated span. Per-doc output: ``(doc_id, dup_windows,
+    total_windows, dup_frac)``.
+
+    Shape: one explode over sliding windows (scan-local — windows are
+    built by ``transform(sequence(...))`` over the token array, no
+    self-join), one groupBy on the window key (uniform 60-bit hash →
+    skew-free shuffle), one key-equi-join back, one per-doc agg. At
+    100 TB that is 2 shuffles of ``Σ(len_d − w + 1)`` small rows —
+    the suffix array's O(total_tokens) work distributed, vs the
+    undistributable single-node suffix array build. ``use_hash``
+    shuffles 8-byte keys instead of ~6·w-byte window strings; the
+    md5-derived ``hash64`` is portable, so the DuckDB oracle
+    reproduces the exact same keys (collision probability over n
+    windows ≈ n²/2⁶¹ — at 10¹⁰ windows use ``hash64_pair`` and key on
+    both halves)."""
+    toks = tokens(F.col(text_col))
+    toked = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= window)
+    wins = toked.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {window - 1}), "
+            f"i -> array_join(slice(toks, i, {window}), ' '))"
+        )).alias("win"),
+    )
+    key = hash64(F.col("win")) if use_hash else F.col("win")
+    keyed = wins.select(F.col(id_col), key.alias("wkey"))
+    dup_keys = (
+        keyed.groupBy("wkey")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wkey", F.lit(1).alias("__dup"))
+    )
+    marked = keyed.join(dup_keys, on="wkey", how="left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+            .alias("dup_windows"),
+            F.count(F.lit(1)).alias("total_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_windows") / F.col("total_windows"), 6),
+        )
+    )

@@ -286,3 +286,50 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(docs, F.col("source"), n=3, min_jaccard=0.6)
     cc = connected_components(pairs, nodes=docs, id_col="doc_id")
     return cc.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+_W = 10  # window length in tokens (Lee et al. use 50 BPE tokens; the
+#          synthetic docs are ~45 words, so 10 keeps spans sub-doc)
+
+@register(
+    "dedup_exact_substrings",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             {_HASH.format(expr=f"array_to_string(list_slice(toks, i, i + {_W} - 1), ' ')")} AS wkey
+      FROM toked, UNNEST(range(1, len(toks) - {_W} + 2)) AS t(i)
+      WHERE len(toks) >= {_W}
+    ),
+    dup AS (
+      SELECT wkey FROM wins GROUP BY wkey
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    stats AS (
+      SELECT w.doc_id,
+             CAST(SUM(CASE WHEN d.wkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dup_windows,
+             CAST(COUNT(*) AS BIGINT) AS total_windows
+      FROM wins w LEFT JOIN dup d ON w.wkey = d.wkey
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, dup_windows, total_windows,
+           ROUND(dup_windows / CAST(total_windows AS DOUBLE), 6) AS dup_frac
+    FROM stats
+    WHERE dup_windows > 0
+    """,
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (suffix-array dedup's distributed
+    analog, Lee et al. 2022): docs containing a 10-token window that
+    also occurs in another document, with per-doc duplicated-window
+    counts and fraction. The window keys are the portable md5-derived
+    ``hash64``, so the oracle reproduces them bit-for-bit."""
+    from ..operators.dedup import duplicated_window_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_window_stats(docs, window=_W).filter(
+        F.col("dup_windows") > 0)

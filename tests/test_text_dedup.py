@@ -18,6 +18,7 @@ DEDUP = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_duplicate_clusters",
+    "dedup_exact_substrings",
 ]
 
 
@@ -101,3 +102,32 @@ def test_connected_components_chains_and_singletons(spark):
     got2 = {r.doc_id: r.cluster_id for r in
             connected_components(empty, nodes=nodes).collect()}
     assert got2 == {i: i for i in [1, 2, 3, 4, 10, 11, 99]}
+
+
+def test_duplicated_window_stats_semantics(spark):
+    """Cross-doc duplicated spans flagged; within-doc repetition and
+    short docs are not (a window must appear in >1 DOCUMENT)."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        duplicated_window_stats,
+    )
+
+    span = "a b c d e"  # 5 tokens, window=5
+    docs = spark.createDataFrame(
+        [
+            (1, f"x y {span} z w"),        # shares span with doc 2
+            (2, f"p q {span} r s"),
+            (3, "m n o " + span.replace("e", "E2") + " t"),  # unique
+            (4, "f1 f2 f3 f4 f5 f1 f2 f3 f4 f5"),  # repeats only within itself
+            (5, "too short"),               # < window tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           duplicated_window_stats(docs, window=5).collect()}
+    assert 5 not in got
+    assert got[1].dup_windows == 1 and got[2].dup_windows == 1
+    assert got[3].dup_windows == 0
+    # doc 4's repeated span exists only in doc 4 → not cross-doc dup
+    assert got[4].dup_windows == 0
+    assert got[1].total_windows == 9 - 5 + 1
+    assert got[1].dup_frac == round(1 / 5, 6)
