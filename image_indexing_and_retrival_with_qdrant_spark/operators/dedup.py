@@ -257,13 +257,24 @@ def jaccard_pairs(df: DataFrame, block_col: Column, text_col: str = "text",
 
 def embedding_near_pairs(df: DataFrame, block_col: Column,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         min_cosine: float = 0.9) -> DataFrame:
+                         min_cosine: float = 0.9,
+                         dim: int | None = None) -> DataFrame:
     """Semantic near-dup: pairs with cosine ≥ τ, blocked by a coarse
     key (label, IVF centroid, LSH bucket) to bound the join.
 
     Vectors are L2-normalized once per row *before* the self-join, so
     per-pair work is a single dot product — at P pairs over n rows
-    that is O(n·d + P·d), not O(P·3d) with two norms per pair."""
+    that is O(n·d + P·d), not O(P·3d) with two norms per pair.
+
+    ``dim`` unrolls the per-pair dot — measured SLOWER here (2.7 →
+    6.6 s at sf0.1, the opposite of the scan-side 2.6× win): the
+    τ-filter is pushed through the projection, duplicating the
+    64-term expression into both filter and project, and the doubled
+    unrolled body overflows codegen limits, while the compact
+    zip_with form stays cheap even evaluated twice. Kept as an option
+    for narrow dims / no-threshold uses; default stays zip_with."""
+    from ..functions.vector import dot_unrolled
+
     v = df.select(
         F.col(id_col), block_col.alias("block"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("_norm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
@@ -271,8 +282,9 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
         F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
     )
     a, b = v.alias("a"), v.alias("b")
+    av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
     cos = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        dot_unrolled(av, bv, dim) if dim is not None else dot(av, bv), 6
     )
     return (
         a.join(b, on="block")

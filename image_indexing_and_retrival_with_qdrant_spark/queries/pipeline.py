@@ -643,3 +643,72 @@ def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_tokens"),
         F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
     )
+
+
+@register(
+    "docs_unigram_perplexity",
+    r"""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM terms GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab),
+    lps AS (
+      SELECT t.doc_id,
+             ln(CAST(v.n AS DOUBLE) / CAST(tt.total AS DOUBLE)) AS lp
+      FROM terms t JOIN vocab v ON t.term = v.term CROSS JOIN tot tt
+    ),
+    agg AS (
+      SELECT doc_id, list(lp ORDER BY lp) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM lps GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(-list_reduce(lps, (a, b) -> a + b)
+                 / CAST(n_tokens AS DOUBLE), 6) AS nll
+    FROM agg
+    """,
+)
+def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (the CCNet idea —
+    rank documents by LM negative log-likelihood — with the LM being
+    the corpus's own unigram distribution, so no external model):
+    per-doc mean −ln p(token), low = typical text, high = outlier.
+
+    Float-sum parity across engines is by SORTED left-fold: each
+    doc's token log-probs are sorted then folded left-to-right
+    (``aggregate(array_sort(collect_list(...)))`` ≡ DuckDB
+    ``list_reduce(list(lp ORDER BY lp))`` — IEEE addition in an
+    identical order on both sides), instead of hoping a native SUM
+    associates identically. Shape: token counts are one uniform-key
+    shuffle; the vocab joins back broadcast (a 10⁷-type vocabulary is
+    ~100 MB — broadcastable; bucket the join if the tokenizer
+    explodes it); the per-doc fold is scan-local over ≤doc-length
+    arrays."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    lps = (
+        terms.join(F.broadcast(vocab), on="term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("n").cast("double")
+                  / F.col("total").cast("double")).alias("lp"),
+        )
+    )
+    agg = lps.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("lp")).alias("lps"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    s = F.aggregate(F.col("lps"), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    return agg.select(
+        "doc_id", "n_tokens",
+        F.round(-s / F.col("n_tokens").cast("double"), 6).alias("nll"),
+    )

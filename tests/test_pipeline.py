@@ -19,6 +19,7 @@ NAMES = [
     "docs_stratified_split",
     "docs_source_mixture",
     "docs_source_profile",
+    "docs_unigram_perplexity",
 ]
 
 
