@@ -84,6 +84,12 @@ HEADLINE = [
     "stream_stateful_dedup",
     "ann_ivf_exhaustive_top5",
     "ann_lsh_multiprobe_top5",
+    # round 4 (cont.): formula rescoring (shortlist-bounded), exact-
+    # substring dedup (2 uniform shuffles), unigram LM quality
+    "knn_formula_boost_top5",
+    "docs_formula_boost_top10",
+    "dedup_exact_substrings",
+    "docs_unigram_perplexity",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

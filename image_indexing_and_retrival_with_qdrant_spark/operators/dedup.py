@@ -440,7 +440,8 @@ def connected_components(
 def duplicated_window_stats(df: DataFrame, window: int = 10,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            use_hash: bool = True) -> DataFrame:
+                            use_hash: bool = True,
+                            portable: bool = True) -> DataFrame:
     """Exact-substring duplication — the distributed analog of
     suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better": repeated ≥w-token
@@ -460,7 +461,10 @@ def duplicated_window_stats(df: DataFrame, window: int = 10,
     md5-derived ``hash64`` is portable, so the DuckDB oracle
     reproduces the exact same keys (collision probability over n
     windows ≈ n²/2⁶¹ — at 10¹⁰ windows use ``hash64_pair`` and key on
-    both halves)."""
+    both halves). ``portable=False`` keys on ``xxhash64`` instead —
+    not oracle-reproducible, but markedly cheaper per window
+    (measured at 10M docs / 210M windows: md5 is the dominant cost);
+    use it when no cross-engine check is needed."""
     toks = tokens(F.col(text_col))
     toked = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= window)
@@ -471,7 +475,12 @@ def duplicated_window_stats(df: DataFrame, window: int = 10,
             f"i -> array_join(slice(toks, i, {window}), ' '))"
         )).alias("win"),
     )
-    key = hash64(F.col("win")) if use_hash else F.col("win")
+    if not use_hash:
+        key = F.col("win")
+    elif portable:
+        key = hash64(F.col("win"))
+    else:
+        key = F.xxhash64(F.col("win"))
     keyed = wins.select(F.col(id_col), key.alias("wkey"))
     dup_keys = (
         keyed.groupBy("wkey")

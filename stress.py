@@ -216,10 +216,69 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         spark.stop()
 
 
+def substring_dedup_at_scale(n: int = 10_000_000, n_tokens: int = 30,
+                             window: int = 10, vocab: int = 50_000) -> None:
+    """Exact-substring dedup at corpus scale: ``n`` synthetic docs of
+    ``n_tokens`` xxhash-derived words; every 100th doc carries one
+    planted 10-token span shared corpus-wide. Windows per doc =
+    n_tokens − window + 1, so the keyed-explode frame is
+    ``n·(n_tokens−w+1)`` rows — at 10M docs that is 210M window
+    hashes through two uniform shuffles, the shape SCALE.md claims."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        duplicated_window_stats,
+    )
+
+    spark = get_spark("stress-dedup",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    span = " ".join(f"dup{i}" for i in range(window))
+    body = (f"array_join(transform(sequence(1, {n_tokens - window}), "
+            f"i -> concat('w', pmod(xxhash64(id, i), {vocab}))), ' ')")
+    text = F.expr(
+        f"CASE WHEN id % 100 = 0 THEN concat('{span}', ' ', {body}) "
+        f"ELSE concat('u', CAST(id AS STRING), ' ', {body}) END")
+    corpus_dir = tempfile.mkdtemp(prefix="stress_docs_")
+    try:
+        (spark.range(n).select(F.col("id").alias("doc_id"),
+                               text.alias("text"))
+         .write.mode("overwrite").parquet(corpus_dir))
+        docs = spark.read.parquet(corpus_dir)
+        out = {"metric": "stress_substring_dedup", "rows": n,
+               "windows": n * (n_tokens - window + 1),
+               "window_tokens": window}
+        for label, portable in (("portable_md5", True),
+                                ("xxhash64", False)):
+            t0 = time.perf_counter()
+            stats = duplicated_window_stats(docs, window=window,
+                                            portable=portable)
+            flagged, total_docs = (
+                stats.agg(
+                    F.sum((F.col("dup_windows") > 0).cast("long")),
+                    F.count(F.lit(1)),
+                ).collect()[0]
+            )
+            dt = round(time.perf_counter() - t0, 2)
+            # every planted doc shares the span; random-tail collisions
+            # can only add flagged docs, never remove
+            assert flagged >= n // 100, (flagged, n // 100)
+            assert total_docs == n
+            out[f"{label}_sec"] = dt
+            out[f"{label}_mwindows_per_sec"] = round(
+                n * (n_tokens - window + 1) / dt / 1e6, 1)
+            out["flagged_docs"] = int(flagged)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "maxsim":
         args = [int(a) for a in sys.argv[2:]]
         maxsim_at_shape(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        args = [int(a) for a in sys.argv[2:]]
+        substring_dedup_at_scale(*args)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
