@@ -888,13 +888,21 @@ class Collection:
 
     def query(self, spark: SparkSession, prefetch, fusion: str = "rrf",
               k: int = 5, id_col: str = "id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              formula: str | None = None) -> DataFrame:
         """Qdrant's universal ``query_points(prefetch=[...],
         query=FusionQuery(...))``: run each prefetch branch through the
         ordinary search path (its own vector space, filter, and
         depth), then fuse the ranked shortlists with RRF or DBSF. Each
         branch is a scan-local retrieval; fusion operates on
-        ≤ Σ limits rows."""
+        ≤ Σ limits rows.
+
+        ``formula=`` stacks a FormulaQuery on top (Qdrant's
+        prefetch → fusion → formula pipeline): the fused shortlist is
+        joined with the collection's payload columns (broadcast, the
+        corpus is never re-shuffled) and rescored by the formula over
+        the fused prescore (``score``) + payload; top-k by the
+        formula value, returned as ``score``."""
         from .operators.fusion import dbsf_fuse, rrf_fuse
         from .operators.knn import _DISTANCE_METRICS
 
@@ -911,11 +919,26 @@ class Collection:
                 vec_col=vec_col)
             asc = cfg.get("metric", "cosine") in _DISTANCE_METRICS
             branches.append((hits.select(id_col, "score"), asc))
+        fuse_k = k if formula is None else max(50, k * 10)
         if fusion == "rrf":
-            return rrf_fuse(branches, k=k, id_col=id_col)
-        if fusion == "dbsf":
-            return dbsf_fuse(branches, k=k, id_col=id_col)
-        raise ValueError(f"unknown fusion {fusion!r} (rrf|dbsf)")
+            fused = rrf_fuse(branches, k=fuse_k, id_col=id_col)
+        elif fusion == "dbsf":
+            fused = dbsf_fuse(branches, k=fuse_k, id_col=id_col)
+        else:
+            raise ValueError(f"unknown fusion {fusion!r} (rrf|dbsf)")
+        if formula is None:
+            return fused
+        from .operators.formula import formula_rescore
+
+        # fusion emits its score under its own name (rrf/dbsf);
+        # formulas address the prescore as `score`, Qdrant's $score
+        fused = fused.withColumnRenamed(fusion, "score")
+        payload = [c for c in self.read(spark).columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
+        shortlist = self.read(spark).select(id_col, *payload).join(
+            F.broadcast(fused), on=id_col)
+        return formula_rescore(shortlist, formula, k=k, id_col=id_col,
+                               boosted_col="score", payload_cols=payload)
 
     def recommend(self, spark: SparkSession, positive: list, negative:
                   list = (), k: int = 5, query_filter=None,

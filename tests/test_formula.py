@@ -97,3 +97,32 @@ def test_collection_search_formula(spark, tmp_path):
     page2 = coll.search(spark, qv, k=2, offset=2,
                         formula="0.01 * score + pop / 19.0").collect()
     assert [r.id for r in page2] == [17, 16]
+
+
+def test_collection_query_prefetch_formula(spark, tmp_path):
+    """Qdrant's full pipeline: prefetch branches → fusion → formula
+    rescore over fused prescore + payload."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        Prefetch,
+        create_collection,
+    )
+
+    coll = create_collection(
+        str(tmp_path), "uqf",
+        vectors={"dense": {"dim": 2, "metric": "dot",
+                           "normalize": False}})
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.0), (2, [0.8, 0.0], 100.0),
+         (3, [0.1, 0.0], 50.0)],
+        "id int, dense array<double>, pop double")
+    coll.upsert(spark, pts)
+    plain = coll.query(
+        spark, Prefetch([1.0, 0.0], using="dense", limit=3),
+        fusion="rrf", k=3).collect()
+    assert [r.id for r in plain] == [1, 2, 3]
+    boosted = coll.query(
+        spark, Prefetch([1.0, 0.0], using="dense", limit=3),
+        fusion="rrf", k=3, formula="score + pop / 100.0").collect()
+    # pop boost overturns the fused order: 2 (rrf@2 + 1.0) wins
+    assert boosted[0].id == 2
+    assert "score" in boosted[0].asDict() and "pop" in boosted[0].asDict()

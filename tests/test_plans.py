@@ -168,3 +168,31 @@ def test_matrix_join_is_sample_broadcast(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "matrix_pairs_top3")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_formula_rescore_adds_no_exchange(spark, sf_smoke):
+    """Formula boosting keeps the prefetch's plan: the corpus path is
+    still broadcast-join + TakeOrderedAndProject; the rescore is a
+    projection over the shortlist plus a final bounded top-k — no
+    SortMergeJoin, no corpus-wide Sort appears."""
+    plan = _plan(spark, sf_smoke, "knn_formula_boost_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the prefetch's
+    assert "SortMergeJoin" not in plan
+    # exactly one global Sort is acceptable only if over the
+    # shortlist; TakeOrdered covers the top-k, so none should remain
+    assert "\n   Sort " not in plan
+
+
+def test_substring_dedup_shuffles_keys_not_text(spark, sf_smoke):
+    """The window explode stays scan-local; what shuffles is the
+    (doc_id, 8-byte wkey) frame — window STRINGS never cross an
+    exchange (they are hashed before the first aggregate)."""
+    plan = _plan(spark, sf_smoke, "dedup_exact_substrings")
+    parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert parts, "expected shuffles on the window key"
+    # every shuffle keys on wkey and/or doc_id — never the window text
+    assert all(("wkey" in l) or ("doc_id" in l) for l in parts)
+    assert all("win#" not in l for l in parts)
+    # the dup-key set joins back as a broadcast (SCALE.md posture)
+    assert "BroadcastExchange" in plan
