@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens", "distinct_tokens", "char_shingles", "word_shingles",
+    "word_shingles_arr",
     "hash64", "hash64_pair",
     "normalize_text", "fingerprint", "STOPWORDS", "stopword_ratio",
     "punct_ratio", "lang_guess", "quality_score",
@@ -52,8 +53,26 @@ def word_shingles(col: Column, n: int = 4) -> Column:
     must filter rows with fewer than ``n`` tokens first — Spark's
     ``sequence`` would otherwise run descending (the ``greatest``
     guard only keeps the expression total, yielding one short
-    shingle, same as ``char_shingles``)."""
+    shingle, same as ``char_shingles``).
+
+    PERF: the tokenizer regex is inlined inside the ``transform``
+    lambda, so it re-runs once per shingle slot — measured 4× slower
+    than tokenizing once (decontaminate at sf0.1: 2.9 → 0.7 s). In a
+    hot path, materialize ``tokens(col)`` into its own projection and
+    use :func:`word_shingles_arr` on the bound column instead (a
+    multi-referenced non-trivial alias is NOT collapsed back into the
+    lambda by CollapseProject, so the regex runs once per row)."""
     toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def word_shingles_arr(toks: Column, n: int = 4) -> Column:
+    """`word_shingles` over an already-tokenized ``array<string>``
+    column — same output, one regex pass per row (see above). Same
+    ≥n-tokens caller contract."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -355,15 +355,18 @@ def decontaminate(
     any shuffle; only matched (rare) rows reach the per-doc count agg.
     No corpus shuffle, no skew key (shingle join is broadcast-side).
     """
-    from ..functions.text import tokens, word_shingles
+    from ..functions.text import word_shingles_arr
 
     def shingled(df: DataFrame, cols: list[str]) -> DataFrame:
-        return (
-            df.filter(F.size(tokens(F.col(text_col))) >= n)
-            .select(*cols,
-                    F.explode(word_shingles(F.col(text_col), n))
-                    .alias("shingle"))
-        )
+        # tokenize ONCE into a bound column; the shingle lambda slices
+        # the materialized array (word_shingles inline would re-run
+        # the tokenizer regex per shingle slot — measured 4× slower)
+        t = df.select(*cols, tokens(F.col(text_col)).alias("__toks")) \
+              .filter(F.size("__toks") >= n)
+        return t.select(
+            *cols,
+            F.explode(word_shingles_arr(F.col("__toks"), n))
+            .alias("shingle"))
 
     bench = shingled(benchmark, []).distinct()
     hits = (
