@@ -452,3 +452,34 @@ def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
     return ivfpq_search(acodes, centroids, codebooks, emb, qvec,
                         k=5, nprobe=4, rescore=100)
+
+
+@register(
+    "ann_ivfpq_exhaustive_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def ann_ivfpq_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with ``nprobe = k_centroids`` and ``rescore = |corpus|``
+    — every cell probed, every candidate exact-rescored, so the final
+    ranking is provably the exact scan (the ADC stage only orders a
+    shortlist that now covers everything). Like
+    ``ann_ivf_exhaustive_top5``, this puts a FULL value oracle on the
+    composed read path the approximate ``ann_ivfpq_top5`` uses:
+    centroid shortlist → code-table probe → ADC LUT scoring →
+    semi-join rescore fetch → top-k, all driver-hash-checked."""
+    from ..operators.pq import ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    codes, codebooks = _pq_index(spark, sf_dir)
+    acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
+    return ivfpq_search(acodes, centroids, codebooks, emb, qvec,
+                        k=5, nprobe=16, rescore=emb.count())

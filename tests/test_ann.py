@@ -199,3 +199,13 @@ def test_lsh_oracle_parity(spark, name, sf, request):
 
     sf_dir = request.getfixturevalue(sf)
     compare(spark, REGISTRY[name], sf_dir, name)
+
+
+def test_ivfpq_exhaustive_oracle_parity(spark, sf_smoke):
+    """nprobe=all + rescore=|corpus| makes the composed IVFPQ read
+    path provably the exact scan — full value oracle on the
+    probe → ADC → rescore plumbing."""
+    from tests.oracle import compare
+
+    compare(spark, REGISTRY["ann_ivfpq_exhaustive_top5"], sf_smoke,
+            "ann_ivfpq_exhaustive_top5")
