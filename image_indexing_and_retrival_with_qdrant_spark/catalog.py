@@ -1151,12 +1151,24 @@ class Collection:
                       group_by: str, limit: int = 3, group_size: int = 2,
                       query_filter=None, id_col: str = "id",
                       vec_col: str = "embedding",
-                      using: str | None = None) -> DataFrame:
+                      using: str | None = None,
+                      with_lookup=None) -> DataFrame:
         """Qdrant's ``query_points_groups`` analog (dense collections):
         results grouped by a payload field — the best ``group_size``
         hits from each of the top ``limit`` groups, groups ranked by
         their best hit. One corpus pass: score (scan-local), per-group
-        window, ≤limit-row group verdict broadcast back."""
+        window, ≤limit-row group verdict broadcast back.
+
+        ``with_lookup`` (Qdrant ``WithLookup``): a ``Collection`` — or
+        ``(Collection, [fields])`` to project a subset — whose point
+        ids are the ``group_by`` values; each result row gains that
+        point's payload as ``lookup_<field>`` columns (e.g. chunks
+        grouped by document id, looked up in the documents
+        collection). The ≤``limit`` group ids are collected
+        driver-side and pushed into the lookup scan as a literal
+        ``IN`` filter (row-group pruning), so the lookup table is
+        never scanned wide or shuffled — the ≤limit matched rows
+        broadcast into the join."""
         from .operators.knn import _DISTANCE_METRICS, dense_knn
         from .operators.topk import top_groups
 
@@ -1180,9 +1192,27 @@ class Collection:
             dim=cfg.get("dim"), metric=metric,
         )
         asc = metric in _DISTANCE_METRICS
-        return top_groups(scored, group_by,
-                          [("score", asc), (id_col, True)],
-                          limit=limit, group_size=group_size)
+        out = top_groups(scored, group_by,
+                         [("score", asc), (id_col, True)],
+                         limit=limit, group_size=group_size)
+        if with_lookup is None:
+            return out
+        if isinstance(with_lookup, tuple):
+            lookup, lfields = with_lookup
+        else:
+            lookup, lfields = with_lookup, None
+        ltab = lookup.read(spark)
+        if lfields is None:
+            lfields = [c for c in ltab.columns
+                       if c not in lookup._vector_columns(vec_col)
+                       | {id_col}]
+        gids = [r[0] for r in out.select(group_by).distinct().collect()]
+        sel = ltab.filter(F.col(id_col).isin(gids)).select(
+            F.col(id_col).alias("__gid"),
+            *[F.col(c).alias(f"lookup_{c}") for c in lfields])
+        return (out.join(F.broadcast(sel),
+                         out[group_by] == sel["__gid"], "left")
+                .drop("__gid"))
 
     def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
                              cfg: dict, k: int, query_filter,

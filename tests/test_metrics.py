@@ -183,3 +183,32 @@ def test_search_offset_pagination(spark, tmp_path):
     assert [r.id for r in page2] == [3, 4]
     with pytest.raises(ValueError, match="finite k"):
         coll.search(spark, [0.0, 0.0, 0.0], k=None, offset=2)
+
+
+def test_search_groups_with_lookup(spark, tmp_path):
+    """Qdrant WithLookup: the group id names a point in another
+    collection; its payload joins onto every result row as
+    lookup_<field> columns (a missing lookup point leaves nulls)."""
+    coll = create_collection(str(tmp_path), "gl", dim=2, metric="euclid")
+    pts = spark.createDataFrame(
+        [(1, 10, [0.0, 0.0]), (2, 10, [0.1, 0.0]),
+         (3, 20, [1.0, 0.0]), (4, 99, [9.0, 0.0])],
+        "id int, doc int, embedding array<double>")
+    coll.upsert(spark, pts)
+    docs = create_collection(str(tmp_path), "gl_docs", dim=2)
+    docs.upsert(spark, spark.createDataFrame(
+        [(10, [1.0, 0.0], "alpha"), (20, [0.0, 1.0], "beta")],
+        "id int, embedding array<double>, title string"))
+    out = coll.search_groups(spark, [0.0, 0.0], group_by="doc",
+                             limit=3, group_size=1,
+                             with_lookup=docs).collect()
+    got = {r.doc: r for r in out}
+    assert got[10].lookup_title == "alpha"
+    assert got[20].lookup_title == "beta"
+    assert got[99].lookup_title is None  # no lookup point: nulls
+    # field subset projection
+    out2 = coll.search_groups(spark, [0.0, 0.0], group_by="doc",
+                              limit=1, group_size=1,
+                              with_lookup=(docs, ["title"])).collect()
+    assert out2[0].lookup_title == "alpha"
+    assert "lookup_id" not in out2[0].asDict()
