@@ -118,7 +118,8 @@ def cmd_query(cfg: EngineConfig, args) -> int:
     # Collection.search normalizes the query for cosine collections
     # (the stub embedder's output is not unit-norm) and projects the
     # payload columns with the collection's declared scoring.
-    hits = coll.search(spark, list(qvec), k=args.top_k)
+    hits = coll.search(spark, list(qvec), k=args.top_k,
+                       formula=getattr(args, "formula", None))
     payload = [c for c in ("content", "title", "filename", "relative_path")
                if c in hits.columns]
     for i, row in enumerate(hits.collect(), 1):
@@ -239,6 +240,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("query")
     p.add_argument("text")
     p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--formula", default=None,
+                   help="score-boost formula over `score` + payload "
+                        "columns (Qdrant FormulaQuery), e.g. "
+                        "'0.7 * score + 0.3 * popularity'")
     _add_common(p)
 
     p = sub.add_parser("stats")
