@@ -25,4 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+    # factory oracles (data-derived constants) resolve at the driver's
+    # correctness SF
+    return {name: e.oracle_for("/root/testdata/sf0.01")
+            for name, e in REGISTRY.items() if e.oracle is not None}

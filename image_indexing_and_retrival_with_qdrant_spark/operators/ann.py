@@ -456,3 +456,66 @@ def lsh_search(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
     return lsh_probe(c_stack, query, dim, k, id_col, vec_col,
                      query_vec_col, n_planes, n_bands, seed,
                      round_digits, multiprobe)
+
+
+# --- deterministic numpy KMeans (the sample-train scale path, made
+# --- bit-reproducible so the IVF tier can carry a full value oracle)
+
+def kmeans_np(data, k: int, seed: int = 42, max_iter: int = 10):
+    """Lloyd's KMeans in pure numpy with DETERMINISTIC float behavior:
+    distances via squared-difference pairwise sums (`(x−c)²` summed
+    with np.sum's pairwise reduction — no BLAS GEMM, whose reduction
+    order varies with thread count), k-means++-free seeded init
+    (first-k of a seeded permutation), first-minimum argmin
+    tie-break, means via np.mean (pairwise, deterministic). Given the
+    same rows in the same order, any process produces bit-identical
+    centroids — which is what lets a query builder and its oracle
+    generator derive the SAME codebook independently.
+
+    This mirrors how production IVF actually trains (FAISS: sampled
+    in-memory train, then distributed assignment); the engine's
+    assignment/probe stay Spark expressions over centroid literals.
+    """
+    X = np.asarray(data, dtype=np.float64)
+    n = X.shape[0]
+    if n < k:
+        raise ValueError(f"need >= {k} training rows, got {n}")
+    rng = np.random.RandomState(seed)
+    C = X[np.sort(rng.permutation(n)[:k])].copy()
+    for _ in range(max_iter):
+        # (n, k) squared distances without GEMM: pairwise np.sum
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # first-min tie-break
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return [c.tolist() for c in C]
+
+
+def read_vectors_np(parquet_path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    sample: int | None = None, seed: int = 42):
+    """Driver-side vector fetch for deterministic training: read the
+    parquet directly (pyarrow), sort by id (a total, engine-agnostic
+    order), optionally take a seeded row sample. Both the Spark query
+    builder and the DuckDB oracle generator call THIS — same rows,
+    same order, same floats — so their trained codebooks are
+    bit-identical. At 100 TB the equivalent is a seeded sample job
+    written to one file; training is in-memory either way (FAISS
+    convention)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(t.column(id_col))
+    order = np.argsort(ids, kind="stable")
+    vecs = t.column(vec_col).to_pylist()
+    X = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    if sample is not None and sample < len(X):
+        rng = np.random.RandomState(seed)
+        X = X[np.sort(rng.permutation(len(X))[:sample])]
+    return X

@@ -483,3 +483,93 @@ def ann_ivfpq_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
     return ivfpq_search(acodes, centroids, codebooks, emb, qvec,
                         k=5, nprobe=16, rescore=emb.count())
+
+
+# --- deterministic sample-trained IVF: a genuinely APPROXIMATE probe
+# --- (nprobe=4 of 16) that still carries a FULL value oracle, because
+# --- training is bit-reproducible outside Spark (kmeans_np) and the
+# --- centroids are shared literals between builder and oracle.
+
+_NP_CENTROIDS: dict = {}
+
+
+def _np_centroids(sf_dir: str, k: int = 16, seed: int = 42):
+    """Deterministic centroids per sf_dir — pure numpy over a
+    driver-side parquet read (no SparkSession involved), so the query
+    builder and the oracle factory derive the SAME codebook."""
+    import os
+
+    key = (sf_dir, k, seed)
+    if key not in _NP_CENTROIDS:
+        from ..operators.ann import kmeans_np, read_vectors_np
+
+        X = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))
+        _NP_CENTROIDS[key] = kmeans_np(X, k, seed=seed)
+    return _NP_CENTROIDS[key]
+
+
+def _duck_sq_dist(vec: str, c: list[float]) -> str:
+    """DuckDB twin of operators/ann.py::_sq_dist_sql — the same
+    left-associated (elem − c)² sum in float64."""
+    return "(" + " + ".join(
+        f"((CAST({vec}[{j + 1}] AS DOUBLE) - {float(cj)!r})"
+        f" * (CAST({vec}[{j + 1}] AS DOUBLE) - {float(cj)!r}))"
+        for j, cj in enumerate(c)
+    ) + ")"
+
+
+def _ivf_det_oracle(sf_dir: str, k: int = 5, nprobe: int = 4) -> str:
+    """Oracle FACTORY (registry resolves with the sf being checked):
+    re-derives the identical centroids via kmeans_np, then recomputes
+    assignment (first-min argmin ≡ Spark's lexicographic struct min),
+    the nprobe centroid shortlist, and the exact-cosine rescore —
+    the entire approximate read path hash-checked."""
+    cents = _np_centroids(sf_dir)
+    dl = "list_value(" + ", ".join(
+        _duck_sq_dist("e.embedding", c) for c in cents) + ")"
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cid, {_duck_sq_dist('q.embedding', c)} AS d FROM q"
+        for i, c in enumerate(cents))
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM ({probe_rows})
+      ORDER BY d ASC, cid ASC LIMIT {nprobe}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             list_position({dl}, list_min({dl})) - 1 AS cid
+      FROM embeddings e
+    )
+    SELECT c.vec_id,
+           ROUND({_COS.format(a='c.embedding', b='qq.qv')}, 6) AS score
+    FROM cand c
+    CROSS JOIN (SELECT embedding AS qv FROM q) qq
+    WHERE c.cid IN (SELECT cid FROM probe)
+    ORDER BY score DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@register("ann_ivf_det_top5", _ivf_det_oracle)
+def ann_ivf_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained IVF probe (nprobe=4 of 16) with a FULL value
+    oracle — the one tier that is genuinely approximate AND exactly
+    hash-checked. Training is `kmeans_np` (deterministic pure-numpy
+    Lloyd's over a driver-side parquet read — the FAISS convention:
+    codebooks train on an in-memory sample, only assignment is
+    distributed); the oracle factory re-trains identically and embeds
+    the same centroid literals, so assignment (argmin of unrolled
+    left-assoc squared distances), centroid shortlist, and rescored
+    top-k all reproduce bit-for-bit in DuckDB. The Spark-ML-trained
+    `ann_ivf_top5` remains the rows-only sibling."""
+    from ..operators.ann import assign_centroid_expr
+
+    cents = _np_centroids(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = emb.withColumn(
+        "centroid_id", assign_centroid_expr(cents, "embedding"))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>")
+    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=4)

@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass(frozen=True)
 class Entry:
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]
+    # str: static SQL. Callable[[sf_dir], str]: an ORACLE FACTORY for
+    # oracles that embed data-derived constants (e.g. the
+    # deterministically-trained IVF centroids) — resolved with the
+    # sf_dir being checked (__spark_entry__.oracle_sql resolves at the
+    # driver's sf0.01; tests/oracle.compare at its own sf).
+    oracle: Optional[str | Callable[[str], str]]
+
+    def oracle_for(self, sf_dir: str) -> Optional[str]:
+        return self.oracle(sf_dir) if callable(self.oracle) else self.oracle
 
 
 REGISTRY: dict[str, Entry] = {}

@@ -50,7 +50,7 @@ def compare(spark, entry, sf_dir: str, name: str = "?") -> None:
 
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(entry.oracle)
+        res = con.execute(entry.oracle_for(sf_dir))
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
     finally:

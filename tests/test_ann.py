@@ -209,3 +209,36 @@ def test_ivfpq_exhaustive_oracle_parity(spark, sf_smoke):
 
     compare(spark, REGISTRY["ann_ivfpq_exhaustive_top5"], sf_smoke,
             "ann_ivfpq_exhaustive_top5")
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_ivf_det_oracle_parity(spark, sf, request):
+    """The sample-trained IVF tier is approximate (nprobe=4/16) yet
+    fully value-oracled: kmeans_np training is bit-reproducible
+    outside Spark, so the oracle factory re-derives identical
+    centroids and the whole read path hash-matches."""
+    from tests.oracle import compare
+
+    sf_dir = request.getfixturevalue(sf)
+    compare(spark, REGISTRY["ann_ivf_det_top5"], sf_dir,
+            "ann_ivf_det_top5")
+
+
+def test_kmeans_np_deterministic_and_partitions(spark, sf_smoke):
+    """Same data, same seed → bit-identical centroids across calls
+    (the property the oracle factory depends on); every vector
+    assigns to a valid centroid."""
+    import os
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        kmeans_np,
+        read_vectors_np,
+    )
+
+    X = read_vectors_np(os.path.join(sf_smoke, "embeddings.parquet"))
+    c1 = kmeans_np(X, 8, seed=7)
+    c2 = kmeans_np(X, 8, seed=7)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 64
+    c3 = kmeans_np(X, 8, seed=8)
+    assert c3 != c1  # seed actually matters
