@@ -573,3 +573,104 @@ def ann_ivf_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(cents)],
         "centroid_id int, centroid array<double>")
     return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=4)
+
+
+_NP_PQ_CODEBOOKS: dict = {}
+
+
+def _np_pq_codebooks(sf_dir: str, n_blocks: int = 8, k_codes: int = 16,
+                     seed: int = 42):
+    """Deterministic per-block PQ codebooks (kmeans_np over each
+    subvector slice of the driver-side parquet read)."""
+    import os
+
+    key = (sf_dir, n_blocks, k_codes, seed)
+    if key not in _NP_PQ_CODEBOOKS:
+        from ..operators.ann import kmeans_np, read_vectors_np
+
+        X = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))
+        subdim = X.shape[1] // n_blocks
+        _NP_PQ_CODEBOOKS[key] = [
+            kmeans_np(X[:, b * subdim:(b + 1) * subdim], k_codes,
+                      seed=seed + b)
+            for b in range(n_blocks)
+        ]
+    return _NP_PQ_CODEBOOKS[key]
+
+
+def _np_query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The query vector read driver-side (pyarrow) — float32 parquet
+    values widened exactly, identical to a Spark collect."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    return [float(x) for x in
+            t.column("embedding").to_pylist()[ids.index(vec_id)]]
+
+
+def _pq_det_oracle(sf_dir: str, k: int = 5, n_blocks: int = 8) -> str:
+    """Oracle factory for the deterministic PQ tier: re-derive the
+    codebooks (kmeans_np), recompute each row's per-block code
+    (first-min argmin over the same unrolled sub-distances), build the
+    SAME ADC lookup tables the Spark path builds (identical python
+    left-to-right dot), and rank by the LUT sum — quantization error
+    and all, hash-checked."""
+    cbs = _np_pq_codebooks(sf_dir, n_blocks=n_blocks)
+    qvec = _np_query_vec(sf_dir)
+    subdim = len(cbs[0][0])
+    terms = []
+    for b, cb in enumerate(cbs):
+        off = b * subdim
+        dl = "list_value(" + ", ".join(
+            "(" + " + ".join(
+                f"((CAST(e.embedding[{off + j + 1}] AS DOUBLE) - {float(cj)!r})"
+                f" * (CAST(e.embedding[{off + j + 1}] AS DOUBLE) - {float(cj)!r}))"
+                for j, cj in enumerate(cw)
+            ) + ")"
+            for cw in cb) + ")"
+        pos = f"list_position({dl}, list_min({dl}))"  # 1-based code
+        q_sub = qvec[off:off + subdim]
+        lut = ", ".join(
+            f"{sum(float(q) * float(c) for q, c in zip(q_sub, cw))!r}"
+            for cw in cb)
+        terms.append(f"(list_value({lut}))[{pos}]")
+    score = " + ".join(terms)
+    return f"""
+    SELECT e.vec_id, ROUND({score}, 6) AS score
+    FROM embeddings e
+    ORDER BY score DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register("ann_pq_det_top5", _pq_det_oracle)
+def ann_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ ADC search (8 blocks × 16 codes, 32×
+    compression) with a FULL value oracle — like `ann_ivf_det_top5`,
+    the approximation itself (kmeans_np codebooks, argmin encoding,
+    LUT scoring) is bit-reproducible outside Spark, so DuckDB ranks
+    the same quantized scores. The Spark-ML-trained `ann_pq_top5`
+    remains the rows-only sibling; this tier encodes via the
+    per-block unrolled argmin expressions (correctness path — the
+    scale encode is the Arrow-batched numpy UDF)."""
+    from ..operators.ann import assign_centroids
+
+    cbs = _np_pq_codebooks(sf_dir)
+    subdim = len(cbs[0][0])
+    emb = load(spark, sf_dir, "embeddings")
+    code_cols = [
+        assign_centroids(
+            cbs[b],
+            F.slice(F.col("embedding"), b * subdim + 1, subdim)
+            .cast("array<double>"),
+        ).alias(f"code{b}")
+        for b in range(len(cbs))
+    ]
+    codes = emb.select(F.col("vec_id"), *code_cols)
+    from ..operators.pq import pq_search
+
+    return pq_search(codes, cbs, _np_query_vec(sf_dir), k=5)

@@ -67,3 +67,20 @@ def test_ivfpq_composed_search(spark, sf_smoke):
     exact = {r.vec_id for r in dense_knn(emb, q, k=10, dim=64).collect()}
     overlap = len(exact & {r.vec_id for r in got}) / 10
     assert overlap >= 0.5, f"IVFPQ overlap too low: {overlap}"
+
+
+import pytest
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_pq_det_oracle_parity(spark, sf, request):
+    """Deterministic PQ tier: kmeans_np codebooks + argmin encoding +
+    LUT scoring reproduce bit-for-bit in DuckDB — the quantized
+    ranking itself is hash-checked, not just recall-bounded."""
+    from image_indexing_and_retrival_with_qdrant_spark.registry import (
+        REGISTRY,
+    )
+    from tests.oracle import compare
+
+    compare(spark, REGISTRY["ann_pq_det_top5"],
+            request.getfixturevalue(sf), "ann_pq_det_top5")
