@@ -1228,20 +1228,21 @@ class Collection:
             raise ValueError("batched MaxSim needs the flat layout; "
                              "re-upsert or loop search()")
         dim = cfg.get("dim")
-        rows = []
-        for i, mv in enumerate(query_vectors):
+        flats = []
+        for mv in query_vectors:
             qv = [[float(x) for x in v] for v in mv]
             if cfg.get("normalize"):
                 qv = [_unit(v) for v in qv]
-            rows.append((i, [x for v in qv for x in v]))
-        qdf = spark.createDataFrame(
-            rows, "query_idx int, query_vectors array<double>")
+            flats.append([x for v in qv for x in v])
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
+        # whole batch captured in the scorer closure: docs cross Arrow
+        # once regardless of Q (no Q-way doc duplication via the join)
         return maxsim_knn_batch(
-            corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
+            corpus, None, k=k, id_col=id_col, mv_col=vec_col,
             payload_cols=payload, prefilter=query_filter,
             score_threshold=score_threshold, flat_dim=dim,
+            queries_flat=flats,
         )
 
     # -- point management (Qdrant client surface beyond the reference) ----

@@ -37,6 +37,7 @@ from ..functions.vector import dot
 from .topk import global_topk
 
 __all__ = ["maxsim_score_udf", "maxsim_score_flat_const_udf",
+           "maxsim_score_flat_multi_udf",
            "maxsim_knn", "maxsim_knn_batch",
            "maxsim_knn_exact", "as_multivector"]
 
@@ -139,6 +140,45 @@ def maxsim_score_flat_const_udf(dim: int, query_flat: Sequence[float]):
     return _score
 
 
+def maxsim_score_flat_multi_udf(dim: int,
+                                queries_flat: Sequence[Sequence[float]]):
+    """Multi-query capture scorer: ALL queries live in the closure and
+    every doc row scores against each of them in one pass, returning
+    ``array<double>`` of ``len(queries)`` scores. The column-join
+    batch form ships every doc row Q times through the join + Arrow;
+    this ships docs ONCE regardless of Q — at ColPali shape with a
+    Q-query batch, that is a Q× cut of the dominant byte stream.
+    Per-query math is the same stacked matmul as the single-query
+    capture scorer, so scores are bit-identical (pinned)."""
+    Qs = [np.asarray(list(q), dtype=np.float64).reshape(-1, dim)
+          for q in queries_flat]
+    uniform_q = len({q.shape for q in Qs}) == 1
+    QS = np.stack(Qs) if uniform_q else None      # (Qn, q, dim)
+
+    @F.pandas_udf("array<double>")
+    def _score(doc_flat: pd.Series) -> pd.Series:
+        if len(doc_flat) == 0:
+            return pd.Series([], dtype=object)
+        if doc_flat.map(len).nunique() == 1 and QS is not None:
+            B = len(doc_flat)
+            D = np.asarray(
+                np.stack(doc_flat.to_numpy()), dtype=np.float64
+            ).reshape(B, -1, dim)                 # (B, n, dim)
+            Dt = D.transpose(0, 2, 1)             # (B, dim, n)
+            # (B, Qn, q, n): one batched matmul over docs × queries
+            sims = np.matmul(QS[None], Dt[:, None])
+            scores = sims.max(axis=3).sum(axis=2)  # (B, Qn)
+            return pd.Series(list(scores))
+        out = []
+        for d in doc_flat:
+            D = np.asarray(d, dtype=np.float64).reshape(-1, dim)
+            out.append(np.array(
+                [(Q @ D.T).max(axis=1).sum() for Q in Qs]))
+        return pd.Series(out)
+
+    return _score
+
+
 def maxsim_knn(
     corpus: DataFrame,
     query: DataFrame,
@@ -213,26 +253,49 @@ def maxsim_knn_batch(
     round_digits: int | None = 6,
     flat_dim: int | None = None,
     local_prune: bool = True,
+    queries_flat: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Batched MaxSim (``query_batch_points`` for multivector
     collections): broadcast the query set, score every (doc × query)
     pair in one corpus pass with the vectorized scorer, rank per query.
     Same shuffle discipline as ``dense_knn_batch``: the map-side
-    pre-prune caps the window's shuffle at ``batches×Q×k`` rows."""
+    pre-prune caps the window's shuffle at ``batches×Q×k`` rows.
+
+    With ``queries_flat`` (list of flat query vectors, requires
+    ``flat_dim``; ``queries`` is ignored) the whole batch is captured
+    in the scorer closure: docs cross Arrow once with an
+    ``array<double>`` of per-query scores posexploded into
+    ``(query_idx, score)`` — no join, no Q× doc duplication
+    (see ``maxsim_score_flat_multi_udf``)."""
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
-    if flat_dim is not None:
-        score = maxsim_score_flat_udf(flat_dim)(
-            F.col(mv_col), F.col(query_mv_col))
+    if queries_flat is not None:
+        if flat_dim is None:
+            raise ValueError("queries_flat requires flat_dim")
+        arr = maxsim_score_flat_multi_udf(flat_dim, queries_flat)(
+            F.col(mv_col))
+        score = F.col("__s")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = corpus.select(
+            F.col(id_col), *payload_cols,
+            F.posexplode(arr).alias(query_id_col, "__s"),
+        ).select(query_id_col, id_col, *payload_cols,
+                 score.alias("score"))
     else:
-        score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
-    if round_digits is not None:
-        score = F.round(score, round_digits)
-    scored = (
-        corpus.join(F.broadcast(queries.select(query_id_col, query_mv_col)))
-        .withColumn("score", score)
-        .select(query_id_col, id_col, *payload_cols, "score")
-    )
+        if flat_dim is not None:
+            score = maxsim_score_flat_udf(flat_dim)(
+                F.col(mv_col), F.col(query_mv_col))
+        else:
+            score = maxsim_score_udf()(F.col(mv_col), F.col(query_mv_col))
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = (
+            corpus.join(
+                F.broadcast(queries.select(query_id_col, query_mv_col)))
+            .withColumn("score", score)
+            .select(query_id_col, id_col, *payload_cols, "score")
+        )
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= score_threshold)
     from .topk import grouped_topk

@@ -105,3 +105,64 @@ def test_query_capture_matches_query_column(spark, sf_smoke):
                           query_flat=qflat).collect()
     assert [(r.vec_id, r.score) for r in col_form] == \
            [(r.vec_id, r.score) for r in cap_form]
+
+
+def test_multi_query_capture_matches_single_capture(spark, sf_smoke):
+    """The multi-query capture scorer must produce bit-identical
+    scores to the single-query capture scorer run per query, for
+    uniform and ragged doc shapes alike."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        maxsim_knn_batch,
+        maxsim_score_flat_const_udf,
+        maxsim_score_flat_multi_udf,
+    )
+
+    dim = 4
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),   # 2 subvecs
+         (2, [0.0, 1.0, 0.0, 0.0, 0.5, 0.5, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0] * 3)],                  # ragged: 3
+        "vec_id long, vectors array<double>")
+    queries = [[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+               [0.0, 1.0, 0.0, 0.0]]
+    multi = {r.vec_id: r.s for r in docs.select(
+        "vec_id", maxsim_score_flat_multi_udf(dim, queries)(
+            F.col("vectors")).alias("s")).collect()}
+    for qi, q in enumerate(queries):
+        single = {r.vec_id: r.s for r in docs.select(
+            "vec_id", maxsim_score_flat_const_udf(dim, q)(
+                F.col("vectors")).alias("s")).collect()}
+        for vid in single:
+            assert multi[vid][qi] == single[vid], (vid, qi)
+    # end-to-end batch: ranked per query_idx, same as per-query top-k
+    out = maxsim_knn_batch(docs, None, k=2, mv_col="vectors",
+                           flat_dim=dim, queries_flat=queries).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_idx, []).append(r)
+    assert set(by_q) == {0, 1}
+    assert by_q[0][0].vec_id == 1  # q0 aligns with doc 1's subvectors
+    # q1 = [0,1,0,0]: docs 1 and 2 both contain it exactly (score 1.0)
+    # → id tie-break ranks 1 then 2
+    assert [(r.vec_id, r.score) for r in by_q[1]] == [(1, 1.0), (2, 1.0)]
+
+
+def test_collection_search_batch_multivector_capture(spark, tmp_path):
+    """search_batch on a multivector collection goes through the
+    captured-batch scorer and still returns per-query ranks."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "mvb", dim=2,
+                             multivector=True, normalize=False)
+    pts = spark.createDataFrame(
+        [(1, [[1.0, 0.0]]), (2, [[0.0, 1.0]]), (3, [[0.7, 0.7]])],
+        "id int, embedding array<array<double>>")
+    coll.upsert(spark, pts)
+    out = coll.search_batch(
+        spark, [[[1.0, 0.0]], [[0.0, 1.0]]], k=1).collect()
+    got = {r.query_idx: r.id for r in out}
+    assert got == {0: 1, 1: 2}
