@@ -176,6 +176,33 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         assert exact[0].vec_id == 12345
         exact_ids = {r.vec_id for r in exact}
 
+        # batched queries at shape: column-join (the broadcast join
+        # duplicates every doc row Q times through Arrow) vs the
+        # captured batch (docs cross once, per-query scores
+        # posexploded). Q=4 short queries.
+        from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+            maxsim_knn_batch,
+        )
+
+        qrows = corpus.filter(F.col("vec_id").isin(100, 200, 300, 400)) \
+            .select("flat").collect()
+        qflats = [[float(x) for x in r.flat[:n_qvecs * dim]] for r in qrows]
+        if n <= 200_000:
+            qdf = spark.createDataFrame(
+                [(i, qf) for i, qf in enumerate(qflats)],
+                "query_idx int, query_vectors array<double>")
+            t0 = time.perf_counter()
+            maxsim_knn_batch(
+                corpus, qdf, k=10, id_col="vec_id", mv_col="flat",
+                query_mv_col="query_vectors", flat_dim=dim).collect()
+            timings["batch4_querycol"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        bout = maxsim_knn_batch(
+            corpus, None, k=10, id_col="vec_id", mv_col="flat",
+            flat_dim=dim, queries_flat=qflats).collect()
+        timings["batch4_captured"] = round(time.perf_counter() - t0, 2)
+        assert {r.query_idx for r in bout} == {0, 1, 2, 3}
+
         # two-stage: pooled-cosine prefilter (stage 1 reads ONLY the
         # pooled column — dim floats/row, 1/n_vecs of the bytes; column
         # pruning does the work) → exact MaxSim on the shortlist
