@@ -1174,24 +1174,45 @@ class Collection:
 
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
-        if cfg.get("multivector"):
-            raise ValueError("search_groups supports dense collections")
         query_filter = as_predicate(query_filter)
         metric = cfg.get("metric", "cosine")
-        qv = [float(x) for x in query_vector]
-        if cfg.get("normalize"):
-            qv = _unit(qv)
         corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
-        qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
-        scored = dense_knn(
-            corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
-            payload_cols=payload, prefilter=query_filter,
-            prenormalized=bool(cfg.get("normalize")),
-            dim=cfg.get("dim"), metric=metric,
-        )
-        asc = metric in _DISTANCE_METRICS
+        if cfg.get("multivector"):
+            # MaxSim-scored groups (Qdrant groups compose with any
+            # query type): score the whole corpus with the captured
+            # query, then the same per-group ranking
+            from .operators.maxsim import maxsim_knn
+
+            mq = [[float(x) for x in v] for v in query_vector]
+            if cfg.get("normalize"):
+                mq = [_unit(v) for v in mq]
+            if _is_nested(corpus, vec_col):
+                qdf = spark.createDataFrame(
+                    [(mq,)], "query_vectors array<array<double>>")
+                scored = maxsim_knn(
+                    corpus, qdf, k=None, id_col=id_col, mv_col=vec_col,
+                    payload_cols=payload, prefilter=query_filter)
+            else:
+                scored = maxsim_knn(
+                    corpus, None, k=None, id_col=id_col, mv_col=vec_col,
+                    payload_cols=payload, prefilter=query_filter,
+                    flat_dim=cfg.get("dim"),
+                    query_flat=[x for v in mq for x in v])
+            asc = False
+        else:
+            qv = [float(x) for x in query_vector]
+            if cfg.get("normalize"):
+                qv = _unit(qv)
+            qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+            scored = dense_knn(
+                corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
+                payload_cols=payload, prefilter=query_filter,
+                prenormalized=bool(cfg.get("normalize")),
+                dim=cfg.get("dim"), metric=metric,
+            )
+            asc = metric in _DISTANCE_METRICS
         out = top_groups(scored, group_by,
                          [("score", asc), (id_col, True)],
                          limit=limit, group_size=group_size)

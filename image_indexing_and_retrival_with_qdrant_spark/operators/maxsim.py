@@ -190,7 +190,7 @@ def maxsim_score_flat_multi_udf(dim: int,
 def maxsim_knn(
     corpus: DataFrame,
     query: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     id_col: str = "vec_id",
     mv_col: str = "vectors",
     query_mv_col: str = "query_vectors",
@@ -244,6 +244,8 @@ def maxsim_knn(
         )
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= score_threshold)
+    if k is None:  # threshold-only / feed-a-ranker: no limit
+        return scored
     return global_topk(scored, [("score", False), (id_col, True)], k)
 
 

@@ -212,3 +212,19 @@ def test_search_groups_with_lookup(spark, tmp_path):
                               with_lookup=(docs, ["title"])).collect()
     assert out2[0].lookup_title == "alpha"
     assert "lookup_id" not in out2[0].asDict()
+
+
+def test_search_groups_multivector(spark, tmp_path):
+    """Groups compose with MaxSim queries too (Qdrant groups accept
+    any query type): per-group cap + group ranking by best MaxSim."""
+    coll = create_collection(str(tmp_path), "gmv", dim=2,
+                             multivector=True, normalize=False)
+    pts = spark.createDataFrame(
+        [(1, "a", [[1.0, 0.0]]), (2, "a", [[0.9, 0.0]]),
+         (3, "b", [[0.5, 0.0]]), (4, "c", [[0.0, 1.0]])],
+        "id int, src string, embedding array<array<double>>")
+    coll.upsert(spark, pts)
+    out = coll.search_groups(spark, [[1.0, 0.0]], group_by="src",
+                             limit=2, group_size=1).collect()
+    got = {r.src: (r.id, r.group_rank) for r in out}
+    assert got == {"a": (1, 1), "b": (3, 2)}  # c's best (0.0) loses
