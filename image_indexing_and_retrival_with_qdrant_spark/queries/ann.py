@@ -674,3 +674,49 @@ def ann_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_search
 
     return pq_search(codes, cbs, _np_query_vec(sf_dir), k=5)
+
+
+def _cluster_profile_oracle(sf_dir: str) -> str:
+    """Oracle factory: identical kmeans_np centroids, identical
+    unrolled assignment; per-cluster count + min/max own-centroid
+    distance (order-independent aggregates — no float-sum hazard)."""
+    cents = _np_centroids(sf_dir)
+    dl = "list_value(" + ", ".join(
+        _duck_sq_dist("e.embedding", c) for c in cents) + ")"
+    return f"""
+    WITH a AS (
+      SELECT list_position({dl}, list_min({dl})) - 1 AS cluster_id,
+             list_min({dl}) AS d
+      FROM embeddings e
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(d), 6) AS min_sqdist,
+           ROUND(MAX(d), 6) AS max_sqdist
+    FROM a GROUP BY cluster_id
+    """
+
+
+@register("emb_cluster_profile", _cluster_profile_oracle)
+def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic/domain clustering data card (the curation step that
+    discovers a corpus's mixture): every embedding assigned to its
+    deterministic kmeans_np centroid, profiled per cluster as
+    (n_points, min/max squared distance to own centroid). min/max are
+    order-independent, so no float-summation gymnastics are needed —
+    the whole profile is value-oracled through the same shared-
+    centroid machinery as `ann_ivf_det_top5`. One scan + one 16-key
+    groupBy; at 100 TB this is a map-only assignment pass feeding a
+    tiny aggregation."""
+    from ..operators.ann import _centroid_structs_sql
+
+    cents = _np_centroids(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    entries = _centroid_structs_sql(cents, "`embedding`")
+    best = F.expr(f"array_min(array({entries}))")
+    a = emb.select(best["i"].alias("cluster_id"), best["d"].alias("d"))
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.min("d"), 6).alias("min_sqdist"),
+        F.round(F.max("d"), 6).alias("max_sqdist"),
+    )

@@ -242,3 +242,11 @@ def test_kmeans_np_deterministic_and_partitions(spark, sf_smoke):
     assert len(c1) == 8 and len(c1[0]) == 64
     c3 = kmeans_np(X, 8, seed=8)
     assert c3 != c1  # seed actually matters
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
+def test_cluster_profile_oracle_parity(spark, sf, request):
+    compare_mod = __import__("tests.oracle", fromlist=["compare"])
+    compare_mod.compare(spark, REGISTRY["emb_cluster_profile"],
+                        request.getfixturevalue(sf),
+                        "emb_cluster_profile")
