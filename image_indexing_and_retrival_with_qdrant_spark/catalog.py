@@ -1039,6 +1039,48 @@ class Collection:
             vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
         )
 
+    def recommend_groups(self, spark: SparkSession, positive: list,
+                         group_by: str, negative: list = (),
+                         limit: int = 3, group_size: int = 2,
+                         query_filter=None, id_col: str = "id",
+                         vec_col: str = "embedding",
+                         using: str | None = None,
+                         with_lookup=None) -> DataFrame:
+        """Qdrant's ``recommend_groups``: the recommend composition
+        (``avg(positive) − avg(negative)`` over stored vectors,
+        examples excluded) ranked as groups — best ``group_size`` hits
+        from each of the top ``limit`` groups. Same example semantics
+        as :meth:`recommend` (average_vector strategy); same group
+        semantics (incl. ``with_lookup``) as :meth:`search_groups`."""
+        cfg = self._vector_cfg(using, vec_col)
+        if cfg.get("multivector"):
+            raise ValueError("recommend supports dense collections")
+        if not positive:
+            raise ValueError("recommend requires at least one positive id")
+        ids = [*positive, *negative]
+        rows = self.read(spark).filter(
+            F.col(id_col).isin(ids)).select(
+                id_col, cfg["vec_col"]).collect()
+        vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+        missing = [i for i in ids if i not in vecs]
+        if missing:
+            raise ValueError(f"example points not found: {missing}")
+
+        def _avg(example_ids):
+            vs = [vecs[i] for i in example_ids]
+            return [sum(col) / len(vs) for col in zip(*vs)]
+
+        qv = _avg(positive)
+        if negative:
+            qv = [p - n for p, n in zip(qv, _avg(negative))]
+        excl = ~F.col(id_col).isin(ids)
+        query_filter = as_predicate(query_filter)
+        flt = excl if query_filter is None else (excl & query_filter)
+        return self.search_groups(
+            spark, qv, group_by=group_by, limit=limit,
+            group_size=group_size, query_filter=flt, id_col=id_col,
+            vec_col=vec_col, using=using, with_lookup=with_lookup)
+
     def _resolve_examples(self, spark: SparkSession, items: list,
                           id_col: str, vec_col: str) -> list[list[float]]:
         """Resolve a mixed list of point ids (int/str) / raw vectors to

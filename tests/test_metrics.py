@@ -228,3 +228,24 @@ def test_search_groups_multivector(spark, tmp_path):
                              limit=2, group_size=1).collect()
     got = {r.src: (r.id, r.group_rank) for r in out}
     assert got == {"a": (1, 1), "b": (3, 2)}  # c's best (0.0) loses
+
+
+def test_recommend_groups(spark, tmp_path):
+    """recommend_groups = recommend composition ranked as groups:
+    examples excluded, best hit per group, groups by best hit."""
+    coll = create_collection(str(tmp_path), "rg", dim=2,
+                             normalize=False, metric="dot")
+    pts = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]),   # positive example (excluded)
+         (2, "a", [0.9, 0.1]), (3, "b", [0.8, 0.0]),
+         (4, "b", [0.1, 0.9]), (5, "c", [-1.0, 0.0])],
+        "id int, src string, embedding array<double>")
+    coll.upsert(spark, pts)
+    out = coll.recommend_groups(spark, positive=[1], group_by="src",
+                                limit=2, group_size=1).collect()
+    got = {r.src: r.id for r in out}
+    assert got == {"a": 2, "b": 3}  # id 1 excluded; c's best loses
+    ranks = {r.src: r.group_rank for r in out}
+    assert ranks == {"a": 1, "b": 2}
+    with pytest.raises(ValueError, match="at least one positive"):
+        coll.recommend_groups(spark, positive=[], group_by="src")
