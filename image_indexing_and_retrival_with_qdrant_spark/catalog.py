@@ -1081,6 +1081,65 @@ class Collection:
             group_size=group_size, query_filter=flt, id_col=id_col,
             vec_col=vec_col, using=using, with_lookup=with_lookup)
 
+    def recommend_batch(self, spark: SparkSession, requests: list,
+                        k: int = 5, query_filter=None,
+                        id_col: str = "id",
+                        vec_col: str = "embedding",
+                        using: str | None = None) -> DataFrame:
+        """Qdrant's ``recommend_batch``: many recommend requests in ONE
+        corpus pass. ``requests`` is a list of ``(positive_ids,
+        negative_ids)`` pairs (or ``positive_ids`` lists). All example
+        vectors resolve in one driver-side lookup; the composed query
+        vectors broadcast as a batch (``dense_knn_batch``), and each
+        request's example exclusion is a (query_idx, id) broadcast
+        anti-join — corpus scanned once regardless of batch size."""
+        from .operators.knn import dense_knn_batch
+
+        cfg = self._vector_cfg(using, vec_col)
+        if cfg.get("multivector"):
+            raise ValueError("recommend supports dense collections")
+        norm = [(list(r[0]), list(r[1])) if isinstance(r, tuple)
+                else (list(r), []) for r in requests]
+        if not norm or any(not p for p, _ in norm):
+            raise ValueError(
+                "every request needs at least one positive id")
+        all_ids = sorted({i for p, ng in norm for i in (*p, *ng)})
+        rows = self.read(spark).filter(
+            F.col(id_col).isin(all_ids)).select(
+                id_col, cfg["vec_col"]).collect()
+        vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+        missing = [i for i in all_ids if i not in vecs]
+        if missing:
+            raise ValueError(f"example points not found: {missing}")
+
+        def _avg(ids):
+            vs = [vecs[i] for i in ids]
+            return [sum(col) / len(vs) for col in zip(*vs)]
+
+        qrows, excl = [], []
+        for qi, (pos, neg) in enumerate(norm):
+            qv = _avg(pos)
+            if neg:
+                qv = [p - n for p, n in zip(qv, _avg(neg))]
+            qrows.append((qi, qv))
+            excl.extend((qi, i) for i in (*pos, *neg))
+        qdf = spark.createDataFrame(
+            qrows, "query_idx int, query_vec array<double>")
+        corpus = self.read(spark).filter(
+            F.col(cfg["vec_col"]).isNotNull())
+        payload = [c for c in corpus.columns
+                   if c not in self._vector_columns(vec_col) | {id_col}]
+        excl_df = spark.createDataFrame(
+            excl, f"query_idx int, {id_col} long")
+        return dense_knn_batch(
+            corpus, qdf, k=k, id_col=id_col, vec_col=cfg["vec_col"],
+            query_id_col="query_idx", payload_cols=payload,
+            prefilter=as_predicate(query_filter),
+            prenormalized=bool(cfg.get("normalize")),
+            dim=cfg.get("dim"), metric=cfg.get("metric", "cosine"),
+            exclude_pairs=excl_df,
+        )
+
     def _resolve_examples(self, spark: SparkSession, items: list,
                           id_col: str, vec_col: str) -> list[list[float]]:
         """Resolve a mixed list of point ids (int/str) / raw vectors to
@@ -1385,6 +1444,39 @@ class Collection:
             base = F.col(col) if col in table.columns else F.lit(None)
             table = table.withColumn(
                 col, F.when(pred, F.lit(val)).otherwise(base))
+        self._rewrite(spark, table, id_col, vec_col)
+        return n
+
+    def overwrite_payload(self, spark: SparkSession, payload: dict,
+                          selector, id_col: str = "id",
+                          vec_col: str = "embedding") -> int:
+        """Qdrant's ``overwrite_payload``: REPLACE the whole payload of
+        matching points — every existing payload column nulls where the
+        selector matches (typed nulls), then the provided keys are set.
+        Contrast :meth:`set_payload`, which merges. Returns the number
+        of points updated."""
+        if not payload:
+            raise ValueError("empty payload")
+        if not self._has_data(spark):
+            return 0
+        pred = self._selector_pred(selector, id_col)
+        table = self.read(spark)
+        n = table.filter(pred).count()
+        reserved = self._vector_columns(vec_col) | {id_col}
+        for col in payload:
+            if col in reserved:
+                raise ValueError(f"cannot set reserved column {col!r}")
+        for col in table.columns:
+            if col in reserved:
+                continue
+            repl = (F.lit(payload[col]) if col in payload
+                    else F.lit(None).cast(table.schema[col].dataType))
+            table = table.withColumn(
+                col, F.when(pred, repl).otherwise(F.col(col)))
+        for col, val in payload.items():
+            if col not in table.columns:
+                table = table.withColumn(
+                    col, F.when(pred, F.lit(val)).otherwise(F.lit(None)))
         self._rewrite(spark, table, id_col, vec_col)
         return n
 

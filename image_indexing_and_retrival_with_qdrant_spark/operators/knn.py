@@ -143,13 +143,16 @@ def dense_knn_batch(
     dim: int | None = None,
     score_threshold: float | None = None,
     metric: str = "cosine",
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-query top-k by ``metric``: broadcast the query set, score
     each (corpus row × query), rank per query with a window (optionally
     pre-pruned map-side — see ``topk.grouped_topk``).
     ``score_threshold`` filters candidates *before* ranking (Qdrant's
     semantics: the threshold bounds the candidate set, then top-k).
-    """
+    ``exclude_pairs`` (query_id, id) drops per-query exclusions before
+    ranking — a tiny broadcast anti-join (recommend_batch's example
+    exclusion)."""
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
@@ -162,6 +165,9 @@ def dense_knn_batch(
         .withColumn("score", score)
         .select(query_id_col, id_col, *payload_cols, "score")
     )
+    if exclude_pairs is not None:
+        scored = scored.join(F.broadcast(exclude_pairs),
+                             on=[query_id_col, id_col], how="left_anti")
     if score_threshold is not None:
         scored = scored.filter(
             F.col("score") <= score_threshold if asc

@@ -338,3 +338,53 @@ def test_delete_vectors_rejects_sidecar_and_nulls_nv(spark, tmp_path):
     row = {r.id: r for r in coll.read(spark).collect()}
     assert row[2].embedding is None and row[2].n_vecs is None
     assert row[1].n_vecs == 1
+
+
+def test_recommend_batch_one_pass(spark, tmp_path):
+    """Many recommend requests, one corpus scan: per-request composed
+    vectors + per-request example exclusion."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "rb", dim=2,
+                             normalize=False, metric="dot")
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+         (4, [0.1, 0.9]), (5, [-1.0, 0.0])],
+        "id int, embedding array<double>")
+    coll.upsert(spark, pts)
+    out = coll.recommend_batch(
+        spark, [([1], []), ([3], [])], k=1).collect()
+    got = {r.query_idx: r.id for r in out}
+    # request 0 (like id1, +x): best non-example is 2;
+    # request 1 (like id3, +y): best non-example is 4
+    assert got == {0: 2, 1: 4}
+    # single-request parity with recommend
+    single = coll.recommend(spark, positive=[1], k=1).collect()
+    assert single[0].id == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one positive"):
+        coll.recommend_batch(spark, [([], [2])])
+
+
+def test_overwrite_payload_replaces_whole_payload(spark, tmp_path):
+    """overwrite_payload nulls every payload column of matching points
+    and sets only the provided keys (set_payload merges instead)."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "ow", dim=2)
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0], "keepme", 7), (2, [0.0, 1.0], "other", 9)],
+        "id int, embedding array<double>, tag string, rank long")
+    coll.upsert(spark, pts)
+    n = coll.overwrite_payload(spark, {"tag": "fresh"}, [1])
+    assert n == 1
+    rows = {r.id: r for r in coll.read(spark).collect()}
+    assert rows[1].tag == "fresh" and rows[1].rank is None  # replaced
+    assert rows[2].tag == "other" and rows[2].rank == 9     # untouched
+    # vectors survive
+    assert list(rows[1].embedding) and list(rows[2].embedding)
