@@ -90,6 +90,11 @@ HEADLINE = [
     "docs_formula_boost_top10",
     "dedup_exact_substrings",
     "docs_unigram_perplexity",
+    # round 4 (cont.): deterministic sample-trained tiers (centroid
+    # train warmed above — build-outside-the-timer policy) + the
+    # cluster data card over the same centroids
+    "ann_ivf_det_top5",
+    "emb_cluster_profile",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
@@ -119,6 +124,9 @@ def main() -> None:
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
     REGISTRY["maxsim_top5"].builder(spark, sf_dir).collect()
+    # det tier: kmeans_np train + cached assignment frame are the
+    # one-time index build (same policy as the IVF warmup above)
+    REGISTRY["ann_ivf_det_top5"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
