@@ -311,6 +311,51 @@ class Collection:
         self._save_meta()
         self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
+    _UNSET = object()
+
+    def update_collection(self, spark: SparkSession,
+                          quantization=_UNSET,
+                          indexing_threshold=_UNSET,
+                          id_col: str = "id",
+                          vec_col: str = "embedding") -> None:
+        """Qdrant's ``update_collection`` (post-create config changes):
+
+        - ``quantization``: switch to ``"sq"``/``"bq"`` (the code
+          sidecar re-trains/encodes over the current table) or ``None``
+          (sidecar + frozen train params dropped — searches go exact).
+        - ``indexing_threshold``: raise/lower/disable the deferred IVF
+          build; lowering it below the current point count triggers
+          the build on the spot (Qdrant rebuilds on optimizer-config
+          changes too).
+
+        Omitted arguments stay unchanged."""
+        if self.meta.get("vectors") is not None and (
+                quantization is not self._UNSET
+                or indexing_threshold is not self._UNSET):
+            raise ValueError(
+                "config updates apply to single-space collections")
+        if quantization is not self._UNSET:
+            if quantization not in (None, "sq", "bq"):
+                raise ValueError(f"unknown quantization {quantization!r}")
+            self.meta["quantization"] = quantization
+            # frozen train params belong to the OLD config
+            for k in ("sq_mins", "sq_steps"):
+                self.meta.pop(k, None)
+            self._save_meta()
+            if quantization is None:
+                shutil.rmtree(self._codes_path, ignore_errors=True)
+            elif self._has_data(spark):
+                self._refresh_quant(spark, None, id_col, vec_col,
+                                    rewrote=True)
+        if indexing_threshold is not self._UNSET:
+            self.meta["indexing_threshold"] = indexing_threshold
+            self._save_meta()
+            if (indexing_threshold is not None and self._has_data(spark)
+                    and not self.has_index()
+                    and self.count(spark) >= indexing_threshold):
+                self._refresh_index(spark, None, id_col, vec_col,
+                                    rewrote=True)
+
     # -- named vector spaces (Qdrant vectors_config={name: ...}) ----------
 
     def _vector_cfg(self, using: str | None, vec_col_default: str) -> dict:

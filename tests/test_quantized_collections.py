@@ -64,3 +64,39 @@ def test_quantization_validation(tmp_path):
     with pytest.raises(ValueError, match="don't apply"):
         create_collection(str(tmp_path), "bad3",
                           vectors={"a": {"dim": 4}}, quantization="sq")
+
+
+def test_update_collection_toggles_quantization(spark, tmp_path):
+    """Qdrant update_collection: enable quantization post-create
+    (sidecar trains/encodes over the current table), switch kinds,
+    and disable (sidecar dropped, searches go exact)."""
+    coll = create_collection(str(tmp_path), "uc", dim=4)
+    coll.upsert(spark, _pts(spark, range(30)))
+    assert not os.path.exists(coll._codes_path)
+    coll.update_collection(spark, quantization="sq")
+    assert os.path.exists(coll._codes_path)
+    assert "sq_mins" in coll.meta
+    qv = [2.0, 1.0, 0.0, 1.0]
+    approx = coll.search(spark, qv, k=3, oversampling=10.0).collect()
+    exact = coll.search(spark, qv, k=3, exact=True).collect()
+    assert [r.id for r in approx] == [r.id for r in exact]
+    # switch to bq: frozen sq params dropped, codes re-encoded
+    coll.update_collection(spark, quantization="bq")
+    assert "sq_mins" not in coll.meta
+    assert len(coll.search(spark, qv, k=3, oversampling=10.0).collect()) == 3
+    # disable: sidecar gone
+    coll.update_collection(spark, quantization=None)
+    assert not os.path.exists(coll._codes_path)
+    assert len(coll.search(spark, qv, k=3).collect()) == 3
+
+
+def test_update_collection_lowers_indexing_threshold(spark, tmp_path):
+    """Lowering the threshold below the current count builds the IVF
+    layout on the spot."""
+    coll = create_collection(str(tmp_path), "ut", dim=4)
+    coll.upsert(spark, _pts(spark, range(40)))
+    assert not coll.has_index()
+    coll.update_collection(spark, indexing_threshold=10)
+    assert coll.has_index()
+    hits = coll.search(spark, [2.0, 1.0, 0.0, 1.0], k=3)
+    assert len(hits.collect()) == 3
