@@ -334,3 +334,58 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "measure").agg(
         F.round(F.sum("val"), 2).alias("total")
     )
+
+
+# --- TPC-H Q5 shape: the 6-way snowflake with the local-supplier
+# correlation (customer and supplier must share a nation) — the
+# classic join-graph stress: Catalyst must broadcast the four
+# dimensions and keep the orders⋈lineitem fact join as the ONE
+# shuffled edge; the c_nationkey = s_nationkey condition rides the
+# supplier broadcast as a post-join filter.
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    lineitem's supplier and the ordering customer share that nation,
+    one order year, one region."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (l.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -9,6 +9,7 @@ from .oracle import compare
 NAMES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
     "nation_revenue",
     "top_customers_per_nation",
     "order_priority_rollup",
