@@ -95,6 +95,7 @@ HEADLINE = [
     # cluster data card over the same centroids
     "ann_ivf_det_top5",
     "emb_cluster_profile",
+    "tpch_q5_local_supplier",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

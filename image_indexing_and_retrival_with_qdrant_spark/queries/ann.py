@@ -664,7 +664,12 @@ def _pq_det_oracle(sf_dir: str, k: int = 5, n_blocks: int = 8) -> str:
         lut = ", ".join(
             f"{sum(float(q) * float(c) for q, c in zip(q_sub, cw))!r}"
             for cw in cb)
-        terms.append(f"(list_value({lut}))[{pos}]")
+        # CAST the literal list to DOUBLE[]: DuckDB types bare decimal
+        # literals as DECIMAL, which would propagate to the output
+        # column (every other oracle emits DOUBLE; repr-level
+        # canonicalizations distinguish Decimal('x') from x). The
+        # decimal→double conversion is exact: repr(float) round-trips.
+        terms.append(f"(CAST(list_value({lut}) AS DOUBLE[]))[{pos}]")
     score = " + ".join(terms)
     return f"""
     SELECT e.vec_id, ROUND({score}, 6) AS score

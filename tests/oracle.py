@@ -27,10 +27,18 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(val):
+    import decimal
+
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
         return repr(val)
+    if isinstance(val, decimal.Decimal):
+        # Deliberately NOT coerced to match float text: a DECIMAL-typed
+        # oracle column (DuckDB types bare decimal literals as DECIMAL)
+        # must FAIL here so the oracle gets an explicit DOUBLE cast —
+        # repr-level value hashes distinguish Decimal('x') from x.
+        return f"DECIMAL:{val}"
     if val is None:
         return "NULL"
     return str(val)
