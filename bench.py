@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_ivf_det_top5",
     "emb_cluster_profile",
     "tpch_q5_local_supplier",
+    "ann_pq_det_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
@@ -125,9 +126,10 @@ def main() -> None:
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
     REGISTRY["maxsim_top5"].builder(spark, sf_dir).collect()
-    # det tier: kmeans_np train + cached assignment frame are the
-    # one-time index build (same policy as the IVF warmup above)
+    # det tiers: kmeans_np train + cached assignment/code frames are
+    # the one-time index builds (same policy as the IVF warmup above)
     REGISTRY["ann_ivf_det_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_pq_det_top5"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -679,6 +679,36 @@ def _pq_det_oracle(sf_dir: str, k: int = 5, n_blocks: int = 8) -> str:
     """
 
 
+_PQ_DET_CACHE: dict = {}
+
+
+def _pq_det_index(spark: SparkSession, sf_dir: str):
+    """Cached deterministic-PQ code table: the per-block argmin
+    encode (8 unrolled expressions in one projection — past codegen's
+    combined-method budget, so interpreted) runs ONCE per (session,
+    sf) and persists 8-byte code rows; queries pay only the ADC LUT
+    scan. Same build-outside-the-timer policy as every tier."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _PQ_DET_CACHE or not _session_alive(spark):
+        from ..operators.ann import assign_centroids
+
+        cbs = _np_pq_codebooks(sf_dir)
+        subdim = len(cbs[0][0])
+        emb = load(spark, sf_dir, "embeddings")
+        code_cols = [
+            assign_centroids(
+                cbs[b],
+                F.slice(F.col("embedding"), b * subdim + 1, subdim)
+                .cast("array<double>"),
+            ).alias(f"code{b}")
+            for b in range(len(cbs))
+        ]
+        codes = emb.select(F.col("vec_id"), *code_cols).persist()
+        codes.count()
+        _PQ_DET_CACHE[key] = (codes, cbs)
+    return _PQ_DET_CACHE[key]
+
+
 @register("ann_pq_det_top5", _pq_det_oracle)
 def ann_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PQ ADC search (8 blocks × 16 codes, 32×
@@ -686,25 +716,12 @@ def ann_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximation itself (kmeans_np codebooks, argmin encoding,
     LUT scoring) is bit-reproducible outside Spark, so DuckDB ranks
     the same quantized scores. The Spark-ML-trained `ann_pq_top5`
-    remains the rows-only sibling; this tier encodes via the
-    per-block unrolled argmin expressions (correctness path — the
-    scale encode is the Arrow-batched numpy UDF)."""
-    from ..operators.ann import assign_centroids
-
-    cbs = _np_pq_codebooks(sf_dir)
-    subdim = len(cbs[0][0])
-    emb = load(spark, sf_dir, "embeddings")
-    code_cols = [
-        assign_centroids(
-            cbs[b],
-            F.slice(F.col("embedding"), b * subdim + 1, subdim)
-            .cast("array<double>"),
-        ).alias(f"code{b}")
-        for b in range(len(cbs))
-    ]
-    codes = emb.select(F.col("vec_id"), *code_cols)
+    remains the rows-only sibling; encoding is the cached index build
+    (`_pq_det_index`), queries pay only the ADC scan (the scale
+    encode is the Arrow-batched numpy UDF)."""
     from ..operators.pq import pq_search
 
+    codes, cbs = _pq_det_index(spark, sf_dir)
     return pq_search(codes, cbs, _np_query_vec(sf_dir), k=5)
 
 
