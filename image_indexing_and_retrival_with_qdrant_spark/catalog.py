@@ -1240,6 +1240,38 @@ class Collection:
             tv = _unit(tv)
         return discovery_search(corpus, tv, pairs, **common)
 
+    def discover_batch(self, spark: SparkSession, requests: list,
+                       k: int = 5, query_filter=None,
+                       id_col: str = "id", vec_col: str = "embedding",
+                       using: str | None = None) -> DataFrame:
+        """Qdrant's ``discover_batch``: many discovery requests, one
+        result frame tagged ``query_idx``. ``requests`` is a list of
+        ``(context, target)`` pairs (or bare ``context`` lists for
+        context-only search). Each request's literal-folded scoring
+        projection differs, so the branches stay separate scans
+        unioned LAZILY — one Spark action materializes all of them
+        (Qdrant's server loops the requests too); requests that share
+        a shape can use the dense batch path instead."""
+        from functools import reduce
+
+        if not requests:
+            raise ValueError("discover_batch needs at least one request")
+        outs = []
+        for qi, req in enumerate(requests):
+            ctx, target = (req if isinstance(req, tuple)
+                           else (req, None))
+            outs.append(
+                self.discover(
+                    spark, ctx, target=target, k=k,
+                    query_filter=query_filter, id_col=id_col,
+                    vec_col=vec_col, using=using)
+                .withColumn("query_idx", F.lit(qi)))
+        # targeted requests emit (zones, score); context-only emit
+        # context_score — the union keeps each shape's columns, nulls
+        # elsewhere (Qdrant's batch responses differ per request too)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), outs)
+
     def search_matrix(self, spark: SparkSession, sample: int = 10,
                       k: int = 3, query_filter=None, id_col: str = "id",
                       vec_col: str = "embedding",

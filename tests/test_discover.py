@@ -121,3 +121,37 @@ def test_collection_search_matrix_sample_bound(spark, tmp_path):
     # deterministic: same sample every run
     again = coll.search_matrix(spark, sample=5, k=2).collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_discover_batch(spark, tmp_path):
+    """Many discovery requests, one tagged result frame; context-only
+    and targeted requests mix."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "db", dim=2,
+                             normalize=False, metric="dot")
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.0, 1.0]),
+         (4, [0.2, 0.8])],
+        "id int, embedding array<double>")
+    coll.upsert(spark, pts)
+    out = coll.discover_batch(
+        spark,
+        [([(1, 3)], 2),        # targeted: like 2, zone toward 1 vs 3
+         [(3, 1)]],            # context-only: toward 3
+        k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_idx, []).append(r)
+    assert set(by_q) == {0, 1}
+    # q0's zone (closer to 1 than 3) is satisfied by the +x points:
+    # top-2 are ids 1 and 2 (1 first — dot with the target favors it)
+    assert [r.id for r in sorted(by_q[0], key=lambda r: r.rank)] == [1, 2]
+    ids_q1 = [r.id for r in by_q[1]]
+    assert 3 in ids_q1 or 4 in ids_q1   # +y zone dominates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one request"):
+        coll.discover_batch(spark, [])
