@@ -215,3 +215,28 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(bucket.alias("bucket_start")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "docs_keyset_page",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (n_chars > 500) OR (n_chars = 500 AND doc_id > 100)
+    ORDER BY n_chars ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def docs_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination — the idiom behind `Collection.scroll`'s
+    order_by cursor (`catalog.py::scroll`) under the oracle gate: the
+    next page after cursor (n_chars=500, doc_id=100) is a pushed-down
+    composite predicate + TakeOrderedAndProject, NEVER an OFFSET
+    re-read (OFFSET re-scans and re-sorts everything before the page —
+    the only pagination shape that dies at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    after = (F.col("n_chars") > 500) | (
+        (F.col("n_chars") == 500) & (F.col("doc_id") > 100))
+    return (d.filter(after).select("doc_id", "n_chars")
+            .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+            .limit(10))

@@ -13,11 +13,15 @@ hashes. Conventions (FIXTURES.md §4):
   HUGEINT, Spark's is long); row_number is cast to INTEGER;
 - timestamps never appear raw in outputs — epoch seconds (BIGINT) do.
 
-Entries with ``oracle=None`` are approximate ops (ANN tiers): the
-driver records a rows-only check; pytest holds the stronger
-recall/behavior assertions. Streaming twins ARE oracle-backed — they
-drain a bounded stream to a memory sink and return its rows
-(queries/streaming.py).
+Entries with ``oracle=None`` are approximate ops (the Spark-ML-KMeans
+ANN tiers + sketch aggregates): the driver records a rows-only check;
+pytest holds the stronger recall/behavior assertions. Streaming twins
+ARE oracle-backed — they drain a bounded stream to a memory sink and
+return its rows (queries/streaming.py). An oracle may also be a
+FACTORY ``Callable[[sf_dir], str]`` for SQL that embeds data-derived
+constants (the deterministic kmeans_np centroids/codebooks): resolved
+per checked sf via ``Entry.oracle_for`` — the driver's
+``oracle_sql()`` resolves at sf0.01.
 
 Query builders live in the ``queries/`` subpackage, one module per
 operator family; importing this module populates the registry.

@@ -22,6 +22,7 @@ NAMES = [
     "orders_intersect_all_statuses",
     "events_signup_purchase_funnel",
     "documents_length_histogram",
+    "docs_keyset_page",
 ]
 
 
