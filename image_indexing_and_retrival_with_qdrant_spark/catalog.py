@@ -337,6 +337,9 @@ class Collection:
         if quantization is not self._UNSET:
             if quantization not in (None, "sq", "bq"):
                 raise ValueError(f"unknown quantization {quantization!r}")
+            if quantization is not None and self.meta.get("multivector"):
+                # same invariant create_collection enforces
+                raise ValueError("quantization supports dense collections")
             self.meta["quantization"] = quantization
             # frozen train params belong to the OLD config
             for k in ("sq_mins", "sq_steps"):
@@ -349,6 +352,16 @@ class Collection:
                                     rewrote=True)
         if indexing_threshold is not self._UNSET:
             self.meta["indexing_threshold"] = indexing_threshold
+            if indexing_threshold is None and self.has_index():
+                # a disabled threshold must take the LAYOUT with it:
+                # _refresh_index early-returns on thr=None, so a live
+                # layout would go stale on the next upsert while
+                # search kept routing through it — silently dropping
+                # new points from every non-exact search
+                self.meta.pop("index_built", None)
+                self._centroid_cache = None
+                shutil.rmtree(self._ivf_points, ignore_errors=True)
+                shutil.rmtree(self._ivf_centroids, ignore_errors=True)
             self._save_meta()
             if (indexing_threshold is not None and self._has_data(spark)
                     and not self.has_index()
@@ -747,8 +760,10 @@ class Collection:
 
             if k is None:
                 raise ValueError("formula rescoring requires a finite k")
+            # offset pages the BOOSTED order below, so the prefetch
+            # depth must cover the whole paged range
             pre_k = (prefetch_limit if prefetch_limit is not None
-                     else max(50, k * 10))
+                     else max(50, (k + offset) * 10))
             pre = self.search(
                 spark, query_vector, k=pre_k, query_filter=query_filter,
                 score_threshold=score_threshold, id_col=id_col,
@@ -1174,8 +1189,12 @@ class Collection:
             F.col(cfg["vec_col"]).isNotNull())
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
+        # point ids are int OR str (Qdrant's UUID-string convention);
+        # type the exclusion frame from the actual examples
+        id_type = ("string" if any(isinstance(i, str) for i in all_ids)
+                   else "long")
         excl_df = spark.createDataFrame(
-            excl, f"query_idx int, {id_col} long")
+            excl, f"query_idx int, {id_col} {id_type}")
         return dense_knn_batch(
             corpus, qdf, k=k, id_col=id_col, vec_col=cfg["vec_col"],
             query_id_col="query_idx", payload_cols=payload,
@@ -1402,9 +1421,14 @@ class Collection:
             lookup, lfields = with_lookup, None
         ltab = lookup.read(spark)
         if lfields is None:
+            # the LOOKUP collection's own vector columns (its default
+            # space name, not the searched space's) stay projected away
             lfields = [c for c in ltab.columns
-                       if c not in lookup._vector_columns(vec_col)
-                       | {id_col}]
+                       if c not in lookup._vector_columns() | {id_col}]
+        # the grouped result is ≤ limit·group_size rows: materialize it
+        # once (eager localCheckpoint) so the gids collect and the
+        # final join don't each re-run the corpus scoring pass
+        out = out.localCheckpoint()
         gids = [r[0] for r in out.select(group_by).distinct().collect()]
         sel = ltab.filter(F.col(id_col).isin(gids)).select(
             F.col(id_col).alias("__gid"),

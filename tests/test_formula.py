@@ -126,3 +126,22 @@ def test_collection_query_prefetch_formula(spark, tmp_path):
     # pop boost overturns the fused order: 2 (rrf@2 + 1.0) wins
     assert boosted[0].id == 2
     assert "score" in boosted[0].asDict() and "pop" in boosted[0].asDict()
+
+
+def test_search_formula_offset_beyond_default_prefetch(spark, tmp_path):
+    """Paging deep into a boosted ranking must widen the prefetch:
+    k=5, offset=60 needs 65 shortlist rows — the default depth is
+    derived from k+offset, not k alone."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "fo", dim=2,
+                             normalize=False, metric="dot")
+    rows = [(i, [1.0, 0.0], float(i)) for i in range(80)]
+    coll.upsert(spark, spark.createDataFrame(
+        rows, "id int, embedding array<double>, pop double"))
+    page = coll.search(spark, [1.0, 0.0], k=5, offset=60,
+                       formula="pop").collect()
+    # boosted order = pop desc = id desc; page rows 61..65 → 19..15
+    assert [r.id for r in page] == [19, 18, 17, 16, 15]

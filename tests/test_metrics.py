@@ -249,3 +249,27 @@ def test_recommend_groups(spark, tmp_path):
     assert ranks == {"a": 1, "b": 2}
     with pytest.raises(ValueError, match="at least one positive"):
         coll.recommend_groups(spark, positive=[], group_by="src")
+
+
+def test_with_lookup_excludes_lookup_vectors_under_named_space(spark,
+                                                               tmp_path):
+    """with_lookup's default field list must drop the LOOKUP
+    collection's own vector columns even when the searched space is a
+    named one (the searched space's name is irrelevant there)."""
+    coll = create_collection(
+        str(tmp_path), "gl2",
+        vectors={"dense": {"dim": 2, "metric": "dot",
+                           "normalize": False}})
+    coll.upsert(spark, spark.createDataFrame(
+        [(1, 10, [1.0, 0.0]), (2, 20, [0.0, 1.0])],
+        "id int, doc int, dense array<double>"))
+    docs = create_collection(str(tmp_path), "gl2_docs", dim=2)
+    docs.upsert(spark, spark.createDataFrame(
+        [(10, [1.0, 0.0], "alpha")],
+        "id int, embedding array<double>, title string"))
+    out = coll.search_groups(spark, [1.0, 0.0], group_by="doc",
+                             limit=2, group_size=1, using="dense",
+                             with_lookup=docs)
+    assert "lookup_embedding" not in out.columns
+    rows = {r.doc: r for r in out.collect()}
+    assert rows[10].lookup_title == "alpha"

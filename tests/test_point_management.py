@@ -388,3 +388,62 @@ def test_overwrite_payload_replaces_whole_payload(spark, tmp_path):
     assert rows[2].tag == "other" and rows[2].rank == 9     # untouched
     # vectors survive
     assert list(rows[1].embedding) and list(rows[2].embedding)
+
+
+def test_recommend_batch_string_ids(spark, tmp_path):
+    """Point ids may be strings (Qdrant UUID convention); the batch
+    exclusion frame must type itself from the examples."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "rbs", dim=2,
+                             normalize=False, metric="dot")
+    pts = spark.createDataFrame(
+        [("a1", [1.0, 0.0]), ("a2", [0.9, 0.1]), ("a3", [0.0, 1.0])],
+        "id string, embedding array<double>")
+    coll.upsert(spark, pts)
+    out = coll.recommend_batch(spark, [(["a1"], [])], k=1).collect()
+    assert out[0].id == "a2"  # a1 excluded
+
+
+def test_update_collection_disable_threshold_drops_layout(spark, tmp_path):
+    """Disabling indexing_threshold must take the built layout with it
+    — otherwise later upserts go stale-invisible to routed searches."""
+    import os
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "dis", dim=4,
+                             indexing_threshold=10)
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0])
+            for i in range(30)]
+    coll.upsert(spark, spark.createDataFrame(
+        rows, "id int, embedding array<double>"))
+    assert coll.has_index()
+    coll.update_collection(spark, indexing_threshold=None)
+    assert not coll.has_index()
+    assert not os.path.exists(coll._ivf_points)
+    # new points visible to default (now exact) search
+    # direction (0,0,0,1) is unique: every synthetic vector has a
+    # nonzero first component, so only the new point scores cosine 1.0
+    coll.upsert(spark, spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.0, 50.0])],
+        "id int, embedding array<double>"))
+    top = coll.search(spark, [0.0, 0.0, 0.0, 1.0], k=1).collect()
+    assert top[0].id == 999
+
+
+def test_update_collection_rejects_multivector_quantization(spark, tmp_path):
+    import pytest as _pytest
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    coll = create_collection(str(tmp_path), "mvq", dim=2,
+                             multivector=True)
+    with _pytest.raises(ValueError, match="dense"):
+        coll.update_collection(spark, quantization="sq")
