@@ -65,10 +65,14 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return _IVF_CACHE[key]
 
 
-@register("ann_ivf_top5", None)
-def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search (16 centroids, nprobe=4) for the vec_id=0
-    query; the KMeans build is cached/persisted across calls."""
+def ann_ivf_ml_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (16 Spark-ML KMeans centroids, nprobe=4) for
+    the vec_id=0 query; the KMeans build is cached/persisted across
+    calls. Pytest-only since round 5 — the registered ``ann_ivf_top5``
+    now probes the deterministic kmeans_np layout so the driver can
+    value-check it; this ml-trained sibling keeps the JVM training
+    path exercised (tests/test_ann.py recall pins use ivf_build
+    directly as well)."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, centroids = _ivf_index(spark, sf_dir)
     return ivf_search(assigned, centroids, _query_of(emb, 0), k=5, nprobe=4)
@@ -227,12 +231,13 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_CACHE[key]
 
 
-@register("ann_pq_top5", None)
-def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ADC search (8 blocks × 16 codes → 32×
-    compression) for the vec_id=0 query; codebooks cached per
-    (session, sf). Rows-only: PQ is approximate by construction
-    (recall pinned in tests/test_pq.py)."""
+def ann_pq_ml_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC search (8 blocks × 16 Spark-ML-trained
+    codes → 32× compression) for the vec_id=0 query; codebooks cached
+    per (session, sf). Pytest-only since round 5 — the registered
+    ``ann_pq_top5`` now scores deterministic kmeans_np codebooks so
+    the driver can value-check it; recall pins for the ml training
+    live in tests/test_pq.py."""
     from ..operators.pq import pq_search
 
     emb = load(spark, sf_dir, "embeddings")
@@ -434,14 +439,13 @@ def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(left, emb, cents, k=3, nprobe=None, dim=64)
 
 
-@register("ann_ivfpq_top5", None)
-def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed IVF→PQ→exact-rerank (the graph-index-class quality
-    tier, BASELINE.md §ANN recall: 0.99 recall@10 on clustered vectors
-    at nprobe=4/rescore=200): probe compressed codes in the nprobe
-    nearest cells, exact-rescore a 100-row shortlist. Reuses both
-    cached indexes — the probe touches 8-byte codes, never the corpus
-    scan. Rows-only: approximate by design; recall pinned in
+def ann_ivfpq_ml_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF→PQ→exact-rerank over the Spark-ML-trained indexes
+    (BASELINE.md §ANN recall: 0.99 recall@10 on clustered vectors at
+    nprobe=4/rescore=200). Pytest-only since round 5 — the registered
+    ``ann_ivfpq_top5`` composes the deterministic kmeans_np layouts so
+    the driver can value-check the whole probe→ADC→rescore path;
+    recall pins for the ml-trained composition live in
     tests/test_ann_clustered.py."""
     from ..operators.pq import ivfpq_search
 
@@ -682,17 +686,17 @@ def _pq_det_oracle(sf_dir: str, k: int = 5, n_blocks: int = 8) -> str:
 _PQ_DET_CACHE: dict = {}
 
 
-def _pq_det_index(spark: SparkSession, sf_dir: str):
+def _pq_det_index(spark: SparkSession, sf_dir: str, n_blocks: int = 8):
     """Cached deterministic-PQ code table: the per-block argmin
     encode (8 unrolled expressions in one projection — past codegen's
     combined-method budget, so interpreted) runs ONCE per (session,
-    sf) and persists 8-byte code rows; queries pay only the ADC LUT
-    scan. Same build-outside-the-timer policy as every tier."""
-    key = _cache_key(spark, sf_dir)
+    sf, n_blocks) and persists 8-byte code rows; queries pay only the
+    ADC LUT scan. Same build-outside-the-timer policy as every tier."""
+    key = (*_cache_key(spark, sf_dir), n_blocks)
     if key not in _PQ_DET_CACHE or not _session_alive(spark):
         from ..operators.ann import assign_centroids
 
-        cbs = _np_pq_codebooks(sf_dir)
+        cbs = _np_pq_codebooks(sf_dir, n_blocks=n_blocks)
         subdim = len(cbs[0][0])
         emb = load(spark, sf_dir, "embeddings")
         code_cols = [
@@ -766,3 +770,155 @@ def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("d"), 6).alias("min_sqdist"),
         F.round(F.max("d"), 6).alias("max_sqdist"),
     )
+
+
+# --- round 5: the three headline approximate tiers re-pointed at the
+# --- deterministic kmeans_np builders (VERDICT r4 item 1), so every
+# --- registered ANN query except the sketch aggregate carries a FULL
+# --- value oracle. The Spark-ML-trained variants stay as pytest-only
+# --- functions above (ann_ivf_ml_top5 / ann_pq_ml_top5 /
+# --- ann_ivfpq_ml_top5) and via the exhaustive twins' builds.
+
+
+def _ivf_det_oracle_np2(sf_dir: str) -> str:
+    """ann_ivf_top5's oracle factory: same machinery as
+    ``ann_ivf_det_top5``, narrower probe (nprobe=2 — the recall-1.0
+    setting on the clustered 50k corpus, BASELINE.md §ANN)."""
+    return _ivf_det_oracle(sf_dir, nprobe=2)
+
+
+@register("ann_ivf_top5", _ivf_det_oracle_np2)
+def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (16 deterministic kmeans_np centroids,
+    nprobe=2) for the vec_id=0 query, served from the cached
+    assignment layout (`_ivf_det_index`). Genuinely approximate (2 of
+    16 cells probed) yet FULLY value-oracled: training is
+    bit-reproducible outside Spark, so the oracle factory re-trains
+    identically and hash-checks assignment, probe shortlist, and the
+    rescored top-k (reference parity: the qdrant server's default
+    indexed search path, `/root/reference/README.md:91`ff; nprobe sits
+    where HNSW's ef would). `ann_ivf_det_top5` keeps the nprobe=4
+    point on the same layout; the Spark-ML-trained sibling is
+    pytest-only (`ann_ivf_ml_top5`)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cdf = _ivf_det_index(spark, sf_dir)
+    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=2)
+
+
+def _pq_det_oracle_b4(sf_dir: str) -> str:
+    """ann_pq_top5's oracle factory: 4 blocks × 16 codes (16-d
+    subvectors, 16× compression) — a coarser point on the same
+    deterministic-PQ curve as ``ann_pq_det_top5``'s 8×16."""
+    return _pq_det_oracle(sf_dir, n_blocks=4)
+
+
+@register("ann_pq_top5", _pq_det_oracle_b4)
+def ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC search over deterministic kmeans_np
+    codebooks (4 blocks × 16 codes → 16× compression) for the
+    vec_id=0 query. Quantization error and all is hash-checked: the
+    oracle factory re-derives the codebooks, per-row codes, and the
+    same driver-computed LUTs, so DuckDB ranks identical quantized
+    scores. Code table cached per (session, sf, n_blocks)
+    (`_pq_det_index`); the Spark-ML-trained sibling is pytest-only
+    (`ann_pq_ml_top5`)."""
+    from ..operators.pq import pq_search
+
+    codes, cbs = _pq_det_index(spark, sf_dir, n_blocks=4)
+    return pq_search(codes, cbs, _np_query_vec(sf_dir), k=5)
+
+
+def _ivfpq_det_oracle(sf_dir: str, k: int = 5, nprobe: int = 4,
+                      rescore: int = 100, n_blocks: int = 8) -> str:
+    """Oracle factory for the composed deterministic IVF→PQ→rescore
+    read path. Every stage reproduces bit-for-bit in DuckDB:
+
+    - coarse probe: computed HERE in python with the same
+      left-to-right float64 fold over (c_j − q_j)² that the Spark
+      probe's ``zip_with``/``aggregate`` evaluates (ties broken by
+      centroid_id, as ``global_topk`` does), and embedded as literal
+      cell ids — mirroring the builder, which collects the ≤16-row
+      probe to literals before the scan;
+    - cell membership: the same first-min argmin over unrolled
+      left-associated squared distances as ``_ivf_det_oracle``;
+    - ADC shortlist: per-block ``list_position`` argmin codes indexing
+      the SAME python-computed LUT literals the Spark expression
+      embeds, summed left-to-right, top-``rescore`` by
+      (adc DESC, vec_id ASC) — exactly ``pq_search``'s unrounded
+      shortlist order;
+    - exact rescore: the shared ``_COS`` cosine over just the
+      shortlist, ROUND 6, top-k."""
+    cents = _np_centroids(sf_dir)
+    cbs = _np_pq_codebooks(sf_dir, n_blocks=n_blocks)
+    qvec = _np_query_vec(sf_dir)
+
+    # probe: replicate the zip_with/aggregate fold (left-to-right
+    # IEEE-double accumulation) then (cdist ASC, cid ASC) top-nprobe
+    dists = []
+    for cid, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(c, qvec):
+            acc += (x - y) * (x - y)
+        dists.append((acc, cid))
+    probe_ids = sorted(cid for _, cid in sorted(dists)[:nprobe])
+
+    dl = "list_value(" + ", ".join(
+        _duck_sq_dist("e.embedding", c) for c in cents) + ")"
+    cid_expr = f"(list_position({dl}, list_min({dl})) - 1)"
+
+    subdim = len(cbs[0][0])
+    terms = []
+    for b, cb in enumerate(cbs):
+        off = b * subdim
+        bdl = "list_value(" + ", ".join(
+            "(" + " + ".join(
+                f"((CAST(e.embedding[{off + j + 1}] AS DOUBLE) - {float(cj)!r})"
+                f" * (CAST(e.embedding[{off + j + 1}] AS DOUBLE) - {float(cj)!r}))"
+                for j, cj in enumerate(cw)
+            ) + ")"
+            for cw in cb) + ")"
+        pos = f"list_position({bdl}, list_min({bdl}))"  # 1-based code
+        q_sub = qvec[off:off + subdim]
+        lut = ", ".join(
+            f"{sum(float(q) * float(c) for q, c in zip(q_sub, cw))!r}"
+            for cw in cb)
+        terms.append(f"(CAST(list_value({lut}) AS DOUBLE[]))[{pos}]")
+    adc = " + ".join(terms)
+    in_list = ", ".join(str(i) for i in probe_ids)
+    return f"""
+    WITH short AS (
+      SELECT e.vec_id, {adc} AS adc
+      FROM embeddings e
+      WHERE {cid_expr} IN ({in_list})
+      ORDER BY adc DESC, e.vec_id
+      LIMIT {rescore}
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS.format(a='e.embedding', b='qv.qv')}, 6) AS score
+    FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+    ORDER BY score DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register("ann_ivfpq_top5", _ivfpq_det_oracle)
+def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF→PQ→exact-rerank over the DETERMINISTIC layouts
+    (the graph-index-class quality tier; BASELINE.md §ANN: 0.99
+    recall@10 at nprobe=4/rescore=200 for the ml twin of this shape):
+    probe 8-byte codes in the nprobe=4 nearest cells, ADC-shortlist
+    100 rows, exact-rescore only those. Reuses both cached
+    deterministic indexes; the corpus scan never happens. The entire
+    approximate path — probe literals, cell membership, quantized
+    shortlist order, rescored top-k — hash-checks against
+    ``_ivfpq_det_oracle``. Spark-ML-trained sibling: pytest-only
+    (`ann_ivfpq_ml_top5`)."""
+    from ..operators.pq import ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cdf = _ivf_det_index(spark, sf_dir)
+    codes, cbs = _pq_det_index(spark, sf_dir)
+    acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
+    return ivfpq_search(acodes, cdf, cbs, emb, _np_query_vec(sf_dir),
+                        k=5, nprobe=4, rescore=100)
