@@ -135,17 +135,28 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document fingerprinting that distinguishes permuted texts, unlike
     the bag-of-tokens md5). Left fold seeded with the first token hash
     (list_reduce semantics), mod 1e9+7 at every step — no overflow,
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    The md5-per-token array is MATERIALIZED in its own projection: the
+    fold expression references it 4× (slice / element_at / 2× size),
+    and Catalyst does not common-subexpression the inlined copies —
+    measured 1.3-1.5 s inlined vs 0.5 s staged at sf0.1 (3-run
+    medians; this was VERDICT r4's `text_rolling_hash` drift — a CSE
+    miss, not box noise)."""
     d = load(spark, sf_dir, "documents")
-    hs = F.transform(tokens(F.col("text")), lambda t: hash64(t) % _P)
+    staged = d.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda t: hash64(t) % _P)
+        .alias("hs"),
+    )
     folded = F.aggregate(
-        F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),
-        F.element_at(hs, 1),
+        F.slice("hs", 2, F.greatest(F.size("hs") - 1, F.lit(0))),
+        F.element_at("hs", 1),
         lambda acc, x: (acc * 31 + x) % _P,
     )
-    return d.select(
+    return staged.select(
         "doc_id",
-        F.when(F.size(hs) == 0, F.lit(-1)).otherwise(folded)
+        F.when(F.size("hs") == 0, F.lit(-1)).otherwise(folded)
         .cast("long").alias("rhash"),
     )
 
