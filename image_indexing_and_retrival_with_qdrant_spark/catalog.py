@@ -1473,25 +1473,26 @@ class Collection:
     def delete(self, spark: SparkSession, predicate: Column,
                id_col: str = "id", vec_col: str = "embedding") -> int:
         """Qdrant's ``delete(points_selector=Filter(...))`` analog:
-        remove every point matching the predicate. Plain-parquet
-        fallback is a staged rewrite of the survivors (Delta/Iceberg
-        would make this a metadata-only DELETE); the IVF layout is
-        re-derived so deleted points leave the index too. Returns the
-        number of points removed."""
+        remove every point matching the predicate — SQL DELETE
+        semantics: only rows where the predicate is TRUE are removed
+        (a NULL predicate is a non-match, as in Qdrant's filter
+        matching). File-scoped since round 5: only the files holding
+        a matched row are rewritten with their survivors; every other
+        data file keeps its bytes (Delta/Iceberg would make this a
+        metadata-only DELETE). The IVF layout is re-derived so deleted
+        points leave the index too. Returns the number of points
+        removed."""
         if not self._has_data(spark):
             return 0
         predicate = as_predicate(predicate)
         table = self.read(spark)
-        n_before = table.count()
-        kept = table.filter(~predicate)
-        staging = self.path + ".__rewrite__"
-        self._write_main(kept, "overwrite", staging)
-        shutil.rmtree(self.path)
-        os.rename(staging, self.path)
-        n_after = self.read(spark).count()
-        if self.has_index() or self.meta.get("quantization"):
-            self._post_write(spark, None, id_col, vec_col, rewrote=True)
-        return n_before - n_after
+        n = table.filter(predicate).count()
+
+        def transform(subset: DataFrame) -> DataFrame:
+            return subset.filter(~F.coalesce(predicate, F.lit(False)))
+
+        self._scoped_rewrite(spark, predicate, transform, id_col, vec_col)
+        return n
 
     def _selector_pred(self, selector, id_col: str) -> Column:
         """Qdrant points-selector: a list of ids or a Filter/Column."""
@@ -1516,11 +1517,52 @@ class Collection:
 
     def _rewrite(self, spark: SparkSession, table: DataFrame,
                  id_col: str, vec_col: str) -> None:
-        """Staged swap + index refresh (shared by the payload ops)."""
+        """Full staged swap + index refresh. Since round 5 only the
+        operations whose effect is inherently table-wide use this —
+        payload-index create/drop (a layout change) and payload ops
+        that ADD a column (parquet schema must stay uniform across
+        files; a part-table schema would make reads depend on which
+        file the reader samples). Selector-scoped point ops go through
+        :meth:`_scoped_rewrite` instead."""
         staging = self.path + ".__rewrite__"
         self._write_main(table, "overwrite", staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
+        if self.has_index() or self.meta.get("quantization"):
+            self._post_write(spark, None, id_col, vec_col, rewrote=True)
+
+    def _scoped_rewrite(self, spark: SparkSession, match,
+                        transform, id_col: str, vec_col: str) -> None:
+        """File-scoped staged rewrite for the point ops (set_payload /
+        overwrite_payload / delete_payload / update_vectors /
+        delete_vectors / delete): only the data files holding at least
+        one selector-matched row are rewritten — every other data file
+        keeps its exact bytes (the `_swap_staged_files` machinery the
+        merge upsert uses). At 100 TB a selector-scoped set_payload
+        touches the files containing the matched ids, not the table;
+        with a payload-index ``partitionBy`` layout the matched-file
+        set is additionally partition-pruned by the selector predicate
+        before any data is read.
+
+        ``match``: a boolean Column (selector predicate) or a
+        one-column id DataFrame (update batches — joined left_semi, so
+        a wide batch never becomes a giant IN-list). ``transform``
+        maps the matched files' rows to their full replacement rows
+        (same schema)."""
+        tagged = self.read(spark).withColumn(
+            "__file", F.col("_metadata.file_path"))
+        if isinstance(match, DataFrame):
+            matched = tagged.join(match, on=id_col, how="left_semi")
+        else:
+            matched = tagged.filter(match)
+        files = [r["__file"]
+                 for r in matched.select("__file").distinct().collect()]
+        if not files:
+            return
+        subset = tagged.filter(F.col("__file").isin(files)).drop("__file")
+        staging = self.path + ".__rewrite__"
+        self._write_main(transform(subset), "overwrite", staging)
+        self._swap_staged_files(staging, files)
         if self.has_index() or self.meta.get("quantization"):
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
@@ -1538,14 +1580,27 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
-        n = table.filter(pred).count()
-        for col, val in payload.items():
+        for col in payload:
             if col in (id_col, vec_col, "n_vecs"):
                 raise ValueError(f"cannot set reserved column {col!r}")
-            base = F.col(col) if col in table.columns else F.lit(None)
-            table = table.withColumn(
-                col, F.when(pred, F.lit(val)).otherwise(base))
-        self._rewrite(spark, table, id_col, vec_col)
+        n = table.filter(pred).count()
+        if any(col not in table.columns for col in payload):
+            # a NEW payload key is a schema change — table-wide by
+            # nature (parquet schemas must stay uniform across files)
+            for col, val in payload.items():
+                base = F.col(col) if col in table.columns else F.lit(None)
+                table = table.withColumn(
+                    col, F.when(pred, F.lit(val)).otherwise(base))
+            self._rewrite(spark, table, id_col, vec_col)
+            return n
+
+        def transform(subset: DataFrame) -> DataFrame:
+            for col, val in payload.items():
+                subset = subset.withColumn(
+                    col, F.when(pred, F.lit(val)).otherwise(F.col(col)))
+            return subset
+
+        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
         return n
 
     def overwrite_payload(self, spark: SparkSession, payload: dict,
@@ -1567,18 +1622,27 @@ class Collection:
         for col in payload:
             if col in reserved:
                 raise ValueError(f"cannot set reserved column {col!r}")
-        for col in table.columns:
-            if col in reserved:
-                continue
-            repl = (F.lit(payload[col]) if col in payload
-                    else F.lit(None).cast(table.schema[col].dataType))
-            table = table.withColumn(
-                col, F.when(pred, repl).otherwise(F.col(col)))
-        for col, val in payload.items():
-            if col not in table.columns:
-                table = table.withColumn(
-                    col, F.when(pred, F.lit(val)).otherwise(F.lit(None)))
-        self._rewrite(spark, table, id_col, vec_col)
+        schema = table.schema
+
+        def transform(subset: DataFrame) -> DataFrame:
+            for col in subset.columns:
+                if col in reserved:
+                    continue
+                repl = (F.lit(payload[col]) if col in payload
+                        else F.lit(None).cast(schema[col].dataType))
+                subset = subset.withColumn(
+                    col, F.when(pred, repl).otherwise(F.col(col)))
+            for col, val in payload.items():
+                if col not in subset.columns:
+                    subset = subset.withColumn(
+                        col, F.when(pred, F.lit(val)).otherwise(F.lit(None)))
+            return subset
+
+        if any(col not in table.columns for col in payload):
+            # new payload key → schema change → table-wide rewrite
+            self._rewrite(spark, transform(table), id_col, vec_col)
+        else:
+            self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
         return n
 
     def delete_payload(self, spark: SparkSession, keys: list, selector,
@@ -1591,16 +1655,22 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
-        n = table.filter(pred).count()
         for col in keys:
             if col in (id_col, vec_col, "n_vecs"):
                 raise ValueError(f"cannot delete reserved column {col!r}")
-            if col in table.columns:
-                table = table.withColumn(
-                    col,
-                    F.when(pred, F.lit(None).cast(table.schema[col].dataType))
-                    .otherwise(F.col(col)))
-        self._rewrite(spark, table, id_col, vec_col)
+        n = table.filter(pred).count()
+        schema = table.schema
+
+        def transform(subset: DataFrame) -> DataFrame:
+            for col in keys:
+                if col in subset.columns:
+                    subset = subset.withColumn(
+                        col,
+                        F.when(pred, F.lit(None).cast(schema[col].dataType))
+                        .otherwise(F.col(col)))
+            return subset
+
+        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
         return n
 
     def clear_payload(self, spark: SparkSession, selector,
@@ -1663,19 +1733,23 @@ class Collection:
                 upd_cols.append(nv)
         upd = points.select(
             F.col(id_col),
-            F.lit(True).alias("__matched"),
             *[F.col(c).alias(f"__new_{c}") for c in upd_cols])
-        joined = table.join(upd, on=id_col, how="left")
         # n = existing points whose id matched the update batch (not
         # just rows where the first vector column happened to be set).
-        n = joined.filter(F.col("__matched")).count()
-        for c in upd_cols:
-            joined = joined.withColumn(
-                c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
-        self._rewrite(
-            spark,
-            joined.drop("__matched", *[f"__new_{c}" for c in upd_cols]),
-            id_col, vec_col)
+        n = table.join(upd.select(id_col), on=id_col, how="left_semi").count()
+
+        def transform(subset: DataFrame) -> DataFrame:
+            joined = subset.join(upd, on=id_col, how="left")
+            for c in upd_cols:
+                joined = joined.withColumn(
+                    c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+            return joined.select(*subset.columns)
+
+        # file-scoped: only files holding a batch id are rewritten
+        # (ids not present in the collection touch nothing — Qdrant
+        # updates existing points only)
+        self._scoped_rewrite(spark, upd.select(id_col), transform,
+                             id_col, vec_col)
         return n
 
     def delete_vectors(self, spark: SparkSession, names: list, selector,
@@ -1699,15 +1773,20 @@ class Collection:
             if c not in spaces or c not in table.columns:
                 raise ValueError(f"unknown vector column {c!r}")
         n = table.filter(pred).count()
-        for c in names:
-            nv = (c + "__nv") if named else "n_vecs"
-            for col in ([c, nv] if nv in table.columns else [c]):
-                table = table.withColumn(
-                    col,
-                    F.when(pred,
-                           F.lit(None).cast(table.schema[col].dataType))
-                    .otherwise(F.col(col)))
-        self._rewrite(spark, table, id_col, vec_col)
+        schema = table.schema
+
+        def transform(subset: DataFrame) -> DataFrame:
+            for c in names:
+                nv = (c + "__nv") if named else "n_vecs"
+                for col in ([c, nv] if nv in subset.columns else [c]):
+                    subset = subset.withColumn(
+                        col,
+                        F.when(pred,
+                               F.lit(None).cast(schema[col].dataType))
+                        .otherwise(F.col(col)))
+            return subset
+
+        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
         return n
 
     def scroll(self, spark: SparkSession, limit: int = 100,
