@@ -695,6 +695,29 @@ class Collection:
 
     # -- query_points analog ---------------------------------------------
 
+    def _resolve_recall_target(self, recall_target: float,
+                               nprobe: int | None, exact: bool,
+                               oversampling: float
+                               ) -> tuple[int | None, bool, float]:
+        """Overlay recall-target routing (routing.py — the measured
+        BASELINE.md curves) onto the caller's knobs. Explicit knobs
+        win: an ``exact=True`` or ``nprobe=`` from the caller is never
+        overridden; the target only fills what was left unset
+        (``oversampling`` counts as unset at its 4.0 default)."""
+        from .routing import route_for_recall
+
+        r = route_for_recall(
+            recall_target, indexed=self.has_index(),
+            quantization=self.meta.get("quantization"),
+            k_centroids=int(self.meta.get("k_centroids") or 16))
+        if not exact and nprobe is None:
+            if r["exact"]:
+                exact = True
+            nprobe = r["nprobe"]
+            if r["oversampling"] is not None and oversampling == 4.0:
+                oversampling = r["oversampling"]
+        return nprobe, exact, oversampling
+
     def search(self, spark: SparkSession, query_vector: list,
                k: int = 5, query_filter=None, score_threshold=None,
                id_col: str = "id", vec_col: str = "embedding",
@@ -702,7 +725,8 @@ class Collection:
                using: str | None = None, oversampling: float = 4.0,
                offset: int = 0, shard_key_selector=None,
                rescore: int | None = None, formula: str | None = None,
-               prefetch_limit: int | None = None):
+               prefetch_limit: int | None = None,
+               recall_target: float | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -743,11 +767,24 @@ class Collection:
         collection's metric, rescores that shortlist with the formula
         in one Catalyst projection, and returns top-k by the formula
         value (as ``score``, ranked descending — Qdrant's formula
-        semantics). ``offset`` pages the boosted order."""
+        semantics). ``offset`` pages the boosted order.
+
+        ``recall_target=`` (routing.py): state the recall you need and
+        the engine picks the tier + knobs from its measured curves —
+        exact below ``indexing_threshold`` (Qdrant's own deferred-
+        index behavior), IVF ``nprobe`` scaled to the collection's
+        cell count for indexed collections, the proven oversampling
+        point for quantized ones, and the exact scan at ≥0.999
+        (measurements are not proofs). Explicit ``exact``/``nprobe``
+        always win; the target fills only what was left unset."""
         from pyspark.sql import functions as F
 
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
+
+        if recall_target is not None:
+            nprobe, exact, oversampling = self._resolve_recall_target(
+                recall_target, nprobe, exact, oversampling)
 
         if formula is not None:
             # Qdrant FormulaQuery: prefetch with the collection's
@@ -898,16 +935,22 @@ class Collection:
                      id_col: str = "id", vec_col: str = "embedding",
                      nprobe: int | None = None,
                      exact: bool = False,
-                     using: str | None = None) -> DataFrame:
+                     using: str | None = None,
+                     recall_target: float | None = None) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
         All queries share ONE corpus pass (broadcast query set +
         per-group top-k with map-side pruning) — N queries cost one
         scan, not N. With an IVF layout, the scan prunes to the
         *union* of every query's nprobe cells (still a literal IN —
-        static partition pruning)."""
+        static partition pruning). ``recall_target=`` routes exactly
+        as in :meth:`search` (the whole batch shares one resolved
+        tier — per-query tiers would defeat the single-pass plan)."""
         from .operators.knn import dense_knn_batch
 
+        if recall_target is not None:
+            nprobe, exact, _ = self._resolve_recall_target(
+                recall_target, nprobe, exact, 4.0)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         query_filter = as_predicate(query_filter)
