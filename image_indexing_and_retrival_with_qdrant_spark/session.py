@@ -17,7 +17,11 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "image_indexing_and_retrival_with_qdrant_spark",
               cpus: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """``extra_conf``: builder-time settings (memory sizing, off-heap
+    column vectors, GC flags) that cannot be set on a live session —
+    only honored when this call actually creates the session."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:
@@ -38,6 +42,8 @@ def get_spark(app_name: str = "image_indexing_and_retrival_with_qdrant_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

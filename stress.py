@@ -75,14 +75,19 @@ def _gen_mv_chunk(args) -> None:
         "pooled": pa.FixedSizeListArray.from_arrays(
             pa.array(sub.mean(axis=1).reshape(-1).astype(np.float32)), dim),
     })
-    # small row groups (1024 × 32 KB ≈ 33 MB) keep stats-based pruning
-    # useful for shortlist point-fetches (two-stage rescore)
+    # row groups sized to ~32 MB of vector bytes REGARDLESS of row
+    # width (1024 rows at 64×128; 63 rows at ColPali's 1030×128) —
+    # stats-based pruning for shortlist point-fetches needs groups a
+    # fetch can skip, and fixed ROW counts silently become 0.5 GB
+    # groups at 0.5 MB/row (the round-4 row-width lesson applied to
+    # the writer side)
+    rg_rows = max(16, (32 << 20) // (n_vecs * dim * 4))
     pq.write_table(tbl, os.path.join(out_dir, f"part-{start:012d}.parquet"),
-                   compression="snappy", row_group_size=1024)
+                   compression="snappy", row_group_size=rg_rows)
 
 
 def synth_multivector_corpus(n: int, n_vecs: int, dim: int,
-                             out_dir: str, chunk: int = 12_500) -> None:
+                             out_dir: str, chunk: int | None = None) -> None:
     """ColPali-shaped flat multivector corpus written to parquet:
     ``vec_id, flat (array<float>, n_vecs×dim), pooled (array<float>,
     dim)``. Subvectors are seeded numpy draws around a per-doc unit
@@ -94,9 +99,12 @@ def synth_multivector_corpus(n: int, n_vecs: int, dim: int,
     Written by a plain pyarrow process pool, not Spark: this is test
     substrate generation, and the direct Arrow→parquet path runs ~10×
     faster than shipping generated batches through mapInPandas → JVM
-    row conversion → parquet writer (measured round 4)."""
+    row conversion → parquet writer (measured round 4). Chunk size
+    scales inversely with row width (~0.4 GB of float32 per worker)."""
     from multiprocessing import Pool
 
+    if chunk is None:
+        chunk = max(250, 12_500 * (64 * 128) // (n_vecs * dim))
     os.makedirs(out_dir, exist_ok=True)
     jobs = [(s, min(chunk, n - s), n_vecs, dim, out_dir)
             for s in range(0, n, chunk)]
@@ -124,13 +132,34 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
     # 32 concurrent read buffers + Arrow transit; on a real cluster
     # this is per-executor sizing
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    row_bytes = n_vecs * dim * 4
+    extra = {}
+    if row_bytes > 65536:
+        # Round-5 at-1030×128 finding: ON-heap column vectors thrash
+        # G1 at 0.5 MB/row — every reader batch is a humongous
+        # allocation, and scan wall time swung 7–120 s for the same
+        # 4 GB (GC debt accumulating across jobs). Off-heap column
+        # vectors take the reader buffers out of the GC's hands
+        # entirely: 3-run scans stabilized at 2.2–7.9 s. On a real
+        # cluster this is spark.executor.memoryOverhead sizing.
+        extra = {
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "32g",
+            "spark.sql.columnVector.offheap.enabled": "true",
+        }
     spark = get_spark("stress-maxsim",
-                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                      extra_conf=extra)
     # At-shape finding (BASELINE.md): buffer sizes that are tuned for
-    # ~100-byte rows explode at 32 KB/row. The vectorized parquet
-    # reader's 4096-row batch = 0.5 GB per task (32 tasks OOM any
-    # reasonable heap) → 256 rows = 8 MB/task.
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
+    # ~100-byte rows explode at 32 KB/row — and settings tuned for
+    # 32 KB/row explode again at ColPali's 0.5 MB/row. Both the
+    # vectorized parquet reader batch and the Arrow batch are sized by
+    # BYTES (~32 MB of vectors per in-flight batch/task), so the same
+    # harness holds from 64×128 to 1030×128 without retuning.
+    reader_rows = min(256, max(16, (32 << 20) // row_bytes))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+                   str(reader_rows))
+    width_batch = max(16, (32 << 20) // row_bytes)  # ≈32 MB of rows
     corpus_dir = tempfile.mkdtemp(prefix="stress_maxsim_")
     timings: dict = {}
     try:
@@ -139,7 +168,8 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         timings["generate_write"] = round(time.perf_counter() - t0, 2)
 
         corpus = spark.read.parquet(corpus_dir)
-        qrow = corpus.filter(F.col("vec_id") == 12345).collect()[0]
+        qid = min(12345, n - 1)
+        qrow = corpus.filter(F.col("vec_id") == qid).collect()[0]
         # query = the first n_qvecs subvectors of a corpus doc (a real
         # query is shorter than a doc: ~20 ColPali query tokens)
         qflat = [float(x) for x in qrow.flat[:n_qvecs * dim]]
@@ -161,19 +191,27 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         # only), at two Arrow batch sizes: per-batch transit memory vs
         # per-batch Python round-trip overhead
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        if n <= 200_000:  # comparison scan; ratio holds, skip at full n
+        if n <= 200_000 and row_bytes <= 65536:
+            # comparison scan; ratio holds, skip at full n / at width
             t0 = time.perf_counter()
             exact_scan(False)
             timings["exact_scan_querycol_batch512"] = round(
                 time.perf_counter() - t0, 2)
-        for batch in (4096, 512):
+        # at 32 KB/row: 4096 (the too-big session default) vs 512 (the
+        # round-4 winner). At 0.5 MB/row 512 is ITSELF 270 MB/batch —
+        # the oversized point — and the byte-sized batch (~64) is the
+        # width-correct one. Same pair of measurements, one size regime
+        # further out.
+        batches = (4096, 512) if row_bytes <= 65536 else (512, width_batch)
+        exact_key = f"exact_scan_batch{batches[-1]}"
+        for batch in batches:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
             t0 = time.perf_counter()
             exact = exact_scan(True)
             timings[f"exact_scan_batch{batch}"] = round(
                 time.perf_counter() - t0, 2)
-        assert exact[0].vec_id == 12345
+        assert exact[0].vec_id == qid
         exact_ids = {r.vec_id for r in exact}
 
         # batched queries at shape: column-join (the broadcast join
@@ -184,24 +222,27 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
             maxsim_knn_batch,
         )
 
-        qrows = corpus.filter(F.col("vec_id").isin(100, 200, 300, 400)) \
-            .select("flat").collect()
-        qflats = [[float(x) for x in r.flat[:n_qvecs * dim]] for r in qrows]
-        if n <= 200_000:
-            qdf = spark.createDataFrame(
-                [(i, qf) for i, qf in enumerate(qflats)],
-                "query_idx int, query_vectors array<double>")
+        if row_bytes <= 65536:  # calibrated at 64×128; one full extra
+            qrows = corpus.filter(F.col("vec_id").isin(100, 200, 300, 400)) \
+                .select("flat").collect()  # scan is redundant at width
+            qflats = [[float(x) for x in r.flat[:n_qvecs * dim]]
+                      for r in qrows]
+            if n <= 200_000:
+                qdf = spark.createDataFrame(
+                    [(i, qf) for i, qf in enumerate(qflats)],
+                    "query_idx int, query_vectors array<double>")
+                t0 = time.perf_counter()
+                maxsim_knn_batch(
+                    corpus, qdf, k=10, id_col="vec_id", mv_col="flat",
+                    query_mv_col="query_vectors", flat_dim=dim).collect()
+                timings["batch4_querycol"] = round(
+                    time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
-            maxsim_knn_batch(
-                corpus, qdf, k=10, id_col="vec_id", mv_col="flat",
-                query_mv_col="query_vectors", flat_dim=dim).collect()
-            timings["batch4_querycol"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        bout = maxsim_knn_batch(
-            corpus, None, k=10, id_col="vec_id", mv_col="flat",
-            flat_dim=dim, queries_flat=qflats).collect()
-        timings["batch4_captured"] = round(time.perf_counter() - t0, 2)
-        assert {r.query_idx for r in bout} == {0, 1, 2, 3}
+            bout = maxsim_knn_batch(
+                corpus, None, k=10, id_col="vec_id", mv_col="flat",
+                flat_dim=dim, queries_flat=qflats).collect()
+            timings["batch4_captured"] = round(time.perf_counter() - t0, 2)
+            assert {r.query_idx for r in bout} == {0, 1, 2, 3}
 
         # two-stage: pooled-cosine prefilter (stage 1 reads ONLY the
         # pooled column — dim floats/row, 1/n_vecs of the bytes; column
@@ -235,8 +276,9 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
             "vector_gb": round(n * n_vecs * dim * 4 / 2**30, 1),
             "timings_sec": timings,
             "two_stage_recall@10": recall,
-            "exact_mrows_per_sec": round(
-                n / timings["exact_scan_batch512"] / 1e6, 2),
+            "exact_mrows_per_sec": round(n / timings[exact_key] / 1e6, 2),
+            "exact_gb_per_sec": round(
+                n * row_bytes / 2**30 / timings[exact_key], 2),
         }))
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
