@@ -1837,7 +1837,8 @@ class Collection:
                with_vectors: bool = False,
                vec_col: str = "embedding",
                order_by: str | None = None,
-               start_from=None, desc: bool = False) -> DataFrame:
+               start_from=None, desc: bool = False,
+               scroll_filter=None) -> DataFrame:
         """Qdrant's ``scroll`` analog: keyset pagination ordered by id
         — ``after_id`` is the last id of the previous page (strictly
         greater-than, so pages never overlap or skip under concurrent
@@ -1847,8 +1848,18 @@ class Collection:
 
         With ``order_by`` (Qdrant's ``scroll(order_by=OrderBy(...))``):
         pages walk a payload field instead, ``start_from`` bounding the
-        field value (inclusive, like Qdrant), id as tie-break."""
+        field value (inclusive, like Qdrant), id as tie-break.
+
+        ``scroll_filter`` (Qdrant's ``scroll(scroll_filter=Filter)``):
+        a Filter-DSL / Column predicate restricting the walk; it ANDs
+        with the keyset bound, pushes to the scan, and — under a
+        payload-index layout on the filtered field — statically prunes
+        partitions, so filtered pages cost (matching files), not
+        (table)."""
         df = self.read(spark)
+        pred = as_predicate(scroll_filter)
+        if pred is not None:
+            df = df.filter(pred)
         if not with_vectors:
             drop = self._vector_columns(vec_col)
             df = df.drop(*[c for c in drop if c in df.columns])

@@ -554,3 +554,30 @@ def test_delete_null_predicate_keeps_rows(spark, tmp_path):
     assert coll.delete(spark, F.col("lang") == "en") == 1
     left = {r.id for r in coll.read(spark).collect()}
     assert left == {2, 3}  # NULL-lang row kept
+
+
+def test_scroll_with_filter(spark, sf_smoke, tmp_path):
+    """Qdrant scroll(scroll_filter=): the predicate restricts the
+    keyset walk on every page, composing with after_id."""
+    from image_indexing_and_retrival_with_qdrant_spark.filters import FieldCondition
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n_en = coll.read(spark).filter(F.col("lang") == "en").count()
+    seen, after = [], None
+    while True:
+        page = coll.scroll(spark, limit=100, after_id=after,
+                           scroll_filter=FieldCondition("lang", match="en")
+                           ).collect()
+        if not page:
+            break
+        assert all(r.lang == "en" for r in page)
+        seen.extend(r.id for r in page)
+        after = page[-1].id
+    assert len(seen) == n_en == len(set(seen))
+    # order_by + filter compose too
+    page = coll.scroll(spark, limit=5, order_by="doc_id",
+                       scroll_filter=FieldCondition("lang", match="en")
+                       ).collect()
+    assert all(r.lang == "en" for r in page)
+    vals = [r.doc_id for r in page]
+    assert vals == sorted(vals)
