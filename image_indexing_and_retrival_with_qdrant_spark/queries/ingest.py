@@ -535,3 +535,67 @@ def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "lang string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _recall_routed_oracle() -> str:
+    """Both routed cases below resolve to the EXACT scan by the
+    routing rules, so the oracle is the exact cosine top-5 twice,
+    tagged per case."""
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    exact AS (
+      SELECT sha256(t.text) AS id,
+             ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+      FROM t
+      ORDER BY score DESC, id
+      LIMIT 5
+    )
+    SELECT 'unindexed_t95' AS routing_case, id, score FROM exact
+    UNION ALL
+    SELECT 'indexed_t100' AS routing_case, id, score FROM exact
+    """
+
+
+@register("ingest_recall_routed_search", _recall_routed_oracle())
+def ingest_recall_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-target routing (routing.py, round 5) through the driver
+    gate: the two routing rules that resolve to the exact scan are
+    value-checked end-to-end — (a) any target on an UNINDEXED
+    collection (below ``indexing_threshold`` search is already exact,
+    Qdrant's deferred-index behavior) and (b) ``recall_target=1.0`` on
+    an INDEXED collection (measured-1.0 curve points are measurements,
+    not proofs, so exactness routes to the exact scan). The
+    curve-interior points (nprobe from the measured fractions) are
+    pinned against explicit-knob equality in
+    tests/test_recall_routing.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_recall_route_")
+    try:
+        flat = create_collection(root, "flat", dim=8, normalize=False)
+        flat.upsert(spark, points, mode="merge")
+        r1 = flat.search(spark, qv, k=5, recall_target=0.95) \
+            .select(F.lit("unindexed_t95").alias("routing_case"),
+                    "id", "score")
+        idx = create_collection(root, "indexed", dim=8, normalize=False,
+                                indexing_threshold=1, k_centroids=4)
+        idx.upsert(spark, points, mode="merge")
+        assert idx.has_index()
+        r2 = idx.search(spark, qv, k=5, recall_target=1.0) \
+            .select(F.lit("indexed_t100").alias("routing_case"),
+                    "id", "score")
+        out = r1.unionByName(r2)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
