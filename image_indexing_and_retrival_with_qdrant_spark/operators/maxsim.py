@@ -37,9 +37,61 @@ from ..functions.vector import dot
 from .topk import global_topk
 
 __all__ = ["maxsim_score_udf", "maxsim_score_flat_const_udf",
-           "maxsim_score_flat_multi_udf",
+           "maxsim_score_flat_multi_udf", "halfvec_encode_udf",
            "maxsim_knn", "maxsim_knn_batch",
            "maxsim_knn_exact", "as_multivector"]
+
+
+def halfvec_encode_udf(vec_col: Column) -> Column:
+    """Encode a flat ``array<float/double>`` multivector into fp16
+    bytes (``binary``) — the storage codec SCALE.md §MaxSim prescribes
+    for ColPali-width corpora: parquet has no fp16 primitive Spark can
+    read, so the halved representation travels as a binary column and
+    the flat scorers decode it with ``np.frombuffer`` (zero-copy) and
+    upcast to float64 for scoring. Halves the dominant byte stream
+    (scan → Arrow) end-to-end; lossy by fp16 rounding, so it is an
+    opt-in storage choice, never a default (same stance as
+    quantization tiers — the exact fp32 scan stays the recall
+    oracle)."""
+
+    @F.pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if x is None
+            else np.asarray(x, dtype=np.float16).tobytes()
+            for x in v
+        ])
+
+    return _enc(vec_col)
+
+
+def _flat_batch(doc_flat: pd.Series, dim: int):
+    """(B, n, dim) float64 tensor from a uniform-width Arrow batch of
+    flat multivectors — float arrays or fp16-bytes cells alike."""
+    first = doc_flat.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        D = np.stack([np.frombuffer(b, dtype=np.float16)
+                      for b in doc_flat])
+        return np.asarray(D, dtype=np.float64).reshape(len(doc_flat), -1,
+                                                       dim)
+    return np.asarray(
+        np.stack(doc_flat.to_numpy()), dtype=np.float64
+    ).reshape(len(doc_flat), -1, dim)
+
+
+def _flat_row(d, dim: int):
+    if isinstance(d, (bytes, bytearray)):
+        return np.frombuffer(d, dtype=np.float16).astype(
+            np.float64).reshape(-1, dim)
+    return np.asarray(d, dtype=np.float64).reshape(-1, dim)
+
+
+def _flat_width(doc_flat: pd.Series) -> pd.Series:
+    """Per-cell element count (bytes cells count fp16 elements)."""
+    first = doc_flat.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return doc_flat.map(lambda b: len(b) // 2)
+    return doc_flat.map(len)
 
 
 def as_multivector(col: Column, dim: int, n: int) -> Column:
@@ -124,17 +176,13 @@ def maxsim_score_flat_const_udf(dim: int, query_flat: Sequence[float]):
     def _score(doc_flat: pd.Series) -> pd.Series:
         if len(doc_flat) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        if doc_flat.map(len).nunique() == 1:
-            B = len(doc_flat)
-            D = np.asarray(
-                np.stack(doc_flat.to_numpy()), dtype=np.float64
-            ).reshape(B, -1, dim)                        # (B, n, dim)
+        if _flat_width(doc_flat).nunique() == 1:
+            D = _flat_batch(doc_flat, dim)               # (B, n, dim)
             sims = np.matmul(Q[None], D.transpose(0, 2, 1))  # (B, q, n)
             return pd.Series(sims.max(axis=2).sum(axis=1))
         out = np.empty(len(doc_flat), dtype=np.float64)
         for i, d in enumerate(doc_flat):
-            D = np.asarray(d, dtype=np.float64).reshape(-1, dim)
-            out[i] = (Q @ D.T).max(axis=1).sum()
+            out[i] = (Q @ _flat_row(d, dim).T).max(axis=1).sum()
         return pd.Series(out)
 
     return _score
@@ -165,11 +213,8 @@ def maxsim_score_flat_multi_udf(dim: int,
     def _score(doc_flat: pd.Series) -> pd.Series:
         if len(doc_flat) == 0:
             return pd.Series([], dtype=object)
-        if doc_flat.map(len).nunique() == 1:
-            B = len(doc_flat)
-            D = np.asarray(
-                np.stack(doc_flat.to_numpy()), dtype=np.float64
-            ).reshape(B, -1, dim)                     # (B, n, dim)
+        if _flat_width(doc_flat).nunique() == 1:
+            D = _flat_batch(doc_flat, dim)            # (B, n, dim)
             sims = np.matmul(Qall[None], D.transpose(0, 2, 1))
             per_vec = sims.max(axis=2)                # (B, Σq)
             scores = np.stack(
@@ -179,7 +224,7 @@ def maxsim_score_flat_multi_udf(dim: int,
             return pd.Series(list(scores))
         out = []
         for d in doc_flat:
-            D = np.asarray(d, dtype=np.float64).reshape(-1, dim)
+            D = _flat_row(d, dim)
             out.append(np.array(
                 [(Q @ D.T).max(axis=1).sum() for Q in Qs]))
         return pd.Series(out)
@@ -210,7 +255,11 @@ def maxsim_knn(
     ``maxsim_score_flat_const_udf``). ``query`` is ignored then.
 
     With ``flat_dim`` set, ``mv_col``/``query_mv_col`` are flat
-    arrays (n×dim doubles) and the cheap flat scorer is used.
+    arrays (n×dim doubles) and the cheap flat scorer is used. On the
+    capture paths ``mv_col`` may also be an fp16 ``binary`` column
+    (``halfvec_encode_udf``) — the scorers detect bytes cells, decode
+    with ``np.frombuffer`` and upcast to float64, halving the scan →
+    Arrow byte stream at ColPali width.
 
     ``prefilter``/``score_threshold`` mirror the dense path
     (``knn.dense_knn``): the payload predicate runs *before* scoring

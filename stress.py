@@ -56,7 +56,7 @@ def synth_corpus(spark, n: int):
 def _gen_mv_chunk(args) -> None:
     """One worker: generate [start, start+rows) docs and write one
     parquet part file. Top-level for pickling."""
-    start, rows, n_vecs, dim, out_dir = args
+    start, rows, n_vecs, dim, out_dir, dtype = args
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -68,10 +68,19 @@ def _gen_mv_chunk(args) -> None:
     sub = centers[:, None, :] + (sigma / np.sqrt(dim)) * \
         rng.standard_normal((rows, n_vecs, dim), dtype=np.float32)
     sub /= np.linalg.norm(sub, axis=2, keepdims=True)
+    if dtype == "f16":
+        # fp16 storage codec (operators/maxsim.py::halfvec_encode_udf):
+        # binary cells of packed float16 — halves the flat bytes
+        flat_arr = pa.array(
+            [r.tobytes() for r in
+             sub.astype(np.float16).reshape(rows, -1)],
+            type=pa.binary())
+    else:
+        flat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sub.reshape(-1)), n_vecs * dim)
     tbl = pa.table({
         "vec_id": pa.array(np.arange(start, start + rows)),
-        "flat": pa.FixedSizeListArray.from_arrays(
-            pa.array(sub.reshape(-1)), n_vecs * dim),
+        "flat": flat_arr,
         "pooled": pa.FixedSizeListArray.from_arrays(
             pa.array(sub.mean(axis=1).reshape(-1).astype(np.float32)), dim),
     })
@@ -81,13 +90,15 @@ def _gen_mv_chunk(args) -> None:
     # fetch can skip, and fixed ROW counts silently become 0.5 GB
     # groups at 0.5 MB/row (the round-4 row-width lesson applied to
     # the writer side)
-    rg_rows = max(16, (32 << 20) // (n_vecs * dim * 4))
+    elem = 2 if dtype == "f16" else 4
+    rg_rows = max(16, (32 << 20) // (n_vecs * dim * elem))
     pq.write_table(tbl, os.path.join(out_dir, f"part-{start:012d}.parquet"),
                    compression="snappy", row_group_size=rg_rows)
 
 
 def synth_multivector_corpus(n: int, n_vecs: int, dim: int,
-                             out_dir: str, chunk: int | None = None) -> None:
+                             out_dir: str, chunk: int | None = None,
+                             dtype: str = "f32") -> None:
     """ColPali-shaped flat multivector corpus written to parquet:
     ``vec_id, flat (array<float>, n_vecs×dim), pooled (array<float>,
     dim)``. Subvectors are seeded numpy draws around a per-doc unit
@@ -106,14 +117,15 @@ def synth_multivector_corpus(n: int, n_vecs: int, dim: int,
     if chunk is None:
         chunk = max(250, 12_500 * (64 * 128) // (n_vecs * dim))
     os.makedirs(out_dir, exist_ok=True)
-    jobs = [(s, min(chunk, n - s), n_vecs, dim, out_dir)
+    jobs = [(s, min(chunk, n - s), n_vecs, dim, out_dir, dtype)
             for s in range(0, n, chunk)]
     with Pool(min(16, len(jobs))) as pool:
         pool.map(_gen_mv_chunk, jobs)
 
 
 def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
-                    n_qvecs: int = 16, rescore: int = 200) -> None:
+                    n_qvecs: int = 16, rescore: int = 200,
+                    dtype: str = "f32") -> None:
     """MaxSim at the reference's real payload shape (ColPali is
     1030×128 per image, /root/reference/README.md:91; 64×128 here is
     the same regime at 1M docs = 32 GB of vectors). Measures:
@@ -132,7 +144,7 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
     # 32 concurrent read buffers + Arrow transit; on a real cluster
     # this is per-executor sizing
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    row_bytes = n_vecs * dim * 4
+    row_bytes = n_vecs * dim * (2 if dtype == "f16" else 4)
     extra = {}
     if row_bytes > 65536:
         # Round-5 at-1030×128 finding: ON-heap column vectors thrash
@@ -164,15 +176,22 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
     timings: dict = {}
     try:
         t0 = time.perf_counter()
-        synth_multivector_corpus(n, n_vecs, dim, corpus_dir)
+        synth_multivector_corpus(n, n_vecs, dim, corpus_dir, dtype=dtype)
         timings["generate_write"] = round(time.perf_counter() - t0, 2)
 
         corpus = spark.read.parquet(corpus_dir)
         qid = min(12345, n - 1)
         qrow = corpus.filter(F.col("vec_id") == qid).collect()[0]
         # query = the first n_qvecs subvectors of a corpus doc (a real
-        # query is shorter than a doc: ~20 ColPali query tokens)
-        qflat = [float(x) for x in qrow.flat[:n_qvecs * dim]]
+        # query is shorter than a doc: ~20 ColPali query tokens);
+        # queries stay full-precision — only STORAGE is fp16
+        if dtype == "f16":
+            import numpy as _np
+            qflat = [float(x) for x in
+                     _np.frombuffer(bytes(qrow.flat), dtype=_np.float16)
+                     [:n_qvecs * dim]]
+        else:
+            qflat = [float(x) for x in qrow.flat[:n_qvecs * dim]]
         query = spark.createDataFrame([(qflat,)], "query_flat array<double>")
 
         def exact_scan(query_capture: bool):
@@ -272,8 +291,8 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
 
         print(json.dumps({
             "metric": "stress_maxsim", "rows": n, "n_vecs": n_vecs,
-            "dim": dim, "n_qvecs": n_qvecs,
-            "vector_gb": round(n * n_vecs * dim * 4 / 2**30, 1),
+            "dim": dim, "n_qvecs": n_qvecs, "dtype": dtype,
+            "vector_gb": round(n * row_bytes / 2**30, 1),
             "timings_sec": timings,
             "two_stage_recall@10": recall,
             "exact_mrows_per_sec": round(n / timings[exact_key] / 1e6, 2),
@@ -342,8 +361,12 @@ def substring_dedup_at_scale(n: int = 10_000_000, n_tokens: int = 30,
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "maxsim":
-        args = [int(a) for a in sys.argv[2:]]
-        maxsim_at_shape(*args)
+        rest = sys.argv[2:]
+        dtype = "f32"
+        if rest and rest[-1] in ("f16", "f32"):
+            dtype = rest[-1]
+            rest = rest[:-1]
+        maxsim_at_shape(*[int(a) for a in rest], dtype=dtype)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         args = [int(a) for a in sys.argv[2:]]

@@ -166,3 +166,81 @@ def test_collection_search_batch_multivector_capture(spark, tmp_path):
         spark, [[[1.0, 0.0]], [[0.0, 1.0]]], k=1).collect()
     got = {r.query_idx: r.id for r in out}
     assert got == {0: 1, 1: 2}
+
+
+def test_halfvec_scorer_matches_fp16_reference(spark):
+    """fp16 binary multivectors (halfvec_encode_udf) score EXACTLY as
+    the numpy fp16-roundtrip reference — the scorer decodes bytes and
+    upcasts to float64, so the only difference from fp32 is the
+    storage rounding itself; top-k ordering survives it on separated
+    data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        halfvec_encode_udf,
+        maxsim_knn,
+    )
+
+    dim, n_vecs = 4, 3
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(n_vecs * dim)])
+            for i in range(50)]
+    corpus = spark.createDataFrame(rows, "vec_id int, flat array<double>")
+    half = corpus.select(
+        "vec_id", halfvec_encode_udf(F.col("flat")).alias("flat"))
+    qflat = [float(x) for x in rng.standard_normal(2 * dim)]
+
+    got = {r.vec_id: r.score for r in maxsim_knn(
+        half, None, k=None, id_col="vec_id", mv_col="flat",
+        flat_dim=dim, query_flat=qflat).collect()}
+    Q = np.asarray(qflat, dtype=np.float64).reshape(-1, dim)
+    for i, flat in rows:
+        D = np.asarray(flat, dtype=np.float16).astype(
+            np.float64).reshape(-1, dim)
+        want = round(float((Q @ D.T).max(axis=1).sum()), 6)
+        assert got[i] == want, (i, got[i], want)
+
+    # fp32 and fp16 rankings agree at this precision/scale
+    full = [r.vec_id for r in maxsim_knn(
+        corpus, None, k=5, id_col="vec_id", mv_col="flat",
+        flat_dim=dim, query_flat=qflat).collect()]
+    halfk = [r.vec_id for r in maxsim_knn(
+        half, None, k=5, id_col="vec_id", mv_col="flat",
+        flat_dim=dim, query_flat=qflat).collect()]
+    assert full == halfk
+
+
+def test_halfvec_batch_scorer_and_nulls(spark):
+    """The multi-query capture scorer takes fp16 bytes too; null
+    multivectors encode to null (dropped by the caller's IsNotNull)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        halfvec_encode_udf,
+        maxsim_knn_batch,
+    )
+
+    dim = 4
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(2 * dim)])
+            for i in range(20)] + [(99, None)]
+    corpus = spark.createDataFrame(rows, "vec_id int, flat array<double>")
+    half = corpus.select(
+        "vec_id", halfvec_encode_udf(F.col("flat")).alias("flat"))
+    assert half.filter(F.col("flat").isNull()).count() == 1
+    half = half.filter(F.col("flat").isNotNull())
+    qflats = [[float(x) for x in rng.standard_normal(dim)]
+              for _ in range(2)]
+    out = maxsim_knn_batch(half, None, k=3, id_col="vec_id",
+                           mv_col="flat", flat_dim=dim,
+                           queries_flat=qflats).collect()
+    assert {r.query_idx for r in out} == {0, 1}
+    Q0 = np.asarray(qflats[0], dtype=np.float64).reshape(-1, dim)
+    best = max(
+        ((i, float((Q0 @ np.asarray(f, np.float16).astype(np.float64)
+                    .reshape(-1, dim).T).max(axis=1).sum()))
+         for i, f in rows if f is not None), key=lambda t: (t[1], -t[0]))
+    top0 = [r for r in out if r.query_idx == 0][0]
+    assert top0.vec_id == best[0]
