@@ -565,30 +565,25 @@ class Collection:
             existing = spark.read.parquet(self.path)
             incoming_ids = points.select(id_col)
             # replace-on-conflict (Qdrant upsert overwrites by id),
-            # scoped to the FILES that contain a conflicting id: only
-            # those files' kept rows are rewritten (staged, then the
-            # old files dropped and the staged ones moved in — a
-            # file-level analog of Delta MERGE's rewrite set); every
+            # through the SHARED file-scoped machinery
+            # (`_scoped_rewrite` — one implementation for merge and
+            # every point op): only the files containing a conflicting
+            # id have their kept (non-conflicting) rows rewritten — a
+            # file-level analog of Delta MERGE's rewrite set; every
             # other data file is untouched bytes. With a payload-index
             # ``partitionBy`` layout the staged writer routes kept rows
             # back into their partition dirs, so the blast radius is
             # (files with conflicts), not (table) — at 100 TB an
             # id-colliding upsert touches a handful of files. The
-            # no-conflict merge remains a plain append.
-            tagged = existing.withColumn(
-                "__file", F.col("_metadata.file_path"))
-            conflict_files = [
-                r["__file"] for r in tagged.join(
-                    incoming_ids, on=id_col, how="left_semi")
-                .select("__file").distinct().collect()]
-            if conflict_files:
-                kept = (
-                    tagged.filter(F.col("__file").isin(conflict_files))
-                    .drop("__file")
-                    .join(incoming_ids, on=id_col, how="left_anti"))
-                staging = self.path + ".__rewrite__"
-                self._write_main(kept, "overwrite", staging)
-                self._swap_staged_files(staging, conflict_files)
+            # no-conflict merge remains a plain append, and the
+            # index/quantization refresh waits for the append
+            # (post_write=False).
+            n_conflicts = self._scoped_rewrite(
+                spark, incoming_ids,
+                lambda kept: kept.join(incoming_ids, on=id_col,
+                                       how="left_anti"),
+                id_col, vec_col, post_write=False)
+            if n_conflicts:
                 self._write_main(points.select(*existing.columns), "append")
                 self._post_write(spark, None, id_col, vec_col,
                                  rewrote=True)
@@ -1528,14 +1523,12 @@ class Collection:
         if not self._has_data(spark):
             return 0
         predicate = as_predicate(predicate)
-        table = self.read(spark)
-        n = table.filter(predicate).count()
 
         def transform(subset: DataFrame) -> DataFrame:
             return subset.filter(~F.coalesce(predicate, F.lit(False)))
 
-        self._scoped_rewrite(spark, predicate, transform, id_col, vec_col)
-        return n
+        return self._scoped_rewrite(spark, predicate, transform,
+                                    id_col, vec_col)
 
     def _selector_pred(self, selector, id_col: str) -> Column:
         """Qdrant points-selector: a list of ids or a Filter/Column."""
@@ -1559,55 +1552,88 @@ class Collection:
         return df
 
     def _rewrite(self, spark: SparkSession, table: DataFrame,
-                 id_col: str, vec_col: str) -> None:
+                 id_col: str, vec_col: str,
+                 post_write: bool = True) -> None:
         """Full staged swap + index refresh. Since round 5 only the
         operations whose effect is inherently table-wide use this —
-        payload-index create/drop (a layout change) and payload ops
-        that ADD a column (parquet schema must stay uniform across
-        files; a part-table schema would make reads depend on which
-        file the reader samples). Selector-scoped point ops go through
-        :meth:`_scoped_rewrite` instead."""
+        payload-index create/drop (a layout change), payload ops that
+        ADD a column (parquet schema must stay uniform across files;
+        a part-table schema would make reads depend on which file the
+        reader samples), and :meth:`_scoped_rewrite`'s wide-match
+        fallback. Selector-scoped point ops go through
+        :meth:`_scoped_rewrite`."""
         staging = self.path + ".__rewrite__"
         self._write_main(table, "overwrite", staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
-        if self.has_index() or self.meta.get("quantization"):
+        if post_write and (self.has_index() or self.meta.get("quantization")):
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
+    def _data_file_count(self) -> int:
+        """Number of parquet data files on disk — a driver-side
+        listing, no Spark job."""
+        n = 0
+        for _root, _dirs, files in os.walk(self.path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     def _scoped_rewrite(self, spark: SparkSession, match,
-                        transform, id_col: str, vec_col: str) -> None:
-        """File-scoped staged rewrite for the point ops (set_payload /
-        overwrite_payload / delete_payload / update_vectors /
-        delete_vectors / delete): only the data files holding at least
-        one selector-matched row are rewritten — every other data file
-        keeps its exact bytes (the `_swap_staged_files` machinery the
-        merge upsert uses). At 100 TB a selector-scoped set_payload
-        touches the files containing the matched ids, not the table;
-        with a payload-index ``partitionBy`` layout the matched-file
-        set is additionally partition-pruned by the selector predicate
-        before any data is read.
+                        transform, id_col: str, vec_col: str,
+                        post_write: bool = True,
+                        full_fraction: float = 0.8,
+                        max_files: int = 10_000) -> int:
+        """File-scoped staged rewrite for the point ops (merge upsert /
+        set_payload / overwrite_payload / delete_payload /
+        update_vectors / delete_vectors / delete): only the data files
+        holding at least one selector-matched row are rewritten —
+        every other data file keeps its exact bytes. Returns the
+        matched-row count, so callers get their result count and the
+        file discovery from ONE scan (a per-file count aggregate —
+        never two passes with the same predicate). At 100 TB a
+        selector-scoped set_payload touches the files containing the
+        matched ids, not the table; with a payload-index
+        ``partitionBy`` layout the matched-file set is additionally
+        partition-pruned by the selector predicate before any data is
+        read.
+
+        Wide matches fall back to the table-wide staged rewrite: when
+        the match touches ≥ ``full_fraction`` of the data files (or
+        more than ``max_files`` paths would go into the literal
+        ``isin`` plan), per-file surgery costs more than it saves —
+        rewriting everything is the same IO with none of the plan
+        blowup. The fallback keeps semantics identical because every
+        ``transform`` is row-local.
 
         ``match``: a boolean Column (selector predicate) or a
         one-column id DataFrame (update batches — joined left_semi, so
         a wide batch never becomes a giant IN-list). ``transform``
         maps the matched files' rows to their full replacement rows
-        (same schema)."""
+        (same schema). ``post_write=False`` lets the merge upsert
+        defer index/quantization refresh until after its append."""
         tagged = self.read(spark).withColumn(
             "__file", F.col("_metadata.file_path"))
         if isinstance(match, DataFrame):
             matched = tagged.join(match, on=id_col, how="left_semi")
         else:
             matched = tagged.filter(match)
-        files = [r["__file"]
-                 for r in matched.select("__file").distinct().collect()]
-        if not files:
-            return
+        per_file = matched.groupBy("__file").agg(
+            F.count(F.lit(1)).alias("__n")).collect()  # ≤ #data files
+        n = int(sum(r["__n"] for r in per_file))
+        if not per_file:
+            return 0
+        files = [r["__file"] for r in per_file]
+        if (len(files) > max_files
+                or len(files) >= full_fraction * self._data_file_count()):
+            self._rewrite(spark, transform(self.read(spark)),
+                          id_col, vec_col, post_write=post_write)
+            return n
         subset = tagged.filter(F.col("__file").isin(files)).drop("__file")
         staging = self.path + ".__rewrite__"
         self._write_main(transform(subset), "overwrite", staging)
         self._swap_staged_files(staging, files)
-        if self.has_index() or self.meta.get("quantization"):
+        if post_write and (self.has_index() or self.meta.get("quantization")):
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
+        return n
 
     def set_payload(self, spark: SparkSession, payload: dict, selector,
                     id_col: str = "id", vec_col: str = "embedding") -> int:
@@ -1626,10 +1652,10 @@ class Collection:
         for col in payload:
             if col in (id_col, vec_col, "n_vecs"):
                 raise ValueError(f"cannot set reserved column {col!r}")
-        n = table.filter(pred).count()
         if any(col not in table.columns for col in payload):
             # a NEW payload key is a schema change — table-wide by
             # nature (parquet schemas must stay uniform across files)
+            n = table.filter(pred).count()
             for col, val in payload.items():
                 base = F.col(col) if col in table.columns else F.lit(None)
                 table = table.withColumn(
@@ -1643,8 +1669,7 @@ class Collection:
                     col, F.when(pred, F.lit(val)).otherwise(F.col(col)))
             return subset
 
-        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
-        return n
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
 
     def overwrite_payload(self, spark: SparkSession, payload: dict,
                           selector, id_col: str = "id",
@@ -1660,7 +1685,6 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
-        n = table.filter(pred).count()
         reserved = self._vector_columns(vec_col) | {id_col}
         for col in payload:
             if col in reserved:
@@ -1683,10 +1707,10 @@ class Collection:
 
         if any(col not in table.columns for col in payload):
             # new payload key → schema change → table-wide rewrite
+            n = table.filter(pred).count()
             self._rewrite(spark, transform(table), id_col, vec_col)
-        else:
-            self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
-        return n
+            return n
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
 
     def delete_payload(self, spark: SparkSession, keys: list, selector,
                        id_col: str = "id",
@@ -1701,7 +1725,6 @@ class Collection:
         for col in keys:
             if col in (id_col, vec_col, "n_vecs"):
                 raise ValueError(f"cannot delete reserved column {col!r}")
-        n = table.filter(pred).count()
         schema = table.schema
 
         def transform(subset: DataFrame) -> DataFrame:
@@ -1713,8 +1736,7 @@ class Collection:
                         .otherwise(F.col(col)))
             return subset
 
-        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
-        return n
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
 
     def clear_payload(self, spark: SparkSession, selector,
                       id_col: str = "id",
@@ -1777,9 +1799,6 @@ class Collection:
         upd = points.select(
             F.col(id_col),
             *[F.col(c).alias(f"__new_{c}") for c in upd_cols])
-        # n = existing points whose id matched the update batch (not
-        # just rows where the first vector column happened to be set).
-        n = table.join(upd.select(id_col), on=id_col, how="left_semi").count()
 
         def transform(subset: DataFrame) -> DataFrame:
             joined = subset.join(upd, on=id_col, how="left")
@@ -1790,10 +1809,10 @@ class Collection:
 
         # file-scoped: only files holding a batch id are rewritten
         # (ids not present in the collection touch nothing — Qdrant
-        # updates existing points only)
-        self._scoped_rewrite(spark, upd.select(id_col), transform,
-                             id_col, vec_col)
-        return n
+        # updates existing points only); the returned count is the
+        # existing points whose id matched the batch.
+        return self._scoped_rewrite(spark, upd.select(id_col), transform,
+                                    id_col, vec_col)
 
     def delete_vectors(self, spark: SparkSession, names: list, selector,
                        id_col: str = "id",
@@ -1815,7 +1834,6 @@ class Collection:
         for c in names:
             if c not in spaces or c not in table.columns:
                 raise ValueError(f"unknown vector column {c!r}")
-        n = table.filter(pred).count()
         schema = table.schema
 
         def transform(subset: DataFrame) -> DataFrame:
@@ -1829,8 +1847,7 @@ class Collection:
                         .otherwise(F.col(col)))
             return subset
 
-        self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
-        return n
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
 
     def scroll(self, spark: SparkSession, limit: int = 100,
                after_id=None, id_col: str = "id",

@@ -1,9 +1,12 @@
 """ANN-tier queries (SURVEY.md §7 M5).
 
-Deterministic tiers carry FULL value oracles; only the KMeans-trained
-tiers (IVF/PQ/IVFPQ — Spark-ML JVM training the oracle cannot rerun)
-stay rows-only, with recall invariants in tests/test_ann.py and the
-routed IVF read path value-checked via ``ann_ivf_exhaustive_top5``.
+EVERY registered tier carries a FULL value oracle since round 5: the
+headline IVF/PQ/IVFPQ names probe deterministic kmeans_np layouts
+whose oracle factories re-train identically, and the Spark-ML-KMeans
+variants (JVM training the oracle cannot rerun) live on as
+pytest-only functions (``ann_*_ml_top5``) with recall invariants in
+tests/test_ann.py; the routed read paths are additionally
+value-checked via the exhaustive twins (``ann_ivf_exhaustive_top5``).
 LSH is seeded + data-independent (hyperplanes from
 ``np.random.RandomState(seed)``), so DuckDB recomputes the identical
 sign signatures — the oracle unrolls each hyperplane dot as the same
@@ -598,9 +601,11 @@ def ann_ivf_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed); the oracle factory re-trains identically and embeds
     the same centroid literals, so assignment (argmin of unrolled
     left-assoc squared distances), centroid shortlist, and rescored
-    top-k all reproduce bit-for-bit in DuckDB. The Spark-ML-trained
-    `ann_ivf_top5` remains the rows-only sibling; assignment is the
-    cached index build (`_ivf_det_index`), queries pay the probe."""
+    top-k all reproduce bit-for-bit in DuckDB. Since round 5
+    `ann_ivf_top5` probes the SAME deterministic layout at nprobe=2;
+    the Spark-ML-trained variant is pytest-only (`ann_ivf_ml_top5`).
+    Assignment is the cached index build (`_ivf_det_index`), queries
+    pay the probe."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, cdf = _ivf_det_index(spark, sf_dir)
     return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=4)
@@ -719,10 +724,11 @@ def ann_pq_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression) with a FULL value oracle — like `ann_ivf_det_top5`,
     the approximation itself (kmeans_np codebooks, argmin encoding,
     LUT scoring) is bit-reproducible outside Spark, so DuckDB ranks
-    the same quantized scores. The Spark-ML-trained `ann_pq_top5`
-    remains the rows-only sibling; encoding is the cached index build
-    (`_pq_det_index`), queries pay only the ADC scan (the scale
-    encode is the Arrow-batched numpy UDF)."""
+    the same quantized scores. Since round 5 `ann_pq_top5` scores the
+    same deterministic machinery at 4 blocks; the Spark-ML-trained
+    variant is pytest-only (`ann_pq_ml_top5`). Encoding is the cached
+    index build (`_pq_det_index`), queries pay only the ADC scan (the
+    scale encode is the Arrow-batched numpy UDF)."""
     from ..operators.pq import pq_search
 
     codes, cbs = _pq_det_index(spark, sf_dir)

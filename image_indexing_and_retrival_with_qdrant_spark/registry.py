@@ -13,9 +13,12 @@ hashes. Conventions (FIXTURES.md §4):
   HUGEINT, Spark's is long); row_number is cast to INTEGER;
 - timestamps never appear raw in outputs — epoch seconds (BIGINT) do.
 
-Entries with ``oracle=None`` are approximate ops (the Spark-ML-KMeans
-ANN tiers + sketch aggregates): the driver records a rows-only check;
-pytest holds the stronger recall/behavior assertions. Streaming twins
+Entries with ``oracle=None`` are approximate by construction (since
+round 5 only the sketch aggregates — every registered ANN tier probes
+deterministic kmeans_np layouts and carries a full value oracle; the
+Spark-ML-KMeans-trained variants are pytest-only): the driver records
+a rows-only check; pytest holds the stronger recall/behavior
+assertions. Streaming twins
 ARE oracle-backed — they drain a bounded stream to a memory sink and
 return its rows (queries/streaming.py). An oracle may also be a
 FACTORY ``Callable[[sf_dir], str]`` for SQL that embeds data-derived

@@ -210,8 +210,11 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         # only), at two Arrow batch sizes: per-batch transit memory vs
         # per-batch Python round-trip overhead
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        if n <= 200_000 and row_bytes <= 65536:
+        if n <= 200_000 and row_bytes <= 65536 and dtype == "f32":
             # comparison scan; ratio holds, skip at full n / at width
+            # (and for f16 corpora: the query-COLUMN scorer takes
+            # float arrays only — fp16 bytes go through the capture
+            # paths, which is the whole point of the codec)
             t0 = time.perf_counter()
             exact_scan(False)
             timings["exact_scan_querycol_batch512"] = round(
@@ -244,9 +247,17 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         if row_bytes <= 65536:  # calibrated at 64×128; one full extra
             qrows = corpus.filter(F.col("vec_id").isin(100, 200, 300, 400)) \
                 .select("flat").collect()  # scan is redundant at width
-            qflats = [[float(x) for x in r.flat[:n_qvecs * dim]]
-                      for r in qrows]
-            if n <= 200_000:
+            if dtype == "f16":
+                import numpy as _np
+                qflats = [
+                    [float(x) for x in
+                     _np.frombuffer(bytes(r.flat), dtype=_np.float16)
+                     [:n_qvecs * dim]] for r in qrows]
+            else:
+                qflats = [[float(x) for x in r.flat[:n_qvecs * dim]]
+                          for r in qrows]
+            if n <= 200_000 and dtype == "f32":  # query-column form
+                # takes float arrays only (see above)
                 qdf = spark.createDataFrame(
                     [(i, qf) for i, qf in enumerate(qflats)],
                     "query_idx int, query_vectors array<double>")
