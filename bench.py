@@ -127,6 +127,10 @@ def main() -> None:
     # first UDF-bearing entry isn't billed the one-time startup
     REGISTRY["knn_dense_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_ivf_top5"].builder(spark, sf_dir).collect()
+    # ann_ivf_top5 warms the DETERMINISTIC layout since round 5; the
+    # exhaustive twin still probes the Spark-ML-trained index — build
+    # it outside the timer too (one-time cost policy, as before)
+    REGISTRY["ann_ivf_exhaustive_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_lsh_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()

@@ -149,7 +149,8 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
                  codebooks: list, corpus: DataFrame, query_vec: list,
                  k: int = 5, nprobe: int = 4, rescore: int = 50,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 round_digits: int | None = 6) -> DataFrame:
+                 round_digits: int | None = 6,
+                 probe_ids: list[int] | None = None) -> DataFrame:
     """Composed IVF+PQ retrieval (the FAISS IVFPQ shape):
 
     1. probe the ``nprobe`` nearest coarse centroids (partition-pruned
@@ -161,6 +162,11 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
     At 100 TB: step 2 touches compressed codes only (fits in memory),
     step 3 reads ``rescore`` full vectors — the expensive scan never
     happens.
+
+    ``probe_ids``: pre-computed probe cells (callers holding the
+    centroids driver-side — the deterministic tiers — skip the ≤k-row
+    probe job entirely; same literal-probe policy as the LSH bucket
+    predicates).
     """
     from pyspark.sql import functions as F
 
@@ -170,24 +176,26 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
     dim = len(query_vec)
     qdf = spark.createDataFrame([(query_vec,)], "query_vec array<double>")
 
-    # probe by squared euclidean — the assignment metric (a dot-product
-    # ranking can miss the query's own Voronoi cell on non-normalized
-    # corpora, dropping the true neighbors before rescore ever runs)
-    probed = global_topk(
-        centroids.join(F.broadcast(qdf))
-        .withColumn(
-            "cdist",
-            F.aggregate(
-                F.zip_with(F.col("centroid"), F.col("query_vec"),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x,
-            ),
+    if probe_ids is None:
+        # probe by squared euclidean — the assignment metric (a
+        # dot-product ranking can miss the query's own Voronoi cell on
+        # non-normalized corpora, dropping the true neighbors before
+        # rescore ever runs)
+        probed = global_topk(
+            centroids.join(F.broadcast(qdf))
+            .withColumn(
+                "cdist",
+                F.aggregate(
+                    F.zip_with(F.col("centroid"), F.col("query_vec"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, x: a + x,
+                ),
+            )
+            .select("centroid_id", "cdist"),
+            [("cdist", True), ("centroid_id", True)],
+            nprobe,
         )
-        .select("centroid_id", "cdist"),
-        [("cdist", True), ("centroid_id", True)],
-        nprobe,
-    )
-    probe_ids = [r.centroid_id for r in probed.collect()]
+        probe_ids = [r.centroid_id for r in probed.collect()]
 
     candidates = assigned_codes.filter(F.col("centroid_id").isin(probe_ids))
     shortlist = pq_search(candidates, codebooks, query_vec, k=rescore,

@@ -908,6 +908,26 @@ def _ivfpq_det_oracle(sf_dir: str, k: int = 5, nprobe: int = 4,
     """
 
 
+_IVFPQ_DET_CACHE: dict = {}
+
+
+def _ivfpq_det_index(spark: SparkSession, sf_dir: str):
+    """Cached (codes ⋈ assignment) frame for the composed tier: the
+    8-byte code rows carry their centroid_id so the probe filter hits
+    one persisted frame instead of re-running the join per query —
+    the in-memory analog of storing codes partitioned by cell (what
+    the on-disk layout does; `stress.py` measures that shape)."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _IVFPQ_DET_CACHE or not _session_alive(spark):
+        assigned, cdf = _ivf_det_index(spark, sf_dir)
+        codes, cbs = _pq_det_index(spark, sf_dir)
+        acodes = codes.join(
+            assigned.select("vec_id", "centroid_id"), on="vec_id").persist()
+        acodes.count()
+        _IVFPQ_DET_CACHE[key] = (acodes, cdf, cbs)
+    return _IVFPQ_DET_CACHE[key]
+
+
 @register("ann_ivfpq_top5", _ivfpq_det_oracle)
 def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF→PQ→exact-rerank over the DETERMINISTIC layouts
@@ -923,8 +943,19 @@ def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_search
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, cdf = _ivf_det_index(spark, sf_dir)
-    codes, cbs = _pq_det_index(spark, sf_dir)
-    acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
-    return ivfpq_search(acodes, cdf, cbs, emb, _np_query_vec(sf_dir),
-                        k=5, nprobe=4, rescore=100)
+    acodes, cdf, cbs = _ivfpq_det_index(spark, sf_dir)
+    qvec = _np_query_vec(sf_dir)
+    # probe computed driver-side with the SAME left-to-right float64
+    # fold the oracle factory replicates — the centroids already live
+    # on the driver (kmeans_np), so the ≤16-row probe job is skipped
+    # (literal-probe policy, as for the LSH bucket predicates)
+    cents = _np_centroids(sf_dir)
+    dists = []
+    for cid, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(c, qvec):
+            acc += (x - y) * (x - y)
+        dists.append((acc, cid))
+    probe = sorted(cid for _, cid in sorted(dists)[:4])
+    return ivfpq_search(acodes, cdf, cbs, emb, qvec,
+                        k=5, nprobe=4, rescore=100, probe_ids=probe)
