@@ -178,32 +178,37 @@ def ivf_build(corpus: DataFrame, k_centroids: int = 16,
 def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
                k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding", query_vec_col: str = "query_vec",
-               round_digits: int | None = 6) -> DataFrame:
+               round_digits: int | None = 6,
+               probe_ids: list[int] | None = None) -> DataFrame:
     """Probe the nprobe nearest centroids, exact cosine within them.
 
     The centroid shortlist (≤ nprobe ints) is computed on the tiny
     centroid table and collected driver-side, so the corpus filter is
     a *literal* ``centroid_id IN (...)`` — statically partition-pruned
     on a ``partitionBy("centroid_id")`` layout (a broadcast join here
-    would scan every partition instead).
+    would scan every partition instead). Callers that already hold
+    the centroids driver-side (the deterministic kmeans_np tiers, or
+    an exhaustive probe) pass ``probe_ids`` directly and skip even
+    that ≤k-row job.
 
     Cells are probed by **squared euclidean** distance — the same
     metric the vectors were assigned with (Voronoi cells are euclidean
     constructs; ranking them by dot/cosine loses the query's own cell
     on non-normalized corpora)."""
-    sq_dist = F.aggregate(
-        F.zip_with(F.col("centroid"), as_double(F.col(query_vec_col)),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x,
-    )
-    probed = global_topk(
-        centroids.join(F.broadcast(query.select(query_vec_col)))
-        .withColumn("cdist", sq_dist)
-        .select("centroid_id", "cdist"),
-        [("cdist", True), ("centroid_id", True)],
-        nprobe,
-    ).select("centroid_id")
-    probe_ids = [r.centroid_id for r in probed.collect()]
+    if probe_ids is None:
+        sq_dist = F.aggregate(
+            F.zip_with(F.col("centroid"), as_double(F.col(query_vec_col)),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        probed = global_topk(
+            centroids.join(F.broadcast(query.select(query_vec_col)))
+            .withColumn("cdist", sq_dist)
+            .select("centroid_id", "cdist"),
+            [("cdist", True), ("centroid_id", True)],
+            nprobe,
+        ).select("centroid_id")
+        probe_ids = [r.centroid_id for r in probed.collect()]
 
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     score = cosine(as_double(F.col(vec_col)), as_double(F.col(query_vec_col)))

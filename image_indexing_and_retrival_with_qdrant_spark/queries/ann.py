@@ -213,8 +213,9 @@ def ann_ivf_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_top5`` (rows-only by design)."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, centroids = _ivf_index(spark, sf_dir)
+    # exhaustive: the probe set is every cell by definition — no job
     return ivf_search(assigned, centroids, _query_of(emb, 0), k=5,
-                      nprobe=16)
+                      nprobe=16, probe_ids=list(range(16)))
 
 
 _PQ_CACHE: dict = {}
@@ -489,7 +490,8 @@ def ann_ivfpq_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, codebooks = _pq_index(spark, sf_dir)
     acodes = codes.join(assigned.select("vec_id", "centroid_id"), on="vec_id")
     return ivfpq_search(acodes, centroids, codebooks, emb, qvec,
-                        k=5, nprobe=16, rescore=emb.count())
+                        k=5, nprobe=16, rescore=emb.count(),
+                        probe_ids=list(range(16)))
 
 
 # --- deterministic sample-trained IVF: a genuinely APPROXIMATE probe
@@ -513,6 +515,23 @@ def _np_centroids(sf_dir: str, k: int = 16, seed: int = 42):
         X = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))
         _NP_CENTROIDS[key] = kmeans_np(X, k, seed=seed)
     return _NP_CENTROIDS[key]
+
+
+def _np_probe(sf_dir: str, nprobe: int, k: int = 16,
+              seed: int = 42) -> list[int]:
+    """Driver-side coarse probe over the kmeans_np centroids: the
+    SAME left-to-right float64 fold the Spark probe's zip_with/
+    aggregate evaluates and the oracle factories replicate, ties by
+    centroid_id — so the literal probe set is bit-identical to what
+    the skipped probe job would have collected."""
+    qvec = _np_query_vec(sf_dir)
+    dists = []
+    for cid, c in enumerate(_np_centroids(sf_dir, k=k, seed=seed)):
+        acc = 0.0
+        for x, y in zip(c, qvec):
+            acc += (x - y) * (x - y)
+        dists.append((acc, cid))
+    return sorted(cid for _, cid in sorted(dists)[:nprobe])
 
 
 def _duck_sq_dist(vec: str, c: list[float]) -> str:
@@ -578,12 +597,18 @@ def _ivf_det_index(spark: SparkSession, sf_dir: str):
         emb = load(spark, sf_dir, "embeddings")
         entries = _centroid_structs_sql(cents, "`embedding`")
         best = F.expr(f"array_min(array({entries}))")
+        # localCheckpoint, not persist: the 16×64-literal argmin
+        # lineage costs ~1 s of driver-side plan re-analysis on EVERY
+        # query planned over a persisted frame (measured 1.1-1.6 s vs
+        # 0.26-0.29 s warm at sf0.01); truncating lineage makes probe
+        # plans scan a cached relation. On a cluster the real index is
+        # the on-disk partitionBy(centroid_id) layout — this is its
+        # in-memory single-session analog.
         assigned = emb.select(
             "vec_id", "embedding",
             best["d"].alias("centroid_dist"),
             best["i"].alias("centroid_id"),
-        ).persist()
-        assigned.count()
+        ).localCheckpoint(eager=True)
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
             "centroid_id int, centroid array<double>")
@@ -608,7 +633,8 @@ def ann_ivf_det_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay the probe."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, cdf = _ivf_det_index(spark, sf_dir)
-    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=4)
+    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=4,
+                      probe_ids=_np_probe(sf_dir, 4))
 
 
 _NP_PQ_CODEBOOKS: dict = {}
@@ -712,8 +738,10 @@ def _pq_det_index(spark: SparkSession, sf_dir: str, n_blocks: int = 8):
             ).alias(f"code{b}")
             for b in range(len(cbs))
         ]
-        codes = emb.select(F.col("vec_id"), *code_cols).persist()
-        codes.count()
+        # localCheckpoint for the same lineage-cost reason as
+        # _ivf_det_index (8 unrolled per-block argmin expressions)
+        codes = emb.select(F.col("vec_id"),
+                           *code_cols).localCheckpoint(eager=True)
         _PQ_DET_CACHE[key] = (codes, cbs)
     return _PQ_DET_CACHE[key]
 
@@ -808,7 +836,8 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only (`ann_ivf_ml_top5`)."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, cdf = _ivf_det_index(spark, sf_dir)
-    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=2)
+    return ivf_search(assigned, cdf, _query_of(emb, 0), k=5, nprobe=2,
+                      probe_ids=_np_probe(sf_dir, 2))
 
 
 def _pq_det_oracle_b4(sf_dir: str) -> str:
@@ -922,8 +951,8 @@ def _ivfpq_det_index(spark: SparkSession, sf_dir: str):
         assigned, cdf = _ivf_det_index(spark, sf_dir)
         codes, cbs = _pq_det_index(spark, sf_dir)
         acodes = codes.join(
-            assigned.select("vec_id", "centroid_id"), on="vec_id").persist()
-        acodes.count()
+            assigned.select("vec_id", "centroid_id"),
+            on="vec_id").localCheckpoint(eager=True)
         _IVFPQ_DET_CACHE[key] = (acodes, cdf, cbs)
     return _IVFPQ_DET_CACHE[key]
 
@@ -944,18 +973,6 @@ def ann_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     acodes, cdf, cbs = _ivfpq_det_index(spark, sf_dir)
-    qvec = _np_query_vec(sf_dir)
-    # probe computed driver-side with the SAME left-to-right float64
-    # fold the oracle factory replicates — the centroids already live
-    # on the driver (kmeans_np), so the ≤16-row probe job is skipped
-    # (literal-probe policy, as for the LSH bucket predicates)
-    cents = _np_centroids(sf_dir)
-    dists = []
-    for cid, c in enumerate(cents):
-        acc = 0.0
-        for x, y in zip(c, qvec):
-            acc += (x - y) * (x - y)
-        dists.append((acc, cid))
-    probe = sorted(cid for _, cid in sorted(dists)[:4])
-    return ivfpq_search(acodes, cdf, cbs, emb, qvec,
-                        k=5, nprobe=4, rescore=100, probe_ids=probe)
+    return ivfpq_search(acodes, cdf, cbs, emb, _np_query_vec(sf_dir),
+                        k=5, nprobe=4, rescore=100,
+                        probe_ids=_np_probe(sf_dir, 4))
