@@ -394,20 +394,33 @@ class Collection:
         return {**self.meta, "vec_col": vec_col_default, "nv_col": "n_vecs"}
 
     def _vector_columns(self, vec_col_default: str = "embedding") -> set[str]:
-        """Every vector-data column (all spaces + their n_vecs) — the
-        complement of the payload."""
+        """Every vector-data column (all spaces + their n_vecs and
+        pooled sidecars) — the complement of the payload."""
         named = self.meta.get("vectors")
         if named:
             out = set()
             for name in named:
-                out.update((name, name + "__nv"))
+                out.update((name, name + "__nv", name + "__pooled"))
             return out
-        return {vec_col_default, "n_vecs"}
+        return {vec_col_default, "n_vecs", vec_col_default + "__pooled"}
 
     @staticmethod
     def _prep_vec(points: DataFrame, cfg: dict, path: str) -> DataFrame:
         """Write-path vector discipline for one space: dimension check,
-        normalize-at-write, nested→flat multivector conversion."""
+        normalize-at-write, nested→flat multivector conversion, and —
+        for multivector spaces with a declared dim — the
+        ``{vec}__pooled`` mean-pool sidecar (dim floats/row).
+
+        The sidecar is what makes two-stage retrieval
+        (``search(rescore=N)``) actually read 1/n_vecs of the bytes at
+        query time: stage 1 scans ONLY the pooled column (column
+        pruning) instead of re-pooling the full flat vectors — pooling
+        cost is paid once at write, exactly like normalization (the
+        at-shape lesson, BASELINE.md §MaxSim-at-shape, applied to the
+        collection surface). Values are the same Catalyst
+        ``mean_pool_flat`` expression either way, so stage-1 scores
+        are bit-identical to the compute-at-read fallback (which
+        remains for collections written before round 5)."""
         col, nv = cfg["vec_col"], cfg["nv_col"]
         dim = cfg.get("dim")
         if col not in points.columns:
@@ -428,11 +441,22 @@ class Collection:
                     F.transform(F.col(col),
                                 lambda v: l2_normalize(v.cast("array<double>"))),
                 )
-            return points.withColumn(
+            points = points.withColumn(
                 nv, F.size(F.col(col)).cast("int")
             ).withColumn(
                 col, F.flatten(F.col(col).cast("array<array<double>>")),
             )
+            if dim:
+                points = points.withColumn(
+                    col + "__pooled",
+                    mean_pool_flat(F.col(col).cast("array<double>"), dim))
+            return points
+        if (cfg.get("multivector") and dim
+                and col + "__pooled" not in points.columns):
+            # pre-flattened multivector input: same sidecar
+            return points.withColumn(
+                col + "__pooled",
+                mean_pool_flat(F.col(col).cast("array<double>"), dim))
         if not cfg.get("multivector"):
             if cfg.get("normalize"):
                 points = points.withColumn(
@@ -522,11 +546,20 @@ class Collection:
         stage 2's fetch of the heavy flat vectors is row-group-pruned
         instead of re-reading every vector byte to discard 99 %+
         post-scan (measured at shape: BASELINE.md §MaxSim-at-shape;
-        same pattern as the IVF probe's centroid shortlist)."""
+        same pattern as the IVF probe's centroid shortlist).
+
+        When the collection carries the write-time ``{vec}__pooled``
+        sidecar (round 5, `_prep_vec`), stage 1 scans ONLY that
+        column — dim floats/row, 1/n_vecs of the bytes; the
+        compute-at-read pooling remains as the fallback for
+        collections written without it (same values either way)."""
         from .functions.vector import cosine, mean_pool_flat
         from .operators.topk import global_topk
 
-        pooled = mean_pool_flat(F.col(vec_col).cast("array<double>"), dim)
+        if vec_col + "__pooled" in corpus.columns:
+            pooled = F.col(vec_col + "__pooled").cast("array<double>")
+        else:
+            pooled = mean_pool_flat(F.col(vec_col).cast("array<double>"), dim)
         qlit = F.array(*[F.lit(float(x)) for x in pooled_q])
         keep = global_topk(
             corpus.select(F.col(id_col),
@@ -1793,9 +1826,11 @@ class Collection:
         # changed subvector count refreshes the stored sidecar too.
         upd_cols = list(vcols)
         for cfg in cfgs:
-            nv = cfg["nv_col"]
-            if nv in points.columns and nv in table.columns:
-                upd_cols.append(nv)
+            # carry derived sidecars (_prep_vec refreshed them on the
+            # batch): subvector-count AND the pooled stage-1 vector
+            for side in (cfg["nv_col"], cfg["vec_col"] + "__pooled"):
+                if side in points.columns and side in table.columns:
+                    upd_cols.append(side)
         upd = points.select(
             F.col(id_col),
             *[F.col(c).alias(f"__new_{c}") for c in upd_cols])
@@ -1839,7 +1874,9 @@ class Collection:
         def transform(subset: DataFrame) -> DataFrame:
             for c in names:
                 nv = (c + "__nv") if named else "n_vecs"
-                for col in ([c, nv] if nv in subset.columns else [c]):
+                sidecars = [s for s in (nv, c + "__pooled")
+                            if s in subset.columns]
+                for col in [c, *sidecars]:
                     subset = subset.withColumn(
                         col,
                         F.when(pred,

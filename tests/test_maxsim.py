@@ -68,3 +68,61 @@ def test_two_stage_rescore_matches_exact(spark, sf_oracle, tmp_path):
              coll.search(spark, qv, k=5, rescore=n, query_filter=flt)
              .select("id", "score").collect()]
     assert two_f == exact_f
+
+
+def test_two_stage_uses_pooled_sidecar_and_stays_exact(spark, tmp_path):
+    """Round-5 pooled sidecar: search(rescore=N) results are identical
+    with the write-time `{vec}__pooled` column and with the
+    compute-at-read fallback (sidecar dropped on disk) — same stage-1
+    expression either way; and full-depth rescore equals exact."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    rows = [(i, [[float(i % 5 + 1), 0.0], [0.0, float(i % 3 + 1)]])
+            for i in range(40)]
+    coll = create_collection(str(tmp_path), "ts", dim=2, multivector=True,
+                             normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        rows, "id int, embedding array<array<double>>"))
+    assert "embedding__pooled" in coll.read(spark).columns
+    q = [[1.0, 0.0]]
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, q, k=5, exact=True).collect()]
+    with_sidecar = [(r.id, r.score) for r in
+                    coll.search(spark, q, k=5, rescore=40).collect()]
+    assert with_sidecar == exact  # full-depth two-stage ≡ exact
+
+    # drop the sidecar on disk -> fallback path, same results
+    import shutil
+    t = coll.read(spark).drop("embedding__pooled")
+    rewrite = str(tmp_path / "bare")
+    t.write.parquet(rewrite)
+    shutil.rmtree(coll.path)
+    shutil.move(rewrite, coll.path)
+    assert "embedding__pooled" not in coll.read(spark).columns
+    fallback = [(r.id, r.score) for r in
+                coll.search(spark, q, k=5, rescore=40).collect()]
+    assert fallback == exact
+
+
+def test_pooled_sidecar_maintained_by_point_ops(spark, tmp_path):
+    """update_vectors refreshes the pooled sidecar; delete_vectors
+    nulls it with the space."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "ps", dim=2, multivector=True,
+                             normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        [(1, [[1.0, 0.0]]), (2, [[0.0, 2.0], [2.0, 0.0]])],
+        "id int, embedding array<array<double>>"))
+    upd = spark.createDataFrame([(1, [[4.0, 0.0], [0.0, 8.0]])],
+                                "id int, embedding array<array<double>>")
+    assert coll.update_vectors(spark, upd) == 1
+    row = {r.id: r for r in coll.read(spark).collect()}
+    assert list(row[1].embedding__pooled) == [2.0, 4.0]  # refreshed
+    assert list(row[2].embedding__pooled) == [1.0, 1.0]  # untouched
+    assert coll.delete_vectors(spark, ["embedding"], F.col("id") == 2) == 1
+    row = {r.id: r for r in coll.read(spark).collect()}
+    assert row[2].embedding is None and row[2].embedding__pooled is None
+    assert row[2].n_vecs is None

@@ -29,10 +29,12 @@ def coll(spark, tmp_path):
 
 def test_storage_layout(spark, coll):
     t = coll.read(spark)
-    assert set(t.columns) == {"id", "tag", "dense", "late", "late__nv"}
+    assert set(t.columns) == {"id", "tag", "dense", "late", "late__nv",
+                              "late__pooled"}  # r5: stage-1 sidecar
     row = {r.id: r for r in t.collect()}
     assert list(row[1].late) == [1.0, 0.0, 0.0, 1.0]  # flat multivector
     assert row[1].late__nv == 2
+    assert list(row[1].late__pooled) == [0.5, 0.5]  # write-time pooling
     assert list(row[1].dense) == [1.0, 0.0]  # normalize off: raw
 
 
