@@ -68,7 +68,7 @@ import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType
+from pyspark.sql.types import ArrayType, BinaryType
 
 from .filters import as_predicate
 from .functions.vector import as_double, l2_normalize, mean_pool_flat
@@ -267,6 +267,11 @@ class Collection:
             point — the coarse stage of a PLAID-style late-interaction
             index; exact MaxSim runs inside the probed cells)."""
             if self.meta.get("multivector"):
+                if vec_col + "__pooled" in df.columns:
+                    # the write-time sidecar (round 5): mandatory for
+                    # fp16 storage (binary can't pool in Catalyst),
+                    # and 1/n_vecs of the read either way
+                    return F.col(vec_col + "__pooled").cast("array<double>")
                 return mean_pool_flat(F.col(vec_col), int(self.meta["dim"]))
             return as_double(F.col(vec_col))
 
@@ -405,6 +410,21 @@ class Collection:
         return {vec_col_default, "n_vecs", vec_col_default + "__pooled"}
 
     @staticmethod
+    def _encode_datatype(points: DataFrame, cfg: dict) -> DataFrame:
+        """Apply the space's storage datatype after the float-side
+        discipline (normalize/flatten/pool) has run: ``float16``
+        packs the flat multivector into fp16 bytes
+        (``halfvec_encode_udf``) — half the scan bytes; the MaxSim
+        scorers decode natively and score in float64."""
+        if cfg.get("datatype") == "float16":
+            from .operators.maxsim import halfvec_encode_udf
+
+            col = cfg["vec_col"]
+            points = points.withColumn(
+                col, halfvec_encode_udf(F.col(col).cast("array<double>")))
+        return points
+
+    @staticmethod
     def _prep_vec(points: DataFrame, cfg: dict, path: str) -> DataFrame:
         """Write-path vector discipline for one space: dimension check,
         normalize-at-write, nested→flat multivector conversion, and —
@@ -424,6 +444,11 @@ class Collection:
         col, nv = cfg["vec_col"], cfg["nv_col"]
         dim = cfg.get("dim")
         if col not in points.columns:
+            return points
+        if isinstance(points.schema[col].dataType, BinaryType):
+            # already fp16-encoded (a re-upsert of read rows): the
+            # normalize/flatten/pool discipline ran when these bytes
+            # were first written — sidecars travel with them
             return points
         if cfg.get("multivector") and _is_nested(points, col):
             if dim:
@@ -450,13 +475,14 @@ class Collection:
                 points = points.withColumn(
                     col + "__pooled",
                     mean_pool_flat(F.col(col).cast("array<double>"), dim))
-            return points
-        if (cfg.get("multivector") and dim
-                and col + "__pooled" not in points.columns):
-            # pre-flattened multivector input: same sidecar
-            return points.withColumn(
-                col + "__pooled",
-                mean_pool_flat(F.col(col).cast("array<double>"), dim))
+            return Collection._encode_datatype(points, cfg)
+        if cfg.get("multivector"):
+            if dim and col + "__pooled" not in points.columns:
+                # pre-flattened multivector input: same sidecar
+                points = points.withColumn(
+                    col + "__pooled",
+                    mean_pool_flat(F.col(col).cast("array<double>"), dim))
+            return Collection._encode_datatype(points, cfg)
         if not cfg.get("multivector"):
             if cfg.get("normalize"):
                 points = points.withColumn(
@@ -2001,7 +2027,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       train_fraction: float | None = None,
                       vectors: dict | None = None,
                       quantization: str | None = None,
-                      shard_key: str | None = None) -> Collection:
+                      shard_key: str | None = None,
+                      datatype: str | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -2012,7 +2039,18 @@ def create_collection(root: str, name: str, dim: int | None = None,
     the next upsert builds the IVF layout (``k_centroids`` coarse
     cells, KMeans trained on ``train_fraction`` of the data — None
     trains on everything, fine below ~1M rows) and dense searches
-    route through it. None (default) = never auto-index."""
+    route through it. None (default) = never auto-index.
+
+    ``datatype="float16"`` (Qdrant ``Datatype.FLOAT16``): store the
+    vectors as fp16 — HALF the dominant byte stream. Multivector
+    collections only: that is where vector bytes dominate
+    (ColPali ≈ 0.5 MB/point; BASELINE.md §fp16-at-shape measures
+    two-stage-on-fp16 at 16.5× the fp32 exact scan), and the MaxSim
+    scorers decode fp16 natively (`halfvec_encode_udf` codec), while
+    dense scoring is JVM-side expression code over float arrays —
+    dense compression wants the SQ/BQ quantization tiers instead
+    (which also rescore exactly). Scoring stays float64; fp16 is the
+    storage rounding only."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
         if vectors is not None:
@@ -2021,11 +2059,11 @@ def create_collection(root: str, name: str, dim: int | None = None,
             # vector column is named after the space. Auto-indexing is
             # single-space-only (which space would the layout carve?).
             if dim is not None or indexing_threshold is not None \
-                    or quantization is not None:
+                    or quantization is not None or datatype is not None:
                 raise ValueError(
                     "named-vector collections take per-space config in "
                     "`vectors`; top-level dim/indexing_threshold/"
-                    "quantization don't apply")
+                    "quantization/datatype don't apply")
             spaces = {}
             for vname, cfg in vectors.items():
                 if "dim" not in cfg:
@@ -2074,6 +2112,17 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     raise ValueError(
                         "quantization supports dense collections")
                 meta["quantization"] = quantization
+            if datatype is not None:
+                if datatype not in ("float32", "float16"):
+                    raise ValueError(
+                        "datatype must be 'float32' or 'float16'")
+                if datatype == "float16":
+                    if not multivector:
+                        raise ValueError(
+                            "float16 storage supports multivector "
+                            "collections (dense compression: use "
+                            "quantization='sq'/'bq')")
+                    meta["datatype"] = "float16"
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)
