@@ -620,6 +620,17 @@ class Collection:
         else:
             points = self._prep_vec(
                 points, self._vector_cfg(None, vec_col), self.path)
+        if self._has_data(spark):
+            # schema alignment for pre-round-5 collections: never
+            # append a `__pooled` sidecar the existing files lack —
+            # a part-table sidecar would read as NULL on old rows and
+            # silently drop them from stage 1. Such collections keep
+            # the compute-at-read fallback until a full rewrite.
+            existing_cols = set(spark.read.parquet(self.path).columns)
+            stale = [c for c in points.columns
+                     if c.endswith("__pooled") and c not in existing_cols]
+            if stale:
+                points = points.drop(*stale)
         if mode == "merge" and self._has_data(spark):
             existing = spark.read.parquet(self.path)
             incoming_ids = points.select(id_col)

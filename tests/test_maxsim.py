@@ -126,3 +126,36 @@ def test_pooled_sidecar_maintained_by_point_ops(spark, tmp_path):
     row = {r.id: r for r in coll.read(spark).collect()}
     assert row[2].embedding is None and row[2].embedding__pooled is None
     assert row[2].n_vecs is None
+
+
+def test_append_to_pre_sidecar_collection_stays_uniform(spark, tmp_path):
+    """Appending to a collection written BEFORE the pooled sidecar
+    existed must not create part-table schemas: new files drop the
+    sidecar too (old rows would read NULL-pooled and silently vanish
+    from stage 1); the compute-at-read fallback stays correct."""
+    import os
+    import shutil
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+
+    coll = create_collection(str(tmp_path), "pre", dim=2, multivector=True,
+                             normalize=False)
+    coll.upsert(spark, spark.createDataFrame(
+        [(i, [[float(i + 1), 0.0]]) for i in range(10)],
+        "id int, embedding array<array<double>>"))
+    # simulate a pre-round-5 layout: strip the sidecar on disk
+    bare = coll.read(spark).drop("embedding__pooled")
+    tmp = str(tmp_path / "bare")
+    bare.write.parquet(tmp)
+    shutil.rmtree(coll.path)
+    os.rename(tmp, coll.path)
+    # append new points: schema must stay uniform (no sidecar)
+    coll.upsert(spark, spark.createDataFrame(
+        [(99, [[50.0, 0.0]])], "id int, embedding array<array<double>>"))
+    t = coll.read(spark)
+    assert "embedding__pooled" not in t.columns
+    assert t.count() == 11
+    # two-stage fallback sees ALL rows, old and new
+    got = [r.id for r in
+           coll.search(spark, [[1.0, 0.0]], k=2, rescore=11).collect()]
+    assert got == [99, 9]
