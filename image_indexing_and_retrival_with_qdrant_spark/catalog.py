@@ -631,6 +631,26 @@ class Collection:
                      if c.endswith("__pooled") and c not in existing_cols]
             if stale:
                 points = points.drop(*stale)
+            # ...and the REVERSE direction must hard-fail: a batch
+            # that lacks a sidecar the existing files carry (e.g. raw
+            # fp16 binary points taking `_prep_vec`'s BinaryType
+            # early-return without `__pooled`/`n_vecs`) would append a
+            # divergent file schema whose rows read NULL in the
+            # sidecar — silently invisible to stage 1 of
+            # search(rescore=) and to routed coarse search. Appending
+            # part-table schema is never recoverable later, so refuse.
+            sidecars = {c for c in existing_cols
+                        if c.endswith("__pooled") or c.endswith("__nv")
+                        or c == "n_vecs"}
+            lacking = sorted(sidecars - set(points.columns))
+            if lacking:
+                raise ValueError(
+                    f"points batch is missing sidecar column(s) "
+                    f"{lacking} present in collection {self.name!r}; "
+                    "re-upserted rows must carry every vector sidecar "
+                    "(read them back via Collection.read, or supply "
+                    "nested multivectors and let the write path derive "
+                    "the sidecars)")
         if mode == "merge" and self._has_data(spark):
             existing = spark.read.parquet(self.path)
             incoming_ids = points.select(id_col)
@@ -1719,8 +1739,9 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
+        reserved = self._vector_columns(vec_col) | {id_col}
         for col in payload:
-            if col in (id_col, vec_col, "n_vecs"):
+            if col in reserved:
                 raise ValueError(f"cannot set reserved column {col!r}")
         if any(col not in table.columns for col in payload):
             # a NEW payload key is a schema change — table-wide by
@@ -1792,8 +1813,9 @@ class Collection:
             return 0
         pred = self._selector_pred(selector, id_col)
         table = self.read(spark)
+        reserved = self._vector_columns(vec_col) | {id_col}
         for col in keys:
-            if col in (id_col, vec_col, "n_vecs"):
+            if col in reserved:
                 raise ValueError(f"cannot delete reserved column {col!r}")
         schema = table.schema
 
@@ -2077,6 +2099,15 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     "quantization/datatype don't apply")
             spaces = {}
             for vname, cfg in vectors.items():
+                unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
+                                             "normalize", "datatype"})
+                if unknown:
+                    # a silently-dropped spec key (e.g. "datatype")
+                    # would hand the user different storage than they
+                    # asked for with no error — reject instead
+                    raise ValueError(
+                        f"unknown key(s) {unknown} in vector space "
+                        f"{vname!r} config")
                 if "dim" not in cfg:
                     raise ValueError(f"vector space {vname!r} needs a dim")
                 vm = cfg.get("metric", "cosine")
@@ -2086,6 +2117,20 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     "multivector": bool(cfg.get("multivector")),
                     "normalize": cfg.get("normalize", vm == "cosine"),
                 }
+                dt = cfg.get("datatype")
+                if dt is not None:
+                    # same rules as the top-level knob: fp16 is for
+                    # multivector spaces (where vector bytes dominate)
+                    if dt not in ("float32", "float16"):
+                        raise ValueError(
+                            "datatype must be 'float32' or 'float16'")
+                    if dt == "float16":
+                        if not spaces[vname]["multivector"]:
+                            raise ValueError(
+                                "float16 storage supports multivector "
+                                "spaces (dense compression: use "
+                                "quantization='sq'/'bq')")
+                        spaces[vname]["datatype"] = "float16"
             meta = {"vectors": spaces}
         else:
             if dim is None:

@@ -103,3 +103,19 @@ def test_point_ops_on_f16(spark, tmp_path):
     f16.upsert(spark, pts, mode="merge")
     hits = f16.search(spark, [[0.0, 1.0]], k=1).collect()
     assert hits[0].id == 5 and hits[0].score == 16.0
+
+
+def test_append_missing_sidecars_refused(spark, tmp_path):
+    # round-6 (ADVICE r5): a batch of raw fp16 binary points that rides
+    # `_prep_vec`'s BinaryType early-return WITHOUT the __pooled/n_vecs
+    # sidecars must be refused, not appended as part-table schema whose
+    # rows read NULL in stage 1 of search(rescore=)
+    _, f16 = _twin(spark, tmp_path)
+    bad = f16.read(spark).drop("embedding__pooled", "n_vecs").limit(3)
+    with pytest.raises(ValueError, match="sidecar"):
+        f16.upsert(spark, bad)
+    # the legitimate re-upsert (sidecars travel with the rows) still works
+    full = f16.read(spark).limit(3)
+    before = f16.count(spark)
+    f16.upsert(spark, full)
+    assert f16.count(spark) == before + 3

@@ -104,3 +104,47 @@ def test_config_validation(tmp_path):
         create_collection(str(tmp_path), "bad2", vectors={"a": {}})
     with pytest.raises(ValueError, match="dim is required"):
         create_collection(str(tmp_path), "bad3")
+
+
+def test_per_space_unknown_keys_rejected(tmp_path):
+    # round-6 (ADVICE r5): silently dropping a per-space spec key hands
+    # the user different storage than requested — reject instead
+    with pytest.raises(ValueError, match="unknown key"):
+        create_collection(str(tmp_path), "nv_bad",
+                          vectors={"v": {"dim": 2, "dtype": "float16"}})
+    with pytest.raises(ValueError, match="multivector"):
+        create_collection(str(tmp_path), "nv_d16",
+                          vectors={"v": {"dim": 2, "datatype": "float16"}})
+    with pytest.raises(ValueError, match="float32"):
+        create_collection(
+            str(tmp_path), "nv_f8",
+            vectors={"v": {"dim": 2, "multivector": True,
+                           "datatype": "float8"}})
+
+
+def test_per_space_float16_storage_and_search(spark, tmp_path):
+    from pyspark.sql.types import BinaryType
+
+    pts_schema = ("id int, late array<array<double>>")
+    rows = [(i, [[float(i % 5 + 1), 0.5 * (i % 3)],
+                 [0.25 * (i % 7), float(i % 4)]]) for i in range(30)]
+    f32 = create_collection(
+        str(tmp_path), "sp32",
+        vectors={"late": {"dim": 2, "multivector": True,
+                          "normalize": False}})
+    f16 = create_collection(
+        str(tmp_path), "sp16",
+        vectors={"late": {"dim": 2, "multivector": True,
+                          "normalize": False, "datatype": "float16"}})
+    pts = spark.createDataFrame(rows, pts_schema)
+    f32.upsert(spark, pts)
+    f16.upsert(spark, pts)
+    t = f16.read(spark)
+    assert isinstance(t.schema["late"].dataType, BinaryType)
+    q = [[1.0, 0.5]]
+    want = [(r.id, r.score) for r in
+            f32.search(spark, q, k=7, using="late").collect()]
+    got = [(r.id, r.score) for r in
+           f16.search(spark, q, k=7, using="late").collect()]
+    # fixture values are exact in fp16, so results match bit-for-bit
+    assert got == want

@@ -581,3 +581,22 @@ def test_scroll_with_filter(spark, sf_smoke, tmp_path):
     assert all(r.lang == "en" for r in page)
     vals = [r.doc_id for r in page]
     assert vals == sorted(vals)
+
+
+def test_payload_sidecar_columns_rejected(spark, sf_smoke, tmp_path):
+    # round-6 (ADVICE r5): the vector SIDECARS (n_vecs, {vec}__pooled,
+    # named {name}__nv) are vector data, not payload — writable via
+    # set_payload/delete_payload they would silently corrupt stage-1
+    # two-stage scores
+    import pytest
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = [r.id for r in coll.read(spark).limit(1).collect()]
+    with pytest.raises(ValueError, match="reserved"):
+        coll.set_payload(spark, {"n_vecs": 3}, some)
+    with pytest.raises(ValueError, match="reserved"):
+        coll.set_payload(spark, {"embedding__pooled": [0.0]}, some)
+    with pytest.raises(ValueError, match="reserved"):
+        coll.delete_payload(spark, ["embedding__pooled"], some)
+    with pytest.raises(ValueError, match="reserved"):
+        coll.delete_payload(spark, ["n_vecs"], some)
