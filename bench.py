@@ -102,6 +102,9 @@ HEADLINE = [
     # above measures the det nprobe=2 probe since this round
     "ann_pq_top5",
     "ann_ivfpq_top5",
+    # round 6: recall-target routing over the two-stage multivector
+    # read path (lifecycle + routed search; oracle mirrors stage 1)
+    "maxsim_recall_routed_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

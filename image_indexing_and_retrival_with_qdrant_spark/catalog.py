@@ -782,26 +782,38 @@ class Collection:
 
     def _resolve_recall_target(self, recall_target: float,
                                nprobe: int | None, exact: bool,
-                               oversampling: float
-                               ) -> tuple[int | None, bool, float]:
+                               oversampling: float,
+                               rescore: int | None = None,
+                               k: int | None = None,
+                               using: str | None = None,
+                               vec_col: str = "embedding",
+                               ) -> tuple[int | None, bool, float,
+                                          int | None]:
         """Overlay recall-target routing (routing.py — the measured
         BASELINE.md curves) onto the caller's knobs. Explicit knobs
-        win: an ``exact=True`` or ``nprobe=`` from the caller is never
-        overridden; the target only fills what was left unset
-        (``oversampling`` counts as unset at its 4.0 default)."""
+        win: an ``exact=True`` / ``nprobe=`` / ``rescore=`` from the
+        caller is never overridden; the target only fills what was
+        left unset (``oversampling`` counts as unset at its 4.0
+        default). For flat multivector spaces the target maps to the
+        two-stage rescore depth from the measured pooling-faithful
+        curve (routing.py provenance notes)."""
         from .routing import route_for_recall
 
+        cfg = self._vector_cfg(using, vec_col)
         r = route_for_recall(
             recall_target, indexed=self.has_index(),
             quantization=self.meta.get("quantization"),
-            k_centroids=int(self.meta.get("k_centroids") or 16))
+            k_centroids=int(self.meta.get("k_centroids") or 16),
+            multivector=bool(cfg.get("multivector")), k=k)
         if not exact and nprobe is None:
             if r["exact"]:
                 exact = True
             nprobe = r["nprobe"]
             if r["oversampling"] is not None and oversampling == 4.0:
                 oversampling = r["oversampling"]
-        return nprobe, exact, oversampling
+            if r["rescore"] is not None and rescore is None:
+                rescore = r["rescore"]
+        return nprobe, exact, oversampling, rescore
 
     def search(self, spark: SparkSession, query_vector: list,
                k: int = 5, query_filter=None, score_threshold=None,
@@ -868,8 +880,10 @@ class Collection:
         from .operators.maxsim import maxsim_knn
 
         if recall_target is not None:
-            nprobe, exact, oversampling = self._resolve_recall_target(
-                recall_target, nprobe, exact, oversampling)
+            nprobe, exact, oversampling, rescore = \
+                self._resolve_recall_target(
+                    recall_target, nprobe, exact, oversampling,
+                    rescore=rescore, k=k, using=using, vec_col=vec_col)
 
         if formula is not None:
             # Qdrant FormulaQuery: prefetch with the collection's
@@ -1034,8 +1048,9 @@ class Collection:
         from .operators.knn import dense_knn_batch
 
         if recall_target is not None:
-            nprobe, exact, _ = self._resolve_recall_target(
-                recall_target, nprobe, exact, 4.0)
+            nprobe, exact, _, _ = self._resolve_recall_target(
+                recall_target, nprobe, exact, 4.0,
+                k=k, using=using, vec_col=vec_col)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         query_filter = as_predicate(query_filter)

@@ -133,6 +133,111 @@ SELECT id, score FROM sc ORDER BY score DESC, CAST(id AS BIGINT) LIMIT 5
 """
 
 
+def _pool_dim(arr: str, j: int) -> str:
+    """Mean-pool dim j over the 8 blocks of a flat 64-d multivector,
+    left-to-right — the op shape of both `mean_pool_flat` (write-time
+    sidecar) and the Python query pooling in `Collection.search`."""
+    return "((" + " + ".join(f"{arr}[{b * _DIM + j}]"
+                             for b in range(_N)) + f") / {_N})"
+
+
+def _routed_maxsim_oracle() -> str:
+    """Two-stage twin: stage 1 ranks docs by cosine of MEAN-POOLED
+    vectors against the pooled query and keeps the routed depth (200 —
+    `routing._MAXSIM_RESCORE` for target 0.95 at k≤10); stage 2 scores
+    the shortlist with exact MaxSim. Mirrors
+    `Collection.search(recall_target=)` → `_maxsim_stage1` +
+    `maxsim_knn` op-for-op (double math, round(6) on the final score,
+    ties by id)."""
+    pd = [_pool_dim("e.emb", j) for j in range(1, _DIM + 1)]
+    pq = [_pool_dim("q.qe", j) for j in range(1, _DIM + 1)]
+    dot = " + ".join(f"({d}) * ({qd})" for d, qd in zip(pd, pq))
+    nd = " + ".join(f"({d}) * ({d})" for d in pd)
+    nq = " + ".join(f"({qd}) * ({qd})" for qd in pq)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE id = 0),
+stage1 AS (
+  SELECT e.id, ({dot}) / (sqrt({nd}) * sqrt({nq})) AS ps
+  FROM e CROSS JOIN q
+),
+short AS (SELECT id FROM stage1 ORDER BY ps DESC, id LIMIT 200),
+pairs AS (
+  SELECT e.id, qi.i, dj.j,
+         list_dot_product(
+           e.emb[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM e
+  JOIN short USING (id)
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+mx AS (SELECT id, i, MAX(dp) AS m FROM pairs GROUP BY id, i),
+sc AS (SELECT id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY id),
+routed AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 5),
+allpairs AS (
+  SELECT e.id, qi.i, dj.j,
+         list_dot_product(
+           e.emb[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM e CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+amx AS (SELECT id, i, MAX(dp) AS m FROM allpairs GROUP BY id, i),
+asc_ AS (SELECT id, ROUND(SUM(m), 6) AS score FROM amx GROUP BY id),
+exact AS (SELECT id, score FROM asc_ ORDER BY score DESC, id LIMIT 5)
+SELECT 'routed_t95' AS routing_case, id, score FROM routed
+UNION ALL
+SELECT 'exact_t100' AS routing_case, id, score FROM exact
+"""
+
+
+@register("maxsim_recall_routed_top5", _routed_maxsim_oracle())
+def maxsim_recall_routed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`search(recall_target=)` on a flat MULTIVECTOR collection
+    (round 6): a target below the exact cutover routes to two-stage
+    MaxSim at the depth the measured pooling-faithful curve prescribes
+    (`routing._MAXSIM_RESCORE`: 0.95 → rescore 200 at k≤10 — the
+    production ColPali read path, BASELINE.md §MaxSim-at-shape, now
+    reachable by stating a recall requirement instead of tuning
+    depth); target 1.0 routes to the exact scan. The oracle mirrors
+    BOTH stages — pooled-cosine top-200 shortlist, exact MaxSim on the
+    survivors — so the routed path itself is value-checked, not just
+    its exact-fallback cases (the fixture's random vectors make
+    two-stage ≢ exact at depth 200, so agreement is only reachable by
+    reproducing the stage-1 semantics)."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_multivector(F.col("embedding"), _DIM, _N).alias("embedding"),
+    )
+    qv = [list(v) for v in
+          pts.filter(F.col("id") == 0).collect()[0].embedding]
+    root = tempfile.mkdtemp(prefix="qd_mv_routed_")
+    try:
+        from ..catalog import create_collection
+
+        coll = create_collection(root, "mv", dim=_DIM, multivector=True,
+                                 normalize=False)
+        coll.upsert(spark, pts, mode="append")
+        routed = coll.search(spark, qv, k=5, recall_target=0.95) \
+            .select(F.lit("routed_t95").alias("routing_case"), "id", "score")
+        exact = coll.search(spark, qv, k=5, recall_target=1.0) \
+            .select(F.lit("exact_t100").alias("routing_case"), "id", "score")
+        out = routed.unionByName(exact)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("maxsim_indexed_top5", _MAXSIM_INDEXED_ORACLE)
 def maxsim_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-indexed multivector collection end-to-end: upsert nested

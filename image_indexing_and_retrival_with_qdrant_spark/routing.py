@@ -1,27 +1,62 @@
 """Recall-target routing: the measured recall curves as engine behavior.
 
 `Collection.search(recall_target=0.95)` picks the search tier and its
-knobs (exact / nprobe / oversampling) from the curves RECORDED in
-BASELINE.md instead of making the caller translate a recall
-requirement into index internals. This is the engine's
-HNSW-substitution story made operational (VERDICT r4 item 6): Qdrant
-callers tune `hnsw_ef` against recall; here the recall target IS the
-API and the engine owns the mapping.
+knobs (exact / nprobe / oversampling / two-stage rescore depth) from
+the curves RECORDED in BASELINE.md instead of making the caller
+translate a recall requirement into index internals. This is the
+engine's HNSW-substitution story made operational (VERDICT r4 item 6):
+Qdrant callers tune `hnsw_ef` against recall; here the recall target
+IS the API and the engine owns the mapping.
+
+The target is BEST-EFFORT from measured curves, not a proof: every
+curve was taken on a specific synthetic corpus (clustered
+mixture-of-Gaussians, recall_curve.py) at a specific scale, and recall
+at the same knobs varies with the data distribution. The engine is
+conservative in three ways — (1) exactness (target ≥ 0.999) always
+routes to the exact scan, (2) each approximate knob is trusted only up
+to a ceiling at-or-below its measured point, (3) extrapolating IVF
+beyond the measured cell count adds probes (see below) — but a caller
+who needs a recall GUARANTEE must pass ``exact=True``.
 
 Curve provenance (all measured, recall_curve.py, clustered corpora —
-BASELINE.md §"ANN recall on clustered vectors"):
+BASELINE.md §"ANN recall on clustered vectors" and §"quantized
+oversampling→recall"):
 
 - IVF, 16 centroids, recall@10: nprobe=1 → 0.77, nprobe=2 → 0.995
   (1.0 at 50k rows), nprobe=4 → 1.0. Encoded as FRACTIONS of
   k_centroids (1/16, 2/16, 4/16) so collections with more cells scale
-  the probe width with the partition count, which is what holds the
-  probed-fraction (and therefore the recall floor) constant as cells
-  shrink.
-- Quantized (SQ/BQ) prefetch + exact rescore: the value-oracled
-  shipped configuration (`ann_bq_rescore_top5`) oversamples 10×; the
-  engine default is 4×. No full oversampling→recall sweep is recorded
-  yet, so the quantized mapping is deliberately conservative: default
-  4× below 0.9, the proven 10× point up to 0.999, exact above.
+  the probe width with the partition count, which holds the probed
+  FRACTION constant as cells shrink. Fragmentation caveat: smaller
+  cells split neighbor sets across more boundaries, so a constant
+  fraction is not recall-invariant in general; beyond the measured
+  16 cells the router adds one probe per doubling of k_centroids
+  (``+ceil(log2(kc/16))``) as a margin until per-cell-count curves
+  are measured.
+- SQ (int8) prefetch + exact rescore, 50k clustered corpus
+  (recall_curve.py --quant): oversampling 1× → 0.99, 2× → 1.0
+  (1.0 through 16×). int8 on unit vectors is near-lossless, so the
+  trusted ceilings sit well under the measured 1.0 points: 2× up to
+  0.95, 4× up to 0.99, 10× up to 0.998.
+- BQ (1-bit) prefetch + exact rescore, same corpus: 4× → 0.30,
+  10× → 0.425, 16× → 0.48. Binarized Hamming cannot rank WITHIN a
+  tight cluster (sign patterns collide at 64-d), so on clustered data
+  BQ is a low-recall tier no matter the oversampling — the router
+  trusts it only up to 0.45 and routes higher targets to the exact
+  scan. (On decorrelated high-dim embeddings BQ measures far better —
+  Qdrant's own guidance gates BQ on ≥~1024-d — but the router follows
+  the recorded adversarial curve, not the optimistic one.)
+- Multivector two-stage (pooled-cosine stage 1 → exact MaxSim on the
+  shortlist), 20k-doc 8×32 corpora (recall_curve.py --maxsim), two
+  regimes: ``faithful`` (one center per doc, the realistic
+  late-interaction shape: 50 → 0.847, 100 → 0.947, 200 → 0.98,
+  400 → 1.0; stress.py measured the same shape at 100k×1030×128:
+  rescore=200 → 1.0) and ``topic10`` (10 shared topic centers:
+  pooled vectors tie within a topic and recall at fixed depth decays
+  with the confusable-set size — 200 → 0.52, 800 → 0.887 — the
+  documented failure mode, SCALE.md §MaxSim). Routing maps targets
+  from the FAITHFUL curve and scales depth with k (curves are
+  recall@10); near-duplicate-heavy corpora should dedup first or
+  pass ``exact=True``.
 - Exactness (recall 1.0) is only GUARANTEED by the exact scan, so a
   target ≥ 0.999 always routes to exact — measured 1.0 points remain
   measurements, not proofs.
@@ -44,11 +79,31 @@ IVF_NPROBE_FRACTION_RECALL: list[tuple[float, float]] = [
     (4 / 16, 1.0),
 ]
 
-# (oversampling, recall ceiling it is trusted for) — see module
-# docstring; conservative until a full sweep is recorded.
-_QUANT_OVERSAMPLING: list[tuple[float, float]] = [
-    (4.0, 0.90),
-    (10.0, 0.999),
+# measured curve cells: 16. Extrapolating to more cells keeps the
+# probed fraction AND adds log2(kc/16) probes against fragmentation.
+_IVF_MEASURED_CELLS = 16
+
+# per-kind (oversampling, recall ceiling it is trusted for) — 50k
+# clustered sweep, BASELINE.md §quantized-oversampling; ceilings are
+# at-or-below the measured recall at that oversampling.
+_QUANT_OVERSAMPLING: dict[str, list[tuple[float, float]]] = {
+    "sq": [(2.0, 0.95), (4.0, 0.99), (10.0, 0.998)],
+    "bq": [(4.0, 0.25), (10.0, 0.40), (16.0, 0.45)],
+}
+
+# (rescore depth, recall@10 ceiling) — multivector two-stage on the
+# pooling-FAITHFUL regime, measured at 20k docs × 8×32
+# (recall_curve.py --maxsim: 50 → 0.847, 100 → 0.947, 200 → 0.98,
+# 400 → 1.0). Ceilings sit at-or-below the measured points. Wider
+# documents pool tighter (noise/√n_vecs): the same two-stage measured
+# 1.0 at rescore=200 on 100k docs × 1030×128 (stress.py), so these
+# 8-subvector ceilings are the conservative end. Depths scale with k
+# below (curves are recall@10).
+_MAXSIM_RESCORE: list[tuple[int, float]] = [
+    (50, 0.84),
+    (100, 0.94),
+    (200, 0.97),
+    (400, 0.998),
 ]
 
 # measurements are not proofs: at/above this target, route to exact
@@ -57,30 +112,50 @@ _EXACT_CUTOVER = 0.999
 
 def route_for_recall(recall_target: float, *, indexed: bool,
                      quantization: str | None = None,
-                     k_centroids: int = 16) -> dict:
+                     k_centroids: int = 16,
+                     multivector: bool = False,
+                     k: int | None = None) -> dict:
     """Map a recall target to search knobs for the collection state.
 
     Returns ``{"exact": bool, "nprobe": int | None,
-    "oversampling": float | None}`` — exactly one tier's knobs are
-    set. Callers overlay explicit user knobs on top (an explicit
-    ``nprobe=``/``exact=`` always wins; the target fills the unset
-    ones)."""
+    "oversampling": float | None, "rescore": int | None}`` — exactly
+    one tier's knobs are set. Callers overlay explicit user knobs on
+    top (an explicit ``nprobe=``/``exact=``/``rescore=`` always wins;
+    the target fills the unset ones). Best-effort from measured
+    curves — see the module docstring; a recall GUARANTEE needs
+    ``exact=True``."""
     if not (0.0 < recall_target <= 1.0):
         raise ValueError(
             f"recall_target must be in (0, 1], got {recall_target!r}")
-    out: dict = {"exact": False, "nprobe": None, "oversampling": None}
+    out: dict = {"exact": False, "nprobe": None, "oversampling": None,
+                 "rescore": None}
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
     if indexed:
         for frac, recall in IVF_NPROBE_FRACTION_RECALL:
             if recall_target <= recall:
-                out["nprobe"] = max(1, math.ceil(frac * k_centroids))
+                nprobe = max(1, math.ceil(frac * k_centroids))
+                if k_centroids > _IVF_MEASURED_CELLS:
+                    # fragmentation margin beyond the measured curve
+                    nprobe += math.ceil(
+                        math.log2(k_centroids / _IVF_MEASURED_CELLS))
+                out["nprobe"] = min(nprobe, k_centroids)
                 return out
         out["exact"] = True  # target above every measured point
         return out
+    if multivector:
+        for depth, ceiling in _MAXSIM_RESCORE:
+            if recall_target <= ceiling:
+                # curves are recall@10 — scale the depth with k so a
+                # deeper result list keeps the same cover ratio
+                out["rescore"] = depth * max(1, math.ceil((k or 10) / 10))
+                return out
+        out["exact"] = True
+        return out
     if quantization:
-        for oversampling, ceiling in _QUANT_OVERSAMPLING:
+        for oversampling, ceiling in _QUANT_OVERSAMPLING.get(
+                quantization, []):
             if recall_target <= ceiling:
                 out["oversampling"] = oversampling
                 return out

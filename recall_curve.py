@@ -8,6 +8,10 @@ tier: IVF across nprobe, sign-LSH, PQ (ADC over 32×-compressed codes),
 and composed IVF→PQ→exact-rerank.
 
 Run: ``python recall_curve.py [n_rows] [n_queries]`` → one JSON line.
+``python recall_curve.py [n_rows] [n_queries] --quant`` runs ONLY the
+SQ/BQ oversampling→recall sweep (prefetch top-(k·oversampling) on the
+quantized codes, exact rescore — the `Collection.search` quantized
+path), feeding `routing._QUANT_OVERSAMPLING`.
 Numbers are recorded in BASELINE.md §recall; tests/test_ann_clustered.py
 pins the same setup at smaller n with thresholds just under these.
 """
@@ -62,12 +66,140 @@ def recall(approx_ids: set, exact_ids: set) -> float:
     return len(approx_ids & exact_ids) / len(exact_ids)
 
 
+def quant_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
+    """SQ/BQ oversampling→recall: recall of prefetch-top-(k·os) +
+    exact rescore equals |shortlist ∩ exact_topk| / k because the
+    rescore stage scores the shortlist with full vectors. Vectors are
+    unit-normalized first — the cosine-collection write path
+    (`catalog.py::_prep_vec`) quantizes normalized vectors, and cosine
+    ranking is scale-invariant so the exact sets carry over."""
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        l2_normalize,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.bq import (
+        bq_encode,
+        bq_search,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.sq import (
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    unit = corpus.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).cache()
+    unit.count()
+    uq = {r.vec_id: r.embedding for r in
+          unit.filter(F.col("vec_id").isin(list(qids))).collect()}
+
+    mins, steps = sq_train(unit, DIM)
+    sq_codes = sq_encode(unit, mins, steps).cache()
+    sq_codes.count()
+    bq_codes = bq_encode(unit, DIM).cache()
+    bq_codes.count()
+
+    for os_ in (1, 2, 4, 6, 10, 16):
+        m = k * os_
+        r_sq, r_bq = [], []
+        for q in qids:
+            short = {x.vec_id for x in
+                     sq_search(sq_codes, mins, steps, uq[q], k=m).collect()}
+            r_sq.append(len(short & exact[q]) / k)
+            short = {x.vec_id for x in
+                     bq_search(bq_codes, uq[q], k=m).collect()}
+            r_bq.append(len(short & exact[q]) / k)
+        out[f"sq_rescore_recall@10_os{os_}"] = round(float(np.mean(r_sq)), 3)
+        out[f"bq_rescore_recall@10_os{os_}"] = round(float(np.mean(r_bq)), 3)
+    unit.unpersist()
+    sq_codes.unpersist()
+    bq_codes.unpersist()
+
+
+def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
+    """Two-stage MaxSim rescore-depth→recall on a clustered
+    MULTIVECTOR corpus, through the real `Collection.search(rescore=)`
+    path (pooled sidecar stage 1 → exact MaxSim on the shortlist).
+    Late-interaction-shaped fixture: every subvector of a doc scatters
+    around the doc's cluster center, so mean-pooling preserves doc
+    ranking — the PLAID premise the two-stage design rests on (the
+    isotropic-random fixture is the measured anti-case: depth ≈ 0.8·N,
+    tests/test_maxsim.py). Feeds `routing._MAXSIM_RESCORE`.
+
+    Two corpus regimes, both recorded:
+    - ``faithful``: one center PER DOC (the stress.py shape — distinct
+      documents, token scatter around each). Pooled rank ≈ MaxSim rank;
+      this is the realistic late-interaction regime.
+    - ``topic10``: 10 shared cluster centers — near-duplicate topic
+      packs where pooled vectors tie within a cluster; the adversarial
+      bound (depth must cover the confusable set)."""
+    import shutil
+    import tempfile
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    n_vecs, dim = 8, 32
+    for tag, per_doc in (("faithful", True), ("topic10", False)):
+        rng = np.random.RandomState(7)
+        if per_doc:
+            centers = rng.standard_normal((n, dim))
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+            sigma = 0.75 / np.sqrt(dim)  # subvector↔center cosine ≈ 0.8
+            labels = np.arange(n)
+        else:
+            centers = rng.standard_normal((N_CLUSTERS, dim))
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+            sigma = SIGMA
+            labels = rng.randint(0, N_CLUSTERS, size=n)
+        rows = []
+        for i in range(n):
+            sub = centers[labels[i]] + sigma * rng.standard_normal(
+                (n_vecs, dim))
+            rows.append((int(i), [[float(x) for x in v] for v in sub]))
+        qids = sorted(int(i) for i in rng.choice(n, size=n_q, replace=False))
+        qvecs = {i: rows[i][1] for i in qids}
+
+        root = tempfile.mkdtemp(prefix="qd_maxsim_curve_")
+        try:
+            coll = create_collection(root, "mv", dim=dim,
+                                     multivector=True, normalize=True)
+            coll.upsert(spark, spark.createDataFrame(
+                rows, "id long, embedding array<array<double>>"))
+            exact = {q: {r.id for r in
+                         coll.search(spark, qvecs[q], k=k,
+                                     exact=True).collect()}
+                     for q in qids}
+            for depth in (25, 50, 100, 200, 400, 800):
+                r = [recall({x.id for x in
+                             coll.search(spark, qvecs[q], k=k,
+                                         rescore=depth).collect()}, exact[q])
+                     for q in qids]
+                out[f"maxsim_{tag}_recall@{k}_rescore{depth}"] = round(
+                    float(np.mean(r)), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    quant_only = "--quant" in sys.argv
+    maxsim_only = "--maxsim" in sys.argv
+    argv = [a for a in sys.argv if not a.startswith("--")]
+    n = int(argv[1]) if len(argv) > 1 else 5000
+    n_q = int(argv[2]) if len(argv) > 2 else 20
     k = 10
     spark = get_spark("recall", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
+    if maxsim_only:
+        out = {"n": n, "clusters": N_CLUSTERS, "sigma": SIGMA,
+               "k": k, "n_queries": n_q}
+        t0 = time.time()
+        maxsim_sweep(spark, n, n_q, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
     corpus = clustered_corpus(spark, n)
     corpus.count()
 
@@ -88,6 +220,13 @@ def main() -> None:
     out = {"n": n, "dim": DIM, "clusters": N_CLUSTERS, "sigma": SIGMA,
            "k": k, "n_queries": n_q}
     t0 = time.time()
+
+    if quant_only:
+        quant_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     assigned, centroids = ivf_build(corpus, k_centroids=16, seed=42)
     assigned = assigned.cache()

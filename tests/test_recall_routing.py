@@ -21,7 +21,8 @@ def test_route_unindexed_is_exact():
     # below indexing_threshold the scan is already exact (Qdrant's
     # deferred-index behavior) — any target is satisfied
     r = route_for_recall(0.5, indexed=False)
-    assert r == {"exact": True, "nprobe": None, "oversampling": None}
+    assert r == {"exact": True, "nprobe": None, "oversampling": None,
+                 "rescore": None}
 
 
 def test_route_indexed_nprobe_from_curve():
@@ -29,28 +30,67 @@ def test_route_indexed_nprobe_from_curve():
     assert route_for_recall(0.7, indexed=True)["nprobe"] == 1
     assert route_for_recall(0.95, indexed=True)["nprobe"] == 2
     assert route_for_recall(0.998, indexed=True)["nprobe"] == 4
-    # fractions scale with the collection's cell count
+    # fractions scale with the cell count, PLUS one probe per doubling
+    # beyond the measured 16 cells (fragmentation margin, ADVICE r5)
     assert route_for_recall(0.95, indexed=True,
-                            k_centroids=64)["nprobe"] == 8
+                            k_centroids=64)["nprobe"] == 8 + 2
+    assert route_for_recall(0.95, indexed=True,
+                            k_centroids=256)["nprobe"] == 32 + 4
     assert route_for_recall(0.7, indexed=True,
                             k_centroids=4)["nprobe"] == 1
+    # the margin never pushes past the exhaustive probe
+    assert route_for_recall(0.7, indexed=True,
+                            k_centroids=17)["nprobe"] <= 17
 
 
 def test_route_exactness_needs_exact_scan():
     # measured 1.0 points are measurements, not proofs
     for state in (dict(indexed=True), dict(indexed=False),
-                  dict(indexed=False, quantization="bq")):
+                  dict(indexed=False, quantization="bq"),
+                  dict(indexed=False, multivector=True)):
         r = route_for_recall(1.0, **state)
-        assert r["exact"] and r["nprobe"] is None
+        assert r["exact"] and r["nprobe"] is None and r["rescore"] is None
 
 
 def test_route_quantized_oversampling():
+    # 50k measured curves (recall_curve.py --quant): SQ is
+    # near-lossless (0.99 at 1x, 1.0 at >=2x) so low targets route to
+    # small oversampling; BQ collapses on clustered data (0.48 at 16x)
+    # so anything above its trusted 0.45 ceiling routes to exact
     assert route_for_recall(0.8, indexed=False,
+                            quantization="sq")["oversampling"] == 2.0
+    assert route_for_recall(0.97, indexed=False,
                             quantization="sq")["oversampling"] == 4.0
+    assert route_for_recall(0.995, indexed=False,
+                            quantization="sq")["oversampling"] == 10.0
+    assert route_for_recall(0.2, indexed=False,
+                            quantization="bq")["oversampling"] == 4.0
+    assert route_for_recall(0.44, indexed=False,
+                            quantization="bq")["oversampling"] == 16.0
     assert route_for_recall(0.95, indexed=False,
-                            quantization="bq")["oversampling"] == 10.0
+                            quantization="bq")["exact"]
     assert route_for_recall(0.9995, indexed=False,
                             quantization="bq")["exact"]
+
+
+def test_route_multivector_rescore():
+    # pooling-faithful measured curve (recall_curve.py --maxsim, 20k
+    # docs 8x32): 50 -> 0.847, 100 -> 0.947, 200 -> 0.98, 400 -> 1.0;
+    # trusted ceilings 0.84/0.94/0.97/0.998; depth scales with k
+    r = route_for_recall(0.8, indexed=False, multivector=True, k=10)
+    assert r["rescore"] == 50 and not r["exact"]
+    assert route_for_recall(0.9, indexed=False, multivector=True,
+                            k=10)["rescore"] == 100
+    assert route_for_recall(0.95, indexed=False, multivector=True,
+                            k=10)["rescore"] == 200
+    assert route_for_recall(0.99, indexed=False, multivector=True,
+                            k=10)["rescore"] == 400
+    # recall@10 curves: a deeper k keeps the same cover ratio
+    assert route_for_recall(0.8, indexed=False, multivector=True,
+                            k=50)["rescore"] == 250
+    # an INDEXED multivector collection routes the coarse stage
+    r = route_for_recall(0.95, indexed=True, multivector=True, k=10)
+    assert r["nprobe"] == 2 and r["rescore"] is None
 
 
 def _clustered(spark, tmp_path, **kw):
@@ -119,6 +159,38 @@ def test_search_batch_recall_target(spark, tmp_path):
            coll.search_batch(spark, qs, k=3,
                              recall_target=0.95).collect()}
     assert got == want
+
+
+def test_search_recall_target_routed_multivector(spark, tmp_path):
+    # flat multivector collection: a recall target below the exact
+    # cutover routes to two-stage at the measured depth (rescore=200
+    # for target 0.95 @ k<=10) — must equal both the explicit knob
+    # and (fixture is pooling-faithful) the exact scan
+    rows = []
+    for i in range(40):
+        base = [1.0 + 0.01 * i, float(i % 7), float((i * 3) % 11), 1.0]
+        rows.append((i, [base, [x * 0.5 for x in base]]))
+    coll = create_collection(str(tmp_path), "mv_rt", dim=4,
+                             multivector=True, normalize=True)
+    coll.upsert(spark, spark.createDataFrame(
+        rows, "id int, embedding array<array<double>>"))
+    q = rows[17][1]
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, q, k=5, exact=True).collect()]
+    routed = [(r.id, r.score) for r in
+              coll.search(spark, q, k=5, recall_target=0.95).collect()]
+    explicit = [(r.id, r.score) for r in
+                coll.search(spark, q, k=5, rescore=200).collect()]
+    assert routed == explicit == exact
+    # exactness still routes to the exact scan
+    assert [(r.id, r.score) for r in
+            coll.search(spark, q, k=5, recall_target=1.0).collect()] == exact
+    # an explicit rescore depth beats the target's routed depth
+    deep = [(r.id, r.score) for r in
+            coll.search(spark, q, k=5, rescore=40,
+                        recall_target=0.95).collect()]
+    assert deep == [(r.id, r.score) for r in
+                    coll.search(spark, q, k=5, rescore=40).collect()]
 
 
 def test_search_recall_target_quantized(spark, tmp_path):
