@@ -133,15 +133,42 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_approx_sketches", None)
+@register(
+    "events_approx_sketches",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_in_band
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL distinct, quantile sketch) — rows-only
-    in the driver (sketch internals are engine-specific); pytest bounds
-    them against exact values."""
+    """Sketch aggregates (HLL distinct, quantile sketch) under a
+    deterministic-bounds oracle (round 6 — closes the registry's last
+    rows-only row). Sketch VALUES are engine-specific, but for a fixed
+    dataset both sketches are deterministic (hash-based, no RNG), so
+    their documented contracts are value-checkable: the query returns
+    the EXACT distinct count (hash-compared against DuckDB) plus two
+    booleans the oracle asserts TRUE — the HLL estimate within 3×rsd
+    of exact (default rsd 0.05 → 15 %; measured 0.7 % at sf0.01,
+    6.7 % at sf0.1), and the approx median inside the exact
+    [p45, p55] band. tests/test_scale.py keeps the tighter
+    sketch-vs-exact assertions."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.expr("percentile(value, 0.45)").alias("__q45"),
+        F.expr("percentile(value, 0.55)").alias("__q55"),
+    ).select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("approx_users") - F.col("n_users"))
+         <= 0.15 * F.col("n_users")).alias("hll_within_3rsd"),
+        F.col("approx_median").between(F.col("__q45"), F.col("__q55"))
+        .alias("median_in_band"),
     )
 
 

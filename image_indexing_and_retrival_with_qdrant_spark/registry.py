@@ -13,12 +13,16 @@ hashes. Conventions (FIXTURES.md §4):
   HUGEINT, Spark's is long); row_number is cast to INTEGER;
 - timestamps never appear raw in outputs — epoch seconds (BIGINT) do.
 
-Entries with ``oracle=None`` are approximate by construction (since
-round 5 only the sketch aggregates — every registered ANN tier probes
-deterministic kmeans_np layouts and carries a full value oracle; the
-Spark-ML-KMeans-trained variants are pytest-only): the driver records
-a rows-only check; pytest holds the stronger recall/behavior
-assertions. Streaming twins
+Since round 6 EVERY entry is oracle-backed (``oracle=None`` is
+reserved for genuinely non-deterministic results, of which there are
+currently none): approximate-by-construction outputs (the HLL/quantile
+sketches) return exact values plus deterministic within-documented-
+bounds booleans the oracle asserts TRUE — sketches are hash-based and
+deterministic for fixed data, so the contract is value-checkable even
+where the sketch internals are engine-specific; every registered ANN
+tier probes deterministic kmeans_np layouts and carries a full value
+oracle (the Spark-ML-KMeans-trained variants are pytest-only); pytest
+holds the stronger recall/behavior assertions. Streaming twins
 ARE oracle-backed — they drain a bounded stream to a memory sink and
 return its rows (queries/streaming.py). An oracle may also be a
 FACTORY ``Callable[[sf_dir], str]`` for SQL that embeds data-derived

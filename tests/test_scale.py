@@ -32,10 +32,18 @@ def test_scale_oracle(spark, sf_smoke, name):
 
 
 def test_approx_sketches_within_bounds(spark, sf_smoke):
+    # the registry query's in-band booleans (oracle asserts them TRUE)
+    for r in REGISTRY["events_approx_sketches"].builder(
+            spark, sf_smoke).collect():
+        assert r.hll_within_3rsd and r.median_in_band
+    # tighter sketch-vs-exact assertions than the oracle's 3×rsd band
     ev = load(spark, sf_smoke, "events")
     approx = {
         r.event_type: r
-        for r in REGISTRY["events_approx_sketches"].builder(spark, sf_smoke).collect()
+        for r in ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        ).collect()
     }
     exact = {
         r.event_type: r
