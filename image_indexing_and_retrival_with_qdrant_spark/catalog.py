@@ -595,6 +595,44 @@ class Collection:
         ids = [r[id_col] for r in keep.collect()]  # ≤ m rows
         return corpus.filter(F.col(id_col).isin(ids))
 
+    def _maxsim_stage1_batch(self, corpus: DataFrame,
+                             pooled_qs: list[list[float]], m: int,
+                             id_col: str, vec_col: str,
+                             dim: int) -> DataFrame:
+        """Batched stage 1 (round 6): ONE pass over the pooled column
+        ranks every query's candidates — pooled docs join the
+        broadcast Q-row pooled-query frame, grouped top-m per query
+        with map-side pruning — and the UNION of the per-query
+        shortlists comes back as one literal ``id IN (...)`` filter
+        (row-group-pruned, same pattern as the single-query stage 1).
+        Stage 2 then batch-scores ≤ Q·m docs instead of the corpus;
+        each query ranks over the union, a superset of its own
+        shortlist, so per-query recall is ≥ the single-query
+        two-stage at the same depth."""
+        from .functions.vector import cosine, mean_pool_flat
+        from .operators.topk import grouped_topk
+
+        if vec_col + "__pooled" in corpus.columns:
+            pooled = F.col(vec_col + "__pooled").cast("array<double>")
+        else:
+            pooled = mean_pool_flat(F.col(vec_col).cast("array<double>"),
+                                    dim)
+        spark = corpus.sparkSession
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(pooled_qs)],
+            "query_idx int, __pq array<double>")
+        scored = (corpus.select(F.col(id_col), pooled.alias("__pd"))
+                  .join(F.broadcast(qdf))
+                  .select(id_col, "query_idx",
+                          cosine(F.col("__pd"), F.col("__pq"))
+                          .alias("__ps")))
+        keep = grouped_topk(scored, ["query_idx"],
+                            [("__ps", False), (id_col, True)], m,
+                            rank_col=None, local_prune=True)
+        ids = [r[id_col] for r in
+               keep.select(id_col).distinct().collect()]  # ≤ Q·m rows
+        return corpus.filter(F.col(id_col).isin(ids))
+
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
                     id_col: str, vec_col: str, rewrote: bool) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
@@ -1035,6 +1073,7 @@ class Collection:
                      nprobe: int | None = None,
                      exact: bool = False,
                      using: str | None = None,
+                     rescore: int | None = None,
                      recall_target: float | None = None) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
@@ -1048,16 +1087,17 @@ class Collection:
         from .operators.knn import dense_knn_batch
 
         if recall_target is not None:
-            nprobe, exact, _, _ = self._resolve_recall_target(
+            nprobe, exact, _, rescore = self._resolve_recall_target(
                 recall_target, nprobe, exact, 4.0,
-                k=k, using=using, vec_col=vec_col)
+                rescore=rescore, k=k, using=using, vec_col=vec_col)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         query_filter = as_predicate(query_filter)
         if cfg.get("multivector"):
             return self._search_batch_maxsim(
                 spark, query_vectors, cfg, k=k, query_filter=query_filter,
-                score_threshold=score_threshold, id_col=id_col)
+                score_threshold=score_threshold, id_col=id_col,
+                rescore=None if exact else rescore)
         qvs = [[float(x) for x in v] for v in query_vectors]
         if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
@@ -1582,10 +1622,18 @@ class Collection:
 
     def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
                              cfg: dict, k: int, query_filter,
-                             score_threshold, id_col: str) -> DataFrame:
+                             score_threshold, id_col: str,
+                             rescore: int | None = None) -> DataFrame:
         """Batched MaxSim: every query's subvectors normalize/flatten
         like the single-query path, then one corpus pass scores all
-        (doc x query) pairs (operators.maxsim.maxsim_knn_batch)."""
+        (doc x query) pairs (operators.maxsim.maxsim_knn_batch).
+
+        ``rescore=N`` (round 6) makes it batched TWO-STAGE: one
+        pooled-column pass ranks all queries' candidates
+        (`_maxsim_stage1_batch`), stage 2 batch-scores only the union
+        of shortlists. At ColPali shape the batch reads 1/n_vecs of
+        the bytes once for stage 1 plus ≤ Q·N shortlist rows — not Q
+        exact scans, and not even one."""
         from .operators.maxsim import maxsim_knn_batch
 
         vec_col = cfg["vec_col"]
@@ -1594,12 +1642,22 @@ class Collection:
             raise ValueError("batched MaxSim needs the flat layout; "
                              "re-upsert or loop search()")
         dim = cfg.get("dim")
-        flats = []
+        flats, pooled_qs = [], []
         for mv in query_vectors:
             qv = [[float(x) for x in v] for v in mv]
             if cfg.get("normalize"):
                 qv = [_unit(v) for v in qv]
             flats.append([x for v in qv for x in v])
+            pooled_qs.append([sum(v[j] for v in qv) / len(qv)
+                              for j in range(len(qv[0]))])
+        if query_filter is not None and rescore is not None:
+            # before stage 1, like the single-query path: the prune
+            # depth is spent inside the filtered slice
+            corpus = corpus.filter(query_filter)
+            query_filter = None
+        if rescore is not None and k is not None:
+            corpus = self._maxsim_stage1_batch(
+                corpus, pooled_qs, max(k, rescore), id_col, vec_col, dim)
         payload = [c for c in corpus.columns
                    if c not in self._vector_columns(vec_col) | {id_col}]
         # whole batch captured in the scorer closure: docs cross Arrow

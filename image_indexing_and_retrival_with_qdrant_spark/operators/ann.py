@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from ..functions.vector import as_double, cosine, dot, dot_unrolled
 from .topk import global_topk
 
-__all__ = ["ivf_build", "ivf_search", "assign_centroid_expr",
+__all__ = ["ivf_build", "ivf_search", "ivf_cell_counts",
+           "ivf_split_hot_cells", "assign_centroid_expr",
            "assign_centroid_udf", "assign_centroids",
            "lsh_signatures", "lsh_band_frame", "lsh_candidates",
            "lsh_probe", "lsh_probe_literal", "lsh_query_signature",
@@ -173,6 +174,91 @@ def ivf_build(corpus: DataFrame, k_centroids: int = 16,
         "centroid_id int, centroid array<double>",
     )
     return assigned, cdf
+
+
+def ivf_cell_counts(assigned: DataFrame) -> dict[int, int]:
+    """Per-cell row counts (≤ k_centroids rows driver-side) — the
+    balance diagnostic a layout owner watches: max(count)/total is the
+    hot-cell fraction, and a probe of that cell costs that fraction of
+    the corpus scan."""
+    return {r.centroid_id: r.n for r in
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def ivf_split_hot_cells(assigned: DataFrame,
+                        centroids: list[list[float]] | DataFrame,
+                        cap_fraction: float = 0.05,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42, train_sample: int = 20_000,
+                        max_subs: int = 256,
+                        counts: dict[int, int] | None = None):
+    """Cap-and-split IVF rebalance (SCALE.md §ANN: bucket skew is the
+    known failure mode). Any cell holding more than ``cap_fraction``
+    of the corpus — typically the result of ingesting a dense region
+    AFTER the coarse quantizer was trained (centroid drift) — is
+    re-trained in place: ``ceil(cell/cap)`` sub-centroids are fit
+    (deterministic `kmeans_np`) on a seeded, id-sorted sample of the
+    cell's own members, and ONLY that cell's rows are re-assigned
+    among the new sub-centroids (one codegen'd projection over the
+    hot partition — cold partitions are never read or rewritten,
+    which on a ``partitionBy(centroid_id)`` layout makes the rebalance
+    cost proportional to the hot data, not the corpus). The retired
+    centroid id is dropped from the centroid table; sub-centroids get
+    fresh ids above the existing range, so cold cells keep their
+    partition directories untouched.
+
+    Semantics are preserved exactly: cells are a partition of the
+    corpus before and after, so an exhaustive probe still equals the
+    exact scan (pinned in tests/test_ann.py). Recall at fixed nprobe
+    IMPROVES for queries near the former hot region (the probe now
+    scans the relevant sub-cell instead of the merged blob); a probe
+    budget stated as a fraction of cells keeps its cost bound because
+    sub-cells are at-or-under the cap by construction.
+
+    Returns ``(assigned, centroid_rows)`` where ``centroid_rows`` is
+    ``[(cid, center), ...]`` ready for `spark.createDataFrame(...,
+    "centroid_id int, centroid array<double>")`."""
+    import math
+
+    if isinstance(centroids, DataFrame):
+        cent_rows = [(int(r.centroid_id), list(r.centroid))
+                     for r in centroids.collect()]
+    else:
+        cent_rows = list(enumerate(centroids))
+    if counts is None:
+        counts = ivf_cell_counts(assigned)
+    total = sum(counts.values())
+    hot = {cid: c for cid, c in counts.items()
+           if c / total > cap_fraction}
+    if not hot:
+        return assigned, cent_rows
+    next_id = max(cid for cid, _ in cent_rows) + 1
+    out_rows = [(cid, c) for cid, c in cent_rows if cid not in hot]
+    pieces = [assigned.filter(~F.col("centroid_id").isin(list(hot)))]
+    for cid in sorted(hot):
+        cnt = hot[cid]
+        k_sub = min(max_subs,
+                    max(2, math.ceil(cnt / (cap_fraction * total))))
+        cell = assigned.filter(F.col("centroid_id") == cid)
+        frac = min(1.0, (train_sample * 1.25) / cnt)
+        sample = (cell.select(F.col(id_col), as_double(F.col(vec_col))
+                              .alias("__v"))
+                  .sample(fraction=frac, seed=seed)
+                  .limit(train_sample).collect())
+        # id-sort for a stable training order (collect order isn't)
+        X = [r[1] for r in sorted(sample, key=lambda r: r[0])]
+        subs = kmeans_np(X, min(k_sub, len(X)), seed=seed)
+        pieces.append(cell.withColumn(
+            "centroid_id",
+            (assign_centroids(subs, as_double(F.col(vec_col)))
+             + F.lit(next_id)).cast("int")))
+        out_rows.extend((next_id + j, s) for j, s in enumerate(subs))
+        next_id += len(subs)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out, out_rows
 
 
 def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,

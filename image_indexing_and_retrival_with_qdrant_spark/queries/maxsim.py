@@ -238,6 +238,97 @@ def maxsim_recall_routed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _batch_two_stage_oracle() -> str:
+    """Batched two-stage twin: per-query pooled-cosine top-200, UNION
+    of shortlists, exact MaxSim per query over the union, top-3 per
+    query — mirroring `_maxsim_stage1_batch` + `maxsim_knn_batch`
+    (each query ranks the whole union, a superset of its own
+    shortlist)."""
+    pd = [_pool_dim("e.emb", j) for j in range(1, _DIM + 1)]
+    pq = [_pool_dim("q.qe", j) for j in range(1, _DIM + 1)]
+    dot = " + ".join(f"({d}) * ({qd})" for d, qd in zip(pd, pq))
+    nd = " + ".join(f"({d}) * ({d})" for d in pd)
+    nq = " + ".join(f"({qd}) * ({qd})" for qd in pq)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT CAST(id AS INTEGER) AS query_idx, emb AS qe
+      FROM e WHERE id IN (0, 1)),
+stage1 AS (
+  SELECT q.query_idx, e.id,
+         ({dot}) / (sqrt({nd}) * sqrt({nq})) AS ps
+  FROM e CROSS JOIN q
+),
+short AS (
+  SELECT query_idx, id FROM (
+    SELECT query_idx, id,
+           ROW_NUMBER() OVER (PARTITION BY query_idx
+                              ORDER BY ps DESC, id) AS rn
+    FROM stage1) WHERE rn <= 200
+),
+uni AS (SELECT DISTINCT id FROM short),
+pairs AS (
+  SELECT q.query_idx, e.id, qi.i, dj.j,
+         list_dot_product(
+           e.emb[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+           q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+         ) AS dp
+  FROM e
+  JOIN uni USING (id)
+  CROSS JOIN q
+  CROSS JOIN generate_series(1, {_N}) AS qi(i)
+  CROSS JOIN generate_series(1, {_N}) AS dj(j)
+),
+mx AS (SELECT query_idx, id, i, MAX(dp) AS m
+       FROM pairs GROUP BY query_idx, id, i),
+sc AS (SELECT query_idx, id, ROUND(SUM(m), 6) AS score
+       FROM mx GROUP BY query_idx, id),
+ranked AS (
+  SELECT query_idx, id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_idx
+                            ORDER BY score DESC, id) AS rn
+  FROM sc)
+SELECT query_idx, CAST(rn AS INTEGER) AS rank, id, score
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("maxsim_batch_two_stage_top3", _batch_two_stage_oracle())
+def maxsim_batch_two_stage_top3(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Batched two-stage MaxSim (round 6): ``search_batch(rescore=)``
+    on a flat multivector collection — ONE pooled-column pass ranks
+    every query's stage-1 candidates, the union shortlist is
+    batch-scored with exact MaxSim, ranks returned per query. The
+    at-100-TB shape for N-query ColPali workloads: stage 1 reads
+    1/n_vecs of the bytes once (not per query), stage 2 reads ≤ Q·N
+    rows (`catalog.py::_maxsim_stage1_batch`). Oracle mirrors both
+    stages per query including the union-superset ranking."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_multivector(F.col("embedding"), _DIM, _N).alias("embedding"),
+    )
+    qvs = [[list(v) for v in r.embedding]
+           for r in pts.filter(F.col("id").isin(0, 1))
+           .orderBy("id").collect()]
+    root = tempfile.mkdtemp(prefix="qd_mv_batch2s_")
+    try:
+        from ..catalog import create_collection
+
+        coll = create_collection(root, "mv", dim=_DIM, multivector=True,
+                                 normalize=False)
+        coll.upsert(spark, pts, mode="append")
+        out = coll.search_batch(spark, qvs, k=3, rescore=200) \
+            .select("query_idx", "rank", "id", "score")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("maxsim_indexed_top5", _MAXSIM_INDEXED_ORACLE)
 def maxsim_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-indexed multivector collection end-to-end: upsert nested

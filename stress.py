@@ -315,6 +315,153 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         spark.stop()
 
 
+def ivf_skew_stress(n: int = 10_000_000) -> None:
+    """IVF cell-balance under deliberate skew (VERDICT r5 item 6 —
+    SCALE.md §ANN: bucket skew is the known failure mode).
+
+    Scenario: the coarse quantizer was trained BEFORE a dense region
+    arrived (incremental ingest drift — the production way hot cells
+    happen): 80 % of the corpus is a tight cluster the 64 stale
+    centroids never saw, so it piles into one cell and every probe
+    that touches it scans ~80 % of the corpus. Policy under test =
+    cap-and-split (`ivf_split_hot_cells`): re-train the hot cell's
+    members into ≤cap sub-cells and rewrite ONLY the hot partition
+    directories (cold dirs untouched — rebalance cost ∝ hot data,
+    demonstrated here by appending the new sub-partitions and
+    retiring the hot dir, the at-scale maneuver)."""
+    import shutil
+
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        l2_normalize,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroids,
+        ivf_cell_counts,
+        ivf_search,
+        ivf_split_hot_cells,
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.knn import (
+        dense_knn,
+    )
+
+    spark = get_spark("stress-skew",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+
+    # 80 % hot: tight blob around e0 the quantizer never saw;
+    # 20 % cold: the uniform pseudo-random sphere. All unit-norm.
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    noise = [
+        ((F.xxhash64(F.col("vec_id"), F.lit(i)) % 2000001 - 1000000)
+         / F.lit(1000000.0))
+        for i in range(DIM)
+    ]
+    hot = (F.col("vec_id") % 10) < 8
+    dims = [
+        F.when(hot, (F.lit(1.0) if i == 0 else F.lit(0.0))
+               + 0.05 * noise[i]).otherwise(noise[i])
+        for i in range(DIM)
+    ]
+    corpus_dir = tempfile.mkdtemp(prefix="stress_skew_corpus_")
+    df.select(
+        "vec_id", l2_normalize(F.array(*dims)).alias("embedding")
+    ).write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    layout = tempfile.mkdtemp(prefix="ivf_skew_layout_")
+    try:
+        # stale quantizer: trained on a seeded sample of the COLD
+        # slice only (pre-drift corpus), then full-corpus assignment
+        t0 = time.perf_counter()
+        cold_sample = (corpus.filter((F.col("vec_id") % 10) >= 8)
+                       .select("vec_id", "embedding")
+                       .sample(fraction=min(1.0, 25_000 / (0.2 * n)),
+                               seed=42)
+                       .limit(20_000).collect())
+        X = [r.embedding for r in sorted(cold_sample, key=lambda r: r[0])]
+        cents = kmeans_np(X, 64, seed=42)
+        assigned = corpus.withColumn(
+            "centroid_id", assign_centroids(cents, "embedding"))
+        assigned.write.mode("overwrite").partitionBy(
+            "centroid_id").parquet(layout)
+        timings["stale_build_and_layout"] = round(time.perf_counter() - t0, 2)
+
+        table = spark.read.parquet(layout)
+        counts = ivf_cell_counts(table)
+        hot_frac = max(counts.values()) / n
+        timings["max_cell_fraction_before"] = round(hot_frac, 3)
+
+        cdf = spark.createDataFrame(
+            list(enumerate(cents)), "centroid_id int, centroid array<double>")
+        qvec = corpus.filter(F.col("vec_id") == 12340).collect()[0].embedding
+        query = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+        exact = {r.vec_id for r in
+                 dense_knn(corpus, query, k=10, dim=DIM).collect()}
+        t0 = time.perf_counter()
+        top = ivf_search(table, cdf, query, k=10, nprobe=4).collect()
+        timings["hot_probe_before_top10"] = round(time.perf_counter() - t0, 2)
+        assert top[0].vec_id == 12340
+        timings["probe_recall_before"] = round(
+            len({r.vec_id for r in top} & exact) / 10, 2)
+
+        # cap-and-split: only the hot cell's rows are re-assigned;
+        # the new sub-partitions are APPENDED and the retired hot
+        # directory removed — cold partition dirs are never rewritten
+        t0 = time.perf_counter()
+        re_assigned, cent_rows = ivf_split_hot_cells(
+            table, cents, cap_fraction=0.05, train_sample=20_000,
+            counts=counts)
+        base = len(cents)
+        (re_assigned.filter(F.col("centroid_id") >= base)
+         .write.mode("append").partitionBy("centroid_id").parquet(layout))
+        retired = set(counts) - {c for c, _ in cent_rows}
+        for cid in retired:
+            shutil.rmtree(os.path.join(layout, f"centroid_id={cid}"),
+                          ignore_errors=True)
+        timings["rebalance_hot_dirs_only"] = round(
+            time.perf_counter() - t0, 2)
+
+        table2 = spark.read.parquet(layout)
+        counts2 = ivf_cell_counts(table2)
+        assert sum(counts2.values()) == n, "cells must stay a partition"
+        timings["max_cell_fraction_after"] = round(
+            max(counts2.values()) / n, 3)
+
+        cdf2 = spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>")
+        t0 = time.perf_counter()
+        top2 = ivf_search(table2, cdf2, query, k=10, nprobe=4).collect()
+        timings["hot_probe_after_top10"] = round(time.perf_counter() - t0, 2)
+        assert top2[0].vec_id == 12340
+        timings["probe_recall_after_nprobe4"] = round(
+            len({r.vec_id for r in top2} & exact) / 10, 2)
+        # fixed nprobe across a split FRAGMENTS the neighbor set (the
+        # routing clamp's reason to exist): restore the probed
+        # FRACTION + the router's log2 margin and recall comes back
+        import math
+
+        cells_after = len(cent_rows)
+        np_eq = (math.ceil(4 / 64 * cells_after)
+                 + math.ceil(math.log2(max(1.0, cells_after / 64))))
+        t0 = time.perf_counter()
+        top3 = ivf_search(table2, cdf2, query, k=10, nprobe=np_eq).collect()
+        timings[f"hot_probe_after_nprobe{np_eq}"] = round(
+            time.perf_counter() - t0, 2)
+        timings["probe_recall_after_fraction_preserving"] = round(
+            len({r.vec_id for r in top3} & exact) / 10, 2)
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "stress_ivf_skew", "rows": n, "dim": DIM,
+        "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 def substring_dedup_at_scale(n: int = 10_000_000, n_tokens: int = 30,
                              window: int = 10, vocab: int = 50_000) -> None:
     """Exact-substring dedup at corpus scale: ``n`` synthetic docs of
@@ -378,6 +525,10 @@ def main() -> None:
             dtype = rest[-1]
             rest = rest[:-1]
         maxsim_at_shape(*[int(a) for a in rest], dtype=dtype)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        ivf_skew_stress(int(sys.argv[2]) if len(sys.argv) > 2
+                        else 10_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         args = [int(a) for a in sys.argv[2:]]

@@ -273,3 +273,45 @@ def test_ml_trained_variants_run(spark, sf_smoke):
     assert len(pq) == 5 and set(pq[0].asDict()) == {"vec_id", "score"}
     ivfpq = ann_ivfpq_ml_top5(spark, sf_smoke).collect()
     assert len(ivfpq) == 5 and ivfpq[0].vec_id == 0  # exact rescore
+
+
+def test_ivf_split_hot_cells(spark, sf_smoke):
+    """Cap-and-split rebalance (round 6): hot cells are re-trained on
+    their own members; cells stay a partition of the corpus
+    (exhaustive probe over the new cells ≡ exact scan), the hot-cell
+    fraction drops toward the cap, and a balanced layout is a no-op."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        ivf_cell_counts,
+        ivf_split_hot_cells,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    assigned, centroids = ivf_build(emb, k_centroids=4, seed=42)
+    counts = ivf_cell_counts(assigned)
+    hot_frac = max(counts.values()) / n
+    cap = 0.10
+    re_assigned, cent_rows = ivf_split_hot_cells(
+        assigned, centroids, cap_fraction=cap, train_sample=2000,
+        counts=counts)
+    new_counts = ivf_cell_counts(re_assigned)
+    # still a partition of the corpus
+    assert sum(new_counts.values()) == n
+    # every populated cell has a centroid row, ids are unique
+    cids = [c for c, _ in cent_rows]
+    assert len(cids) == len(set(cids))
+    assert set(new_counts) <= set(cids)
+    # balance improved to the cap (2x slack: kmeans granularity)
+    assert max(new_counts.values()) / n <= max(2 * cap, hot_frac / 2)
+    # exhaustive probe over the NEW cells still equals the exact scan
+    cdf = spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>")
+    q = _query_of(emb, 0)
+    got = {r.vec_id for r in
+           ivf_search(re_assigned, cdf, q, k=10, probe_ids=cids).collect()}
+    assert got == _exact_ids(emb, q, 10)
+    # a layout already under the cap is returned untouched
+    same, same_rows = ivf_split_hot_cells(re_assigned, cdf,
+                                          cap_fraction=0.9)
+    assert same is re_assigned and sorted(c for c, _ in same_rows) == \
+        sorted(cids)

@@ -244,3 +244,37 @@ def test_halfvec_batch_scorer_and_nulls(spark):
          for i, f in rows if f is not None), key=lambda t: (t[1], -t[0]))
     top0 = [r for r in out if r.query_idx == 0][0]
     assert top0.vec_id == best[0]
+
+
+def test_search_batch_two_stage(spark, tmp_path):
+    """Batched two-stage MaxSim (round 6): `search_batch(rescore=N)`
+    runs ONE pooled stage-1 pass for all queries and batch-scores the
+    union shortlist; on a pooling-faithful corpus it equals the exact
+    batch, and `recall_target=` routes to the measured depth."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [1.0 + 0.01 * i, float(i % 7), float((i * 3) % 11), 1.0]
+        rows.append((i, [base, [x * 0.5 for x in base]]))
+    coll = create_collection(str(tmp_path), "mv_b2", dim=4,
+                             multivector=True, normalize=True)
+    coll.upsert(spark, spark.createDataFrame(
+        rows, "id int, embedding array<array<double>>"))
+    qs = [rows[17][1], rows[3][1]]
+
+    def key(df):
+        return sorted((r.query_idx, r.rank, r.id, r.score)
+                      for r in df.collect())
+
+    exact = key(coll.search_batch(spark, qs, k=3))
+    assert key(coll.search_batch(spark, qs, k=3, rescore=20)) == exact
+    # recall_target routes to the measured depth (0.95 -> 200 at k<=10)
+    assert key(coll.search_batch(spark, qs, k=3,
+                                 recall_target=0.95)) == \
+        key(coll.search_batch(spark, qs, k=3, rescore=200)) == exact
+    # exactness target stays the exact batch
+    assert key(coll.search_batch(spark, qs, k=3,
+                                 recall_target=1.0)) == exact
