@@ -104,7 +104,9 @@ HEADLINE = [
     "ann_ivfpq_top5",
     # round 6: recall-target routing over the two-stage multivector
     # read path (lifecycle + routed search; oracle mirrors stage 1)
+    # and the batched two-stage (one pooled pass for all queries)
     "maxsim_recall_routed_top5",
+    "maxsim_batch_two_stage_top3",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
