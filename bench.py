@@ -107,6 +107,9 @@ HEADLINE = [
     # and the batched two-stage (one pooled pass for all queries)
     "maxsim_recall_routed_top5",
     "maxsim_batch_two_stage_top3",
+    # round 6: composed IVF + quantization (cells codes layout:
+    # probe -> partition-pruned int8 ranking -> exact rescore)
+    "ingest_quantized_index_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -347,7 +347,7 @@ class Collection:
                 raise ValueError("quantization supports dense collections")
             self.meta["quantization"] = quantization
             # frozen train params belong to the OLD config
-            for k in ("sq_mins", "sq_steps"):
+            for k in ("sq_mins", "sq_steps", "codes_layout"):
                 self.meta.pop(k, None)
             self._save_meta()
             if quantization is None:
@@ -526,29 +526,73 @@ class Collection:
             self.meta["sq_steps"] = steps
             self._save_meta()
             incoming, rewrote = None, True  # encode the whole table once
+        # When the IVF layout exists (dense collections only — quant is
+        # rejected for multivector), the codes sidecar shares it:
+        # partitionBy(centroid_id) so the quantized prefetch inside
+        # probed cells is statically partition-pruned — the composed
+        # read path scans (nprobe/kc) × the 4-32×-smaller codes, not
+        # the full-precision cells. Runs AFTER _refresh_index in
+        # _post_write, so the centroid set is current. A flat-layout
+        # sidecar left from before the index crossed its threshold is
+        # re-encoded whole (one scan, same cost shape as the index
+        # build that just happened).
+        cells = self.has_index() and not self.meta.get("multivector")
+        if cells != (self.meta.get("codes_layout") == "cells"):
+            # layout transition (index just built, or just dropped):
+            # re-encode the whole table so the sidecar is uniformly
+            # partitioned (or uniformly flat) — appending the other
+            # shape would leave files the probe can't prune
+            incoming, rewrote = None, True
         source = (self.read(spark) if rewrote or incoming is None
                   else incoming)
         if vec_col not in source.columns:
             return
+        carry: tuple = ()
+        if cells:
+            from .operators.ann import assign_centroids
+
+            source = source.withColumn(
+                "centroid_id",
+                assign_centroids(self._centroids(spark),
+                                 as_double(F.col(vec_col))))
+            carry = ("centroid_id",)
         if q == "sq":
             codes = sq_encode(source, self.meta["sq_mins"],
                               self.meta["sq_steps"], vec_col=vec_col,
-                              id_col=id_col)
+                              id_col=id_col, carry_cols=carry)
         elif q == "bq":
             codes = bq_encode(source, int(self.meta["dim"]),
-                              vec_col=vec_col, id_col=id_col)
+                              vec_col=vec_col, id_col=id_col,
+                              carry_cols=carry)
         else:
             raise ValueError(f"unknown quantization {q!r}")
         mode = "overwrite" if rewrote else "append"
-        codes.write.mode(mode).parquet(self._codes_path)
+        w = codes.write.mode(mode)
+        if cells:
+            w = w.partitionBy("centroid_id")
+        w.parquet(self._codes_path)
+        layout = "cells" if cells else "flat"
+        if self.meta.get("codes_layout") != layout:
+            self.meta["codes_layout"] = layout
+            self._save_meta()
 
     def _quant_shortlist(self, spark: SparkSession, qv: list[float],
-                         m: int, id_col: str) -> DataFrame:
-        """ids of the m best points under the quantized metric."""
+                         m: int, id_col: str,
+                         probe_ids: list[int] | None = None) -> DataFrame:
+        """ids of the m best points under the quantized metric. With
+        ``probe_ids`` (the composed IVF+quantization path) the codes
+        scan is reduced to a literal ``centroid_id IN (...)`` —
+        statically partition-pruned on the cells codes layout, so the
+        probe reads (nprobe/kc) of an already-4-32×-smaller sidecar."""
         from .operators.bq import bq_search
         from .operators.sq import sq_search
 
         codes = spark.read.parquet(self._codes_path)
+        if probe_ids is not None:
+            codes = codes.filter(
+                F.col("centroid_id").isin([int(i) for i in probe_ids]))
+        if "centroid_id" in codes.columns:
+            codes = codes.drop("centroid_id")
         if self.meta["quantization"] == "sq":
             short = sq_search(codes, self.meta["sq_mins"],
                               self.meta["sq_steps"], qv, k=m, id_col=id_col)
@@ -838,9 +882,16 @@ class Collection:
         from .routing import route_for_recall
 
         cfg = self._vector_cfg(using, vec_col)
+        q = self.meta.get("quantization")
+        if q and self.has_index() and self.meta.get(
+                "codes_layout") != "cells":
+            # no composed codes layout on disk (pre-round-6 sidecar):
+            # the indexed read path can't spend a quantized miss
+            # budget, so route index-only at the full target
+            q = None
         r = route_for_recall(
             recall_target, indexed=self.has_index(),
-            quantization=self.meta.get("quantization"),
+            quantization=q,
             k_centroids=int(self.meta.get("k_centroids") or 16),
             multivector=bool(cfg.get("multivector")), k=k)
         if not exact and nprobe is None:
@@ -989,19 +1040,24 @@ class Collection:
         dim = cfg.get("dim")
         not_payload = self._vector_columns(vec_col) | {id_col}
 
-        def routed(routing_qv: list[float]) -> DataFrame:
-            # route through the IVF layout: nearest-nprobe centroids
-            # picked driver-side (≤ k_centroids rows), corpus scan
-            # reduced to a literal centroid_id IN (...) — statically
-            # partition-pruned on the partitionBy(centroid_id) layout
+        def probe_cells(routing_qv: list[float]) -> list[int]:
+            # nearest-nprobe centroids picked driver-side
+            # (≤ k_centroids rows); returned as literal ints so every
+            # downstream scan filter is statically partition-pruned
             cents = self._centroids(spark)
             np_ = len(cents) if nprobe is None else nprobe
-            ranked = sorted(
+            return sorted(
                 range(len(cents)),
                 key=lambda i: (_sq_dist(routing_qv, cents[i]), i),
             )[:np_]  # exhaustive probe ≡ exact scan
+
+        def routed(routing_qv: list[float]) -> DataFrame:
+            # route through the IVF layout: corpus scan reduced to a
+            # literal centroid_id IN (...) — statically partition-
+            # pruned on the partitionBy(centroid_id) layout
             return spark.read.parquet(self._ivf_points).filter(
-                F.col("centroid_id").isin([int(i) for i in ranked])
+                F.col("centroid_id").isin(
+                    [int(i) for i in probe_cells(routing_qv)])
             ).drop("centroid_id")
 
         if cfg.get("multivector"):
@@ -1046,7 +1102,23 @@ class Collection:
         qv = [float(x) for x in query_vector]
         if cfg.get("normalize"):
             qv = _unit(qv)
-        if self.has_index() and not exact:
+        if (self.has_index() and not exact
+                and self.meta.get("quantization")
+                and self.meta.get("codes_layout") == "cells"):
+            # composed IVF + quantization (Qdrant's index-over-
+            # quantized-vectors semantics): probe the nprobe nearest
+            # cells, rank the CODES within them (partition-pruned scan
+            # of the 4-32×-smaller sidecar), exact-rescore the
+            # oversampled shortlist with full vectors. The shortlist
+            # comes back as a literal id IN (...) (≤ k·oversampling
+            # rows driver-side, the _maxsim_stage1 pattern) so the
+            # main-table fetch is row-group-pruned too.
+            m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
+            short = self._quant_shortlist(spark, qv, m, id_col,
+                                          probe_ids=probe_cells(qv))
+            ids = [r[id_col] for r in short.collect()]
+            corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif self.has_index() and not exact:
             corpus = routed(qv)
         elif self.meta.get("quantization") and not exact:
             # quantized prefetch + exact rescore (Qdrant search_params

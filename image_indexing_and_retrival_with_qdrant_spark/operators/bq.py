@@ -50,15 +50,19 @@ def _word_expr(vec: Column, word: int, nbits: int) -> Column:
 
 
 def bq_encode(corpus: DataFrame, dim: int, vec_col: str = "embedding",
-              id_col: str = "vec_id", code_col: str = "bits") -> DataFrame:
+              id_col: str = "vec_id", code_col: str = "bits",
+              carry_cols: tuple = ()) -> DataFrame:
     """Pack sign bits into ``ceil(dim/32)`` BIGINT words
-    (``array<bigint>``); the final word is partial when 32∤dim."""
+    (``array<bigint>``); the final word is partial when 32∤dim.
+    ``carry_cols`` ride along unencoded (e.g. ``centroid_id`` when the
+    codes sidecar shares the IVF layout)."""
     v = F.col(vec_col)
     words = [
         _word_expr(v, w, min(_WORD, dim - w * _WORD))
         for w in range((dim + _WORD - 1) // _WORD)
     ]
-    return corpus.select(F.col(id_col), F.array(*words).alias(code_col))
+    return corpus.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                         F.array(*words).alias(code_col))
 
 
 def bq_query_words(query_vec: list) -> list[int]:

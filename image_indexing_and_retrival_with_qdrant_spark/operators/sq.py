@@ -53,10 +53,13 @@ def sq_train(corpus: DataFrame, dim: int,
 
 def sq_encode(corpus: DataFrame, mins: list[float], steps: list[float],
               vec_col: str = "embedding", id_col: str = "vec_id",
-              code_col: str = "codes") -> DataFrame:
+              code_col: str = "codes",
+              carry_cols: tuple = ()) -> DataFrame:
     """Encode to an ``array<int>`` of 8-bit codes (1 byte/dim on disk
     after parquet byte-packing; 4× smaller than fp32). A zero-width
-    dimension (min == max) encodes as 0 and dequantizes to min."""
+    dimension (min == max) encodes as 0 and dequantizes to min.
+    ``carry_cols`` ride along unencoded (e.g. ``centroid_id`` when the
+    codes sidecar shares the IVF layout)."""
     v = F.col(vec_col)
     codes = []
     for j, (mn, st) in enumerate(zip(mins, steps), start=1):
@@ -66,7 +69,8 @@ def sq_encode(corpus: DataFrame, mins: list[float], steps: list[float],
         x = F.element_at(v, j).cast("double")
         q = F.floor((x - F.lit(mn)) / F.lit(st)).cast("int")
         codes.append(F.least(F.lit(255), F.greatest(F.lit(0), q)))
-    return corpus.select(F.col(id_col), F.array(*codes).alias(code_col))
+    return corpus.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                         F.array(*codes).alias(code_col))
 
 
 def sq_search(codes: DataFrame, mins: list[float], steps: list[float],

@@ -599,3 +599,91 @@ def ingest_recall_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _composed_oracle(k: int = 5, m: int = 20) -> str:
+    """DuckDB twin of the composed IVF + SQ read path (round 6). The
+    probe is exhaustive (all cells), so the IVF stage drops nothing
+    and the oracle needs no centroid model — what it DOES recompute,
+    stage by stage, is everything the quantizer contributes: per-dim
+    (min, step) trained on the deduped corpus (sq_train), the int8
+    encode (sq_encode's clamp(floor((x-mn)/st))), the bucket-center
+    dequantize-dot ranking, the TRUNCATION to the m = k·oversampling
+    shortlist (genuinely approximate: m << corpus), and the exact
+    cosine rescore of those m. Same op shapes as operators/sq.py:
+    left-to-right dim sums, double math, ROUND(...,6) on the ranking
+    score, ties by id."""
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    mm = ", ".join(f"min(e{j}) AS mn{j}, max(e{j}) AS mx{j}"
+                   for j in range(1, n + 1))
+    deq_terms = []
+    for j, qj in enumerate(q, start=1):
+        st = f"((s.mx{j} - s.mn{j}) / 256.0)"
+        code = (f"LEAST(255, GREATEST(0, FLOOR((e.e{j} - s.mn{j})"
+                f" / {st})))")
+        deq_terms.append(f"(s.mn{j} + ({code} + 0.5) * {st}) * ({qj})")
+    qscore = " + ".join(deq_terms)
+    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, n + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    s AS (SELECT {mm} FROM e),
+    short AS (
+      SELECT e.id, ROUND({qscore}, 6) AS qscore
+      FROM e CROSS JOIN s
+      ORDER BY qscore DESC, e.id
+      LIMIT {m}
+    )
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e JOIN short ON e.id = short.id
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("ingest_quantized_index_search", _composed_oracle())
+def ingest_quantized_index_search(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Composed IVF + quantization (round 6) through the REAL
+    collection — Qdrant's index-over-quantized-vectors semantics
+    (quantization_config + indexing_threshold together, the server
+    default config the reference runs on): create with
+    ``quantization="sq"`` and ``indexing_threshold=1`` so ONE upsert
+    builds both the IVF layout and the cells-partitioned codes
+    sidecar (``codes_layout == "cells"``), then ``search`` probes
+    cells, ranks the int8 codes inside them (statically
+    partition-pruned scan of the 4×-smaller sidecar), and
+    exact-rescores the oversampled shortlist fetched via literal
+    ``id IN``. The probe is exhaustive (default nprobe = k_centroids)
+    but the quantized truncation is real — m = 20 of a 10×+ larger
+    corpus — so the SQ ranking itself is value-checked, not just the
+    rescore. Non-exhaustive probing + layout transitions are pinned
+    in tests/test_composed_search.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_composed_")
+    try:
+        coll = create_collection(root, "cq", dim=8, normalize=False,
+                                 quantization="sq",
+                                 indexing_threshold=1, k_centroids=4)
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index(), "threshold crossed but index not built"
+        assert coll.meta.get("codes_layout") == "cells", \
+            "codes sidecar must share the IVF layout"
+        res = coll.search(spark, qv, k=5, oversampling=4.0) \
+            .select("id", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

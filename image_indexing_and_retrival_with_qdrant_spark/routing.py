@@ -132,6 +132,32 @@ def route_for_recall(recall_target: float, *, indexed: bool,
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
+    if indexed and quantization:
+        # composed tier (IVF cells + quantized prefetch + exact
+        # rescore — Qdrant's index-over-quantized-vectors): either
+        # stage can drop a true neighbor, so recall composes no worse
+        # than the union bound 1 - r ≤ (1 - r_ivf) + (1 - r_q). Split
+        # the miss budget evenly and pick each knob at the HALVED
+        # budget; if the quantizer has no trusted ceiling there (BQ
+        # never does at composed sub-targets), fall through to the
+        # index-only tier at the full target — exact scan within
+        # probed cells, the conservative default.
+        sub = 1.0 - (1.0 - recall_target) / 2.0
+        if sub < _EXACT_CUTOVER:
+            q_over = next(
+                (os_ for os_, ceiling in
+                 _QUANT_OVERSAMPLING.get(quantization, [])
+                 if sub <= ceiling), None)
+            if q_over is not None:
+                for frac, recall in IVF_NPROBE_FRACTION_RECALL:
+                    if sub <= recall:
+                        nprobe = max(1, math.ceil(frac * k_centroids))
+                        if k_centroids > _IVF_MEASURED_CELLS:
+                            nprobe += math.ceil(math.log2(
+                                k_centroids / _IVF_MEASURED_CELLS))
+                        out["nprobe"] = min(nprobe, k_centroids)
+                        out["oversampling"] = q_over
+                        return out
     if indexed:
         for frac, recall in IVF_NPROBE_FRACTION_RECALL:
             if recall_target <= recall:

@@ -12,6 +12,9 @@ Run: ``python recall_curve.py [n_rows] [n_queries]`` → one JSON line.
 SQ/BQ oversampling→recall sweep (prefetch top-(k·oversampling) on the
 quantized codes, exact rescore — the `Collection.search` quantized
 path), feeding `routing._QUANT_OVERSAMPLING`.
+``--cells`` sweeps IVF recall across k_centroids ∈ {16..256} at
+constant probed fractions AND the router's margined nprobe, measuring
+the fragmentation behavior `route_for_recall` extrapolates over.
 Numbers are recorded in BASELINE.md §recall; tests/test_ann_clustered.py
 pins the same setup at smaller n with thresholds just under these.
 """
@@ -116,6 +119,49 @@ def quant_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
     bq_codes.unpersist()
 
 
+def cells_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
+    """Per-cell-count IVF recall: the routing extrapolation check.
+
+    `route_for_recall` encodes the measured 16-centroid curve as
+    probed FRACTIONS and adds ceil(log2(kc/16)) probes beyond the
+    measured cell count (routing.py's fragmentation margin). This
+    sweep measures recall@10 at each cell count for (a) the bare
+    constant-fraction probe and (b) the router's margined probe, so
+    the margin is a measured property instead of a guess. More cells
+    over the same corpus = smaller cells = neighbor sets split across
+    more boundaries — the fragmentation failure mode ADVICE r5 called
+    out on `search(recall_target=)`."""
+    import math
+
+    from image_indexing_and_retrival_with_qdrant_spark.routing import (
+        route_for_recall,
+    )
+
+    def qdf(qid):
+        return spark.createDataFrame([(qvecs[qid],)],
+                                     "query_vec array<double>")
+
+    for kc in (16, 32, 64, 128, 256):
+        assigned, centroids = ivf_build(corpus, k_centroids=kc, seed=42)
+        assigned = assigned.cache()
+        assigned.count()
+        probes = {}
+        for frac_name, frac in (("f1_16", 1 / 16), ("f2_16", 2 / 16),
+                                ("f4_16", 4 / 16)):
+            probes[frac_name] = max(1, math.ceil(frac * kc))
+        # the router's pick for the highest non-exact target tier
+        probes["routed_t0.95"] = route_for_recall(
+            0.95, indexed=True, k_centroids=kc)["nprobe"]
+        for name, nprobe in sorted(probes.items(), key=lambda kv: kv[1]):
+            r = [recall({x.vec_id for x in
+                         ivf_search(assigned, centroids, qdf(q), k=k,
+                                    nprobe=nprobe).collect()}, exact[q])
+                 for q in qids]
+            out[f"ivf_kc{kc}_{name}_nprobe{nprobe}"] = round(
+                float(np.mean(r)), 3)
+        assigned.unpersist()
+
+
 def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
     """Two-stage MaxSim rescore-depth→recall on a clustered
     MULTIVECTOR corpus, through the real `Collection.search(rescore=)`
@@ -185,6 +231,7 @@ def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
 def main() -> None:
     quant_only = "--quant" in sys.argv
     maxsim_only = "--maxsim" in sys.argv
+    cells_only = "--cells" in sys.argv
     argv = [a for a in sys.argv if not a.startswith("--")]
     n = int(argv[1]) if len(argv) > 1 else 5000
     n_q = int(argv[2]) if len(argv) > 2 else 20
@@ -223,6 +270,13 @@ def main() -> None:
 
     if quant_only:
         quant_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if cells_only:
+        cells_sweep(spark, corpus, qids, qvecs, exact, k, out)
         out["wall_sec"] = round(time.time() - t0, 1)
         print(json.dumps(out))
         spark.stop()

@@ -1,0 +1,139 @@
+"""Composed IVF + quantization read path (round 6): when a collection
+is both indexed and quantized, the codes sidecar shares the
+``partitionBy(centroid_id)`` layout and ``search`` probes cells, ranks
+the codes inside them, and exact-rescores the oversampled shortlist —
+Qdrant's index-over-quantized-vectors semantics
+(/root/reference/README.md quantization + indexing_threshold knobs)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+from image_indexing_and_retrival_with_qdrant_spark.routing import route_for_recall
+
+
+def _pts(spark, ids):
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0])
+            for i in ids]
+    return spark.createDataFrame(rows, "id int, embedding array<double>")
+
+
+QV = [2.0, 1.0, 0.0, 1.0]
+
+
+@pytest.fixture()
+def composed(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "ci", dim=4, quantization="sq",
+                             indexing_threshold=1, k_centroids=4)
+    coll.upsert(spark, _pts(spark, range(60)))
+    assert coll.has_index()
+    return coll
+
+
+def test_codes_sidecar_shares_ivf_layout(spark, composed):
+    assert composed.meta["codes_layout"] == "cells"
+    subdirs = [d for d in os.listdir(composed._codes_path)
+               if d.startswith("centroid_id=")]
+    assert subdirs, "codes sidecar must be partitioned by centroid_id"
+    codes = spark.read.parquet(composed._codes_path)
+    assert codes.count() == 60
+    assert "centroid_id" in codes.columns
+
+
+def test_composed_exhaustive_equals_exact(spark, composed):
+    # exhaustive probe (nprobe=None => all cells) + oversampling
+    # covering the corpus => shortlist == corpus => result ≡ exact,
+    # through the cells-codes scan + literal-IN rescore fetch
+    approx = composed.search(spark, QV, k=5, oversampling=12.0).collect()
+    exact = composed.search(spark, QV, k=5, exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_composed_probe_is_partition_pruned(spark, composed):
+    """The codes scan inside the composed path must carry a
+    centroid_id partition filter — only probed bucket dirs open."""
+    short = composed._quant_shortlist(spark, QV, 10, "id",
+                                      probe_ids=[0, 2])
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan, plan
+    rows = short.collect()
+    assert 0 < len(rows) <= 10
+
+
+def test_composed_append_keeps_layout(spark, composed):
+    composed.upsert(spark, _pts(spark, range(100, 120)))
+    codes = spark.read.parquet(composed._codes_path)
+    assert codes.count() == 80
+    assert codes.filter(F.col("centroid_id").isNull()).count() == 0
+    approx = composed.search(spark, QV, k=5, oversampling=16.0).collect()
+    exact = composed.search(spark, QV, k=5, exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_index_drop_flattens_codes_on_next_write(spark, composed):
+    composed.update_collection(spark, indexing_threshold=None)
+    assert not composed.has_index()
+    # search still correct while the sidecar is mid-transition
+    hits = composed.search(spark, QV, k=3, oversampling=20.0).collect()
+    assert len(hits) == 3
+    composed.upsert(spark, _pts(spark, range(200, 210)))
+    assert composed.meta["codes_layout"] == "flat"
+    codes = spark.read.parquet(composed._codes_path)
+    assert "centroid_id" not in codes.columns
+    assert codes.count() == 70
+
+
+def test_quantization_enabled_on_indexed_collection(spark, tmp_path):
+    """update_collection(quantization=) on an already-indexed
+    collection writes the cells layout straight away."""
+    coll = create_collection(str(tmp_path), "qi", dim=4,
+                             indexing_threshold=1, k_centroids=4)
+    coll.upsert(spark, _pts(spark, range(50)))
+    assert coll.has_index()
+    coll.update_collection(spark, quantization="sq")
+    assert coll.meta["codes_layout"] == "cells"
+    approx = coll.search(spark, QV, k=5, oversampling=10.0).collect()
+    exact = coll.search(spark, QV, k=5, exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_routed_composed_knobs():
+    # miss budget splits: t=0.9 => sub=0.95 => nprobe at the 0.995
+    # fraction (2/16), SQ oversampling at its 0.95 ceiling (2x)
+    r = route_for_recall(0.9, indexed=True, quantization="sq")
+    assert r == {"exact": False, "nprobe": 2, "oversampling": 2.0,
+                 "rescore": None}
+    # BQ has no trusted ceiling at any composed sub-target => index-
+    # only fallback at the full target
+    r = route_for_recall(0.9, indexed=True, quantization="bq")
+    assert r == {"exact": False, "nprobe": 2, "oversampling": None,
+                 "rescore": None}
+    # exactness still routes exact
+    r = route_for_recall(1.0, indexed=True, quantization="sq")
+    assert r["exact"] is True
+
+
+def test_recall_target_through_composed_collection(spark, composed):
+    # routed search runs end-to-end on the composed layout (knob
+    # values are pinned above; result sanity: k rows, exact scores)
+    hits = composed.search(spark, QV, k=3, recall_target=0.9).collect()
+    assert len(hits) == 3
+    exact = {r.id: r.score for r in
+             composed.search(spark, QV, k=60, exact=True).collect()}
+    for r in hits:
+        assert r.score == exact[r.id]  # rescore is full-precision
+
+
+def test_composed_registry_oracle(spark, sf_smoke):
+    """The registered composed read path (exhaustive probe, truncating
+    SQ shortlist, exact rescore) hash-matches its DuckDB twin."""
+    from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+    from tests.oracle import compare
+
+    compare(spark, REGISTRY["ingest_quantized_index_search"], sf_smoke,
+            "ingest_quantized_index_search")
