@@ -600,6 +600,64 @@ class Collection:
             short = bq_search(codes, qv, k=m, id_col=id_col)
         return short.select(id_col)
 
+    def _quant_shortlist_batch(self, spark: SparkSession,
+                               qvs: list[list[float]], m: int, id_col: str,
+                               probe_ids: list[int] | None = None
+                               ) -> DataFrame:
+        """(query_idx, id) pairs of each query's m best points under
+        the quantized metric — ONE codes pass for the whole batch
+        (broadcast query set + per-query window top-m with map-side
+        pruning), the batch analog of :meth:`_quant_shortlist`. SQ
+        dequantizes each code row ONCE into an array (the per-row work
+        is shared by all queries, unlike the single-query literal
+        unroll) and ranks by the same left-to-right dequantize-dot
+        ROUND(...,6); BQ ranks by the same exact-integer Hamming sum.
+        With ``probe_ids`` the scan is partition-pruned to the probed
+        cells (the composed batch path)."""
+        from .operators.bq import bq_query_words
+        from .operators.knn import dot_unrolled
+        from .operators.topk import grouped_topk
+
+        codes = spark.read.parquet(self._codes_path)
+        if probe_ids is not None:
+            codes = codes.filter(
+                F.col("centroid_id").isin([int(i) for i in probe_ids]))
+        if "centroid_id" in codes.columns:
+            codes = codes.drop("centroid_id")
+        if self.meta["quantization"] == "sq":
+            mins, steps = self.meta["sq_mins"], self.meta["sq_steps"]
+            deq = F.expr("array(" + ", ".join(
+                f"({float(mn)!r}D + ((CAST(element_at(`codes`, {j}) AS"
+                f" DOUBLE) + 0.5D) * {float(st)!r}D))"
+                for j, (mn, st) in enumerate(zip(mins, steps), start=1)
+            ) + ")")
+            queries = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(qvs)],
+                "query_idx int, query_vec array<double>")
+            scored = (codes.withColumn("__deq", deq)
+                      .join(F.broadcast(queries))
+                      .select("query_idx", F.col(id_col),
+                              F.round(dot_unrolled(
+                                  "__deq", "query_vec", len(mins)),
+                                  6).alias("qscore")))
+            order = [("qscore", False), (id_col, True)]
+        else:
+            words = [(i, [int(w) for w in bq_query_words(v)])
+                     for i, v in enumerate(qvs)]
+            queries = spark.createDataFrame(
+                words, "query_idx int, qwords array<bigint>")
+            ham = F.aggregate(
+                F.zip_with("bits", "qwords",
+                           lambda x, y: F.bit_count(
+                               x.bitwiseXOR(y)).cast("bigint")),
+                F.lit(0).cast("bigint"), lambda a, x: a + x)
+            scored = (codes.join(F.broadcast(queries))
+                      .select("query_idx", F.col(id_col),
+                              ham.alias("hamming")))
+            order = [("hamming", True), (id_col, True)]
+        return grouped_topk(scored, ["query_idx"], order, m,
+                            local_prune=True).select("query_idx", id_col)
+
     def _maxsim_stage1(self, corpus: DataFrame, pooled_q: list[float],
                        m: int, id_col: str, vec_col: str,
                        dim: int) -> DataFrame:
@@ -1145,6 +1203,7 @@ class Collection:
                      nprobe: int | None = None,
                      exact: bool = False,
                      using: str | None = None,
+                     oversampling: float = 4.0,
                      rescore: int | None = None,
                      recall_target: float | None = None) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
@@ -1159,9 +1218,10 @@ class Collection:
         from .operators.knn import dense_knn_batch
 
         if recall_target is not None:
-            nprobe, exact, _, rescore = self._resolve_recall_target(
-                recall_target, nprobe, exact, 4.0,
-                rescore=rescore, k=k, using=using, vec_col=vec_col)
+            nprobe, exact, oversampling, rescore = \
+                self._resolve_recall_target(
+                    recall_target, nprobe, exact, oversampling,
+                    rescore=rescore, k=k, using=using, vec_col=vec_col)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         query_filter = as_predicate(query_filter)
@@ -1174,7 +1234,8 @@ class Collection:
         if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
         corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
-        if self.has_index() and not exact:
+
+        def probe_union() -> list[int]:
             cents = self._centroids(spark)
             np_ = len(cents) if nprobe is None else nprobe
             probe = set()
@@ -1183,8 +1244,32 @@ class Collection:
                     range(len(cents)),
                     key=lambda i: (_sq_dist(qv, cents[i]), i),
                 )[:np_])
+            return sorted(int(i) for i in probe)
+
+        q_ = self.meta.get("quantization")
+        composed = bool(q_ and self.has_index()
+                        and self.meta.get("codes_layout") == "cells")
+        include_pairs = None
+        if not exact and q_ and (composed or not self.has_index()):
+            # batched quantized prefetch + exact rescore: ONE pass
+            # over the codes sidecar ranks every query's shortlist
+            # (partition-pruned to the probe union when composed);
+            # each query rescores only ITS pairs. The distinct-id
+            # keep-list (≤ |batch|·m, driver-side literal) row-group-
+            # prunes the full-precision fetch — the _maxsim_stage1
+            # pattern, batch-shaped.
+            m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
+            include_pairs = self._quant_shortlist_batch(
+                spark, qvs, m, id_col,
+                probe_ids=probe_union() if composed else None)
+            include_pairs = spark.createDataFrame(
+                include_pairs.collect(), include_pairs.schema)
+            ids = [r[id_col] for r in
+                   include_pairs.select(id_col).distinct().collect()]
+            corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif self.has_index() and not exact:
             corpus = spark.read.parquet(self._ivf_points).filter(
-                F.col("centroid_id").isin([int(i) for i in sorted(probe)])
+                F.col("centroid_id").isin(probe_union())
             ).drop("centroid_id")
         queries = spark.createDataFrame(
             [(i, v) for i, v in enumerate(qvs)],
@@ -1198,6 +1283,7 @@ class Collection:
             prefilter=query_filter, score_threshold=score_threshold,
             prenormalized=bool(cfg.get("normalize")),
             dim=cfg.get("dim"), local_prune=True,
+            include_pairs=include_pairs,
             metric=cfg.get("metric", "cosine"),
         )
 

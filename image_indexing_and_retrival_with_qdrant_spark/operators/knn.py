@@ -144,6 +144,7 @@ def dense_knn_batch(
     score_threshold: float | None = None,
     metric: str = "cosine",
     exclude_pairs: DataFrame | None = None,
+    include_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-query top-k by ``metric``: broadcast the query set, score
     each (corpus row × query), rank per query with a window (optionally
@@ -152,7 +153,10 @@ def dense_knn_batch(
     semantics: the threshold bounds the candidate set, then top-k).
     ``exclude_pairs`` (query_id, id) drops per-query exclusions before
     ranking — a tiny broadcast anti-join (recommend_batch's example
-    exclusion)."""
+    exclusion). ``include_pairs`` (query_id, id) RESTRICTS each query
+    to its own candidate set before ranking — a broadcast semi-join
+    (the batched quantized-prefetch rescore: each query rescores only
+    ITS shortlist, matching single-query semantics)."""
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
@@ -168,6 +172,9 @@ def dense_knn_batch(
     if exclude_pairs is not None:
         scored = scored.join(F.broadcast(exclude_pairs),
                              on=[query_id_col, id_col], how="left_anti")
+    if include_pairs is not None:
+        scored = scored.join(F.broadcast(include_pairs),
+                             on=[query_id_col, id_col], how="left_semi")
     if score_threshold is not None:
         scored = scored.filter(
             F.col("score") <= score_threshold if asc

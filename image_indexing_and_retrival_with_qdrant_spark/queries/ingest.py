@@ -687,3 +687,87 @@ def ingest_quantized_index_search(spark: SparkSession,
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _composed_batch_oracle(k: int = 3, m: int = 12) -> str:
+    """Batch twin of ``_composed_oracle``: per query, the SQ
+    dequantize-dot top-m shortlist (same trained (min, step), same
+    left-to-right sums) then the exact cosine rescore, ranked per
+    ``query_idx`` — one branch per batch text, UNION ALL, window
+    rank ≤ k (the ``_search_batch_oracle`` shape)."""
+    d = _embed_dims_sql("t.text", "passage")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    mm = ", ".join(f"min(e{j}) AS mn{j}, max(e{j}) AS mx{j}"
+                   for j in range(1, n + 1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, n + 1))
+    branches = []
+    for idx, text in enumerate(_BATCH_TEXTS):
+        q = _embed_dims_sql(f"'{text}'", "query")
+        deq_terms = []
+        for j, qj in enumerate(q, start=1):
+            st = f"((s.mx{j} - s.mn{j}) / 256.0)"
+            code = (f"LEAST(255, GREATEST(0, FLOOR((e.e{j} - s.mn{j})"
+                    f" / {st})))")
+            deq_terms.append(f"(s.mn{j} + ({code} + 0.5) * {st}) * ({qj})")
+        qscore = " + ".join(deq_terms)
+        dot = " + ".join(f"({qj}) * (e.e{j})"
+                         for j, qj in enumerate(q, start=1))
+        qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+        branches.append(f"""
+        SELECT {idx} AS query_idx, e.id,
+               ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+        FROM e
+        JOIN (SELECT e.id, ROUND({qscore}, 6) AS qscore
+              FROM e CROSS JOIN s
+              ORDER BY qscore DESC, e.id LIMIT {m}) sh
+          ON e.id = sh.id""")
+    scored = " UNION ALL ".join(branches)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    s AS (SELECT {mm} FROM e),
+    scored AS ({scored}),
+    ranked AS (
+      SELECT query_idx, id, score,
+             CAST(row_number() OVER (PARTITION BY query_idx
+                                     ORDER BY score DESC, id) AS INTEGER)
+               AS rank
+      FROM scored
+    )
+    SELECT query_idx, id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ingest_quantized_batch_search", _composed_batch_oracle())
+def ingest_quantized_batch_search(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batched composed read path (round 6): ``search_batch`` on an
+    indexed+quantized collection ranks every query's shortlist in ONE
+    pass over the cells codes sidecar (broadcast query set, per-query
+    window top-m with map-side pruning, partition-pruned to the probe
+    union), then each query exact-rescores only ITS pairs
+    (``include_pairs`` semi-join) over the literal-``id IN``-pruned
+    full-precision fetch. Exhaustive probe (default), truncating
+    m = 12 shortlists — the SQ ranking and the per-query rescore are
+    both value-checked."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qvs = [list(r.embedding) for r in _E.embed(
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        text_col="text", mode="query",
+    ).collect()]
+    root = tempfile.mkdtemp(prefix="qd_composed_batch_")
+    try:
+        coll = create_collection(root, "cb", dim=8, normalize=False,
+                                 quantization="sq",
+                                 indexing_threshold=1, k_centroids=4)
+        coll.upsert(spark, points, mode="merge")
+        assert coll.meta.get("codes_layout") == "cells"
+        res = coll.search_batch(spark, qvs, k=3, oversampling=4.0)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

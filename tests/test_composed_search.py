@@ -137,3 +137,71 @@ def test_composed_registry_oracle(spark, sf_smoke):
 
     compare(spark, REGISTRY["ingest_quantized_index_search"], sf_smoke,
             "ingest_quantized_index_search")
+
+
+QV2 = [0.5, 3.0, 1.0, 0.0]
+
+
+def _pairs(rows):
+    return sorted((r.query_idx, r.id, r.score) for r in rows)
+
+
+def _singles(coll, spark, qs, k=3, **kw):
+    out = []
+    for i, q in enumerate(qs):
+        out += [(i, r.id, r.score)
+                for r in coll.search(spark, q, k=k, **kw).collect()]
+    return sorted(out)
+
+
+def test_batch_composed_matches_single(spark, composed):
+    """search_batch on an indexed+quantized collection takes the
+    batched codes prefetch; with the default exhaustive probe each
+    query's result equals its single-query composed search."""
+    batch = composed.search_batch(spark, [QV, QV2], k=3,
+                                  oversampling=4.0).collect()
+    assert _pairs(batch) == _singles(composed, spark, [QV, QV2],
+                                     oversampling=4.0)
+
+
+def test_batch_flat_quantized_matches_single(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "fq", dim=4,
+                             quantization="sq")
+    coll.upsert(spark, _pts(spark, range(60)))
+    assert not coll.has_index()
+    batch = coll.search_batch(spark, [QV, QV2], k=3,
+                              oversampling=4.0).collect()
+    assert _pairs(batch) == _singles(coll, spark, [QV, QV2],
+                                     oversampling=4.0)
+
+
+def test_batch_bq_composed_matches_single(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "bq", dim=4,
+                             quantization="bq",
+                             indexing_threshold=1, k_centroids=4)
+    coll.upsert(spark, _pts(spark, range(60)))
+    assert coll.meta["codes_layout"] == "cells"
+    batch = coll.search_batch(spark, [QV, QV2], k=3,
+                              oversampling=8.0).collect()
+    assert _pairs(batch) == _singles(coll, spark, [QV, QV2],
+                                     oversampling=8.0)
+
+
+def test_batch_exact_skips_codes(spark, composed):
+    """exact=True bypasses the quantized prefetch entirely — batch
+    equals the exact per-query scans."""
+    batch = composed.search_batch(spark, [QV, QV2], k=3,
+                                  exact=True).collect()
+    assert _pairs(batch) == _singles(composed, spark, [QV, QV2],
+                                     exact=True)
+
+
+def test_batch_codes_scan_partition_pruned(spark, composed):
+    """The batched shortlist's codes scan carries the probe's
+    centroid_id partition filter."""
+    short = composed._quant_shortlist_batch(spark, [QV, QV2], 10, "id",
+                                            probe_ids=[0, 2])
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan, plan
+    rows = short.collect()
+    assert {r.query_idx for r in rows} == {0, 1}
