@@ -144,8 +144,10 @@ class Collection:
 
     def _state_paths(self) -> list[str]:
         """Every on-disk path that makes up this collection's state."""
+        spaces = list(self.meta.get("vectors") or ())
         return [p for p in (self.path, self._ivf_points,
-                            self._ivf_centroids, self.path + ".codes")
+                            self._ivf_centroids, self.path + ".codes",
+                            *(self._codes_path_for(s) for s in spaces))
                 if os.path.exists(p)]
 
     def _snap_dir(self, name: str) -> str:
@@ -502,28 +504,56 @@ class Collection:
 
     @property
     def _codes_path(self) -> str:
-        return self.path + ".codes"
+        return self._codes_path_for(None)
+
+    def _codes_path_for(self, space: str | None) -> str:
+        """Codes sidecar location: one per quantized vector space —
+        the collection-level sidecar for single-space collections, a
+        per-space sibling for named spaces (Qdrant's per-VectorParams
+        quantization_config)."""
+        return self.path + (".codes" if space is None
+                            else f".codes-{space}")
 
     def _refresh_quant(self, spark: SparkSession, incoming: DataFrame | None,
                        id_col: str, vec_col: str, rewrote: bool) -> None:
-        """Maintain the quantized-code sidecar after a write. SQ trains
-        per-dim (min, step) ONCE on first build and freezes them in the
-        meta (Qdrant quantizes with build-time stats too); later
-        upserts encode only the incoming batch with the frozen params.
-        BQ is trainless. A rewrite (merge conflict / delete / compact)
-        re-encodes the surviving table — same cost shape as the scan
-        that produced it."""
-        q = self.meta.get("quantization")
-        if not q:
+        """Maintain the quantized-code sidecar(s) after a write. SQ
+        trains per-dim (min, step) ONCE on first build and freezes
+        them in the config (Qdrant quantizes with build-time stats
+        too); later upserts encode only the incoming batch with the
+        frozen params. BQ is trainless. A rewrite (merge conflict /
+        delete / compact) re-encodes the surviving table — same cost
+        shape as the scan that produced it. Named collections loop
+        every quantized space (each has its own sidecar + train
+        params; named collections never auto-index, so their layouts
+        are always flat)."""
+        named = self.meta.get("vectors")
+        if named:
+            for sname, scfg in named.items():
+                if scfg.get("quantization"):
+                    self._refresh_quant_one(spark, incoming, id_col,
+                                            sname, rewrote, scfg, sname)
             return
+        if self.meta.get("quantization"):
+            self._refresh_quant_one(spark, incoming, id_col, vec_col,
+                                    rewrote, self.meta, None)
+
+    def _refresh_quant_one(self, spark: SparkSession,
+                           incoming: DataFrame | None, id_col: str,
+                           vec_col: str, rewrote: bool, cfg: dict,
+                           space: str | None) -> None:
+        """One space's sidecar maintenance; ``cfg`` is the dict the
+        quantizer config and frozen train params live in (the meta
+        itself for single-space collections, the space's sub-dict for
+        named ones — both persist through ``_save_meta``)."""
+        q = cfg.get("quantization")
         from .operators.bq import bq_encode
         from .operators.sq import sq_encode, sq_train
 
-        if q == "sq" and "sq_mins" not in self.meta:
-            mins, steps = sq_train(self.read(spark), int(self.meta["dim"]),
+        if q == "sq" and "sq_mins" not in cfg:
+            mins, steps = sq_train(self.read(spark), int(cfg["dim"]),
                                    vec_col=vec_col)
-            self.meta["sq_mins"] = mins
-            self.meta["sq_steps"] = steps
+            cfg["sq_mins"] = mins
+            cfg["sq_steps"] = steps
             self._save_meta()
             incoming, rewrote = None, True  # encode the whole table once
         # When the IVF layout exists (dense collections only — quant is
@@ -536,8 +566,9 @@ class Collection:
         # sidecar left from before the index crossed its threshold is
         # re-encoded whole (one scan, same cost shape as the index
         # build that just happened).
-        cells = self.has_index() and not self.meta.get("multivector")
-        if cells != (self.meta.get("codes_layout") == "cells"):
+        cells = (space is None and self.has_index()
+                 and not cfg.get("multivector"))
+        if cells != (cfg.get("codes_layout") == "cells"):
             # layout transition (index just built, or just dropped):
             # re-encode the whole table so the sidecar is uniformly
             # partitioned (or uniformly flat) — appending the other
@@ -557,11 +588,11 @@ class Collection:
                                  as_double(F.col(vec_col))))
             carry = ("centroid_id",)
         if q == "sq":
-            codes = sq_encode(source, self.meta["sq_mins"],
-                              self.meta["sq_steps"], vec_col=vec_col,
+            codes = sq_encode(source, cfg["sq_mins"],
+                              cfg["sq_steps"], vec_col=vec_col,
                               id_col=id_col, carry_cols=carry)
         elif q == "bq":
-            codes = bq_encode(source, int(self.meta["dim"]),
+            codes = bq_encode(source, int(cfg["dim"]),
                               vec_col=vec_col, id_col=id_col,
                               carry_cols=carry)
         else:
@@ -570,40 +601,46 @@ class Collection:
         w = codes.write.mode(mode)
         if cells:
             w = w.partitionBy("centroid_id")
-        w.parquet(self._codes_path)
+        w.parquet(self._codes_path_for(space))
         layout = "cells" if cells else "flat"
-        if self.meta.get("codes_layout") != layout:
-            self.meta["codes_layout"] = layout
+        if cfg.get("codes_layout") != layout:
+            cfg["codes_layout"] = layout
             self._save_meta()
 
     def _quant_shortlist(self, spark: SparkSession, qv: list[float],
                          m: int, id_col: str,
-                         probe_ids: list[int] | None = None) -> DataFrame:
+                         probe_ids: list[int] | None = None,
+                         cfg: dict | None = None,
+                         space: str | None = None) -> DataFrame:
         """ids of the m best points under the quantized metric. With
         ``probe_ids`` (the composed IVF+quantization path) the codes
         scan is reduced to a literal ``centroid_id IN (...)`` —
         statically partition-pruned on the cells codes layout, so the
-        probe reads (nprobe/kc) of an already-4-32×-smaller sidecar."""
+        probe reads (nprobe/kc) of an already-4-32×-smaller sidecar.
+        ``cfg``/``space`` select a named space's sidecar + train
+        params (default: the collection-level quantizer)."""
         from .operators.bq import bq_search
         from .operators.sq import sq_search
 
-        codes = spark.read.parquet(self._codes_path)
+        cfg = self.meta if cfg is None else cfg
+        codes = spark.read.parquet(self._codes_path_for(space))
         if probe_ids is not None:
             codes = codes.filter(
                 F.col("centroid_id").isin([int(i) for i in probe_ids]))
         if "centroid_id" in codes.columns:
             codes = codes.drop("centroid_id")
-        if self.meta["quantization"] == "sq":
-            short = sq_search(codes, self.meta["sq_mins"],
-                              self.meta["sq_steps"], qv, k=m, id_col=id_col)
+        if cfg["quantization"] == "sq":
+            short = sq_search(codes, cfg["sq_mins"],
+                              cfg["sq_steps"], qv, k=m, id_col=id_col)
         else:
             short = bq_search(codes, qv, k=m, id_col=id_col)
         return short.select(id_col)
 
     def _quant_shortlist_batch(self, spark: SparkSession,
                                qvs: list[list[float]], m: int, id_col: str,
-                               probe_ids: list[int] | None = None
-                               ) -> DataFrame:
+                               probe_ids: list[int] | None = None,
+                               cfg: dict | None = None,
+                               space: str | None = None) -> DataFrame:
         """(query_idx, id) pairs of each query's m best points under
         the quantized metric — ONE codes pass for the whole batch
         (broadcast query set + per-query window top-m with map-side
@@ -618,14 +655,15 @@ class Collection:
         from .operators.knn import dot_unrolled
         from .operators.topk import grouped_topk
 
-        codes = spark.read.parquet(self._codes_path)
+        cfg = self.meta if cfg is None else cfg
+        codes = spark.read.parquet(self._codes_path_for(space))
         if probe_ids is not None:
             codes = codes.filter(
                 F.col("centroid_id").isin([int(i) for i in probe_ids]))
         if "centroid_id" in codes.columns:
             codes = codes.drop("centroid_id")
-        if self.meta["quantization"] == "sq":
-            mins, steps = self.meta["sq_mins"], self.meta["sq_steps"]
+        if cfg["quantization"] == "sq":
+            mins, steps = cfg["sq_mins"], cfg["sq_steps"]
             deq = F.expr("array(" + ", ".join(
                 f"({float(mn)!r}D + ((CAST(element_at(`codes`, {j}) AS"
                 f" DOUBLE) + 0.5D) * {float(st)!r}D))"
@@ -940,8 +978,8 @@ class Collection:
         from .routing import route_for_recall
 
         cfg = self._vector_cfg(using, vec_col)
-        q = self.meta.get("quantization")
-        if q and self.has_index() and self.meta.get(
+        q = cfg.get("quantization")
+        if q and self.has_index() and cfg.get(
                 "codes_layout") != "cells":
             # no composed codes layout on disk (pre-round-6 sidecar):
             # the indexed read path can't spend a quantized miss
@@ -1160,9 +1198,10 @@ class Collection:
         qv = [float(x) for x in query_vector]
         if cfg.get("normalize"):
             qv = _unit(qv)
+        space = cfg["vec_col"] if self.meta.get("vectors") else None
         if (self.has_index() and not exact
-                and self.meta.get("quantization")
-                and self.meta.get("codes_layout") == "cells"):
+                and cfg.get("quantization")
+                and cfg.get("codes_layout") == "cells"):
             # composed IVF + quantization (Qdrant's index-over-
             # quantized-vectors semantics): probe the nprobe nearest
             # cells, rank the CODES within them (partition-pruned scan
@@ -1178,13 +1217,15 @@ class Collection:
             corpus = corpus.filter(F.col(id_col).isin(ids))
         elif self.has_index() and not exact:
             corpus = routed(qv)
-        elif self.meta.get("quantization") and not exact:
+        elif cfg.get("quantization") and not exact:
             # quantized prefetch + exact rescore (Qdrant search_params
             # quantization semantics): the probe ranks compressed
             # codes, the oversampled shortlist is re-scored with full
             # vectors — scan cost moves to the 4x/32x-smaller sidecar
+            # (the space's OWN sidecar for named collections)
             m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
-            short = self._quant_shortlist(spark, qv, m, id_col)
+            short = self._quant_shortlist(spark, qv, m, id_col,
+                                          cfg=cfg, space=space)
             corpus = corpus.join(F.broadcast(short), on=id_col)
         qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in not_payload]
@@ -1246,9 +1287,10 @@ class Collection:
                 )[:np_])
             return sorted(int(i) for i in probe)
 
-        q_ = self.meta.get("quantization")
+        space = cfg["vec_col"] if self.meta.get("vectors") else None
+        q_ = cfg.get("quantization")
         composed = bool(q_ and self.has_index()
-                        and self.meta.get("codes_layout") == "cells")
+                        and cfg.get("codes_layout") == "cells")
         include_pairs = None
         if not exact and q_ and (composed or not self.has_index()):
             # batched quantized prefetch + exact rescore: ONE pass
@@ -1261,7 +1303,8 @@ class Collection:
             m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
             include_pairs = self._quant_shortlist_batch(
                 spark, qvs, m, id_col,
-                probe_ids=probe_union() if composed else None)
+                probe_ids=probe_union() if composed else None,
+                cfg=cfg, space=space)
             include_pairs = spark.createDataFrame(
                 include_pairs.collect(), include_pairs.schema)
             ids = [r[id_col] for r in
@@ -2331,7 +2374,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
             spaces = {}
             for vname, cfg in vectors.items():
                 unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
-                                             "normalize", "datatype"})
+                                             "normalize", "datatype",
+                                             "quantization"})
                 if unknown:
                     # a silently-dropped spec key (e.g. "datatype")
                     # would hand the user different storage than they
@@ -2348,6 +2392,18 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     "multivector": bool(cfg.get("multivector")),
                     "normalize": cfg.get("normalize", vm == "cosine"),
                 }
+                qz = cfg.get("quantization")
+                if qz is not None:
+                    # Qdrant VectorParams.quantization_config: each
+                    # named space may carry its own quantizer. Same
+                    # rules as the top-level knob: dense spaces only.
+                    if qz not in ("sq", "bq"):
+                        raise ValueError(
+                            "quantization must be 'sq' or 'bq'")
+                    if bool(cfg.get("multivector")):
+                        raise ValueError(
+                            "quantization supports dense spaces")
+                    spaces[vname]["quantization"] = qz
                 dt = cfg.get("datatype")
                 if dt is not None:
                     # same rules as the top-level knob: fp16 is for

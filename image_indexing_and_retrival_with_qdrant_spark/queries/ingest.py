@@ -771,3 +771,41 @@ def ingest_quantized_batch_search(spark: SparkSession,
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("ingest_named_quantized_search", _composed_oracle())
+def ingest_named_quantized_search(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-space quantization (round 6 — Qdrant
+    ``VectorParams.quantization_config``): a NAMED vector space
+    carries its own SQ quantizer, so the sidecar, the frozen train
+    params, and the prefetch all resolve per space
+    (``catalog._codes_path_for``). Named collections never
+    auto-index, so this is the flat quantized read path: truncating
+    top-m int8 prefetch on the space's own sidecar + exact cosine
+    rescore — the SAME math as the composed query's exhaustive probe,
+    so it shares that oracle (train/encode/truncate/rescore all
+    recomputed in DuckDB)."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]) \
+     .select("id", F.col("embedding").alias("sem"))
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_named_quant_")
+    try:
+        coll = create_collection(
+            root, "nq",
+            vectors={"sem": {"dim": 8, "metric": "cosine",
+                             "normalize": False, "quantization": "sq"}})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.meta["vectors"]["sem"].get("sq_mins"), \
+            "per-space train params missing"
+        res = coll.search(spark, qv, k=5, using="sem",
+                          oversampling=4.0).select("id", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

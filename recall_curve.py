@@ -15,6 +15,9 @@ path), feeding `routing._QUANT_OVERSAMPLING`.
 ``--cells`` sweeps IVF recall across k_centroids ∈ {16..256} at
 constant probed fractions AND the router's margined nprobe, measuring
 the fragmentation behavior `route_for_recall` extrapolates over.
+``--quantindex`` measures the COMPOSED IVF+SQ tier through the real
+`Collection.search` path across (nprobe, oversampling) grid points
+and the router's union-bound picks for targets 0.8/0.9/0.95.
 Numbers are recorded in BASELINE.md §recall; tests/test_ann_clustered.py
 pins the same setup at smaller n with thresholds just under these.
 """
@@ -162,6 +165,55 @@ def cells_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
         assigned.unpersist()
 
 
+def quantindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
+                     out: dict) -> None:
+    """Composed IVF + quantization recall through the REAL
+    `Collection.search` path (round 6): a cosine collection with
+    `quantization="sq"` and an auto-built 16-cell IVF layout, swept
+    across (nprobe, oversampling) grid points AND the router's picks
+    for `recall_target` ∈ {0.8, 0.9, 0.95} — measuring whether the
+    union-bound miss-budget split (`routing.route_for_recall`'s
+    composed tier) DELIVERS its targets when both lossy stages are
+    live at once."""
+    import shutil
+    import tempfile
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.routing import (
+        route_for_recall,
+    )
+
+    root = tempfile.mkdtemp(prefix="recall_quantindex_")
+    try:
+        coll = create_collection(root, "qi", dim=DIM, metric="cosine",
+                                 normalize=True, quantization="sq",
+                                 indexing_threshold=1, k_centroids=16)
+        coll.upsert(spark, corpus.select(
+            F.col("vec_id").alias("id"), "embedding"))
+        assert coll.has_index() and coll.meta["codes_layout"] == "cells"
+
+        def run(tag, **kw):
+            r = [recall({x.id for x in
+                         coll.search(spark, qvecs[q], k=k, **kw).collect()},
+                        exact[q]) for q in qids]
+            out[tag] = round(float(np.mean(r)), 3)
+
+        for nprobe, os_ in ((1, 2.0), (2, 2.0), (2, 4.0), (4, 4.0),
+                            (16, 2.0)):
+            run(f"composed_recall@10_nprobe{nprobe}_os{os_:g}",
+                nprobe=nprobe, oversampling=os_)
+        for t in (0.8, 0.9, 0.95):
+            knobs = route_for_recall(t, indexed=True, quantization="sq",
+                                     k_centroids=16, k=k)
+            run(f"composed_recall@10_routed_t{t:g}_nprobe"
+                f"{knobs['nprobe']}_os{knobs['oversampling']:g}",
+                recall_target=t)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
     """Two-stage MaxSim rescore-depth→recall on a clustered
     MULTIVECTOR corpus, through the real `Collection.search(rescore=)`
@@ -232,6 +284,7 @@ def main() -> None:
     quant_only = "--quant" in sys.argv
     maxsim_only = "--maxsim" in sys.argv
     cells_only = "--cells" in sys.argv
+    quantindex_only = "--quantindex" in sys.argv
     argv = [a for a in sys.argv if not a.startswith("--")]
     n = int(argv[1]) if len(argv) > 1 else 5000
     n_q = int(argv[2]) if len(argv) > 2 else 20
@@ -277,6 +330,13 @@ def main() -> None:
 
     if cells_only:
         cells_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if quantindex_only:
+        quantindex_sweep(spark, corpus, qids, qvecs, exact, k, out)
         out["wall_sec"] = round(time.time() - t0, 1)
         print(json.dumps(out))
         spark.stop()

@@ -148,3 +148,112 @@ def test_per_space_float16_storage_and_search(spark, tmp_path):
            f16.search(spark, q, k=7, using="late").collect()]
     # fixture values are exact in fp16, so results match bit-for-bit
     assert got == want
+
+
+# -- per-space quantization (Qdrant VectorParams.quantization_config) --
+
+def _qpts(spark, n=40):
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)],
+             [float((i * 2) % 9), float(i % 4)]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "id int, fast array<double>, raw array<double>")
+
+
+@pytest.fixture()
+def qcoll(spark, tmp_path):
+    c = create_collection(
+        str(tmp_path), "pq",
+        vectors={
+            "fast": {"dim": 2, "metric": "dot", "normalize": False,
+                     "quantization": "sq"},
+            "raw": {"dim": 2, "metric": "dot", "normalize": False},
+        },
+    )
+    c.upsert(spark, _qpts(spark))
+    return c
+
+
+def test_per_space_sidecar_layout(spark, qcoll):
+    import os
+    assert os.path.isdir(qcoll._codes_path_for("fast"))
+    assert not os.path.exists(qcoll._codes_path_for("raw"))
+    assert not os.path.exists(qcoll._codes_path)  # no collection-level
+    cfg = qcoll.meta["vectors"]["fast"]
+    assert cfg["quantization"] == "sq"
+    assert len(cfg["sq_mins"]) == 2  # frozen train params live per-space
+    assert qcoll.meta["vectors"]["raw"].get("quantization") is None
+    codes = spark.read.parquet(qcoll._codes_path_for("fast"))
+    assert codes.count() == 40
+
+
+def test_per_space_quantized_search_matches_exact(spark, qcoll):
+    qv = [2.0, 3.0]
+    approx = qcoll.search(spark, qv, k=5, using="fast",
+                          oversampling=10.0).collect()
+    exact = qcoll.search(spark, qv, k=5, using="fast",
+                         exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+    # the unquantized space is untouched by the sibling's sidecar
+    raw = qcoll.search(spark, qv, k=5, using="raw").collect()
+    assert len(raw) == 5
+
+
+def test_per_space_batch_matches_single(spark, qcoll):
+    qs = [[2.0, 3.0], [5.0, 1.0]]
+    batch = qcoll.search_batch(spark, qs, k=3, using="fast",
+                               oversampling=6.0).collect()
+    singles = []
+    for i, q in enumerate(qs):
+        singles += [(i, r.id, r.score) for r in
+                    qcoll.search(spark, q, k=3, using="fast",
+                                 oversampling=6.0).collect()]
+    assert sorted((r.query_idx, r.id, r.score) for r in batch) == \
+        sorted(singles)
+
+
+def test_per_space_append_encodes_increment(spark, qcoll):
+    more = spark.createDataFrame(
+        [(100, [9.0, 9.0], [1.0, 1.0])],
+        "id int, fast array<double>, raw array<double>")
+    qcoll.upsert(spark, more)
+    codes = spark.read.parquet(qcoll._codes_path_for("fast"))
+    assert codes.count() == 41
+
+
+def test_per_space_bq(spark, tmp_path):
+    c = create_collection(
+        str(tmp_path), "bqn",
+        vectors={"b": {"dim": 2, "metric": "dot", "normalize": False,
+                       "quantization": "bq"}})
+    c.upsert(spark, spark.createDataFrame(
+        [(i, [float(i % 3 - 1), float((i * 7) % 5 - 2)])
+         for i in range(30)], "id int, b array<double>"))
+    approx = c.search(spark, [1.0, -1.0], k=4, using="b",
+                      oversampling=8.0).collect()
+    exact = c.search(spark, [1.0, -1.0], k=4, using="b",
+                     exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_per_space_quantization_rejects_multivector(tmp_path):
+    with pytest.raises(ValueError, match="dense spaces"):
+        create_collection(
+            str(tmp_path), "bad",
+            vectors={"late": {"dim": 2, "multivector": True,
+                              "quantization": "sq"}})
+
+
+def test_per_space_sidecar_survives_snapshot(spark, qcoll):
+    snap = qcoll.create_snapshot()
+    before = qcoll.search(spark, [2.0, 3.0], k=3, using="fast").collect()
+    qcoll.upsert(spark, spark.createDataFrame(
+        [(200, [8.0, 8.0], [2.0, 2.0])],
+        "id int, fast array<double>, raw array<double>"))
+    qcoll.restore_snapshot(snap)
+    import os
+    assert os.path.isdir(qcoll._codes_path_for("fast"))
+    after = qcoll.search(spark, [2.0, 3.0], k=3, using="fast").collect()
+    assert [(r.id, r.score) for r in before] == \
+        [(r.id, r.score) for r in after]
