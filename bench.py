@@ -108,8 +108,12 @@ HEADLINE = [
     "maxsim_recall_routed_top5",
     "maxsim_batch_two_stage_top3",
     # round 6: composed IVF + quantization (cells codes layout:
-    # probe -> partition-pruned int8 ranking -> exact rescore)
+    # probe -> partition-pruned int8 ranking -> exact rescore),
+    # its batched form (one codes pass for all queries), and
+    # per-space quantization on a named collection
     "ingest_quantized_index_search",
+    "ingest_quantized_batch_search",
+    "ingest_named_quantized_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

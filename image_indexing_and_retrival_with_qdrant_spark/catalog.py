@@ -324,7 +324,8 @@ class Collection:
                           quantization=_UNSET,
                           indexing_threshold=_UNSET,
                           id_col: str = "id",
-                          vec_col: str = "embedding") -> None:
+                          vec_col: str = "embedding",
+                          vectors: dict | None = None) -> None:
         """Qdrant's ``update_collection`` (post-create config changes):
 
         - ``quantization``: switch to ``"sq"``/``"bq"`` (the code
@@ -334,13 +335,51 @@ class Collection:
           build; lowering it below the current point count triggers
           the build on the spot (Qdrant rebuilds on optimizer-config
           changes too).
+        - ``vectors``: per-space diffs for NAMED collections (Qdrant
+          ``vectors_config={name: VectorParamsDiff}``) — currently
+          ``{"quantization": "sq"/"bq"/None}``, with the same
+          re-train/re-encode/drop semantics per space.
 
         Omitted arguments stay unchanged."""
         if self.meta.get("vectors") is not None and (
                 quantization is not self._UNSET
                 or indexing_threshold is not self._UNSET):
             raise ValueError(
-                "config updates apply to single-space collections")
+                "config updates apply to single-space collections "
+                "(use vectors={name: {...}} for named spaces)")
+        if vectors is not None:
+            named = self.meta.get("vectors")
+            if not named:
+                raise ValueError("collection has no named vectors")
+            for sname, diff in vectors.items():
+                if sname not in named:
+                    raise ValueError(f"unknown vector name {sname!r} "
+                                     f"(have {sorted(named)})")
+                unknown = sorted(set(diff) - {"quantization"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown key(s) {unknown} in vector space "
+                        f"{sname!r} diff")
+            for sname, diff in vectors.items():
+                if "quantization" not in diff:
+                    continue
+                qz = diff["quantization"]
+                scfg = named[sname]
+                if qz not in (None, "sq", "bq"):
+                    raise ValueError(f"unknown quantization {qz!r}")
+                if qz is not None and scfg.get("multivector"):
+                    raise ValueError("quantization supports dense spaces")
+                scfg["quantization"] = qz
+                # frozen train params belong to the OLD config
+                for key in ("sq_mins", "sq_steps", "codes_layout"):
+                    scfg.pop(key, None)
+                self._save_meta()
+                if qz is None:
+                    shutil.rmtree(self._codes_path_for(sname),
+                                  ignore_errors=True)
+                elif self._has_data(spark):
+                    self._refresh_quant_one(spark, None, id_col, sname,
+                                            True, scfg, sname)
         if quantization is not self._UNSET:
             if quantization not in (None, "sq", "bq"):
                 raise ValueError(f"unknown quantization {quantization!r}")

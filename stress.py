@@ -17,6 +17,7 @@ import sys
 import tempfile
 import time
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
@@ -657,6 +658,42 @@ def main() -> None:
         timings["sq_probe_top10"] = round(time.perf_counter() - t0, 2)
         assert sq_top[0].vec_id == 12345  # int8 keeps the self-match
         sq_codes.unpersist()
+
+        # composed IVF+SQ tier (round 6, the cells codes layout): the
+        # codes sidecar shares partitionBy(centroid_id), so the probe
+        # reads nprobe/k_centroids of the already-4×-smaller sidecar,
+        # then exact-rescores the shortlist — the default read shape
+        # of an indexed+quantized collection (catalog.search)
+        cells_dir = tempfile.mkdtemp(prefix="sq_cells_")
+        try:
+            t0 = time.perf_counter()
+            sq_encode(table, mins, steps, carry_cols=("centroid_id",)) \
+                .write.mode("overwrite").partitionBy("centroid_id") \
+                .parquet(cells_dir)
+            timings["sq_cells_layout"] = round(time.perf_counter() - t0, 2)
+            cell_codes = spark.read.parquet(cells_dir)
+            cents = sorted(centroids.collect(),
+                           key=lambda r: r.centroid_id)
+            q_np = np.asarray(qvec)
+            d2 = [float(((np.asarray(c.centroid) - q_np) ** 2).sum())
+                  for c in cents]
+            probe = [cents[i].centroid_id
+                     for i in np.argsort(d2, kind="stable")[:8]]
+            t0 = time.perf_counter()
+            short = sq_search(
+                cell_codes.filter(
+                    F.col("centroid_id").isin([int(p) for p in probe])
+                ).drop("centroid_id"),
+                mins, steps, list(qvec), k=200).select("vec_id")
+            composed = dense_knn(
+                corpus.join(F.broadcast(short), on="vec_id"), query,
+                k=10, dim=DIM,
+            ).collect()
+            timings["composed_probe_rescore_top10"] = round(
+                time.perf_counter() - t0, 2)
+            assert composed[0].vec_id == 12345
+        finally:
+            shutil.rmtree(cells_dir, ignore_errors=True)
 
         # BQ tier: sign-bit pack (no train), xor/popcount Hamming probe
         # + exact rescore of a 200-row shortlist

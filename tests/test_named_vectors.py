@@ -257,3 +257,48 @@ def test_per_space_sidecar_survives_snapshot(spark, qcoll):
     after = qcoll.search(spark, [2.0, 3.0], k=3, using="fast").collect()
     assert [(r.id, r.score) for r in before] == \
         [(r.id, r.score) for r in after]
+
+
+def test_update_collection_per_space_quantization(spark, tmp_path):
+    """Qdrant update_collection(vectors_config={name:
+    VectorParamsDiff}): enable, then drop, a named space's
+    quantizer post-create."""
+    import os
+    c = create_collection(
+        str(tmp_path), "uq",
+        vectors={"a": {"dim": 2, "metric": "dot", "normalize": False},
+                 "b": {"dim": 2, "metric": "dot", "normalize": False}})
+    c.upsert(spark, _qpts(spark).withColumnsRenamed(
+        {"fast": "a", "raw": "b"}))
+    c.update_collection(spark, vectors={"a": {"quantization": "sq"}})
+    assert os.path.isdir(c._codes_path_for("a"))
+    assert not os.path.exists(c._codes_path_for("b"))
+    assert len(c.meta["vectors"]["a"]["sq_mins"]) == 2
+    qv = [2.0, 3.0]
+    approx = c.search(spark, qv, k=4, using="a",
+                      oversampling=10.0).collect()
+    exact = c.search(spark, qv, k=4, using="a", exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+    c.update_collection(spark, vectors={"a": {"quantization": None}})
+    assert not os.path.exists(c._codes_path_for("a"))
+    assert "sq_mins" not in c.meta["vectors"]["a"]
+    again = c.search(spark, qv, k=4, using="a").collect()
+    assert [(r.id, r.score) for r in again] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_update_collection_vectors_rejections(spark, tmp_path):
+    c = create_collection(
+        str(tmp_path), "rj",
+        vectors={"late": {"dim": 2, "multivector": True,
+                          "normalize": False}})
+    with pytest.raises(ValueError, match="unknown vector name"):
+        c.update_collection(spark, vectors={"nope": {"quantization": "sq"}})
+    with pytest.raises(ValueError, match="dense spaces"):
+        c.update_collection(spark, vectors={"late": {"quantization": "sq"}})
+    with pytest.raises(ValueError, match="unknown key"):
+        c.update_collection(spark, vectors={"late": {"hnsw_ef": 7}})
+    flat = create_collection(str(tmp_path), "fl", dim=2, normalize=False)
+    with pytest.raises(ValueError, match="no named vectors"):
+        flat.update_collection(spark, vectors={"a": {"quantization": "sq"}})
