@@ -205,3 +205,21 @@ def test_batch_codes_scan_partition_pruned(spark, composed):
     assert "centroid_id" in plan, plan
     rows = short.collect()
     assert {r.query_idx for r in rows} == {0, 1}
+
+
+def test_composed_rescore_fetch_is_pushed_down(spark, composed):
+    """The composed rescore fetch must push the literal id shortlist
+    into the parquet scan (row-group pruning on the main table)."""
+    res = composed.search(spark, QV, k=3, oversampling=4.0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "In(id" in plan, plan
+
+
+def test_batch_rescore_semi_join_broadcasts(spark, composed):
+    """include_pairs restriction must be a broadcast LeftSemi hash
+    join (tiny pair set; the corpus never shuffles) with the id
+    shortlist pushed into the scan."""
+    res = composed.search_batch(spark, [QV, QV2], k=3, oversampling=4.0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "In(id" in plan, plan
