@@ -110,6 +110,11 @@ class Prefetch:
 
 
 class Collection:
+    # auto-index KMeans trains driver-side on at most this many
+    # routing vectors (seeded sample; ~64k × 128-d ≈ 64 MB) — the
+    # FAISS sampled-train convention; assignment stays distributed
+    _TRAIN_CAP = 65_536
+
     def __init__(self, root: str, name: str):
         self.path = os.path.join(root, name)
         self.meta_path = os.path.join(root, f"{name}.meta.json")
@@ -260,7 +265,7 @@ class Collection:
         thr = self.meta.get("indexing_threshold")
         if not thr:
             return
-        from .operators.ann import assign_centroids, ivf_build
+        from .operators.ann import assign_centroids
 
         def routing_vec(df: DataFrame) -> Column:
             """The vector the coarse quantizer sees: the embedding
@@ -285,14 +290,38 @@ class Collection:
             if vec_col not in table.columns or _is_nested(table, vec_col):
                 return  # legacy nested layout: no flat routing vector
             k = int(self.meta.get("k_centroids") or 16)
-            assigned, centroids = ivf_build(
-                table.withColumn("__routing", routing_vec(table)),
-                k_centroids=k, vec_col="__routing", seed=42,
-                sample_fraction=self.meta.get("train_fraction"),
-            )
-            assigned.drop("__routing").write.mode("overwrite").partitionBy(
+            # Train driver-side on a bounded seeded sample (kmeans_np)
+            # — the FAISS convention SCALE.md prescribes, and what the
+            # Spark-ML path's sample_fraction approximated with ~10×
+            # the jobs (each KMeans iteration is a distributed pass;
+            # measured 4-6 s of pure job latency at 5k rows). One
+            # sample-collect job bounded by _TRAIN_CAP rows, a
+            # millisecond in-memory train, then the same codegen'd
+            # assignment expression over one scan. Bonus: kmeans_np is
+            # bit-deterministic, so the layout is reproducible across
+            # processes (the *_det-tier property, now on the catalog
+            # path too).
+            from .operators.ann import kmeans_np
+
+            frac = self.meta.get("train_fraction")
+            routing = table.select(routing_vec(table).alias("__r"))
+            if frac is not None:
+                routing = routing.sample(fraction=float(frac), seed=42)
+            elif n > self._TRAIN_CAP:
+                # slight oversample so the limit is actually reached
+                routing = routing.sample(
+                    fraction=min(1.0, 1.1 * self._TRAIN_CAP / n), seed=42
+                ).limit(self._TRAIN_CAP)
+            X = [r["__r"] for r in routing.collect()]
+            cents = kmeans_np(X, min(k, len(X)), seed=42)
+            assigned = table.withColumn(
+                "centroid_id", assign_centroids(cents, routing_vec(table)))
+            assigned.write.mode("overwrite").partitionBy(
                 "centroid_id").parquet(self._ivf_points)
-            centroids.write.mode("overwrite").parquet(self._ivf_centroids)
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "centroid_id int, centroid array<double>",
+            ).write.mode("overwrite").parquet(self._ivf_centroids)
             self._centroid_cache = None
             self.meta["index_built"] = True
             self._save_meta()

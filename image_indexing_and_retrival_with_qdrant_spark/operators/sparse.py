@@ -124,22 +124,51 @@ def sparse_postings(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
                k: int = 10, id_col: str = "doc_id",
-               round_digits: int | None = 6) -> DataFrame:
+               round_digits: int | None = 6,
+               modifier: str | None = None,
+               n_points: int | None = None) -> DataFrame:
     """Top-k by sparse dot product against one query. The broadcast
     query side prunes the exploded postings to query terms before any
-    shuffle."""
+    shuffle.
+
+    ``modifier="idf"`` (Qdrant ``SparseVectorParams(modifier=
+    Modifier.IDF)`` — the BM42 configuration): each query value is
+    multiplied by the term's corpus IDF,
+    ``ln((N − df + 0.5) / (df + 0.5) + 1)`` with ``df`` = points
+    containing the term and ``N`` = point count (``n_points`` or a
+    count job). df is computed from the already-query-pruned postings
+    (|q| keys, exact integer counts). IDF weights make the per-doc
+    contributions irrational doubles, so the doc score folds
+    left-to-right in ascending index order
+    (``aggregate(array_sort(collect_list(...)))``) instead of a
+    native SUM — the unigram-perplexity float-parity discipline."""
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
         [(int(i), float(v)) for i, v in zip(query_indices, query_values)],
         "idx bigint, qval double",
     )
     posting = sparse_postings(corpus, id_col=id_col)
-    score = F.sum(F.col("val") * F.col("qval"))
+    pruned = posting.join(F.broadcast(qdf), on="idx")
+    if modifier == "idf":
+        n = float(n_points if n_points is not None else corpus.count())
+        dfreq = pruned.groupBy("idx").agg(
+            F.count_distinct(F.col(id_col)).cast("double").alias("df"))
+        idf = F.log((F.lit(n) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+        pruned = (pruned.join(F.broadcast(dfreq), on="idx")
+                  .withColumn("qval", F.col("qval") * idf))
+        score = F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("idx"),
+                         (F.col("val") * F.col("qval")).alias("c")))),
+            F.lit(0.0), lambda acc, x: acc + x["c"])
+    elif modifier is not None:
+        raise ValueError(f"unknown sparse modifier {modifier!r}")
+    else:
+        # tf weights are integer-valued doubles: the sum is
+        # order-exact, no fold discipline needed
+        score = F.sum(F.col("val") * F.col("qval"))
     if round_digits is not None:
         score = F.round(score, round_digits)
-    scored = (
-        posting.join(F.broadcast(qdf), on="idx")
-        .groupBy(id_col)
-        .agg(score.alias("score"))
-    )
+    scored = pruned.groupBy(id_col).agg(score.alias("score"))
     return global_topk(scored, [("score", False), (id_col, True)], k)

@@ -47,3 +47,54 @@ def sparse_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sparse_from_text(docs, vocab)
     qrow = corpus.filter(F.col("doc_id") == 0).collect()[0]
     return sparse_knn(corpus, list(qrow.indices), list(qrow.values), k=10)
+
+
+_SPARSE_IDF_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toked)
+  GROUP BY doc_id, term
+),
+q AS (SELECT term, tf AS qval FROM tf WHERE doc_id = 0),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+idf AS (
+  SELECT tf.term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (q.qval * ln((n.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0))
+           AS c
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN idf ON tf.term = idf.term CROSS JOIN n
+),
+agg AS (
+  SELECT doc_id, list(c ORDER BY term) AS cs FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ROUND(list_reduce(cs, (a, b) -> a + b), 6) AS score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("sparse_idf_knn_top10", _SPARSE_IDF_ORACLE)
+def sparse_idf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval with Qdrant's ``Modifier.IDF``
+    (``SparseVectorParams(modifier=Modifier.IDF)`` — the BM42/SPLADE
+    server-side IDF weighting): each query value is multiplied by
+    ``ln((N − df + 0.5)/(df + 0.5) + 1)`` with df computed from the
+    corpus. IDF makes the contributions irrational doubles, so both
+    engines fold each doc's contributions in ascending term order
+    (Spark ``aggregate(array_sort(collect_list))`` ≡ DuckDB
+    ``list_reduce(list(... ORDER BY term))`` — the vocabulary id IS
+    the lexicographic term rank, so the two orders coincide)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_vocabulary(docs)
+    corpus = sparse_from_text(docs, vocab)
+    qrow = corpus.filter(F.col("doc_id") == 0).collect()[0]
+    return sparse_knn(corpus, list(qrow.indices), list(qrow.values),
+                      k=10, modifier="idf")

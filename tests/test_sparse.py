@@ -97,3 +97,30 @@ def test_postings_explode(spark):
     rows = sparse_postings(corpus).collect()
     assert {(r.doc_id, r.idx, r.val) for r in rows} == {
         (7, 1, 2.0), (7, 2, 1.0)}
+
+
+def test_sparse_idf_oracle(spark, sf_smoke):
+    from image_indexing_and_retrival_with_qdrant_spark.registry import REGISTRY
+    from tests.oracle import compare
+
+    compare(spark, REGISTRY["sparse_idf_knn_top10"], sf_smoke,
+            "sparse_idf_knn_top10")
+
+
+def test_sparse_idf_downweights_common_terms(spark):
+    """A term present in EVERY doc gets IDF ln(0.5/(N-0.5)+1) ≈ 0 —
+    ranking is driven by the rare term, unlike the plain tf dot."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.sparse import sparse_knn
+
+    corpus = spark.createDataFrame(
+        [(0, [0, 1], [1.0, 1.0]),   # query doc: common + rare term
+         (1, [0], [3.0]),           # spams the common term
+         (2, [0, 1], [1.0, 1.0])],  # true match on the rare term
+        "doc_id int, indices array<bigint>, values array<double>")
+    plain = sparse_knn(corpus, [0, 1], [1.0, 1.0], k=3).collect()
+    assert plain[0].doc_id == 1  # tf dot rewards the spam
+    idf = sparse_knn(corpus, [0, 1], [1.0, 1.0], k=3,
+                     modifier="idf").collect()
+    assert {idf[0].doc_id, idf[1].doc_id} == {0, 2}  # rare term wins
+    with pytest.raises(ValueError, match="unknown sparse modifier"):
+        sparse_knn(corpus, [0], [1.0], modifier="bm25")
