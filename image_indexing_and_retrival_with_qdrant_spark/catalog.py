@@ -99,14 +99,22 @@ def _is_nested(df: DataFrame, col: str) -> bool:
 class Prefetch:
     """One branch of the universal query API (Qdrant ``Prefetch``):
     a query vector (dense list or multivector list-of-lists) against a
-    vector space, truncated to ``limit`` before fusion."""
+    vector space, truncated to ``limit`` before fusion.
+
+    ``prefetch=`` nests (Qdrant's multi-stage retrieval): the inner
+    prefetch(es) retrieve candidates, and THIS branch's query rescores
+    only their union — e.g. a matryoshka head-dims coarse stage under
+    a full-dims rescore, or a dense stage under a MaxSim rescore."""
 
     def __init__(self, query, using: str | None = None, limit: int = 20,
-                 query_filter=None):
+                 query_filter=None, prefetch=None):
         self.query = query
         self.using = using
         self.limit = limit
         self.query_filter = query_filter
+        if prefetch is not None and isinstance(prefetch, Prefetch):
+            prefetch = [prefetch]
+        self.prefetch = prefetch
 
 
 class Collection:
@@ -1398,15 +1406,42 @@ class Collection:
             metric=cfg.get("metric", "cosine"),
         )
 
+    def _prefetch_hits(self, spark: SparkSession, p: "Prefetch",
+                       id_col: str, vec_col: str) -> DataFrame:
+        """Evaluate one (possibly nested) prefetch branch. A branch
+        with inner prefetches rescores only their candidate union:
+        each inner stage's ids come back driver-side (≤ its limit
+        rows) and restrict this stage's search with a literal
+        ``id IN`` — pushed to the scan, so every nesting level reads
+        less, not more (Qdrant's multi-stage query_points)."""
+        flt = as_predicate(p.query_filter)
+        if p.prefetch:
+            ids: set = set()
+            for ip in p.prefetch:
+                hits = self._prefetch_hits(spark, ip, id_col, vec_col)
+                ids.update(r[id_col] for r in
+                           hits.select(id_col).collect())
+            cand = F.col(id_col).isin(sorted(ids))
+            flt = cand if flt is None else flt & cand
+        return self.search(
+            spark, p.query, k=p.limit, using=p.using,
+            query_filter=flt, id_col=id_col, vec_col=vec_col)
+
     def query(self, spark: SparkSession, prefetch, fusion: str = "rrf",
               k: int = 5, id_col: str = "id",
               vec_col: str = "embedding",
-              formula: str | None = None) -> DataFrame:
+              formula: str | None = None,
+              query=None, using: str | None = None) -> DataFrame:
         """Qdrant's universal ``query_points(prefetch=[...],
-        query=FusionQuery(...))``: run each prefetch branch through the
-        ordinary search path (its own vector space, filter, and
-        depth), then fuse the ranked shortlists with RRF or DBSF. Each
-        branch is a scan-local retrieval; fusion operates on
+        query=...)``: run each prefetch branch through the ordinary
+        search path (its own vector space, filter, and depth — and,
+        nested, its own inner prefetches), then combine. With
+        ``query=`` a VECTOR (dense or multivector), the top level is a
+        RESCORE: the prefetch candidates' union is re-ranked by that
+        vector in ``using``'s space — Qdrant's multi-stage form (e.g.
+        matryoshka head-dims → full-dims, or dense → MaxSim). Without
+        it, shortlists fuse with RRF or DBSF (``FusionQuery``). Each
+        branch is a scan-local retrieval; fusion/rescore operate on
         ≤ Σ limits rows.
 
         ``formula=`` stacks a FormulaQuery on top (Qdrant's
@@ -1422,13 +1457,15 @@ class Collection:
             prefetch = [prefetch]
         if not prefetch:
             raise ValueError("query needs at least one prefetch branch")
+        if query is not None:
+            return self._prefetch_hits(
+                spark, Prefetch(query, using=using, limit=k,
+                                prefetch=list(prefetch)),
+                id_col, vec_col)
         branches = []
         for p in prefetch:
             cfg = self._vector_cfg(p.using, vec_col)
-            hits = self.search(
-                spark, p.query, k=p.limit, using=p.using,
-                query_filter=p.query_filter, id_col=id_col,
-                vec_col=vec_col)
+            hits = self._prefetch_hits(spark, p, id_col, vec_col)
             asc = cfg.get("metric", "cosine") in _DISTANCE_METRICS
             branches.append((hits.select(id_col, "score"), asc))
         fuse_k = k if formula is None else max(50, k * 10)

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import create_collection
+from ..catalog import Prefetch, create_collection
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
@@ -806,6 +806,76 @@ def ingest_named_quantized_search(spark: SparkSession,
             "per-space train params missing"
         res = coll.search(spark, qv, k=5, using="sem",
                           oversampling=4.0).select("id", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _multistage_oracle(k: int = 5, m: int = 20, head: int = 4) -> str:
+    """DuckDB twin of the nested-prefetch rescore: coarse top-m by
+    cosine over the HEAD dims (matryoshka stage 1), exact cosine over
+    the full dims on those m (stage 2) — same rounding/tie rules as
+    every KNN twin."""
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    hdot = " + ".join(f"({q[j - 1]}) * (e.e{j})" for j in range(1, head + 1))
+    hdn = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, head + 1))
+    hqn = " + ".join(f"({q[j - 1]}) * ({q[j - 1]})"
+                     for j in range(1, head + 1))
+    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, n + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    coarse AS (
+      SELECT e.id,
+             ROUND(({hdot}) / (sqrt({hdn}) * sqrt({hqn})), 6) AS hscore
+      FROM e ORDER BY hscore DESC, e.id LIMIT {m}
+    )
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e JOIN coarse ON e.id = coarse.id
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("knn_multistage_prefetch_top5", _multistage_oracle())
+def knn_multistage_prefetch_top5(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Multi-stage retrieval through the universal query API (round
+    6 — Qdrant ``query_points(prefetch=Prefetch(...), query=vec)``):
+    a matryoshka coarse stage over the 4 HEAD dims of the 8-dim stub
+    embedding (named space ``head``, limit 20) feeds a full-dims
+    rescore (named space ``full``) that re-ranks ONLY the candidate
+    union — the inner stage's ids restrict the outer search with a
+    literal pushed ``id IN``. Both stages value-checked: the coarse
+    truncation is real (m = 20 << corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select(
+        "id", F.col("embedding").alias("full"),
+        F.slice("embedding", 1, 4).alias("head"))
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_multistage_")
+    try:
+        coll = create_collection(
+            root, "ms",
+            vectors={
+                "full": {"dim": 8, "metric": "cosine", "normalize": False},
+                "head": {"dim": 4, "metric": "cosine", "normalize": False},
+            })
+        coll.upsert(spark, points, mode="merge")
+        res = coll.query(
+            spark, [Prefetch(qv[:4], using="head", limit=20)],
+            query=qv, using="full", k=5).select("id", "score")
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -87,3 +87,74 @@ def test_collection_query_prefetch(spark, tmp_path):
                    fusion="mean")
     with pytest.raises(ValueError, match="at least one"):
         coll.query(spark, [], fusion="rrf")
+
+
+# -- nested prefetch + vector-query rescore (round 6) ------------------
+
+def _ms_coll(spark, tmp_path):
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0],
+             [float(i % 7 + 1), float((i * 3) % 5)]) for i in range(60)]
+    pts = spark.createDataFrame(
+        rows, "id int, full array<double>, head array<double>")
+    c = create_collection(str(tmp_path), "ms", vectors={
+        "full": {"dim": 4, "metric": "cosine", "normalize": False},
+        "head": {"dim": 2, "metric": "cosine", "normalize": False}})
+    c.upsert(spark, pts)
+    return c
+
+
+QF, QH = [2.0, 1.0, 0.0, 1.0], [2.0, 1.0]
+
+
+def test_query_vector_rescore_exhaustive_equals_search(spark, tmp_path):
+    """query_points(prefetch=..., query=vec): with the coarse stage
+    covering the corpus, the rescore equals the plain search."""
+    c = _ms_coll(spark, tmp_path)
+    out = c.query(spark, [Prefetch(QH, using="head", limit=60)],
+                  query=QF, using="full", k=5).collect()
+    exact = c.search(spark, QF, k=5, using="full").collect()
+    assert [(r.id, r.score) for r in out] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_query_vector_rescore_restricts_to_candidates(spark, tmp_path):
+    """A truncating coarse stage really restricts: every rescored hit
+    is a coarse candidate, and scores are full-dims cosine."""
+    c = _ms_coll(spark, tmp_path)
+    coarse = {r.id for r in
+              c.search(spark, QH, k=10, using="head").collect()}
+    out = c.query(spark, [Prefetch(QH, using="head", limit=10)],
+                  query=QF, using="full", k=5).collect()
+    assert {r.id for r in out} <= coarse
+    exact = {r.id: r.score
+             for r in c.search(spark, QF, k=60, using="full").collect()}
+    assert all(r.score == exact[r.id] for r in out)
+
+
+def test_nested_prefetch_recurses(spark, tmp_path):
+    """Prefetch-in-prefetch: inner candidates bound the middle stage,
+    whose candidates bound the rescore (three-stage pipeline)."""
+    c = _ms_coll(spark, tmp_path)
+    inner = Prefetch(QH, using="head", limit=30)
+    mid = Prefetch(QH, using="head", limit=10, prefetch=inner)
+    out = c.query(spark, [mid], query=QF, using="full", k=5).collect()
+    assert len(out) == 5
+    coarse30 = {r.id for r in
+                c.search(spark, QH, k=30, using="head").collect()}
+    assert {r.id for r in out} <= coarse30
+
+
+def test_nested_prefetch_composes_with_fusion(spark, tmp_path):
+    """Without query=, nested branches still fuse (each branch's own
+    nesting applies before fusion)."""
+    c = _ms_coll(spark, tmp_path)
+    b1 = Prefetch(QF, using="full", limit=5,
+                  prefetch=Prefetch(QH, using="head", limit=20))
+    b2 = Prefetch(QH, using="head", limit=5)
+    out = c.query(spark, [b1, b2], fusion="rrf", k=5).collect()
+    assert len(out) == 5
+
+
+def test_multistage_registry_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["knn_multistage_prefetch_top5"], sf_smoke,
+            "knn_multistage_prefetch_top5")
