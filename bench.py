@@ -114,6 +114,9 @@ HEADLINE = [
     "ingest_quantized_index_search",
     "ingest_quantized_batch_search",
     "ingest_named_quantized_search",
+    # round 6: sparse IDF (BM42 weighting) and multi-stage prefetch
+    "sparse_idf_knn_top10",
+    "knn_multistage_prefetch_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -1275,8 +1275,17 @@ class Collection:
         if cfg.get("normalize"):
             qv = _unit(qv)
         space = cfg["vec_col"] if self.meta.get("vectors") else None
+        # The quantized shortlist ranks the CODES sidecar, which has
+        # no payload columns — a query_filter can't restrict it, so a
+        # selective filter would eat shortlist slots and under-fill
+        # the results (k matches existing but fewer returned). With a
+        # filter present, route filter-correct instead: index-only
+        # within probed cells (exact scoring, filter pushed to the
+        # cells scan) or the exact scan — Qdrant's filtered search
+        # likewise never drops matches to quantization.
+        quantize = cfg.get("quantization") if query_filter is None else None
         if (self.has_index() and not exact
-                and cfg.get("quantization")
+                and quantize
                 and cfg.get("codes_layout") == "cells"):
             # composed IVF + quantization (Qdrant's index-over-
             # quantized-vectors semantics): probe the nprobe nearest
@@ -1293,7 +1302,7 @@ class Collection:
             corpus = corpus.filter(F.col(id_col).isin(ids))
         elif self.has_index() and not exact:
             corpus = routed(qv)
-        elif cfg.get("quantization") and not exact:
+        elif quantize and not exact:
             # quantized prefetch + exact rescore (Qdrant search_params
             # quantization semantics): the probe ranks compressed
             # codes, the oversampled shortlist is re-scored with full
@@ -1364,7 +1373,10 @@ class Collection:
             return sorted(int(i) for i in probe)
 
         space = cfg["vec_col"] if self.meta.get("vectors") else None
-        q_ = cfg.get("quantization")
+        # filter present → quantized prefetch can't stay
+        # filter-correct (codes carry no payload); route index-only /
+        # exact instead — same rule as single-query search
+        q_ = cfg.get("quantization") if query_filter is None else None
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
         include_pairs = None

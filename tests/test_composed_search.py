@@ -223,3 +223,31 @@ def test_batch_rescore_semi_join_broadcasts(spark, composed):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "In(id" in plan, plan
+
+
+def test_filtered_search_never_underfills(spark, tmp_path):
+    """A selective payload filter must not lose matches to the
+    quantized shortlist (the codes sidecar carries no payload, so a
+    filter-blind shortlist would eat slots): with a filter present
+    the engine routes filter-correct — full k results, exact scores."""
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0],
+             "rare" if i % 20 == 0 else "common") for i in range(60)]
+    pts = spark.createDataFrame(
+        rows, "id int, embedding array<double>, tag string")
+    for kw in ({"quantization": "sq"},
+               {"quantization": "sq", "indexing_threshold": 1,
+                "k_centroids": 4}):
+        coll = create_collection(str(tmp_path), f"f{len(kw)}", dim=4, **kw)
+        coll.upsert(spark, pts)
+        flt = F.col("tag") == "rare"  # 3 of 60 rows
+        hits = coll.search(spark, QV, k=3, query_filter=flt,
+                           oversampling=2.0).collect()
+        exact = coll.search(spark, QV, k=3, query_filter=flt,
+                            exact=True).collect()
+        assert len(hits) == 3
+        assert [(r.id, r.score) for r in hits] == \
+            [(r.id, r.score) for r in exact]
+        batch = coll.search_batch(spark, [QV], k=3, query_filter=flt,
+                                  oversampling=2.0).collect()
+        assert [(r.id, r.score) for r in batch] == \
+            [(r.id, r.score) for r in exact]
