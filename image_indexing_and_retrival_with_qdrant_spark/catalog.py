@@ -312,15 +312,24 @@ class Collection:
             from .operators.ann import kmeans_np
 
             frac = self.meta.get("train_fraction")
+            # FAISS's 256-points-per-centroid training convention,
+            # floored for tiny k and ceilinged by _TRAIN_CAP
+            cap = max(4096, min(self._TRAIN_CAP, 256 * k))
             routing = table.select(routing_vec(table).alias("__r"))
             if frac is not None:
                 routing = routing.sample(fraction=float(frac), seed=42)
-            elif n > self._TRAIN_CAP:
+            elif n > cap:
                 # slight oversample so the limit is actually reached
                 routing = routing.sample(
-                    fraction=min(1.0, 1.1 * self._TRAIN_CAP / n), seed=42
-                ).limit(self._TRAIN_CAP)
-            X = [r["__r"] for r in routing.collect()]
+                    fraction=min(1.0, 1.1 * cap / n), seed=42)
+            # cap ALWAYS: the train set is collected, so it must stay
+            # driver-sized whatever fraction the user declared
+            X = [r["__r"] for r in routing.limit(cap).collect()]
+            if len(X) < min(k, n):
+                # an unlucky tiny sample (user fraction × small table)
+                # must not starve the trainer below k rows
+                X = [r["__r"] for r in table.select(
+                    routing_vec(table).alias("__r")).limit(k).collect()]
             cents = kmeans_np(X, min(k, len(X)), seed=42)
             assigned = table.withColumn(
                 "centroid_id", assign_centroids(cents, routing_vec(table)))

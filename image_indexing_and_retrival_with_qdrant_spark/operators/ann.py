@@ -574,8 +574,14 @@ def kmeans_np(data, k: int, seed: int = 42, max_iter: int = 10):
     rng = np.random.RandomState(seed)
     C = X[np.sort(rng.permutation(n)[:k])].copy()
     for _ in range(max_iter):
-        # (n, k) squared distances without GEMM: pairwise np.sum
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # (n, k) squared distances without GEMM, one centroid at a
+        # time: same elementwise (x−c)² and same pairwise np.sum over
+        # the dim axis as the broadcast (n, k, dim) form — bit-equal
+        # results — but peak memory is (n, dim) instead of (n, k,
+        # dim), which at the 64k×64×64 auto-index train shape is the
+        # difference between 32 MB and 2 GB per iteration (measured
+        # minutes → seconds)
+        d = np.stack([((X - c) ** 2).sum(axis=1) for c in C], axis=1)
         assign = np.argmin(d, axis=1)  # first-min tie-break
         newC = C.copy()
         for j in range(k):
