@@ -748,12 +748,23 @@ class Collection:
         if "centroid_id" in codes.columns:
             codes = codes.drop("centroid_id")
         if cfg["quantization"] == "sq":
+            from .functions.vector import _UNROLL_MAX_DIM, _lit_array_sql
+
             mins, steps = cfg["sq_mins"], cfg["sq_steps"]
-            deq = F.expr("array(" + ", ".join(
-                f"({float(mn)!r}D + ((CAST(element_at(`codes`, {j}) AS"
-                f" DOUBLE) + 0.5D) * {float(st)!r}D))"
-                for j, (mn, st) in enumerate(zip(mins, steps), start=1)
-            ) + ")")
+            if len(mins) > _UNROLL_MAX_DIM:
+                # wide vectors: loop form, not a dim-element inline
+                # array (the codegen width gate — same bits)
+                deq = F.expr(
+                    f"transform(`codes`, (c, i) -> "
+                    f"element_at({_lit_array_sql(mins)}, i + 1)"
+                    f" + ((CAST(c AS DOUBLE) + 0.5D)"
+                    f" * element_at({_lit_array_sql(steps)}, i + 1)))")
+            else:
+                deq = F.expr("array(" + ", ".join(
+                    f"({float(mn)!r}D + ((CAST(element_at(`codes`, {j}) AS"
+                    f" DOUBLE) + 0.5D) * {float(st)!r}D))"
+                    for j, (mn, st) in enumerate(zip(mins, steps), start=1)
+                ) + ")")
             queries = spark.createDataFrame(
                 [(i, [float(x) for x in v]) for i, v in enumerate(qvs)],
                 "query_idx int, query_vec array<double>")

@@ -70,6 +70,40 @@ def operand_col(x: Column | str | Sequence[float]) -> Column:
     return x.cast("array<double>")
 
 
+# Unrolling stops paying past this width: janino's 64 KB method limit
+# rejects the generated code somewhere between 512 and 768 inline
+# terms, whole-stage codegen FAILS, and the whole stage silently runs
+# interpreted — measured 10×+ slower at 768 dims than the loop-shaped
+# HOF forms (zip_with/aggregate compile to a tight loop at any width).
+# Above the gate every unrolled builder returns its HOF twin, which
+# the docstrings already prove bit-identical (same left-to-right
+# fold). 256 inline terms ≈ 25 KB of bytecode — comfortably inside
+# the limit, still unrolled where unrolling wins (≤ 256-d: the stub,
+# the fixtures, MiniLM-class models); 768-d+ production embeddings
+# take the loop.
+_UNROLL_MAX_DIM = 256
+
+
+def _lit_array_sql(vals: Sequence[float]) -> str:
+    """One SQL array literal (constant-folded by Catalyst to a single
+    Literal — referenced, not inlined, by codegen)."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _hof_operand(x: Column | str | Sequence[float]) -> Column:
+    """Column form of an operand for the HOF (loop) paths, avoiding
+    the ~dim py4j round-trips of ``F.array(*[F.lit(v) ...])`` for
+    literal vectors: one JVM-parsed SQL string instead."""
+    if isinstance(x, str):
+        return F.expr(f"CAST(`{x}` AS ARRAY<DOUBLE>)")
+    if isinstance(x, Sequence):
+        vals = [float(v) for v in x]
+        if all(math.isfinite(v) for v in vals):
+            return F.expr(_lit_array_sql(vals))
+        return F.array(*[F.lit(v) for v in vals])
+    return x.cast("array<double>")
+
+
 def _elem(x: str | list[float], i: int) -> str:
     """SQL for element i (1-based) of an operand: an ``element_at``
     on a column fragment, or a bare double literal (repr round-trips
@@ -136,7 +170,10 @@ def dot_unrolled(a: Column | str | Sequence[float],
     Operands may be column NAMES or literal vectors — then the whole
     expression is one JVM-parsed SQL string (single py4j call) instead
     of ~dim×5 Column round-trips; pass Columns only when a name can't
-    address the operand."""
+    address the operand. Past ``_UNROLL_MAX_DIM`` the loop-shaped
+    ``dot`` is returned instead (same bits, stays in codegen)."""
+    if dim > _UNROLL_MAX_DIM:
+        return dot(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
         return F.expr(_dot_sql(sa, sb, dim))
@@ -150,7 +187,10 @@ def dot_unrolled(a: Column | str | Sequence[float],
 
 def cosine_unrolled(a: Column | str | Sequence[float],
                     b: Column | str | Sequence[float], dim: int) -> Column:
-    """Unrolled cosine — bit-identical to ``cosine`` (same op order)."""
+    """Unrolled cosine — bit-identical to ``cosine`` (same op order);
+    past ``_UNROLL_MAX_DIM`` returns the loop form (same bits)."""
+    if dim > _UNROLL_MAX_DIM:
+        return cosine(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
         return F.expr(
@@ -176,7 +216,10 @@ def euclid(a: Column, b: Column) -> Column:
 def euclid_unrolled(a: Column | str | Sequence[float],
                     b: Column | str | Sequence[float], dim: int) -> Column:
     """Unrolled euclidean — bit-identical to ``euclid`` (same op
-    order), no per-row array allocation."""
+    order), no per-row array allocation; past ``_UNROLL_MAX_DIM``
+    returns the loop form (same bits)."""
+    if dim > _UNROLL_MAX_DIM:
+        return euclid(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
         terms = " + ".join(
@@ -203,6 +246,8 @@ def manhattan(a: Column, b: Column) -> Column:
 
 def manhattan_unrolled(a: Column | str | Sequence[float],
                        b: Column | str | Sequence[float], dim: int) -> Column:
+    if dim > _UNROLL_MAX_DIM:
+        return manhattan(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
         terms = " + ".join(

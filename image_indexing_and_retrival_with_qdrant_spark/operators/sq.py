@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vector import _UNROLL_MAX_DIM, _lit_array_sql
 from .topk import global_topk
 
 __all__ = ["sq_train", "sq_encode", "sq_search"]
@@ -83,14 +84,29 @@ def sq_search(codes: DataFrame, mins: list[float], steps: list[float],
     explicit sum. Rendered as one JVM-parsed SQL string (the
     functions/vector.py operand discipline) — the Column build costs
     ~dim·6 py4j round trips of driver latency per query."""
-    terms = []
-    for j, (mn, st) in enumerate(zip(mins, steps), start=1):
-        c = f"CAST(element_at(`{code_col}`, {j}) AS DOUBLE)"
-        terms.append(
-            f"(({float(mn)!r}D + (({c} + 0.5D) * {float(st)!r}D))"
-            f" * {float(query_vec[j - 1])!r}D)"
-        )
-    score = F.expr(" + ".join(terms))
+    if len(mins) > _UNROLL_MAX_DIM:
+        # wide vectors: the inline unroll would bust janino's 64 KB
+        # method limit and push the stage to interpreted execution
+        # (functions/vector.py::_UNROLL_MAX_DIM); the loop form folds
+        # the SAME terms in the SAME left-to-right order — identical
+        # bits — with the per-dim constants as three constant-folded
+        # array literals
+        score = F.expr(
+            f"aggregate(transform(`{code_col}`, (c, i) -> "
+            f"(element_at({_lit_array_sql(mins)}, i + 1)"
+            f" + ((CAST(c AS DOUBLE) + 0.5D)"
+            f" * element_at({_lit_array_sql(steps)}, i + 1)))"
+            f" * element_at({_lit_array_sql(query_vec)}, i + 1)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    else:
+        terms = []
+        for j, (mn, st) in enumerate(zip(mins, steps), start=1):
+            c = f"CAST(element_at(`{code_col}`, {j}) AS DOUBLE)"
+            terms.append(
+                f"(({float(mn)!r}D + (({c} + 0.5D) * {float(st)!r}D))"
+                f" * {float(query_vec[j - 1])!r}D)"
+            )
+        score = F.expr(" + ".join(terms))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = codes.select(F.col(id_col), score.alias("score"))

@@ -542,9 +542,19 @@ def composed_at_scale(n: int = 2_000_000, dim: int = 64) -> None:
          / F.lit(1000000.0))
         for i in range(dim)
     ]
-    points = spark.range(n).select(
+    # Parquet round-trip RAW dims before the upserts (the main-stress
+    # lesson, squared at wide dims: any per-element lambda over an
+    # IN-PLAN d-expression array re-evaluates the whole array per
+    # element — O(d²) per row, unusable at 768). No normalization
+    # anywhere: the cosine metric is scale-invariant, so raw hash
+    # vectors measure the same read paths without the O(d²)
+    # normalize expression poisoning the build timings.
+    pts_dir = tempfile.mkdtemp(prefix="stress_composed_pts_")
+    spark.range(n).select(
         F.col("id").cast("int").alias("id"),
-        l2_normalize(F.array(*dims)).alias("embedding"))
+        F.array(*dims).alias("embedding"),
+    ).write.mode("overwrite").parquet(pts_dir)
+    points = spark.read.parquet(pts_dir)
     qvec = points.filter(F.col("id") == 12345).collect()[0].embedding
     out = {"metric": "stress_composed", "rows": n, "dim": dim}
     root = tempfile.mkdtemp(prefix="stress_composed_")
@@ -585,6 +595,7 @@ def composed_at_scale(n: int = 2_000_000, dim: int = 64) -> None:
             out["exact_scan_sec"] / out["composed_nprobe8_os4_sec"], 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(pts_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 
