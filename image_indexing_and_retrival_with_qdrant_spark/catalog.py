@@ -1104,7 +1104,8 @@ class Collection:
                offset: int = 0, shard_key_selector=None,
                rescore: int | None = None, formula: str | None = None,
                prefetch_limit: int | None = None,
-               recall_target: float | None = None):
+               recall_target: float | None = None,
+               with_vectors: bool = False):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -1231,6 +1232,12 @@ class Collection:
         corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         dim = cfg.get("dim")
         not_payload = self._vector_columns(vec_col) | {id_col}
+        if with_vectors:
+            # Qdrant query_points(with_vectors=True): the searched
+            # space's stored vector rides along as an output column
+            # (sidecars — n_vecs/__pooled — stay internal); it flows
+            # through every branch as payload, so the cost is k rows
+            not_payload -= {vec_col}
 
         def probe_cells(routing_qv: list[float]) -> list[int]:
             # nearest-nprobe centroids picked driver-side
@@ -1351,7 +1358,8 @@ class Collection:
                      using: str | None = None,
                      oversampling: float = 4.0,
                      rescore: int | None = None,
-                     recall_target: float | None = None) -> DataFrame:
+                     recall_target: float | None = None,
+                     with_vectors: bool = False) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
         All queries share ONE corpus pass (broadcast query set +
@@ -1426,8 +1434,11 @@ class Collection:
             [(i, v) for i, v in enumerate(qvs)],
             "query_idx int, query_vec array<double>",
         )
+        batch_not_payload = self._vector_columns(vec_col) | {id_col}
+        if with_vectors:
+            batch_not_payload -= {vec_col}
         payload = [c for c in corpus.columns
-                   if c not in self._vector_columns(vec_col) | {id_col}]
+                   if c not in batch_not_payload]
         return dense_knn_batch(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
             query_id_col="query_idx", payload_cols=payload,

@@ -302,3 +302,18 @@ def test_update_collection_vectors_rejections(spark, tmp_path):
     flat = create_collection(str(tmp_path), "fl", dim=2, normalize=False)
     with pytest.raises(ValueError, match="no named vectors"):
         flat.update_collection(spark, vectors={"a": {"quantization": "sq"}})
+
+
+def test_search_with_vectors(spark, qcoll):
+    """Qdrant query_points(with_vectors=True): the searched space's
+    stored vector is an output column; sibling spaces' vectors and
+    sidecars stay internal."""
+    out = qcoll.search(spark, [2.0, 3.0], k=3, using="fast",
+                       with_vectors=True).collect()
+    cols = set(out[0].asDict())
+    assert "fast" in cols and "raw" not in cols
+    plain = qcoll.search(spark, [2.0, 3.0], k=3, using="fast").collect()
+    assert "fast" not in set(plain[0].asDict())
+    batch = qcoll.search_batch(spark, [[2.0, 3.0]], k=2, using="fast",
+                               with_vectors=True).collect()
+    assert "fast" in set(batch[0].asDict())
