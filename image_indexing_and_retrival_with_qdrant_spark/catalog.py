@@ -1378,7 +1378,31 @@ class Collection:
                     rescore=rescore, k=k, using=using, vec_col=vec_col)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
-        query_filter = as_predicate(query_filter)
+        per_query = None
+        if isinstance(query_filter, (list, tuple)):
+            # Qdrant query_batch_points: each request carries its own
+            # filter. Compiled to ONE CASE-over-query_idx predicate on
+            # the scored rows (scoring is row-local, so filtering
+            # candidates before or after scoring is the same set);
+            # the scan itself can't prune on a per-query predicate,
+            # so the single-pass plan is preserved.
+            if len(query_filter) != len(query_vectors):
+                raise ValueError(
+                    f"{len(query_filter)} filters for "
+                    f"{len(query_vectors)} query vectors")
+            if cfg.get("multivector"):
+                raise ValueError("per-query filters support dense "
+                                 "collections (pass one shared filter "
+                                 "for multivector batches)")
+            per_query = F.lit(False)
+            for i, f in enumerate(query_filter):
+                p = as_predicate(f)
+                per_query = F.when(
+                    F.col("query_idx") == i,
+                    F.lit(True) if p is None else p).otherwise(per_query)
+            query_filter = None
+        else:
+            query_filter = as_predicate(query_filter)
         if cfg.get("multivector"):
             return self._search_batch_maxsim(
                 spark, query_vectors, cfg, k=k, query_filter=query_filter,
@@ -1401,10 +1425,11 @@ class Collection:
             return sorted(int(i) for i in probe)
 
         space = cfg["vec_col"] if self.meta.get("vectors") else None
-        # filter present → quantized prefetch can't stay
-        # filter-correct (codes carry no payload); route index-only /
-        # exact instead — same rule as single-query search
-        q_ = cfg.get("quantization") if query_filter is None else None
+        # filter present (shared OR per-query) → quantized prefetch
+        # can't stay filter-correct (codes carry no payload); route
+        # index-only / exact instead — same rule as single-query
+        q_ = (cfg.get("quantization")
+              if query_filter is None and per_query is None else None)
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
         include_pairs = None
@@ -1446,6 +1471,7 @@ class Collection:
             prenormalized=bool(cfg.get("normalize")),
             dim=cfg.get("dim"), local_prune=True,
             include_pairs=include_pairs,
+            per_query_filter=per_query,
             metric=cfg.get("metric", "cosine"),
         )
 

@@ -145,6 +145,7 @@ def dense_knn_batch(
     metric: str = "cosine",
     exclude_pairs: DataFrame | None = None,
     include_pairs: DataFrame | None = None,
+    per_query_filter: Column | None = None,
 ) -> DataFrame:
     """Multi-query top-k by ``metric``: broadcast the query set, score
     each (corpus row × query), rank per query with a window (optionally
@@ -156,7 +157,12 @@ def dense_knn_batch(
     exclusion). ``include_pairs`` (query_id, id) RESTRICTS each query
     to its own candidate set before ranking — a broadcast semi-join
     (the batched quantized-prefetch rescore: each query rescores only
-    ITS shortlist, matching single-query semantics)."""
+    ITS shortlist, matching single-query semantics).
+    ``per_query_filter`` is a predicate that may reference
+    ``query_id_col`` (e.g. a CASE over per-request filters — Qdrant's
+    query_batch_points per-request filter); it applies to the scored
+    rows before ranking, which equals filtering each query's
+    candidates first because scoring is row-local."""
     if prefilter is not None:
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
@@ -169,6 +175,8 @@ def dense_knn_batch(
         .withColumn("score", score)
         .select(query_id_col, id_col, *payload_cols, "score")
     )
+    if per_query_filter is not None:
+        scored = scored.filter(per_query_filter)
     if exclude_pairs is not None:
         scored = scored.join(F.broadcast(exclude_pairs),
                              on=[query_id_col, id_col], how="left_anti")

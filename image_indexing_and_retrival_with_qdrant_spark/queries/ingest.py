@@ -879,3 +879,68 @@ def knn_multistage_prefetch_top5(spark: SparkSession,
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _batch_filtered_oracle(k: int = 3) -> str:
+    """Per-request filters in a batch (Qdrant ``query_batch_points``
+    with a filter per request): each branch scores only its own
+    filtered candidate set. The filter key is a DERIVED payload
+    (``length(text) % 3``) so deduplication stays deterministic."""
+    d = _embed_dims_sql("t.text", "passage")
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    branches = []
+    for idx, text in enumerate(_BATCH_TEXTS):
+        q = _embed_dims_sql(f"'{text}'", "query")
+        dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+        qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+        branches.append(f"""
+        SELECT {idx} AS query_idx, sha256(t.text) AS id,
+               ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+        FROM t WHERE (length(t.text) % 3) = {idx}""")
+    scored = " UNION ALL ".join(branches)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    scored AS ({scored}),
+    ranked AS (
+      SELECT query_idx, id, score,
+             CAST(row_number() OVER (PARTITION BY query_idx
+                                     ORDER BY score DESC, id) AS INTEGER)
+               AS rank
+      FROM scored
+    )
+    SELECT query_idx, id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ingest_batch_filtered_search", _batch_filtered_oracle())
+def ingest_batch_filtered_search(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-request filters in ``search_batch`` (round 6 — Qdrant
+    ``query_batch_points`` where each request carries its own
+    filter): three queries hit one collection in ONE corpus pass,
+    each restricted to a different payload bucket via the Filter DSL,
+    compiled to a single CASE-over-query_idx predicate on the scored
+    rows. Every branch's filtered candidate set and ranking is
+    value-checked."""
+    from ..filters import FieldCondition, Filter
+
+    docs = load(spark, sf_dir, "documents")
+    points = _E.embed(docs, text_col="text").select(
+        F.sha2(F.col("text"), 256).alias("id"), "embedding",
+        (F.length("text") % 3).cast("int").alias("bucket"),
+    ).dropDuplicates(["id"])
+    qvs = [list(r.embedding) for r in _E.embed(
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        text_col="text", mode="query",
+    ).collect()]
+    flts = [Filter(must=[FieldCondition("bucket", match=i)])
+            for i in range(len(qvs))]
+    root = tempfile.mkdtemp(prefix="qd_batch_filtered_")
+    try:
+        coll = create_collection(root, "bf", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        res = coll.search_batch(spark, qvs, k=3, query_filter=flts) \
+            .select("query_idx", "id", "score", "rank")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -251,3 +251,41 @@ def test_filtered_search_never_underfills(spark, tmp_path):
                                   oversampling=2.0).collect()
         assert [(r.id, r.score) for r in batch] == \
             [(r.id, r.score) for r in exact]
+
+
+def test_batch_per_query_filters_match_singles(spark, tmp_path):
+    """Qdrant query_batch_points with a filter per request: each
+    query's results equal its single filtered search; mixed
+    None/Column/Filter-DSL entries accepted; length mismatch and
+    multivector collections rejected."""
+    from image_indexing_and_retrival_with_qdrant_spark.filters import (
+        FieldCondition,
+        Filter,
+    )
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5)],
+             "a" if i % 2 else "b") for i in range(40)]
+    pts = spark.createDataFrame(
+        rows, "id int, embedding array<double>, tag string")
+    coll = create_collection(str(tmp_path), "pq", dim=2, normalize=False)
+    coll.upsert(spark, pts)
+    qs = [[1.0, 2.0], [3.0, 0.5], [0.5, 0.5]]
+    flts = [F.col("tag") == "a",
+            Filter(must=[FieldCondition("tag", match="b")]),
+            None]
+    batch = coll.search_batch(spark, qs, k=3, query_filter=flts).collect()
+    singles = []
+    for i, (q, f) in enumerate(zip(qs, flts)):
+        singles += [(i, r.id, r.score) for r in
+                    coll.search(spark, q, k=3, query_filter=f).collect()]
+    assert sorted((r.query_idx, r.id, r.score) for r in batch) == \
+        sorted(singles)
+    with pytest.raises(ValueError, match="filters for"):
+        coll.search_batch(spark, qs, k=3, query_filter=flts[:2])
+    mv = create_collection(str(tmp_path), "mvf", dim=2, multivector=True,
+                           normalize=False)
+    mv.upsert(spark, spark.createDataFrame(
+        [(1, [[1.0, 0.0]])], "id int, embedding array<array<double>>"))
+    with pytest.raises(ValueError, match="dense collections"):
+        mv.search_batch(spark, [[[1.0, 0.0]]], k=1,
+                        query_filter=[F.col("id") > 0])
