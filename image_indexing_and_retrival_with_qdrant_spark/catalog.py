@@ -2452,20 +2452,33 @@ class Collection:
         )
 
     def compact(self, spark: SparkSession, target_rows_per_file: int = 500_000,
-                id_col: str = "id", vec_col: str = "embedding") -> int:
+                id_col: str = "id", vec_col: str = "embedding",
+                cluster_by: list | None = None) -> int:
         """Segment-merge maintenance (the analog of Qdrant's optimizer
         merging small segments): rewrite the table into
         ``ceil(n / target_rows_per_file)`` files. Append-mode upserts
         accumulate one file-set per batch; compaction restores scan
         efficiency (fewer, larger row groups → fewer tasks, better
-        vectorized-reader throughput). Returns the new file count."""
+        vectorized-reader throughput). Returns the new file count.
+
+        ``cluster_by=[payload keys]`` is Qdrant's tenant
+        defragmentation (``defragmentation_key`` on multitenant
+        collections): rows are range-partitioned and sorted on the
+        keys before the rewrite, so each output file carries a tight
+        parquet min/max footer on them — a pushed payload filter then
+        skips whole files instead of scanning every row group. At
+        100 TB this turns per-tenant searches from full scans into
+        O(tenant) scans with zero extra index structures."""
         if not self._has_data(spark):
             return 0
         table = self.read(spark)
         n = table.count()
         n_files = max(1, -(-n // target_rows_per_file))
         staging = self.path + ".__rewrite__"
-        table.repartition(n_files).write.mode("overwrite").parquet(staging)
+        shaped = (table.repartitionByRange(n_files, *cluster_by)
+                       .sortWithinPartitions(*cluster_by)
+                  if cluster_by else table.repartition(n_files))
+        shaped.write.mode("overwrite").parquet(staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
         if self.has_index() or self.meta.get("quantization"):

@@ -188,3 +188,43 @@ def events_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("purchasers"),
     )
+
+
+# ---- DatetimeRange filter (round 7) --------------------------------
+# Qdrant's DatetimeRange condition (ISO-8601 bounds) as a DSL filter
+# over the events timestamp. Whole-microsecond bounds are safe across
+# the NANOS fixture: floor-truncation to micros preserves >= / <
+# against any whole-microsecond boundary (tables.normalize_events_ts).
+from ..filters import FieldCondition, Filter  # noqa: E402
+
+_DT_DSL = Filter(
+    must=[FieldCondition("ts", datetime_range={
+        "gte": "2024-01-10 00:00:00", "lt": "2024-01-20 00:00:00"}),
+          FieldCondition("event_type", match_except=["error"])],
+)
+
+
+@register(
+    "events_datetime_filter_dsl",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE {_DT_DSL.to_sql()}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_datetime_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity inside a ``DatetimeRange`` DSL window (plus a
+    ``MatchExcept`` on the type). The compiled predicate is a plain
+    timestamp comparison — on date-partitioned event logs it prunes
+    partitions statically, which is the whole point of the condition
+    at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.filter(_DT_DSL.to_column())
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                   F.countDistinct("user_id").cast("long").alias("n_users"))
+              .orderBy("event_type"))

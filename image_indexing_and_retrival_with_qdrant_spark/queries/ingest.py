@@ -944,3 +944,67 @@ def ingest_batch_filtered_search(spark: SparkSession,
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "ingest_tenant_defrag",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS defragmented
+    FROM (SELECT DISTINCT doc_id, lang FROM documents)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ingest_tenant_defrag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant defragmentation (Qdrant multitenancy:
+    ``defragmentation_key`` co-locates one tenant's points inside
+    segments): ``compact(cluster_by=['lang'])`` range-partitions +
+    sorts the rewrite on the tenant key, giving every output file a
+    tight parquet min/max footer on it. ``defragmented`` is computed
+    from the REAL file footers (per-file lang ranges must not
+    interleave) and asserted TRUE by the oracle; per-tenant counts
+    prove the rewrite lossless. At 100 TB a pushed tenant filter then
+    reads O(tenant) files, not the table."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"),
+        id_key=F.col("doc_id").cast("string"),
+        payload={"lang": F.col("lang")}, with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_defrag_")
+    try:
+        coll = create_collection(root, "df", dim=8, normalize=False)
+        coll.upsert(spark, points, mode="append")
+        n = coll.count(spark)
+        coll.compact(spark, target_rows_per_file=max(1, n // 6),
+                     cluster_by=["lang"])
+        ranges = []
+        for f in sorted(_os.listdir(coll.path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = _pq.ParquetFile(_os.path.join(coll.path, f)).metadata
+            col_idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}["lang"]
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(col_idx).statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            ranges.append((lo, hi))
+        ranges.sort()
+        ok = all(nxt_lo >= prev_hi for (_, prev_hi), (nxt_lo, _)
+                 in zip(ranges, ranges[1:]))
+        counts = (coll.read(spark).groupBy("lang")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+                  .orderBy("lang").collect())
+        rows = [(r.lang, r.n_points, bool(ok)) for r in counts]
+        return spark.createDataFrame(
+            rows, "lang string, n_points long, defragmented boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -155,3 +155,73 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long").alias("neg_values"),
         F.sum(F.when(json_ok, 0).otherwise(1)).cast("long").alias("bad_json"),
     )
+
+
+# ---- extended Filter-DSL showcase (round 7) ------------------------
+# Qdrant's remaining filter model: MatchExcept, IsEmpty, ValuesCount,
+# MinShould, HasId, and Nested (same-element array<struct> filters).
+# As with knn_dsl_filtered_top5, the Spark predicate and the oracle
+# WHERE clause compile from the SAME tree (filters.py), so the DSL
+# semantics are oracle-checked end to end.
+from ..filters import FieldCondition, Filter, HasId, Nested  # noqa: E402
+
+_XDSL = Filter(
+    must=[Nested("sections", Filter(must=[
+        FieldCondition("len", range={"gte": 7}),
+        FieldCondition("tok", match_except=["the", "and"]),
+    ]))],
+    must_not=[FieldCondition("tags", is_empty=True),
+              HasId([7, 13, 21], id_col="doc_id")],
+    min_should={"conditions": [
+        FieldCondition("lang", match_except=["de", "fr"]),
+        FieldCondition("tags", values_count={"gte": 2}),
+        FieldCondition("source", match_any=["src1", "src3", "src5", "src7"]),
+    ], "min_count": 2},
+)
+
+# identical derivations on both engines: tags = a 0..3-token slice
+# (len = n_chars % 4 — exercises empty arrays), sections = the first
+# 3 tokens as {tok, len} structs (exercises per-element conditions)
+_XDSL_DUCK_SRC = """
+    SELECT doc_id, lang, source, n_chars,
+           list_slice(regexp_extract_all(text, '\\w+'), 1,
+                      CAST(n_chars % 4 AS INT)) AS tags,
+           list_transform(list_slice(regexp_extract_all(text, '\\w+'), 1, 3),
+                          t -> {'tok': t, 'len': CAST(length(t) AS BIGINT)})
+             AS sections
+    FROM documents
+"""
+
+
+@register(
+    "docs_extended_filter_dsl",
+    f"""
+    WITH t AS ({_XDSL_DUCK_SRC})
+    SELECT doc_id, lang, source, n_chars
+    FROM t WHERE {_XDSL.to_sql()}
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+)
+def docs_extended_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extended Qdrant filter model in one clause tree:
+    ``Nested`` (conditions bound to a single ``sections`` element —
+    Catalyst ``exists()`` higher-order function, no explode),
+    ``IsEmpty``/``ValuesCount`` over a derived ``tags`` array,
+    ``MatchExcept`` (missing-field-matches NOT IN), ``MinShould``
+    (≥2 of 3 indicator sum), and ``HasId`` exclusion. Everything
+    compiles to one scan predicate — no shuffle, no UDF; at 100 TB
+    this is a pruned parquet scan like every other F4 filter."""
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+    t = (docs
+         .withColumn("__toks", tokens(F.col("text")))
+         .withColumn("tags", F.expr(
+             "slice(__toks, 1, CAST(n_chars % 4 AS INT))"))
+         .withColumn("sections", F.expr(
+             "transform(slice(__toks, 1, 3), "
+             "t -> struct(t AS tok, CAST(length(t) AS BIGINT) AS len))")))
+    return (t.filter(_XDSL.to_column())
+             .select("doc_id", "lang", "source", "n_chars")
+             .orderBy("doc_id")
+             .limit(50))

@@ -600,6 +600,60 @@ def composed_at_scale(n: int = 2_000_000, dim: int = 64) -> None:
     spark.stop()
 
 
+def defrag_stress(n: int = 10_000_000, n_tenants: int = 50) -> None:
+    """Tenant defragmentation at scale: the same filtered queries on a
+    shuffled-tenant layout vs after ``compact(cluster_by=['tenant'])``.
+    The sorted rewrite gives each file a tight tenant min/max footer,
+    so the pushed tenant filter skips files instead of scanning all
+    row groups — the knob that turns per-tenant search into O(tenant)
+    IO on a 100 TB multitenant corpus."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import create_collection
+    from image_indexing_and_retrival_with_qdrant_spark.filters import (
+        FieldCondition,
+        Filter,
+    )
+
+    spark = get_spark("stress-defrag",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus = (synth_corpus(spark, n)
+              .withColumn("tenant", F.format_string(
+                  "t%03d", (F.xxhash64("vec_id") % n_tenants
+                            + n_tenants) % n_tenants))
+              .withColumnRenamed("vec_id", "id"))
+    root = tempfile.mkdtemp(prefix="stress_defrag_")
+    try:
+        coll = create_collection(root, "mt", dim=DIM, normalize=False)
+        # interleaved layout: every file carries every tenant
+        coll.upsert(spark, corpus, mode="append")
+        flt = Filter(must=[FieldCondition("tenant", match="t007")])
+        qv = [1.0 / DIM**0.5] * DIM
+
+        def timed(fn):
+            t0 = time.time()
+            out = fn()
+            return out, round(time.time() - t0, 3)
+
+        _, count_before = timed(lambda: coll.count(spark, flt))
+        _, search_before = timed(lambda: coll.search(
+            spark, qv, k=10, query_filter=flt).collect())
+        _, t_compact = timed(lambda: coll.compact(
+            spark, target_rows_per_file=max(1, n // 32),
+            cluster_by=["tenant"]))
+        nc, count_after = timed(lambda: coll.count(spark, flt))
+        _, search_after = timed(lambda: coll.search(
+            spark, qv, k=10, query_filter=flt).collect())
+        print(json.dumps({
+            "metric": "defrag_stress", "rows": n, "tenants": n_tenants,
+            "tenant_rows": nc, "compact_sec": t_compact,
+            "count_sec": {"interleaved": count_before,
+                          "defragmented": count_after},
+            "filtered_search_sec": {"interleaved": search_before,
+                                    "defragmented": search_after},
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "composed":
         args = [int(a) for a in sys.argv[2:]]
@@ -616,6 +670,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         ivf_skew_stress(int(sys.argv[2]) if len(sys.argv) > 2
                         else 10_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "defrag":
+        args = [int(a) for a in sys.argv[2:]]
+        defrag_stress(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         args = [int(a) for a in sys.argv[2:]]

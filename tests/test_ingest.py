@@ -28,6 +28,7 @@ INGEST = [
     "ingest_snapshot_restore",
     "ingest_sharded_search",
     "ingest_merge_overwrite",
+    "ingest_tenant_defrag",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)

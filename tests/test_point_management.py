@@ -600,3 +600,39 @@ def test_payload_sidecar_columns_rejected(spark, sf_smoke, tmp_path):
         coll.delete_payload(spark, ["embedding__pooled"], some)
     with pytest.raises(ValueError, match="reserved"):
         coll.delete_payload(spark, ["n_vecs"], some)
+
+
+def test_compact_cluster_by_defragments_tenants(spark, sf_smoke, tmp_path):
+    """Tenant defragmentation (Qdrant defragmentation_key): after
+    compact(cluster_by=['lang']) each output file holds a contiguous
+    lang range (tight parquet min/max footers -> file-level skipping
+    for pushed payload filters), and results are lossless."""
+    import pyarrow.parquet as pq
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    before = {(r.id, r.lang) for r in
+              coll.read(spark).select("id", "lang").collect()}
+    n_files = coll.compact(spark, target_rows_per_file=10,
+                           cluster_by=["lang"])
+    assert n_files > 1
+    after = {(r.id, r.lang) for r in
+             coll.read(spark).select("id", "lang").collect()}
+    assert after == before  # lossless rewrite
+    # per-file footer ranges must not interleave: sorted by min, each
+    # file's min >= previous file's max (contiguous range layout)
+    ranges = []
+    for f in os.listdir(coll.path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(coll.path, f)).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        stats = md.row_group(0).column(idx["lang"]).statistics
+        lo, hi = stats.min, stats.max
+        for g in range(1, md.num_row_groups):
+            s = md.row_group(g).column(idx["lang"]).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
+        assert nxt_lo >= prev_hi
