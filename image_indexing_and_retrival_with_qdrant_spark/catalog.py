@@ -1161,6 +1161,30 @@ class Collection:
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
 
+        if isinstance(query_vector, (int, str)):
+            # Qdrant query-by-id (``query_points(query=point_id)``):
+            # search with the point's STORED vector and exclude the
+            # point itself from the results. O(1) driver-side fetch.
+            point_id = query_vector
+            cfg0 = self._vector_cfg(using, vec_col)
+            if cfg0.get("multivector"):
+                raise ValueError(
+                    "query-by-id supports dense collections (fetch the "
+                    "multivector yourself and pass it as the query)")
+            rows = (self.read(spark)
+                    .filter(F.col(id_col) == point_id)
+                    .select(cfg0["vec_col"]).limit(1).collect())
+            if not rows or rows[0][0] is None:
+                raise ValueError(f"query point {point_id!r} not found")
+            v = rows[0][0]
+            if isinstance(v, (bytes, bytearray)):
+                raise ValueError(
+                    "query-by-id supports float vector storage")
+            query_vector = [float(x) for x in v]
+            excl = F.col(id_col) != F.lit(point_id)
+            qf = as_predicate(query_filter)
+            query_filter = excl if qf is None else (qf & excl)
+
         if recall_target is not None:
             nprobe, exact, oversampling, rescore = \
                 self._resolve_recall_target(

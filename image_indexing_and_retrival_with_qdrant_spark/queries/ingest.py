@@ -1008,3 +1008,47 @@ def ingest_tenant_defrag(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "lang string, n_points long, defragmented boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _by_id_oracle() -> str:
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql("q.qtext", "passage")
+    dot = " + ".join(f"({qi}) * ({di})" for qi, di in zip(q, d))
+    dnorm = " + ".join(f"({di}) * ({di})" for di in d)
+    qnorm = " + ".join(f"({qi}) * ({qi})" for qi in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    q AS (SELECT text AS qtext, sha256(text) AS qid
+          FROM t ORDER BY sha256(text) LIMIT 1)
+    SELECT sha256(t.text) AS id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM t CROSS JOIN q
+    WHERE sha256(t.text) <> q.qid
+    ORDER BY score DESC, id
+    LIMIT 5
+    """
+
+
+@register("ingest_query_by_id", _by_id_oracle())
+def ingest_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-id (Qdrant ``query_points(query=point_id)``): the
+    query is a stored point's OWN vector — the engine fetches it
+    (O(1) driver-side lookup), searches with it, and excludes the
+    point itself from the results, exactly Qdrant's contract. The
+    query point is the lexicographically-first content-hash id, so
+    both engines pick the same one at any sf."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"])
+    root = tempfile.mkdtemp(prefix="qd_byid_")
+    try:
+        coll = create_collection(root, "byid", dim=8, metric="cosine",
+                                 normalize=False)
+        coll.upsert(spark, points, mode="merge")
+        qid = coll.read(spark).agg(F.min("id")).collect()[0][0]
+        res = coll.search(spark, qid, k=5).select("id", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -29,6 +29,7 @@ INGEST = [
     "ingest_sharded_search",
     "ingest_merge_overwrite",
     "ingest_tenant_defrag",
+    "ingest_query_by_id",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)

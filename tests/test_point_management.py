@@ -636,3 +636,20 @@ def test_compact_cluster_by_defragments_tenants(spark, sf_smoke, tmp_path):
     ranges.sort()
     for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
         assert nxt_lo >= prev_hi
+
+
+def test_query_by_id_excludes_self(spark, sf_smoke, tmp_path):
+    """Qdrant query_points(query=point_id): stored vector as query,
+    the point itself excluded; unknown ids raise."""
+    import pytest as _pytest
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    some = coll.read(spark).orderBy("id").limit(1).collect()[0]
+    hits = coll.search(spark, some.id, k=5).collect()
+    assert some.id not in {r.id for r in hits}
+    # identical to searching with the stored vector + explicit excl
+    manual = coll.search(spark, list(some.embedding), k=6).collect()
+    manual_ids = [r.id for r in manual if r.id != some.id][:5]
+    assert [r.id for r in hits] == manual_ids
+    with _pytest.raises(ValueError, match="not found"):
+        coll.search(spark, "no-such-id", k=5)
