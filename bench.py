@@ -117,6 +117,14 @@ HEADLINE = [
     # round 6: sparse IDF (BM42 weighting) and multi-stage prefetch
     "sparse_idf_knn_top10",
     "knn_multistage_prefetch_top5",
+    # round 7: extended filter DSL (nested/min_should/values_count —
+    # one scan predicate), datetime-range filter, tenant-defrag
+    # lifecycle (upsert + clustered rewrite + footer audit), and
+    # query-by-id (stored-vector fetch + self-excluded search)
+    "docs_extended_filter_dsl",
+    "events_datetime_filter_dsl",
+    "ingest_tenant_defrag",
+    "ingest_query_by_id",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -142,6 +142,33 @@ class Collection:
     def root(self) -> str:
         return os.path.dirname(self.path)
 
+    def info(self, spark: SparkSession | None = None) -> dict:
+        """Qdrant ``get_collection`` analog: status + config + counts.
+        ``status`` is ``green`` (index current or not required) or
+        ``yellow`` (indexing threshold crossed but layout missing —
+        Qdrant's optimizing state). Config echoes the frozen creation
+        meta; counts need a SparkSession (omitted → counts are None,
+        the metadata-only form)."""
+        cfg = {k: v for k, v in self.meta.items()
+               if k not in ("payload_indexes",)}
+        n = self.count(spark) if spark is not None else None
+        threshold = self.meta.get("indexing_threshold")
+        needs_index = (threshold is not None and n is not None
+                       and n >= threshold)
+        status = "yellow" if (needs_index and not self.has_index()) \
+            else "green"
+        return {
+            "status": status,
+            "points_count": n,
+            "indexed": self.has_index(),
+            "payload_indexes": list(self.meta.get(
+                "payload_indexes") or ()),
+            "segments_count": len([f for f in os.listdir(self.path)
+                                   if f.endswith(".parquet")])
+            if os.path.isdir(self.path) else 0,
+            "config": cfg,
+        }
+
     # -- snapshots (Qdrant create_snapshot / recover_snapshot) ------------
     #
     # A snapshot is a byte copy of the collection's full state: the
@@ -1581,6 +1608,50 @@ class Collection:
             F.broadcast(fused), on=id_col)
         return formula_rescore(shortlist, formula, k=k, id_col=id_col,
                                boosted_col="score", payload_cols=payload)
+
+    def query_batch(self, spark: SparkSession, requests: list,
+                    id_col: str = "id",
+                    vec_col: str = "embedding") -> DataFrame:
+        """Qdrant's ``query_batch_points`` for the universal query
+        API: each request is a kwargs dict for :meth:`query` (its own
+        prefetch tree, fusion, formula, rescore vector). Requests
+        evaluate as independent shortlist-bounded branches of ONE
+        union plan, tagged ``query_idx``, ranked per request — the
+        same shape ``search_batch`` returns. Qdrant likewise executes
+        batch requests independently server-side; the win is one
+        round-trip and one job submission, not cross-request work
+        sharing (the dense/two-stage batched scans ARE shared-pass and
+        live in ``search_batch``)."""
+        if not requests:
+            raise ValueError("query_batch needs at least one request")
+        from pyspark.sql import Window
+
+        from .operators.knn import _DISTANCE_METRICS
+
+        branches = []
+        for i, req in enumerate(requests):
+            out = self.query(spark, id_col=id_col, vec_col=vec_col,
+                             **req)
+            score = next(c for c in ("score", "rrf", "dbsf")
+                         if c in out.columns)
+            # rescore-by-vector in a distance space ranks ascending;
+            # every fusion/formula score ranks descending
+            asc = (req.get("query") is not None
+                   and self._vector_cfg(req.get("using"), vec_col)
+                   .get("metric", "cosine") in _DISTANCE_METRICS)
+            w = Window.partitionBy("query_idx").orderBy(
+                F.col("score").asc() if asc else F.col("score").desc(),
+                F.col(id_col))
+            branches.append(out.select(
+                F.lit(i).alias("query_idx"),
+                F.col(id_col),
+                F.col(score).alias("score"))
+                .withColumn("rank",
+                            F.row_number().over(w).cast("int")))
+        union = branches[0]
+        for b in branches[1:]:
+            union = union.unionByName(b)
+        return union
 
     def recommend(self, spark: SparkSession, positive: list, negative:
                   list = (), k: int = 5, query_filter=None,

@@ -158,3 +158,44 @@ def test_nested_prefetch_composes_with_fusion(spark, tmp_path):
 def test_multistage_registry_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["knn_multistage_prefetch_top5"], sf_smoke,
             "knn_multistage_prefetch_top5")
+
+
+def test_query_batch_matches_per_request_query(spark, tmp_path):
+    """query_batch_points (universal API): each request's rows/ranks
+    equal its standalone query(); branch score semantics (fusion desc
+    vs distance-rescore asc) drive per-request rank direction."""
+    coll = create_collection(
+        str(tmp_path), "qb",
+        vectors={"dense": {"dim": 2, "metric": "dot", "normalize": False}})
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.0]), (3, [0.0, 0.5]),
+         (4, [0.5, 0.5])],
+        "id int, dense array<double>")
+    coll.upsert(spark, pts)
+    reqs = [
+        {"prefetch": [Prefetch([1.0, 0.0], using="dense", limit=3),
+                      Prefetch([0.0, 1.0], using="dense", limit=3)],
+         "fusion": "rrf", "k": 3},
+        {"prefetch": Prefetch([0.0, 1.0], using="dense", limit=4),
+         "query": [1.0, 0.0], "using": "dense", "k": 2},
+    ]
+    out = coll.query_batch(spark, reqs).collect()
+    by_idx = {}
+    for r in out:
+        by_idx.setdefault(r.query_idx, []).append(r)
+    assert set(by_idx) == {0, 1}
+    # request 0: same ids+scores as standalone rrf query
+    solo0 = coll.query(spark, **reqs[0]).collect()
+    assert ({(r.id, r.score) for r in by_idx[0]}
+            == {(r.id, round(r.rrf, 6)) for r in solo0}
+            or {(r.id, r.score) for r in by_idx[0]}
+            == {(r.id, r.rrf) for r in solo0})
+    # ranks are 1..n per request, following score desc for fusion
+    r0 = sorted(by_idx[0], key=lambda r: r.rank)
+    assert [r.rank for r in r0] == list(range(1, len(r0) + 1))
+    assert all(a.score >= b.score for a, b in zip(r0, r0[1:]))
+    # request 1 (vector rescore): matches standalone query()
+    solo1 = {(r.id, r.score) for r in coll.query(spark, **reqs[1]).collect()}
+    assert {(r.id, r.score) for r in by_idx[1]} == solo1
+    with pytest.raises(ValueError, match="at least one request"):
+        coll.query_batch(spark, [])

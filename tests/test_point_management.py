@@ -653,3 +653,23 @@ def test_query_by_id_excludes_self(spark, sf_smoke, tmp_path):
     assert [r.id for r in hits] == manual_ids
     with _pytest.raises(ValueError, match="not found"):
         coll.search(spark, "no-such-id", k=5)
+
+
+def test_collection_info(spark, sf_smoke, tmp_path):
+    """get_collection analog: status/config/counts, with the yellow
+    (needs-indexing) state surfaced like Qdrant's optimizing status."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    meta_only = coll.info()
+    assert meta_only["points_count"] is None  # metadata-only form
+    assert meta_only["status"] == "green" and not meta_only["indexed"]
+    full = coll.info(spark)
+    assert full["points_count"] == coll.count(spark)
+    assert full["segments_count"] >= 1
+    assert full["config"]["dim"] == 8
+    # crossing the threshold without an index -> yellow; rebuild -> green
+    coll.meta["indexing_threshold"] = 1
+    assert coll.info(spark)["status"] == "yellow"
+    coll.meta["k_centroids"] = 4
+    coll.rebuild_index(spark)
+    after = coll.info(spark)
+    assert after["status"] == "green" and after["indexed"]
