@@ -523,6 +523,33 @@ class Collection:
             return out
         return {vec_col_default, "n_vecs", vec_col_default + "__pooled"}
 
+    def _apply_with_payload(self, df: DataFrame, with_payload,
+                            id_col: str, vec_col: str) -> DataFrame:
+        """Qdrant ``with_payload`` selector: ``True`` keeps every
+        payload column (the default everywhere), ``False``/``None``
+        drops them all, a list keeps that subset, and
+        ``{"exclude": [...]}`` keeps the complement. A plain post-
+        projection — Catalyst prunes the dropped columns back out of
+        the scan, so narrowing payload narrows IO too."""
+        if with_payload is True:
+            return df
+        keep = self._vector_columns(vec_col) | {
+            id_col, "score", "rank", "query_idx"}
+        payload = [c for c in df.columns if c not in keep]
+        if with_payload is False or with_payload is None:
+            sel = set()
+        elif isinstance(with_payload, dict):
+            excl = set(with_payload.get("exclude", ()))
+            sel = {c for c in payload if c not in excl}
+        else:
+            sel = set(with_payload)
+            unknown = sel - set(payload)
+            if unknown:
+                raise ValueError(
+                    f"with_payload names unknown fields: {sorted(unknown)}")
+        return df.select(*[c for c in df.columns
+                           if c not in payload or c in sel])
+
     @staticmethod
     def _encode_datatype(points: DataFrame, cfg: dict) -> DataFrame:
         """Apply the space's storage datatype after the float-side
@@ -1132,7 +1159,8 @@ class Collection:
                rescore: int | None = None, formula: str | None = None,
                prefetch_limit: int | None = None,
                recall_target: float | None = None,
-               with_vectors: bool = False):
+               with_vectors: bool = False,
+               with_payload=True):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -1187,6 +1215,18 @@ class Collection:
 
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
+
+        if with_payload is not True:
+            full = self.search(
+                spark, query_vector, k=k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact,
+                using=using, oversampling=oversampling, offset=offset,
+                shard_key_selector=shard_key_selector, rescore=rescore,
+                formula=formula, prefetch_limit=prefetch_limit,
+                recall_target=recall_target, with_vectors=with_vectors)
+            return self._apply_with_payload(
+                full, with_payload, id_col, vec_col)
 
         if isinstance(query_vector, (int, str)):
             # Qdrant query-by-id (``query_points(query=point_id)``):
@@ -2174,15 +2214,18 @@ class Collection:
 
     def retrieve(self, spark: SparkSession, ids: list,
                  id_col: str = "id", with_vectors: bool = False,
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 with_payload=True) -> DataFrame:
         """Qdrant's ``retrieve`` analog: fetch points by id. The id
         predicate pushes into the parquet scan; vectors are projected
-        away unless asked for (column pruning keeps them unread)."""
+        away unless asked for, and ``with_payload`` (True / False /
+        include-list / {"exclude": [...]}) narrows the payload —
+        column pruning keeps everything dropped unread."""
         df = self.read(spark).filter(F.col(id_col).isin(list(ids)))
         if not with_vectors:
             drop = self._vector_columns(vec_col)
             df = df.drop(*[c for c in drop if c in df.columns])
-        return df
+        return self._apply_with_payload(df, with_payload, id_col, vec_col)
 
     def _rewrite(self, spark: SparkSession, table: DataFrame,
                  id_col: str, vec_col: str,
@@ -2494,7 +2537,7 @@ class Collection:
                vec_col: str = "embedding",
                order_by: str | None = None,
                start_from=None, desc: bool = False,
-               scroll_filter=None) -> DataFrame:
+               scroll_filter=None, with_payload=True) -> DataFrame:
         """Qdrant's ``scroll`` analog: keyset pagination ordered by id
         — ``after_id`` is the last id of the previous page (strictly
         greater-than, so pages never overlap or skip under concurrent
@@ -2519,15 +2562,20 @@ class Collection:
         if not with_vectors:
             drop = self._vector_columns(vec_col)
             df = df.drop(*[c for c in drop if c in df.columns])
+        # payload narrowing applies AFTER the sort/limit so order_by
+        # may name an excluded field (page order still honors it)
+        def shape(d: DataFrame) -> DataFrame:
+            return self._apply_with_payload(
+                d, with_payload, id_col, vec_col)
         if order_by is not None:
             ob = F.col(order_by)
             if start_from is not None:
                 df = df.filter(ob <= start_from if desc else ob >= start_from)
             keys = [ob.desc() if desc else ob.asc(), F.col(id_col).asc()]
-            return df.orderBy(*keys).limit(limit)
+            return shape(df.orderBy(*keys).limit(limit))
         if after_id is not None:
             df = df.filter(F.col(id_col) > after_id)
-        return df.orderBy(F.col(id_col).asc()).limit(limit)
+        return shape(df.orderBy(F.col(id_col).asc()).limit(limit))
 
     def facet(self, spark: SparkSession, key: str, facet_filter=None,
               limit: int = 10) -> DataFrame:

@@ -673,3 +673,35 @@ def test_collection_info(spark, sf_smoke, tmp_path):
     coll.rebuild_index(spark)
     after = coll.info(spark)
     assert after["status"] == "green" and after["indexed"]
+
+
+def test_with_payload_selector(spark, sf_smoke, tmp_path):
+    """Qdrant with_payload forms: True (all), False (none), include
+    list, exclude dict — on search, scroll, and retrieve."""
+    import pytest as _pytest
+
+    coll = _fill(spark, sf_smoke, tmp_path)
+    qv = list(coll.read(spark).orderBy("id").limit(1)
+              .collect()[0].embedding)
+    full = coll.search(spark, qv, k=3)
+    assert {"doc_id", "lang"} <= set(full.columns)
+    none = coll.search(spark, qv, k=3, with_payload=False)
+    assert set(none.columns) == {"id", "score"}
+    # values identical to the full search, just narrowed
+    assert [(r.id, r.score) for r in none.collect()] == \
+        [(r.id, r.score) for r in full.collect()]
+    only = coll.search(spark, qv, k=3, with_payload=["lang"])
+    assert set(only.columns) == {"id", "score", "lang"}
+    excl = coll.search(spark, qv, k=3, with_payload={"exclude": ["lang"]})
+    assert "lang" not in excl.columns and "doc_id" in excl.columns
+    with _pytest.raises(ValueError, match="unknown fields"):
+        coll.search(spark, qv, k=3, with_payload=["nope"])
+    # scroll: order_by may name an excluded field; page order holds
+    page = coll.scroll(spark, limit=5, order_by="doc_id",
+                       with_payload=["lang"]).collect()
+    assert set(page[0].asDict()) == {"id", "lang"}
+    ref = [r.id for r in coll.scroll(spark, limit=5,
+                                     order_by="doc_id").collect()]
+    assert [r.id for r in page] == ref
+    got = coll.retrieve(spark, ref[:2], with_payload=False).collect()
+    assert set(got[0].asDict()) == {"id"}
