@@ -125,6 +125,9 @@ HEADLINE = [
     "events_datetime_filter_dsl",
     "ingest_tenant_defrag",
     "ingest_query_by_id",
+    # round 7: SemDeDup — embedding near-dup blocked by learned IVF
+    # cells (partition-local pair join over the centroid layout)
+    "dedup_semantic_cells",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -2655,6 +2655,41 @@ def collection_exists(root: str, name: str) -> bool:
     return os.path.exists(os.path.join(root, f"{name}.meta.json"))
 
 
+def list_collections(root: str) -> list[str]:
+    """Qdrant ``get_collections`` analog: every collection name under
+    ``root``, sorted. Driver-side directory listing — the meta
+    sidecar is the existence marker (same rule as
+    :func:`collection_exists`), so half-written data dirs or stray
+    files never show up as collections."""
+    if not os.path.isdir(root):
+        return []
+    suffix = ".meta.json"
+    return sorted(f[:-len(suffix)] for f in os.listdir(root)
+                  if f.endswith(suffix))
+
+
+def delete_collection(root: str, name: str) -> bool:
+    """Qdrant ``delete_collection`` analog: remove the collection's
+    ENTIRE on-disk state — main table, meta sidecar, derived layouts
+    (IVF partitions/centroids, quantized codes), snapshots — and any
+    aliases that pointed at it (Qdrant likewise drops a deleted
+    collection's aliases). Returns True if the collection existed.
+    Idempotent: deleting a missing collection returns False."""
+    if not collection_exists(root, name):
+        return False
+    coll = Collection(root, name)
+    for p in coll._state_paths():
+        shutil.rmtree(p, ignore_errors=True)
+    snaps = os.path.join(root, "_snapshots", name)
+    shutil.rmtree(snaps, ignore_errors=True)
+    os.remove(coll.meta_path)
+    aliases = list_aliases(root)
+    dangling = [a for a, target in aliases.items() if target == name]
+    if dangling:
+        update_aliases(root, delete=dangling)
+    return True
+
+
 def create_collection(root: str, name: str, dim: int | None = None,
                       metric: str = "cosine", multivector: bool = False,
                       comparator: str | None = None,

@@ -258,7 +258,8 @@ def jaccard_pairs(df: DataFrame, block_col: Column, text_col: str = "text",
 def embedding_near_pairs(df: DataFrame, block_col: Column,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          min_cosine: float = 0.9,
-                         dim: int | None = None) -> DataFrame:
+                         dim: int | None = None,
+                         block_out: str | None = None) -> DataFrame:
     """Semantic near-dup: pairs with cosine ≥ τ, blocked by a coarse
     key (label, IVF centroid, LSH bucket) to bound the join.
 
@@ -286,14 +287,18 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
     cos = F.round(
         dot_unrolled(av, bv, dim) if dim is not None else dot(av, bv), 6
     )
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ]
+    if block_out is not None:
+        # `on="block"` coalesces the key into one output column
+        out_cols.insert(0, F.col("block").alias(block_out))
     return (
         a.join(b, on="block")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        .select(*out_cols)
         .filter(F.col("cosine") >= min_cosine)
     )
 

@@ -245,6 +245,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, F.col("label"), min_cosine=0.3)
 
 
+def _semantic_cells_oracle(sf_dir: str, thr: float = 0.3) -> str:
+    """Oracle factory: re-derives the deterministic kmeans_np cells
+    (same centroid literals as the ANN det tier), recomputes the
+    first-min argmin assignment, then the within-cell normalize-
+    then-dot pairs — the full SemDeDup path value-checked."""
+    from .ann import _duck_sq_dist, _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    dl = "list_value(" + ", ".join(
+        _duck_sq_dist("e.embedding", c) for c in cents) + ")"
+    return f"""
+    WITH cand AS (
+      SELECT e.vec_id,
+             CAST(list_position({dl}, list_min({dl})) - 1 AS BIGINT)
+               AS cell,
+             list_transform(
+               CAST(e.embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+             ) AS v
+      FROM embeddings e
+    )
+    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
+    """
+
+
+@register("dedup_semantic_cells", _semantic_cells_oracle)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs blocked
+    by LEARNED kmeans cells instead of ground-truth labels — cluster
+    the embeddings, compare only within a cluster. This is the scale
+    path `dedup_embedding_cosine`'s docstring promises: the label
+    column doesn't exist in a real corpus, while the IVF layout is
+    already there for search, so dedup rides the same index. Blocking
+    makes the pair join O(Σ cell²) instead of O(n²), and on disk the
+    self-join is partition-local over the ``partitionBy(centroid_id)``
+    layout (no shuffle of the corpus — each cell joins within its own
+    partition). Assignment reuses the cached deterministic IVF index
+    (`queries/ann.py::_ivf_det_index`), so the centroids are shared
+    literals with the oracle and the whole path — training,
+    assignment, blocking, scoring — hash-checks end to end."""
+    from .ann import _ivf_det_index
+
+    assigned, _ = _ivf_det_index(spark, sf_dir)
+    return embedding_near_pairs(
+        assigned.withColumn("cell", F.col("centroid_id").cast("long")),
+        F.col("cell"), min_cosine=0.3, block_out="cell")
+
+
 @register(
     "dedup_duplicate_clusters",
     """

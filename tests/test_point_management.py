@@ -705,3 +705,33 @@ def test_with_payload_selector(spark, sf_smoke, tmp_path):
     assert [r.id for r in page] == ref
     got = coll.retrieve(spark, ref[:2], with_payload=False).collect()
     assert set(got[0].asDict()) == {"id"}
+
+
+def test_list_and_delete_collection(spark, sf_smoke, tmp_path):
+    """Qdrant get_collections / delete_collection analogs: listing
+    follows the meta sidecar, deletion removes every state path plus
+    snapshots and dangling aliases, and is idempotent."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        collection_exists, delete_collection, list_aliases,
+        list_collections, update_aliases)
+
+    root = str(tmp_path)
+    assert list_collections(root) == []
+    coll = _fill(spark, sf_smoke, tmp_path,
+                 indexing_threshold=1)  # force an IVF layout on disk
+    create_collection(root, "other", dim=8)
+    assert list_collections(root) == ["c", "other"]
+    coll.rebuild_index(spark)
+    coll.create_snapshot("s1")
+    update_aliases(root, create={"docs": "c", "keep": "other"})
+    state = coll._state_paths()
+    assert len(state) > 1  # main table + index layouts
+    assert delete_collection(root, "c") is True
+    assert list_collections(root) == ["other"]
+    assert not collection_exists(root, "c")
+    for p in state:
+        assert not os.path.exists(p)
+    assert not os.path.exists(os.path.join(root, "_snapshots", "c"))
+    # alias at the deleted collection dropped; unrelated alias kept
+    assert list_aliases(root) == {"keep": "other"}
+    assert delete_collection(root, "c") is False  # idempotent

@@ -17,6 +17,7 @@ DEDUP = [
     "dedup_simhash_near_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_semantic_cells",
     "dedup_duplicate_clusters",
     "dedup_exact_substrings",
 ]
