@@ -126,8 +126,10 @@ HEADLINE = [
     "ingest_tenant_defrag",
     "ingest_query_by_id",
     # round 7: SemDeDup — embedding near-dup blocked by learned IVF
-    # cells (partition-local pair join over the centroid layout)
+    # cells (partition-local pair join over the centroid layout) and
+    # its full resolution (components + farthest-from-centroid keep)
     "dedup_semantic_cells",
+    "dedup_semantic_keep",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -297,6 +297,83 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"), min_cosine=0.3, block_out="cell")
 
 
+def _semantic_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
+    """Oracle factory for the full SemDeDup resolution: det cells,
+    within-cell edges, recursive-CTE components (min reachable label
+    ≡ min-label-propagation fixpoint), and the keep policy as a
+    window over (centroid_dist DESC, vec_id ASC)."""
+    from .ann import _duck_sq_dist, _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    dl = "list_value(" + ", ".join(
+        _duck_sq_dist("e.embedding", c) for c in cents) + ")"
+    return f"""
+    WITH RECURSIVE cand AS (
+      SELECT e.vec_id,
+             CAST(list_position({dl}, list_min({dl})) - 1 AS BIGINT)
+               AS cell,
+             ROUND(list_min({dl}), 6) AS cdist,
+             list_transform(
+               CAST(e.embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+             ) AS v
+      FROM embeddings e
+    ),
+    edges AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
+    ),
+    und AS (SELECT ea AS a, eb AS b FROM edges
+            UNION ALL SELECT eb, ea FROM edges),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM cand
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    clusters AS (
+      SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.vec_id, d.cell, c.cluster_id, d.cdist,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.cdist DESC, c.vec_id ASC) = 1 AS keep
+    FROM clusters c JOIN cand d ON c.vec_id = d.vec_id
+    """
+
+
+@register("dedup_semantic_keep", _semantic_keep_oracle)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup resolution: within-cell near-dup pairs →
+    connected components → one survivor per component, chosen as the
+    point FARTHEST from its cluster centroid (Abbas et al. 2023 keep
+    the low-centroid-similarity example — it is the least redundant
+    member; ties by min vec_id). Emits every point with its cell,
+    duplicate-cluster id, rounded own-centroid distance, and the keep
+    flag — the drop list a training-data pipeline actually consumes.
+    Components are propagated with the same min-label loop as
+    `dedup_duplicate_clusters`; since edges never cross cells, the
+    loop's join rounds stay partition-local over the centroid
+    layout."""
+    from pyspark.sql import Window
+
+    from .ann import _ivf_det_index
+
+    assigned, _ = _ivf_det_index(spark, sf_dir)
+    rows = assigned.select(
+        "vec_id", "embedding",
+        F.col("centroid_id").cast("long").alias("cell"),
+        F.round(F.col("centroid_dist"), 6).alias("cdist"))
+    pairs = embedding_near_pairs(rows, F.col("cell"), min_cosine=0.3)
+    cc = connected_components(pairs, nodes=rows, id_col="vec_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cdist").desc(), F.col("vec_id").asc())
+    return (rows.join(cc, "vec_id")
+            .select("vec_id", "cell", "cluster_id", "cdist")
+            .withColumn("keep", F.row_number().over(w) == 1))
+
+
 @register(
     "dedup_duplicate_clusters",
     """
