@@ -22,7 +22,8 @@ import sys
 
 from pyspark.sql import functions as F
 
-from .catalog import Collection, collection_exists, create_collection
+from .catalog import (Collection, collection_exists, create_collection,
+                      delete_collection, list_collections)
 from .config import EngineConfig
 from .session import get_spark
 from .sources.embedder import HashEmbedder
@@ -210,6 +211,30 @@ def cmd_matrix(cfg: EngineConfig, args) -> int:
     return 0
 
 
+def cmd_collections(cfg: EngineConfig, args) -> int:
+    """List collections under the root (Qdrant ``get_collections``).
+    Pure directory listing — no SparkSession spin-up."""
+    root = args.collection_root or cfg.collection_root
+    for name in list_collections(root):
+        print(name)
+    return 0
+
+
+def cmd_drop(cfg: EngineConfig, args) -> int:
+    """Delete a collection and all derived state (Qdrant
+    ``delete_collection``). Refuses without ``--yes``."""
+    root = args.collection_root or cfg.collection_root
+    name = args.collection or cfg.collection_name
+    if not args.yes:
+        print(f"refusing to delete {name!r} without --yes", file=sys.stderr)
+        return 1
+    if not delete_collection(root, name):
+        print(f"collection {name} not found under {root}", file=sys.stderr)
+        return 1
+    print(f"deleted {name}")
+    return 0
+
+
 def _id_arg(s):
     """Point ids on the CLI: int if it parses, else the raw string."""
     try:
@@ -272,6 +297,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--top-k", type=int, default=3)
     _add_common(p)
 
+    p = sub.add_parser("collections")
+    _add_common(p)
+
+    p = sub.add_parser("drop")
+    p.add_argument("--yes", action="store_true",
+                   help="confirm deletion (refused otherwise)")
+    _add_common(p)
+
     args = parser.parse_args(argv)
     cfg = EngineConfig()
     if getattr(args, "top_k", None) is None and args.cmd == "query":
@@ -286,6 +319,8 @@ def main(argv: list[str] | None = None) -> int:
         "scroll": cmd_scroll,
         "discover": cmd_discover,
         "matrix": cmd_matrix,
+        "collections": cmd_collections,
+        "drop": cmd_drop,
     }[args.cmd](cfg, args)
 
 

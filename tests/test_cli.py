@@ -166,3 +166,23 @@ def test_cli_discover_and_matrix(spark, tmp_path, monkeypatch, capsys):
 
     assert cli.main(["discover", "--context", "badpair",
                      "--collection", "txt", "--root", root]) == 1
+
+
+def test_cli_collections_and_drop(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("ENGINE_EMBED_DIM", "8")
+    root = str(tmp_path / "colls")
+    sample = _write_sample(tmp_path)
+    assert cli.main(["index-docs", "--json", sample, "--collection", "txt",
+                     "--root", root]) == 0
+    capsys.readouterr()  # drain index output
+    rc = cli.main(["collections", "--root", root])
+    assert rc == 0 and capsys.readouterr().out.split() == ["txt"]
+    # refuses without --yes; collection survives
+    rc = cli.main(["drop", "--collection", "txt", "--root", root])
+    assert rc == 1 and "refusing" in capsys.readouterr().err
+    rc = cli.main(["drop", "--collection", "txt", "--root", root, "--yes"])
+    assert rc == 0 and "deleted txt" in capsys.readouterr().out
+    rc = cli.main(["collections", "--root", root])
+    assert rc == 0 and capsys.readouterr().out.strip() == ""
+    rc = cli.main(["drop", "--collection", "txt", "--root", root, "--yes"])
+    assert rc == 1
