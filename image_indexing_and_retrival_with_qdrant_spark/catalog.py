@@ -524,17 +524,20 @@ class Collection:
         return {vec_col_default, "n_vecs", vec_col_default + "__pooled"}
 
     def _apply_with_payload(self, df: DataFrame, with_payload,
-                            id_col: str, vec_col: str) -> DataFrame:
+                            id_col: str, vec_col: str,
+                            keep_extra: tuple = ()) -> DataFrame:
         """Qdrant ``with_payload`` selector: ``True`` keeps every
         payload column (the default everywhere), ``False``/``None``
         drops them all, a list keeps that subset, and
         ``{"exclude": [...]}`` keeps the complement. A plain post-
         projection — Catalyst prunes the dropped columns back out of
-        the scan, so narrowing payload narrows IO too."""
+        the scan, so narrowing payload narrows IO too. ``keep_extra``
+        names result-structure columns (group keys, lookup fields)
+        the selector must never treat as payload."""
         if with_payload is True:
             return df
         keep = self._vector_columns(vec_col) | {
-            id_col, "score", "rank", "query_idx"}
+            id_col, "score", "rank", "query_idx"} | set(keep_extra)
         payload = [c for c in df.columns if c not in keep]
         if with_payload is False or with_payload is None:
             sel = set()
@@ -1450,7 +1453,8 @@ class Collection:
                      oversampling: float = 4.0,
                      rescore: int | None = None,
                      recall_target: float | None = None,
-                     with_vectors: bool = False) -> DataFrame:
+                     with_vectors: bool = False,
+                     with_payload=True) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
         All queries share ONE corpus pass (broadcast query set +
@@ -1462,6 +1466,15 @@ class Collection:
         tier — per-query tiers would defeat the single-pass plan)."""
         from .operators.knn import dense_knn_batch
 
+        if with_payload is not True:
+            full = self.search_batch(
+                spark, query_vectors, k=k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact,
+                using=using, oversampling=oversampling, rescore=rescore,
+                recall_target=recall_target, with_vectors=with_vectors)
+            return self._apply_with_payload(
+                full, with_payload, id_col, vec_col)
         if recall_target is not None:
             nprobe, exact, oversampling, rescore = \
                 self._resolve_recall_target(
@@ -1699,7 +1712,7 @@ class Collection:
                   vec_col: str = "embedding", nprobe: int | None = None,
                   exact: bool = False, using: str | None = None,
                   strategy: str = "average_vector",
-                  lookup_from=None) -> DataFrame:
+                  lookup_from=None, with_payload=True) -> DataFrame:
         """Qdrant's ``recommend`` analog (``strategy=average_vector``,
         the client default): the query vector is ``avg(positive
         examples) − avg(negative examples)`` over the *stored* vectors
@@ -1769,7 +1782,8 @@ class Collection:
                 dim=cfg.get("dim"), metric=cfg.get("metric", "cosine"))
             if score_threshold is not None:
                 out = out.filter(F.col("score") >= score_threshold)
-            return out
+            return self._apply_with_payload(
+                out, with_payload, id_col, cfg["vec_col"])
         if strategy != "average_vector":
             raise ValueError(f"unknown recommend strategy {strategy!r}")
 
@@ -1790,6 +1804,7 @@ class Collection:
             spark, qv, k=k, query_filter=flt,
             score_threshold=score_threshold, id_col=id_col,
             vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
+            with_payload=with_payload,
         )
 
     def recommend_groups(self, spark: SparkSession, positive: list,
@@ -1918,7 +1933,7 @@ class Collection:
     def discover(self, spark: SparkSession, context: list,
                  target=None, k: int = 5, query_filter=None,
                  id_col: str = "id", vec_col: str = "embedding",
-                 using: str | None = None) -> DataFrame:
+                 using: str | None = None, with_payload=True) -> DataFrame:
         """Qdrant's Discovery API analog (``client.discover``): guide
         the search with ``context`` pairs ``(positive, negative)`` —
         each a point id or a raw vector. With ``target`` set this is
@@ -1946,11 +1961,15 @@ class Collection:
             dim=cfg.get("dim"), metric=cfg.get("metric", "cosine"),
         )
         if target is None:
-            return context_search(corpus, pairs, **common)
+            return self._apply_with_payload(
+                context_search(corpus, pairs, **common),
+                with_payload, id_col, vec_col)
         tv = self._resolve_examples(spark, [target], id_col, vec_col)[0]
         if cfg.get("normalize"):
             tv = _unit(tv)
-        return discovery_search(corpus, tv, pairs, **common)
+        return self._apply_with_payload(
+            discovery_search(corpus, tv, pairs, **common),
+            with_payload, id_col, vec_col)
 
     def discover_batch(self, spark: SparkSession, requests: list,
                        k: int = 5, query_filter=None,
@@ -2042,7 +2061,7 @@ class Collection:
                       query_filter=None, id_col: str = "id",
                       vec_col: str = "embedding",
                       using: str | None = None,
-                      with_lookup=None) -> DataFrame:
+                      with_lookup=None, with_payload=True) -> DataFrame:
         """Qdrant's ``query_points_groups`` analog (dense collections):
         results grouped by a payload field — the best ``group_size``
         hits from each of the top ``limit`` groups, groups ranked by
@@ -2106,8 +2125,15 @@ class Collection:
         out = top_groups(scored, group_by,
                          [("score", asc), (id_col, True)],
                          limit=limit, group_size=group_size)
+        # group structure (the key + group_rank) is never payload
+        def shape(d: DataFrame) -> DataFrame:
+            extra = tuple(c for c in d.columns
+                          if c in (group_by, "group_rank")
+                          or c.startswith("lookup_"))
+            return self._apply_with_payload(
+                d, with_payload, id_col, vec_col, keep_extra=extra)
         if with_lookup is None:
-            return out
+            return shape(out)
         if isinstance(with_lookup, tuple):
             lookup, lfields = with_lookup
         else:
@@ -2126,9 +2152,9 @@ class Collection:
         sel = ltab.filter(F.col(id_col).isin(gids)).select(
             F.col(id_col).alias("__gid"),
             *[F.col(c).alias(f"lookup_{c}") for c in lfields])
-        return (out.join(F.broadcast(sel),
-                         out[group_by] == sel["__gid"], "left")
-                .drop("__gid"))
+        return shape(out.join(F.broadcast(sel),
+                              out[group_by] == sel["__gid"], "left")
+                     .drop("__gid"))
 
     def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
                              cfg: dict, k: int, query_filter,

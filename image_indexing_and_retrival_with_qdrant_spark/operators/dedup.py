@@ -445,6 +445,53 @@ def connected_components(
                          F.col("lbl").alias("cluster_id"))
 
 
+def cell_local_components(nodes: DataFrame, edges: DataFrame,
+                          cell_col: str = "cell",
+                          id_col: str = "vec_id",
+                          src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Connected components when every edge stays INSIDE a blocking
+    cell (SemDeDup: pairs are generated within learned clusters, so
+    components are cell-bounded by construction). That bound changes
+    the algorithm: instead of `connected_components`' global
+    min-label iteration (one join + one convergence count PER round),
+    a single cogroup on the cell key hands each cell's nodes + edges
+    to an Arrow-batched union-find — one shuffle total, no driver
+    round-trips, and per-task memory bounded by the largest cell
+    (the same bound the pair join already requires, enforced by the
+    cap-and-split policy). Returns ``(id_col, cluster_id)`` with
+    cluster_id = min member id — identical semantics to
+    `connected_components`, value-oracle-compatible."""
+    import pandas as pd
+
+    def resolve(node_pdf: "pd.DataFrame", edge_pdf: "pd.DataFrame"):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x in node_pdf[id_col]:
+            parent[x] = x
+        for a, b in zip(edge_pdf[src], edge_pdf[dst]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the label IS the min member id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = list(node_pdf[id_col])
+        return pd.DataFrame({id_col: ids,
+                             "cluster_id": [find(x) for x in ids]})
+
+    return (nodes.select(cell_col, id_col).groupBy(cell_col)
+            .cogroup(edges.select(cell_col, src, dst).groupBy(cell_col))
+            .applyInPandas(resolve,
+                           schema=f"{id_col} long, cluster_id long"))
+
+
 def duplicated_window_stats(df: DataFrame, window: int = 10,
                             text_col: str = "text",
                             id_col: str = "doc_id",

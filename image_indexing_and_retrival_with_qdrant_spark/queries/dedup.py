@@ -352,12 +352,15 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     member; ties by min vec_id). Emits every point with its cell,
     duplicate-cluster id, rounded own-centroid distance, and the keep
     flag — the drop list a training-data pipeline actually consumes.
-    Components are propagated with the same min-label loop as
-    `dedup_duplicate_clusters`; since edges never cross cells, the
-    loop's join rounds stay partition-local over the centroid
-    layout."""
+    Since edges never cross cells, components resolve CELL-LOCALLY:
+    one cogroup hands each cell's nodes + edges to an Arrow-batched
+    union-find (`cell_local_components`) — one shuffle, no global
+    min-label iteration (measured 8.8 → ~2 s at sf0.1: the loop's
+    per-round join + convergence count is pure overhead when the
+    graph is cell-bounded)."""
     from pyspark.sql import Window
 
+    from ..operators.dedup import cell_local_components
     from .ann import _ivf_det_index
 
     assigned, _ = _ivf_det_index(spark, sf_dir)
@@ -365,8 +368,9 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         F.col("centroid_id").cast("long").alias("cell"),
         F.round(F.col("centroid_dist"), 6).alias("cdist"))
-    pairs = embedding_near_pairs(rows, F.col("cell"), min_cosine=0.3)
-    cc = connected_components(pairs, nodes=rows, id_col="vec_id")
+    pairs = embedding_near_pairs(rows, F.col("cell"), min_cosine=0.3,
+                                 block_out="cell")
+    cc = cell_local_components(rows, pairs)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("cdist").desc(), F.col("vec_id").asc())
     return (rows.join(cc, "vec_id")

@@ -463,6 +463,104 @@ def ivf_skew_stress(n: int = 10_000_000) -> None:
     spark.stop()
 
 
+def semdedup_stress(n: int = 1_000_000, k: int = 1000,
+                    thr: float = 0.9) -> None:
+    """SemDeDup at scale (`dedup_semantic_cells`/`_keep`'s shape):
+    n rows with PLANTED near-dups — row p and row p + n/2 share a
+    base vector with small independent jitter (cosine ≈ 0.995), so
+    every planted pair is a ground-truth duplicate the pipeline must
+    recover. Train a k-cell quantizer on a seeded sample (the FAISS
+    convention — k ≈ n/1000, SemDeDup's published regime), assign via
+    the Arrow-batched BLAS path (k=1000 overflows the expression
+    form), lay out partitionBy(centroid_id), then run the within-cell
+    pair join. Reported recall = planted pairs recovered / planted
+    pairs; a miss means the two copies straddled a cell boundary —
+    SemDeDup's documented approximation, the measured number here.
+    Pair-join cost is Σ cell²·d ≈ n²d/k — the k dial is the whole
+    game, and the cap-and-split policy (skew stress above) bounds the
+    worst cell."""
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        l2_normalize,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroids,
+        ivf_cell_counts,
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+
+    spark = get_spark("stress-semdedup",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+    half = n // 2
+
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    parent = F.col("vec_id") % half
+    dims = [
+        ((F.xxhash64(parent, F.lit(i)) % 2000001 - 1000000)
+         / F.lit(1000000.0))
+        + 0.03 * ((F.xxhash64(F.col("vec_id"), F.lit(1000 + i))
+                   % 2000001 - 1000000) / F.lit(1000000.0))
+        for i in range(DIM)
+    ]
+    corpus_dir = tempfile.mkdtemp(prefix="stress_semdedup_corpus_")
+    df.select(
+        "vec_id", l2_normalize(F.array(*dims)).alias("embedding")
+    ).write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+
+    layout = tempfile.mkdtemp(prefix="semdedup_layout_")
+    try:
+        # sampled train: ~64 rows per centroid, seeded + sorted so
+        # the codebook is run-independent
+        t0 = time.perf_counter()
+        sample = (corpus.sample(fraction=min(1.0, (64 * k) / n), seed=42)
+                  .select("vec_id", "embedding").collect())
+        X = [r.embedding for r in sorted(sample, key=lambda r: r[0])]
+        cents = kmeans_np(X, k, seed=42, max_iter=5)
+        timings["train_kmeans_sampled"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        assigned = corpus.withColumn(
+            "centroid_id", assign_centroids(cents, F.col("embedding")))
+        assigned.write.mode("overwrite").partitionBy(
+            "centroid_id").parquet(layout)
+        timings["assign_and_layout"] = round(time.perf_counter() - t0, 2)
+
+        table = spark.read.parquet(layout)
+        counts = ivf_cell_counts(table)
+        timings["max_cell_fraction"] = round(max(counts.values()) / n, 4)
+
+        t0 = time.perf_counter()
+        stats = (
+            embedding_near_pairs(table, F.col("centroid_id"),
+                                 min_cosine=thr)
+            .agg(
+                F.count(F.lit(1)).alias("pairs"),
+                F.sum(((F.col("id_b") - F.col("id_a")) == half)
+                      .cast("long")).alias("planted_found"),
+            ).collect()[0]
+        )
+        timings["within_cell_pair_join"] = round(time.perf_counter() - t0, 2)
+        timings["pairs_emitted"] = int(stats.pairs)
+        recall = stats.planted_found / half
+        timings["planted_pair_recall"] = round(recall, 4)
+        assert recall > 0.5, (
+            f"cell blocking lost most planted dups (recall={recall:.3f})")
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "stress_semdedup", "rows": n, "cells": k, "dim": DIM,
+        "threshold": thr, "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 def substring_dedup_at_scale(n: int = 10_000_000, n_tokens: int = 30,
                              window: int = 10, vocab: int = 50_000) -> None:
     """Exact-substring dedup at corpus scale: ``n`` synthetic docs of
@@ -678,6 +776,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         args = [int(a) for a in sys.argv[2:]]
         substring_dedup_at_scale(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        args = [int(a) for a in sys.argv[2:]]
+        semdedup_stress(*args)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -735,3 +735,38 @@ def test_list_and_delete_collection(spark, sf_smoke, tmp_path):
     # alias at the deleted collection dropped; unrelated alias kept
     assert list_aliases(root) == {"keep": "other"}
     assert delete_collection(root, "c") is False  # idempotent
+
+
+def test_with_payload_on_batch_and_derived_search(spark, sf_smoke, tmp_path):
+    """with_payload narrows search_batch, recommend, discover, and
+    search_groups identically to the full run (values unchanged)."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    first = coll.read(spark).orderBy("id").limit(2).collect()
+    qv = list(first[0].embedding)
+    ids = [r.id for r in first]
+
+    full = coll.search_batch(spark, [qv, qv], k=3)
+    none = coll.search_batch(spark, [qv, qv], k=3, with_payload=False)
+    assert set(none.columns) == {"query_idx", "id", "score", "rank"}
+    key = lambda d: sorted((r.query_idx, r.id, r.score) for r in d.collect())
+    assert key(none) == key(full)
+
+    rec = coll.recommend(spark, positive=[ids[0]], k=3,
+                         with_payload=["lang"])
+    assert set(rec.columns) == {"id", "score", "lang"}
+    rec_bs = coll.recommend(spark, positive=ids, k=3,
+                            strategy="best_score", with_payload=False)
+    assert set(rec_bs.columns) == {"id", "score"}
+
+    disc = coll.discover(spark, context=[(ids[0], ids[1])], k=3,
+                         with_payload=False)
+    assert set(disc.columns) == {"id", "score"}
+    disc_t = coll.discover(spark, context=[(ids[0], ids[1])],
+                           target=ids[0], k=3, with_payload=["lang"])
+    assert "lang" in disc_t.columns and "doc_id" not in disc_t.columns
+
+    grp = coll.search_groups(spark, qv, group_by="lang", limit=2,
+                             group_size=2, with_payload=False)
+    # the group key and ranks survive payload=False
+    assert {"lang", "group_rank", "rank", "id", "score"} <= set(grp.columns)
+    assert "doc_id" not in grp.columns

@@ -133,3 +133,29 @@ def test_duplicated_window_stats_semantics(spark):
     assert got[4].dup_windows == 0
     assert got[1].total_windows == 9 - 5 + 1
     assert got[1].dup_frac == round(1 / 5, 6)
+
+
+def test_cell_local_components_matches_global(spark, sf_smoke):
+    """The one-pass cell-local union-find must produce the exact
+    cluster assignment of the global min-label loop when edges are
+    cell-bounded (the SemDeDup precondition)."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        cell_local_components,
+        connected_components,
+        embedding_near_pairs,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings").withColumn(
+        "cell", (F.col("vec_id") % 4).cast("long"))
+    pairs = embedding_near_pairs(emb, F.col("cell"), min_cosine=0.3,
+                                 block_out="cell")
+    assert pairs.count() > 0
+    local = {(r.vec_id, r.cluster_id)
+             for r in cell_local_components(emb, pairs).collect()}
+    global_ = {(r.vec_id, r.cluster_id)
+               for r in connected_components(
+                   pairs, nodes=emb, id_col="vec_id").collect()}
+    assert local == global_
