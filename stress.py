@@ -526,8 +526,11 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         t0 = time.perf_counter()
         assigned = corpus.withColumn(
             "centroid_id", assign_centroids(cents, F.col("embedding")))
-        assigned.write.mode("overwrite").partitionBy(
-            "centroid_id").parquet(layout)
+        # repartition on the cell key first: without it every write
+        # task opens a file per cell it sees (tasks × k small files)
+        (assigned.repartition("centroid_id")
+         .write.mode("overwrite").partitionBy("centroid_id")
+         .parquet(layout))
         timings["assign_and_layout"] = round(time.perf_counter() - t0, 2)
 
         table = spark.read.parquet(layout)
