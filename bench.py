@@ -130,6 +130,8 @@ HEADLINE = [
     # its full resolution (components + farthest-from-centroid keep)
     "dedup_semantic_cells",
     "dedup_semantic_keep",
+    # round 7: DSIR importance weights (two map passes + B-bounded agg)
+    "docs_dsir_select",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -712,3 +712,138 @@ def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens",
         F.round(-s / F.col("n_tokens").cast("double"), 6).alias("nll"),
     )
+
+
+_DSIR_B = 4096  # hashed-feature buckets (DSIR's hashed n-gram space)
+
+@register(
+    "docs_dsir_select",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source, regexp_extract_all(text, '\\w+') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, unnest(
+        list_concat(toks,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [] END)) AS feat
+      FROM toked
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+      FROM feats
+    ),
+    t AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tn
+          FROM b WHERE source = 'src0' GROUP BY bucket),
+    r AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rn
+          FROM b WHERE source <> 'src0' GROUP BY bucket),
+    tt AS (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) AS ttotal FROM t),
+    rt AS (SELECT CAST(COALESCE(SUM(rn), 0) AS BIGINT) AS rtotal FROM r),
+    lp AS (
+      SELECT bb.doc_id,
+             ln(CAST(COALESCE(t.tn, 0) + 1 AS DOUBLE)
+                / CAST(tt.ttotal + {_DSIR_B} AS DOUBLE))
+           - ln(CAST(COALESCE(r.rn, 0) + 1 AS DOUBLE)
+                / CAST(rt.rtotal + {_DSIR_B} AS DOUBLE)) AS lp
+      FROM b bb LEFT JOIN t ON bb.bucket = t.bucket
+                LEFT JOIN r ON bb.bucket = r.bucket
+                CROSS JOIN tt CROSS JOIN rt
+    ),
+    agg AS (
+      SELECT doc_id, list(lp ORDER BY lp) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_feats
+      FROM lp GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_feats,
+             ROUND(list_reduce(lps, (a, b) -> a + b), 6) AS logw
+      FROM agg
+    )
+    SELECT doc_id, n_feats, logw,
+           ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id)
+             <= CAST(FLOOR(0.25 * COUNT(*) OVER ()) AS BIGINT) AS keep
+    FROM scored
+    """,
+)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance weight of its hashed n-gram features under
+    a TARGET bag-of-ngrams LM vs the RAW corpus LM —
+    ``Σ_feat [ln p_target(b) − ln p_raw(b)]`` with add-1 smoothing
+    over the hashed bucket space. The fixture's ``src0`` plays the
+    target domain (the Wikipedia/books role); features are word
+    unigrams + bigrams hashed into 4096 buckets via the portable md5
+    hash (the cross-engine twin of DSIR's hashed feature space).
+    ``keep`` marks the top 25 % by weight (ties by doc_id) — the
+    deterministic form of DSIR's importance resampling (the paper
+    draws a Gumbel top-k over these same weights; the weights, not
+    the draw, are the engine's work). The selection rank is a global
+    window here; at corpus scale replace it with a threshold from a
+    sampled weight quantile — the weights themselves need no change.
+
+    Shape: feature explode is scan-local; bucket counts are one
+    uniform shuffle over int keys bounded by B; both LMs broadcast
+    back (B ≤ 4096 rows each — at any corpus size, since the space is
+    hashed); the per-doc sorted left-fold (float parity, same
+    convention as `docs_unigram_perplexity`) is scan-local. The raw
+    corpus is never re-shuffled wide — the op is two map passes and a
+    tiny agg, which is exactly why DSIR scales to trillions of
+    tokens."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source",
+                        tokens(F.col("text")).alias("toks"))
+    feats = F.expr("""
+      concat(toks, CASE WHEN size(toks) >= 2
+        THEN transform(sequence(1, size(toks) - 1),
+                       i -> concat(toks[i - 1], ' ', toks[i]))
+        ELSE CAST(array() AS array<string>) END)
+    """)
+    from ..functions.text import hash64
+
+    b = toked.select(
+        "doc_id", "source", F.explode(feats).alias("feat")
+    ).select(
+        "doc_id", "source",
+        (hash64(F.col("feat")) % _DSIR_B).alias("bucket"))
+    t = (b.filter(F.col("source") == "src0")
+         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tn")))
+    r = (b.filter(F.col("source") != "src0")
+         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rn")))
+    tt = t.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("ttotal"))
+    rt = r.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("rtotal"))
+    lp = (
+        b.join(F.broadcast(t), "bucket", "left")
+        .join(F.broadcast(r), "bucket", "left")
+        .join(F.broadcast(tt)).join(F.broadcast(rt))
+        .select(
+            "doc_id",
+            (F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1).cast("double")
+                   / (F.col("ttotal") + _DSIR_B).cast("double"))
+             - F.log((F.coalesce(F.col("rn"), F.lit(0)) + 1).cast("double")
+                     / (F.col("rtotal") + _DSIR_B).cast("double"))
+             ).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("lp")).alias("lps"),
+        F.count(F.lit(1)).alias("n_feats"),
+    )
+    scored = agg.select(
+        "doc_id", "n_feats",
+        F.round(F.aggregate(F.col("lps"), F.lit(0.0),
+                            lambda acc, x: acc + x), 6).alias("logw"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("logw").desc(), F.col("doc_id"))
+    n = Window.partitionBy()
+    return scored.withColumn(
+        "keep",
+        F.row_number().over(w)
+        <= F.floor(0.25 * F.count(F.lit(1)).over(n)))

@@ -20,6 +20,7 @@ NAMES = [
     "docs_source_mixture",
     "docs_source_profile",
     "docs_unigram_perplexity",
+    "docs_dsir_select",
 ]
 
 
