@@ -132,6 +132,9 @@ HEADLINE = [
     "dedup_semantic_keep",
     # round 7: DSIR importance weights (two map passes + B-bounded agg)
     "docs_dsir_select",
+    # round 7: sparse space through the collection lifecycle (write +
+    # IDF-modified posting-pruned search + payload-off projection)
+    "ingest_sparse_space_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -514,14 +514,19 @@ class Collection:
 
     def _vector_columns(self, vec_col_default: str = "embedding") -> set[str]:
         """Every vector-data column (all spaces + their n_vecs and
-        pooled sidecars) — the complement of the payload."""
+        pooled sidecars, plus sparse index/value arrays) — the
+        complement of the payload."""
         named = self.meta.get("vectors")
         if named:
             out = set()
             for name in named:
                 out.update((name, name + "__nv", name + "__pooled"))
-            return out
-        return {vec_col_default, "n_vecs", vec_col_default + "__pooled"}
+        else:
+            out = {vec_col_default, "n_vecs",
+                   vec_col_default + "__pooled"}
+        for name in (self.meta.get("sparse_vectors") or ()):
+            out.update((name + "__sidx", name + "__sval"))
+        return out
 
     def _apply_with_payload(self, df: DataFrame, with_payload,
                             id_col: str, vec_col: str,
@@ -940,6 +945,12 @@ class Collection:
         if sk and sk not in points.columns:
             raise ValueError(
                 f"sharded collection requires column {sk!r} on every point")
+        sparse_missing = [
+            n + suf for n in (self.meta.get("sparse_vectors") or ())
+            for suf in ("__sidx", "__sval") if n + suf not in points.columns]
+        if sparse_missing:
+            raise ValueError(
+                f"missing sparse vector columns: {sparse_missing}")
         named = self.meta.get("vectors")
         if named:
             missing = [n for n in named if n not in points.columns]
@@ -1153,6 +1164,61 @@ class Collection:
                 rescore = r["rescore"]
         return nprobe, exact, oversampling, rescore
 
+    def _sparse_search(self, spark: SparkSession, query_vector,
+                       name: str, k: int = 5, query_filter=None,
+                       score_threshold=None, id_col: str = "id",
+                       offset: int = 0,
+                       with_vectors: bool = False) -> DataFrame:
+        """Search one sparse space (Qdrant ``query=SparseVector(...)``
+        + ``using=<sparse name>``). The query is ``(indices, values)``
+        or ``{"indices": ..., "values": ...}``; scoring is the sparse
+        dot product via the broadcast-pruned posting explode
+        (`operators/sparse.py::sparse_knn`), with the space's declared
+        ``modifier`` applied — IDF statistics always come from the
+        WHOLE collection (Qdrant computes them at index time), so a
+        request filter narrows candidates without changing df/N.
+        Payload joins back onto the ≤k+offset-row hit list
+        (broadcast); the corpus never re-shuffles."""
+        from pyspark.sql import Window
+
+        from .operators.sparse import sparse_knn
+
+        if isinstance(query_vector, dict):
+            qi, qv = query_vector["indices"], query_vector["values"]
+        else:
+            qi, qv = query_vector
+        if len(qi) != len(qv):
+            raise ValueError("sparse query indices/values length mismatch")
+        idx_c, val_c = name + "__sidx", name + "__sval"
+        table = self.read(spark)
+        full = table.filter(F.col(idx_c).isNotNull()).select(
+            F.col(id_col), F.col(idx_c).alias("indices"),
+            F.col(val_c).alias("values"))
+        query_filter = as_predicate(query_filter)
+        enc = full if query_filter is None else (
+            table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
+            .select(F.col(id_col), F.col(idx_c).alias("indices"),
+                    F.col(val_c).alias("values")))
+        mod = self.meta["sparse_vectors"][name].get("modifier")
+        hits = sparse_knn(
+            enc, list(qi), list(qv), k=k + (offset or 0), id_col=id_col,
+            modifier=mod,
+            stats_corpus=full if (mod and query_filter is not None)
+            else None)
+        if score_threshold is not None:
+            hits = hits.filter(F.col("score") >= score_threshold)
+        if offset:
+            w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+            hits = (hits.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") > offset).drop("__rn"))
+        drop = self._vector_columns()
+        if with_vectors:
+            drop = drop - {idx_c, val_c}
+        side = table.select(*[c for c in table.columns if c not in drop
+                              or c == id_col])
+        out = side.join(F.broadcast(hits), on=id_col)
+        return out.orderBy(F.col("score").desc(), F.col(id_col))
+
     def search(self, spark: SparkSession, query_vector: list,
                k: int = 5, query_filter=None, score_threshold=None,
                id_col: str = "id", vec_col: str = "embedding",
@@ -1230,6 +1296,25 @@ class Collection:
                 recall_target=recall_target, with_vectors=with_vectors)
             return self._apply_with_payload(
                 full, with_payload, id_col, vec_col)
+
+        sv = self.meta.get("sparse_vectors") or {}
+        if sv and (using in sv or (using is None
+                                   and "dim" not in self.meta
+                                   and not self.meta.get("vectors"))):
+            if using is None and len(sv) > 1:
+                raise ValueError(
+                    f"collection has sparse spaces {sorted(sv)}; "
+                    "pass using=<name>")
+            if (nprobe is not None or exact or rescore is not None
+                    or formula is not None or recall_target is not None):
+                raise ValueError(
+                    "sparse search takes no dense-tier knobs "
+                    "(nprobe/exact/rescore/formula/recall_target)")
+            return self._sparse_search(
+                spark, query_vector, using or next(iter(sv)), k=k,
+                query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                offset=offset, with_vectors=with_vectors)
 
         if isinstance(query_vector, (int, str)):
             # Qdrant query-by-id (``query_points(query=point_id)``):
@@ -2726,7 +2811,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       vectors: dict | None = None,
                       quantization: str | None = None,
                       shard_key: str | None = None,
-                      datatype: str | None = None) -> Collection:
+                      datatype: str | None = None,
+                      sparse_vectors: dict | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -2810,9 +2896,14 @@ def create_collection(root: str, name: str, dim: int | None = None,
                                 "quantization='sq'/'bq')")
                         spaces[vname]["datatype"] = "float16"
             meta = {"vectors": spaces}
+        elif dim is None and sparse_vectors is not None:
+            # sparse-only collection (Qdrant allows collections with
+            # only sparse_vectors_config) — no dense space at all
+            meta = {}
         else:
             if dim is None:
-                raise ValueError("dim is required (or pass `vectors`)")
+                raise ValueError(
+                    "dim is required (or pass `vectors`/`sparse_vectors`)")
             if normalize is None:
                 normalize = metric == "cosine"
             meta = {
@@ -2857,6 +2948,28 @@ def create_collection(root: str, name: str, dim: int | None = None,
                             "collections (dense compression: use "
                             "quantization='sq'/'bq')")
                     meta["datatype"] = "float16"
+        if sparse_vectors is not None:
+            # Qdrant sparse_vectors_config: named sparse spaces —
+            # points carry `<name>__sidx` (ascending vocabulary ids)
+            # and `<name>__sval` (weights); may coexist with dense
+            # spaces (names must not collide)
+            sp = {}
+            for sname, cfg in sparse_vectors.items():
+                if meta.get("vectors") and sname in meta["vectors"]:
+                    raise ValueError(
+                        f"sparse space {sname!r} collides with a dense "
+                        "vector space of the same name")
+                unknown = sorted(set(cfg or ()) - {"modifier"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown key(s) {unknown} in sparse space "
+                        f"{sname!r} config")
+                mod = (cfg or {}).get("modifier")
+                if mod not in (None, "idf"):
+                    raise ValueError(
+                        "sparse modifier must be None or 'idf'")
+                sp[sname] = {"modifier": mod}
+            meta["sparse_vectors"] = sp
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)
     return Collection(root, name)

@@ -126,7 +126,8 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
                k: int = 10, id_col: str = "doc_id",
                round_digits: int | None = 6,
                modifier: str | None = None,
-               n_points: int | None = None) -> DataFrame:
+               n_points: int | None = None,
+               stats_corpus: DataFrame | None = None) -> DataFrame:
     """Top-k by sparse dot product against one query. The broadcast
     query side prunes the exploded postings to query terms before any
     shuffle.
@@ -141,7 +142,13 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
     contributions irrational doubles, so the doc score folds
     left-to-right in ascending index order
     (``aggregate(array_sort(collect_list(...)))``) instead of a
-    native SUM — the unigram-perplexity float-parity discipline."""
+    native SUM — the unigram-perplexity float-parity discipline.
+
+    ``stats_corpus`` splits the IDF statistics source from the scored
+    corpus (Qdrant computes IDF collection-wide at index time, so a
+    request filter must narrow the CANDIDATES without changing df/N —
+    pass the unfiltered collection here and the filtered one as
+    ``corpus``)."""
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
         [(int(i), float(v)) for i, v in zip(query_indices, query_values)],
@@ -150,8 +157,12 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
     posting = sparse_postings(corpus, id_col=id_col)
     pruned = posting.join(F.broadcast(qdf), on="idx")
     if modifier == "idf":
-        n = float(n_points if n_points is not None else corpus.count())
-        dfreq = pruned.groupBy("idx").agg(
+        stats = corpus if stats_corpus is None else stats_corpus
+        n = float(n_points if n_points is not None else stats.count())
+        stats_pruned = pruned if stats_corpus is None else (
+            sparse_postings(stats, id_col=id_col)
+            .join(F.broadcast(qdf), on="idx"))
+        dfreq = stats_pruned.groupBy("idx").agg(
             F.count_distinct(F.col(id_col)).cast("double").alias("df"))
         idf = F.log((F.lit(n) - F.col("df") + F.lit(0.5))
                     / (F.col("df") + F.lit(0.5)) + F.lit(1.0))

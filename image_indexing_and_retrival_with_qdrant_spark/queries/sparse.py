@@ -98,3 +98,74 @@ def sparse_idf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = corpus.filter(F.col("doc_id") == 0).collect()[0]
     return sparse_knn(corpus, list(qrow.indices), list(qrow.values),
                       k=10, modifier="idf")
+
+
+_SPARSE_SPACE_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toked)
+  GROUP BY doc_id, term
+),
+q AS (SELECT term, tf AS qval FROM tf WHERE doc_id = 0),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+idf AS (
+  SELECT tf.term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (q.qval * ln((n.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0))
+           AS c
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN idf ON tf.term = idf.term CROSS JOIN n
+),
+agg AS (
+  SELECT doc_id, list(c ORDER BY term) AS cs FROM contrib GROUP BY doc_id
+)
+SELECT doc_id AS id, ROUND(list_reduce(cs, (a, b) -> a + b), 6) AS score
+FROM agg
+ORDER BY score DESC, id
+LIMIT 10
+"""
+
+
+@register("ingest_sparse_space_search", _SPARSE_SPACE_ORACLE)
+def ingest_sparse_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse surface through the COLLECTION lifecycle (Qdrant
+    ``sparse_vectors_config`` + ``query=SparseVector``): create a
+    collection with a named sparse space carrying the IDF modifier,
+    upsert points with ``text__sidx``/``text__sval`` arrays, search
+    with a sparse query via ``using="text"``. Same retrieval math as
+    `sparse_idf_knn_top10` (the oracle is its twin with the
+    collection's id column), but round-tripped through the on-disk
+    point table, the space dispatch in ``Collection.search``, and the
+    ``with_payload=False`` projection."""
+    import shutil
+    import tempfile
+
+    from ..catalog import create_collection
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_vocabulary(docs)
+    enc = sparse_from_text(docs, vocab)
+    points = (
+        enc.select(F.col("doc_id").alias("id"),
+                   F.col("indices").alias("text__sidx"),
+                   F.col("values").alias("text__sval"))
+        .join(docs.select(F.col("doc_id").alias("id"), "source", "lang"),
+              on="id"))
+    qrow = enc.filter(F.col("doc_id") == 0).collect()[0]
+    root = tempfile.mkdtemp(prefix="qd_sparse_space_")
+    try:
+        coll = create_collection(
+            root, "sp", sparse_vectors={"text": {"modifier": "idf"}})
+        coll.upsert(spark, points)
+        res = coll.search(
+            spark, (list(qrow.indices), list(qrow.values)),
+            using="text", k=10, with_payload=False)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

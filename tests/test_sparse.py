@@ -124,3 +124,93 @@ def test_sparse_idf_downweights_common_terms(spark):
     assert {idf[0].doc_id, idf[1].doc_id} == {0, 2}  # rare term wins
     with pytest.raises(ValueError, match="unknown sparse modifier"):
         sparse_knn(corpus, [0], [1.0], modifier="bm25")
+
+
+def test_sparse_space_collection_surface(spark, sf_smoke, tmp_path):
+    """Sparse vector spaces on collections: oracle-twin search via
+    the registry query (at smoke sf), request filters that narrow
+    candidates WITHOUT changing IDF stats, with_vectors, and the
+    sparse-only + mixed-space creation rules."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    compare(spark, REGISTRY["ingest_sparse_space_search"], sf_smoke,
+            "ingest_sparse_space_search")
+
+    docs = load(spark, sf_smoke, "documents")
+    vocab = term_vocabulary(docs)
+    enc = sparse_from_text(docs, vocab)
+    points = (
+        enc.select(F.col("doc_id").alias("id"),
+                   F.col("indices").alias("text__sidx"),
+                   F.col("values").alias("text__sval"))
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), on="id"))
+    coll = create_collection(
+        str(tmp_path), "sp", sparse_vectors={"text": {"modifier": "idf"}})
+    coll.upsert(spark, points)
+    q = enc.filter(F.col("doc_id") == 0).collect()[0]
+    qv = (list(q.indices), list(q.values))
+
+    # using= optional on a sparse-only single-space collection;
+    # ranking must equal the operator-level scorer (self-match is NOT
+    # guaranteed first under IDF — rare-term-heavy docs may outscore)
+    full = coll.search(spark, qv, k=5).collect()
+    ref = sparse_knn(enc, qv[0], qv[1], k=5, modifier="idf").collect()
+    assert [(r.id, r.score) for r in full] == \
+        [(r.doc_id, r.score) for r in ref]
+    assert "lang" in full[0].asDict()
+    # filter narrows candidates; surviving scores are UNCHANGED
+    # (IDF df/N stay collection-wide, Qdrant's index-time stats)
+    langs = {r.id: r.lang for r in points.select("id", "lang").collect()}
+    filt = coll.search(spark, qv, k=5,
+                       query_filter=F.col("lang") == "en").collect()
+    assert all(langs[r.id] == "en" for r in filt)
+    full_scores = {r.id: r.score for r in
+                   coll.search(spark, qv, k=coll.count(spark)).collect()}
+    assert all(full_scores[r.id] == r.score for r in filt)
+    # with_vectors returns the hit's stored sparse arrays
+    wv = coll.search(spark, qv, k=1, with_vectors=True).collect()[0]
+    stored = points.filter(F.col("id") == wv.id).collect()[0]
+    assert list(wv.text__sidx) == list(stored.text__sidx)
+    assert list(wv.text__sval) == list(stored.text__sval)
+    # dense knobs rejected on sparse spaces
+    with pytest.raises(ValueError, match="dense-tier knobs"):
+        coll.search(spark, qv, k=5, nprobe=2)
+    # upsert validates sparse columns
+    with pytest.raises(ValueError, match="missing sparse"):
+        coll.upsert(spark, points.drop("text__sval"))
+
+    # mixed dense + sparse spaces; name collisions rejected
+    with pytest.raises(ValueError, match="collides"):
+        create_collection(str(tmp_path), "bad",
+                          vectors={"text": {"dim": 4}},
+                          sparse_vectors={"text": {}})
+    mixed = create_collection(
+        str(tmp_path), "mx", vectors={"dense": {"dim": 8,
+                                                "normalize": False}},
+        sparse_vectors={"sparse": {}})
+    from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import (
+        HashEmbedder,
+    )
+    emb = HashEmbedder(dim=8)
+    mpts = (emb.embed(docs.limit(50), text_col="text")
+            .withColumnRenamed("embedding", "dense")
+            .select(F.col("doc_id").alias("id"), "dense")
+            .join(points.select("id", "text__sidx", "text__sval")
+                  .withColumnRenamed("text__sidx", "sparse__sidx")
+                  .withColumnRenamed("text__sval", "sparse__sval"), on="id"))
+    mixed.upsert(spark, mpts)
+    dense_hits = mixed.search(spark, [0.1] * 8, using="dense", k=3)
+    sparse_hits = mixed.search(spark, qv, using="sparse", k=3).collect()
+    mref = sparse_knn(
+        mpts.select(F.col("id").alias("doc_id"),
+                    F.col("sparse__sidx").alias("indices"),
+                    F.col("sparse__sval").alias("values")),
+        qv[0], qv[1], k=3).collect()
+    assert dense_hits.count() == 3
+    assert [(r.id, r.score) for r in sparse_hits] == \
+        [(r.doc_id, r.score) for r in mref]
+    # sparse arrays are vector data, not payload: scroll drops them
+    page = mixed.scroll(spark, limit=1).collect()[0].asDict()
+    assert "sparse__sidx" not in page and "dense" not in page
