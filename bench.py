@@ -135,6 +135,8 @@ HEADLINE = [
     # round 7: sparse space through the collection lifecycle (write +
     # IDF-modified posting-pruned search + payload-off projection)
     "ingest_sparse_space_search",
+    # round 7: mixed-space hybrid through the universal query API
+    "ingest_hybrid_query",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -1664,6 +1664,16 @@ class Collection:
             metric=cfg.get("metric", "cosine"),
         )
 
+    def _ranks_ascending(self, using: str | None, vec_col: str) -> bool:
+        """Whether a space's scores rank ascending (distance metrics)
+        — sparse spaces are dot products, always descending."""
+        from .operators.knn import _DISTANCE_METRICS
+
+        if using in (self.meta.get("sparse_vectors") or {}):
+            return False
+        return (self._vector_cfg(using, vec_col)
+                .get("metric", "cosine") in _DISTANCE_METRICS)
+
     def _prefetch_hits(self, spark: SparkSession, p: "Prefetch",
                        id_col: str, vec_col: str) -> DataFrame:
         """Evaluate one (possibly nested) prefetch branch. A branch
@@ -1709,7 +1719,6 @@ class Collection:
         the fused prescore (``score``) + payload; top-k by the
         formula value, returned as ``score``."""
         from .operators.fusion import dbsf_fuse, rrf_fuse
-        from .operators.knn import _DISTANCE_METRICS
 
         if isinstance(prefetch, Prefetch):
             prefetch = [prefetch]
@@ -1722,10 +1731,9 @@ class Collection:
                 id_col, vec_col)
         branches = []
         for p in prefetch:
-            cfg = self._vector_cfg(p.using, vec_col)
             hits = self._prefetch_hits(spark, p, id_col, vec_col)
-            asc = cfg.get("metric", "cosine") in _DISTANCE_METRICS
-            branches.append((hits.select(id_col, "score"), asc))
+            branches.append((hits.select(id_col, "score"),
+                             self._ranks_ascending(p.using, vec_col)))
         fuse_k = k if formula is None else max(50, k * 10)
         if fusion == "rrf":
             fused = rrf_fuse(branches, k=fuse_k, id_col=id_col)
@@ -1764,8 +1772,6 @@ class Collection:
             raise ValueError("query_batch needs at least one request")
         from pyspark.sql import Window
 
-        from .operators.knn import _DISTANCE_METRICS
-
         branches = []
         for i, req in enumerate(requests):
             out = self.query(spark, id_col=id_col, vec_col=vec_col,
@@ -1775,8 +1781,7 @@ class Collection:
             # rescore-by-vector in a distance space ranks ascending;
             # every fusion/formula score ranks descending
             asc = (req.get("query") is not None
-                   and self._vector_cfg(req.get("using"), vec_col)
-                   .get("metric", "cosine") in _DISTANCE_METRICS)
+                   and self._ranks_ascending(req.get("using"), vec_col))
             w = Window.partitionBy("query_idx").orderBy(
                 F.col("score").asc() if asc else F.col("score").desc(),
                 F.col(id_col))

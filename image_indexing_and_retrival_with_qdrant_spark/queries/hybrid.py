@@ -178,3 +178,82 @@ def hybrid_sparse_dense_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").alias("doc_id"), "score")
 
     return rrf_fuse([sp, dn], k=10, id_col="doc_id")
+
+
+_COLL_HYBRID_ORACLE = f"""
+WITH sp_scores AS ({_SPARSE_BODY}),
+sp AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r0
+  FROM sp_scores QUALIFY r0 <= {_DEPTH}
+),
+dn_scores AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(qe.qv AS DOUBLE[])), 6) AS score
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qe
+),
+dn AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r1
+  FROM dn_scores QUALIFY r1 <= {_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + s.r0), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + d.r1), 0.0), 6) AS rrf
+  FROM sp s FULL OUTER JOIN dn d ON s.doc_id = d.doc_id
+)
+SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+"""
+
+
+@register("ingest_hybrid_query", _COLL_HYBRID_ORACLE)
+def ingest_hybrid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's canonical hybrid search THROUGH the collection
+    surface: one collection holding a dense space (the embeddings
+    fixture, metric=dot) AND a named sparse space (tf vectors over
+    the documents fixture), queried with the universal API —
+    ``query_points(prefetch=[dense Prefetch, sparse Prefetch],
+    query=FusionQuery(RRF))``. Each branch runs its own space's
+    retrieval at depth 50; the fused top-10 is checked against a
+    DuckDB twin that recomputes both rankings and the RRF sum."""
+    import shutil
+    import tempfile
+
+    from ..catalog import Prefetch, create_collection
+    from ..operators.sparse import sparse_from_text, term_vocabulary
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    vocab = term_vocabulary(docs)
+    enc = sparse_from_text(docs, vocab)
+    points = (
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("dense"))
+        .join(enc.select(F.col("doc_id").alias("id"),
+                         F.col("indices").alias("text__sidx"),
+                         F.col("values").alias("text__sval")), on="id"))
+    qdense = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    qrow = enc.filter(F.col("doc_id") == 0).collect()[0]
+    root = tempfile.mkdtemp(prefix="qd_hybrid_")
+    try:
+        coll = create_collection(
+            root, "h",
+            vectors={"dense": {"dim": 64, "metric": "dot",
+                               "normalize": False}},
+            sparse_vectors={"text": {}})
+        coll.upsert(spark, points)
+        res = coll.query(
+            spark,
+            prefetch=[
+                Prefetch(qdense, using="dense", limit=_DEPTH),
+                Prefetch((list(qrow.indices), list(qrow.values)),
+                         using="text", limit=_DEPTH),
+            ],
+            fusion="rrf", k=10)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

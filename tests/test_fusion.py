@@ -199,3 +199,10 @@ def test_query_batch_matches_per_request_query(spark, tmp_path):
     assert {(r.id, r.score) for r in by_idx[1]} == solo1
     with pytest.raises(ValueError, match="at least one request"):
         coll.query_batch(spark, [])
+
+
+def test_collection_hybrid_query_oracle(spark, sf_smoke):
+    """Dense + sparse prefetch fused with RRF through the collection
+    surface (mixed-space collection, universal query API)."""
+    compare(spark, REGISTRY["ingest_hybrid_query"], sf_smoke,
+            "ingest_hybrid_query")
