@@ -1560,6 +1560,28 @@ class Collection:
                 recall_target=recall_target, with_vectors=with_vectors)
             return self._apply_with_payload(
                 full, with_payload, id_col, vec_col)
+        sv = self.meta.get("sparse_vectors") or {}
+        if sv and (using in sv or (using is None
+                                   and "dim" not in self.meta
+                                   and not self.meta.get("vectors"))):
+            if using is None and len(sv) > 1:
+                raise ValueError(
+                    f"collection has sparse spaces {sorted(sv)}; "
+                    "pass using=<name>")
+            if (nprobe is not None or exact or rescore is not None
+                    or recall_target is not None):
+                raise ValueError(
+                    "sparse search takes no dense-tier knobs "
+                    "(nprobe/exact/rescore/recall_target)")
+            if isinstance(query_filter, (list, tuple)):
+                raise ValueError(
+                    "per-request filters are dense-batch-only; sparse "
+                    "batches take one shared filter")
+            return self._sparse_search_batch(
+                spark, query_vectors, using or next(iter(sv)), k=k,
+                query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                with_vectors=with_vectors)
         if recall_target is not None:
             nprobe, exact, oversampling, rescore = \
                 self._resolve_recall_target(
@@ -1663,6 +1685,49 @@ class Collection:
             per_query_filter=per_query,
             metric=cfg.get("metric", "cosine"),
         )
+
+    def _sparse_search_batch(self, spark: SparkSession, query_vectors,
+                             name: str, k: int = 5, query_filter=None,
+                             score_threshold=None, id_col: str = "id",
+                             with_vectors: bool = False) -> DataFrame:
+        """Batched search over one sparse space: every request shares
+        ONE posting pass (`operators/sparse.py::sparse_knn_batch`),
+        results tagged ``query_idx`` and ranked per request — the
+        sparse twin of the dense batched scan. IDF statistics stay
+        collection-wide under a filter, as in single search."""
+        from .operators.sparse import sparse_knn_batch
+
+        qs = []
+        for q in query_vectors:
+            if isinstance(q, dict):
+                qs.append((q["indices"], q["values"]))
+            else:
+                qs.append((list(q[0]), list(q[1])))
+        idx_c, val_c = name + "__sidx", name + "__sval"
+        table = self.read(spark)
+        full = table.filter(F.col(idx_c).isNotNull()).select(
+            F.col(id_col), F.col(idx_c).alias("indices"),
+            F.col(val_c).alias("values"))
+        query_filter = as_predicate(query_filter)
+        enc = full if query_filter is None else (
+            table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
+            .select(F.col(id_col), F.col(idx_c).alias("indices"),
+                    F.col(val_c).alias("values")))
+        mod = self.meta["sparse_vectors"][name].get("modifier")
+        hits = sparse_knn_batch(
+            enc, qs, k=k, id_col=id_col, modifier=mod,
+            stats_corpus=full if (mod and query_filter is not None)
+            else None)
+        if score_threshold is not None:
+            hits = hits.filter(F.col("score") >= score_threshold)
+        drop = self._vector_columns()
+        if with_vectors:
+            drop = drop - {idx_c, val_c}
+        side = table.select(*[c for c in table.columns
+                              if c not in drop or c == id_col])
+        out = side.join(F.broadcast(hits), on=id_col)
+        return out.orderBy("query_idx", F.col("score").desc(),
+                           F.col(id_col))
 
     def _ranks_ascending(self, using: str | None, vec_col: str) -> bool:
         """Whether a space's scores rank ascending (distance metrics)

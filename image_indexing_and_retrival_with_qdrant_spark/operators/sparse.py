@@ -183,3 +183,54 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
         score = F.round(score, round_digits)
     scored = pruned.groupBy(id_col).agg(score.alias("score"))
     return global_topk(scored, [("score", False), (id_col, True)], k)
+
+
+def sparse_knn_batch(corpus: DataFrame, queries: list, k: int = 10,
+                     id_col: str = "doc_id",
+                     round_digits: int | None = 6,
+                     modifier: str | None = None,
+                     n_points: int | None = None,
+                     stats_corpus: DataFrame | None = None) -> DataFrame:
+    """Batched sparse top-k: ``queries`` is a list of
+    ``(indices, values)`` pairs; ALL queries share ONE posting pass
+    (the broadcast side is the union of every query's terms tagged
+    ``query_idx``), grouped per (query, point) and ranked per query —
+    the sparse twin of ``dense_knn_batch``'s single-scan plan. Scoring
+    and the IDF modifier match :func:`sparse_knn` exactly (same fold
+    discipline, df per term computed once across the batch)."""
+    from .topk import grouped_topk
+
+    spark = corpus.sparkSession
+    rows = [(qi, int(i), float(v))
+            for qi, (idx, vals) in enumerate(queries)
+            for i, v in zip(idx, vals)]
+    qdf = spark.createDataFrame(rows, "query_idx int, idx bigint, qval double")
+    posting = sparse_postings(corpus, id_col=id_col)
+    pruned = posting.join(F.broadcast(qdf), on="idx")
+    if modifier == "idf":
+        stats = corpus if stats_corpus is None else stats_corpus
+        n = float(n_points if n_points is not None else stats.count())
+        terms = qdf.select("idx").distinct()
+        dfreq = (sparse_postings(stats, id_col=id_col)
+                 .join(F.broadcast(terms), on="idx")
+                 .groupBy("idx").agg(
+                     F.count_distinct(F.col(id_col)).cast("double")
+                     .alias("df")))
+        idf = F.log((F.lit(n) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+        pruned = (pruned.join(F.broadcast(dfreq), on="idx")
+                  .withColumn("qval", F.col("qval") * idf))
+        score = F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("idx"),
+                         (F.col("val") * F.col("qval")).alias("c")))),
+            F.lit(0.0), lambda acc, x: acc + x["c"])
+    elif modifier is not None:
+        raise ValueError(f"unknown sparse modifier {modifier!r}")
+    else:
+        score = F.sum(F.col("val") * F.col("qval"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = pruned.groupBy("query_idx", id_col).agg(score.alias("score"))
+    return grouped_topk(scored, ["query_idx"],
+                        [("score", False), (id_col, True)], k)

@@ -214,3 +214,44 @@ def test_sparse_space_collection_surface(spark, sf_smoke, tmp_path):
     # sparse arrays are vector data, not payload: scroll drops them
     page = mixed.scroll(spark, limit=1).collect()[0].asDict()
     assert "sparse__sidx" not in page and "dense" not in page
+
+
+def test_sparse_batch_matches_single(spark, sf_smoke, tmp_path):
+    """sparse search_batch ≡ per-query sparse search, both plain and
+    IDF-modified, with the single shared posting pass."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    docs = load(spark, sf_smoke, "documents")
+    vocab = term_vocabulary(docs)
+    enc = sparse_from_text(docs, vocab)
+    points = (
+        enc.select(F.col("doc_id").alias("id"),
+                   F.col("indices").alias("text__sidx"),
+                   F.col("values").alias("text__sval"))
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), on="id"))
+    for mod in (None, "idf"):
+        coll = create_collection(
+            str(tmp_path), f"sp_{mod}",
+            sparse_vectors={"text": {"modifier": mod}})
+        coll.upsert(spark, points)
+        qrows = enc.filter(F.col("doc_id").isin(0, 1)).orderBy(
+            "doc_id").collect()
+        qs = [(list(r.indices), list(r.values)) for r in qrows]
+        batch = coll.search_batch(spark, qs, k=3).collect()
+        for qi, q in enumerate(qs):
+            single = coll.search(spark, q, k=3).collect()
+            got = [(r.id, r.score) for r in batch if r.query_idx == qi]
+            assert got == [(r.id, r.score) for r in single], (mod, qi)
+    # filtered batch keeps collection-wide IDF stats (scores unchanged)
+    coll = create_collection(str(tmp_path), "sp_idf",
+                             sparse_vectors={"text": {"modifier": "idf"}})
+    coll.upsert(spark, points)
+    allsc = {(r.query_idx, r.id): r.score for r in
+             coll.search_batch(spark, qs, k=coll.count(spark)).collect()}
+    filt = coll.search_batch(spark, qs, k=3,
+                             query_filter=F.col("lang") == "en").collect()
+    langs = {r.id: r.lang for r in points.select("id", "lang").collect()}
+    assert filt and all(langs[r.id] == "en" for r in filt)
+    assert all(allsc[(r.query_idx, r.id)] == r.score for r in filt)
