@@ -398,7 +398,8 @@ class Collection:
                           indexing_threshold=_UNSET,
                           id_col: str = "id",
                           vec_col: str = "embedding",
-                          vectors: dict | None = None) -> None:
+                          vectors: dict | None = None,
+                          sparse_vectors: dict | None = None) -> None:
         """Qdrant's ``update_collection`` (post-create config changes):
 
         - ``quantization``: switch to ``"sq"``/``"bq"`` (the code
@@ -413,7 +414,30 @@ class Collection:
           ``{"quantization": "sq"/"bq"/None}``, with the same
           re-train/re-encode/drop semantics per space.
 
+        - ``sparse_vectors``: per-sparse-space diffs (Qdrant
+          ``sparse_vectors_config`` updates) — ``{"modifier":
+          None/"idf"}``. The modifier is a QUERY-time weighting here
+          (stats come from the postings at search), so the switch is
+          pure metadata — no re-encode.
+
         Omitted arguments stay unchanged."""
+        if sparse_vectors is not None:
+            sv = self.meta.get("sparse_vectors") or {}
+            for sname, diff in sparse_vectors.items():
+                if sname not in sv:
+                    raise ValueError(f"unknown sparse space {sname!r} "
+                                     f"(have {sorted(sv)})")
+                unknown = sorted(set(diff) - {"modifier"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown key(s) {unknown} in sparse space "
+                        f"{sname!r} diff")
+                mod = diff.get("modifier")
+                if mod not in (None, "idf"):
+                    raise ValueError(
+                        "sparse modifier must be None or 'idf'")
+                sv[sname]["modifier"] = mod
+            self._save_meta()
         if self.meta.get("vectors") is not None and (
                 quantization is not self._UNSET
                 or indexing_threshold is not self._UNSET):

@@ -255,3 +255,34 @@ def test_sparse_batch_matches_single(spark, sf_smoke, tmp_path):
     langs = {r.id: r.lang for r in points.select("id", "lang").collect()}
     assert filt and all(langs[r.id] == "en" for r in filt)
     assert all(allsc[(r.query_idx, r.id)] == r.score for r in filt)
+
+
+def test_update_collection_sparse_modifier(spark, sf_smoke, tmp_path):
+    """Switching a sparse space's modifier is a metadata-only update
+    that immediately changes search weighting."""
+    import pytest as _pytest
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        Collection, create_collection,
+    )
+
+    docs = load(spark, sf_smoke, "documents")
+    enc = sparse_from_text(docs, term_vocabulary(docs))
+    points = enc.select(F.col("doc_id").alias("id"),
+                        F.col("indices").alias("text__sidx"),
+                        F.col("values").alias("text__sval"))
+    coll = create_collection(str(tmp_path), "sp",
+                             sparse_vectors={"text": {}})
+    coll.upsert(spark, points)
+    q = enc.filter(F.col("doc_id") == 0).collect()[0]
+    qv = (list(q.indices), list(q.values))
+    plain = [(r.id, r.score) for r in coll.search(spark, qv, k=5).collect()]
+    coll.update_collection(spark, sparse_vectors={"text": {"modifier": "idf"}})
+    # re-open: the meta change must be durable
+    coll2 = Collection(str(tmp_path), "sp")
+    idf = [(r.id, r.score) for r in coll2.search(spark, qv, k=5).collect()]
+    ref = sparse_knn(enc, qv[0], qv[1], k=5, modifier="idf").collect()
+    assert idf == [(r.doc_id, r.score) for r in ref]
+    assert idf != plain
+    with _pytest.raises(ValueError, match="unknown sparse space"):
+        coll2.update_collection(spark, sparse_vectors={"nope": {}})
