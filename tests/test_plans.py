@@ -196,3 +196,54 @@ def test_substring_dedup_shuffles_keys_not_text(spark, sf_smoke):
     assert all("win#" not in l for l in parts)
     # the dup-key set joins back as a broadcast (SCALE.md posture)
     assert "BroadcastExchange" in plan
+
+
+def test_semdedup_pair_join_is_blocked_equi_join(spark, sf_smoke):
+    """SemDeDup's within-cell self-join must be an EQUI-join on the
+    cell key — never a cartesian/NLJ — so it stays O(Σ cell²), and
+    partition-local over a centroid layout."""
+    plan = _plan(spark, sf_smoke, "dedup_semantic_cells")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_lms_broadcast_back(spark, sf_smoke):
+    """DSIR's two hashed-bucket LMs are ≤B rows at any corpus size —
+    they must join back BROADCAST (the corpus is never re-shuffled
+    wide for scoring)."""
+    plan = _plan(spark, sf_smoke, "docs_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_space_search_broadcasts_query_terms(spark, sf_smoke, tmp_path):
+    """Collection sparse search: the query-term side broadcasts into
+    the posting join (pruning before any shuffle), and the payload
+    join-back broadcasts the ≤k-row hit list."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.sparse import (
+        sparse_from_text,
+        term_vocabulary,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.plans.explain import (
+        formatted_plan,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    enc = sparse_from_text(docs, term_vocabulary(docs))
+    points = enc.select(F.col("doc_id").alias("id"),
+                        F.col("indices").alias("text__sidx"),
+                        F.col("values").alias("text__sval"))
+    coll = create_collection(str(tmp_path), "sp",
+                             sparse_vectors={"text": {}})
+    coll.upsert(spark, points)
+    q = enc.filter(F.col("doc_id") == 0).collect()[0]
+    plan = formatted_plan(
+        coll.search(spark, (list(q.indices), list(q.values)), k=5))
+    assert plan.count("BroadcastHashJoin") >= 2  # qdf prune + hit-list
+    assert "CartesianProduct" not in plan
