@@ -3116,6 +3116,13 @@ def update_aliases(root: str, create: dict | None = None,
     return aliases
 
 
+def collection_aliases(root: str, name: str) -> list[str]:
+    """Qdrant ``get_collection_aliases`` analog: the aliases pointing
+    at one collection, sorted."""
+    return sorted(a for a, target in list_aliases(root).items()
+                  if target == name)
+
+
 def resolve_collection(root: str, name: str) -> Collection:
     """Open a collection by name or alias (names win — Qdrant keeps
     aliases in a separate namespace consulted after collections)."""

@@ -83,6 +83,14 @@ def test_aliases_repoint_atomically(spark, tmp_path):
         update_aliases(str(tmp_path), create={"x": "missing"})
     with pytest.raises(ValueError, match="no collection or alias"):
         resolve_collection(str(tmp_path), "ghost")
+    # per-collection listing (get_collection_aliases)
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        collection_aliases,
+    )
+
+    update_aliases(str(tmp_path), create={"docs2": "docs_v2"})
+    assert collection_aliases(str(tmp_path), "docs_v2") == ["docs", "docs2"]
+    assert collection_aliases(str(tmp_path), "docs_v1") == []
 
 
 def test_batch_update_runs_in_order(spark, tmp_path):
