@@ -1907,7 +1907,57 @@ class Collection:
         user-profile vectors recommending over a document corpus; dims
         must agree). As in Qdrant, example exclusion applies only when
         the examples live in THIS collection — foreign ids don't name
-        points here."""
+        points here.
+
+        Sparse spaces recommend too (``using=<sparse name>``): the
+        query is the index-union average of the positive examples'
+        stored sparse vectors minus the negatives' average, searched
+        through the normal sparse path with the examples excluded."""
+        sv = self.meta.get("sparse_vectors") or {}
+        if sv and (using in sv or (using is None
+                                   and "dim" not in self.meta
+                                   and not self.meta.get("vectors"))):
+            if using is None and len(sv) > 1:
+                raise ValueError(
+                    f"collection has sparse spaces {sorted(sv)}; "
+                    "pass using=<name>")
+            using = using or next(iter(sv))
+            if not positive:
+                raise ValueError("recommend requires at least one "
+                                 "positive id")
+            if strategy != "average_vector" or lookup_from is not None:
+                raise ValueError("sparse recommend supports "
+                                 "strategy='average_vector' without "
+                                 "lookup_from")
+            ids = [*positive, *negative]
+            idx_c, val_c = using + "__sidx", using + "__sval"
+            rows = (self.read(spark).filter(F.col(id_col).isin(ids))
+                    .select(id_col, idx_c, val_c).collect())
+            vecs = {r[0]: dict(zip(r[1], r[2])) for r in rows}
+            miss = [i for i in ids if i not in vecs]
+            if miss:
+                raise ValueError(f"example points not found: {miss}")
+
+            def _savg(example_ids):
+                acc: dict = {}
+                for e in example_ids:
+                    for i, v in vecs[e].items():
+                        acc[i] = acc.get(i, 0.0) + v
+                return {i: v / len(example_ids) for i, v in acc.items()}
+
+            q = _savg(positive)
+            for i, v in (_savg(negative) if negative else {}).items():
+                q[i] = q.get(i, 0.0) - v
+            items = sorted(q.items())
+            excl = ~F.col(id_col).isin(ids)
+            qf = as_predicate(query_filter)
+            flt = excl if qf is None else (qf & excl)
+            hits = self._sparse_search(
+                spark, ([i for i, _ in items], [v for _, v in items]),
+                using, k=k, query_filter=flt,
+                score_threshold=score_threshold, id_col=id_col)
+            return self._apply_with_payload(
+                hits, with_payload, id_col, vec_col)
         cfg = self._vector_cfg(using, vec_col)
         if cfg.get("multivector"):
             raise ValueError("recommend supports dense collections")

@@ -286,3 +286,42 @@ def test_update_collection_sparse_modifier(spark, sf_smoke, tmp_path):
     assert idf != plain
     with _pytest.raises(ValueError, match="unknown sparse space"):
         coll2.update_collection(spark, sparse_vectors={"nope": {}})
+
+
+def test_sparse_recommend(spark, sf_smoke, tmp_path):
+    """recommend over a sparse space: query = index-union average of
+    positive stored vectors minus negatives' average, examples
+    excluded, scores equal to a hand-built sparse_knn probe."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    docs = load(spark, sf_smoke, "documents")
+    enc = sparse_from_text(docs, term_vocabulary(docs))
+    points = enc.select(F.col("doc_id").alias("id"),
+                        F.col("indices").alias("text__sidx"),
+                        F.col("values").alias("text__sval"))
+    coll = create_collection(str(tmp_path), "sp",
+                             sparse_vectors={"text": {}})
+    coll.upsert(spark, points)
+    rows = {r.doc_id: dict(zip(r.indices, r.values))
+            for r in enc.filter(F.col("doc_id").isin(0, 1, 2)).collect()}
+    got = coll.recommend(spark, positive=[0, 1], negative=[2], k=5,
+                         with_payload=False).collect()
+    assert {r.id for r in got}.isdisjoint({0, 1, 2})  # examples excluded
+    # hand-built expected query vector
+    q: dict = {}
+    for e in (0, 1):
+        for i, v in rows[e].items():
+            q[i] = q.get(i, 0.0) + v
+    q = {i: v / 2 for i, v in q.items()}
+    for i, v in rows[2].items():
+        q[i] = q.get(i, 0.0) - v
+    items = sorted(q.items())
+    ref = sparse_knn(enc.filter(~F.col("doc_id").isin(0, 1, 2)),
+                     [i for i, _ in items], [v for _, v in items],
+                     k=5).collect()
+    assert [(r.id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in ref]
+    with pytest.raises(ValueError, match="average_vector"):
+        coll.recommend(spark, positive=[0], strategy="best_score")
