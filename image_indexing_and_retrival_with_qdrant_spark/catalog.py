@@ -964,11 +964,26 @@ class Collection:
 
     def upsert(self, spark: SparkSession, points: DataFrame,
                mode: str = "append", id_col: str = "id",
-               vec_col: str = "embedding") -> None:
+               vec_col: str = "embedding",
+               dedupe_ids: bool = True) -> None:
         sk = self.meta.get("shard_key")
         if sk and sk not in points.columns:
             raise ValueError(
                 f"sharded collection requires column {sk!r} on every point")
+        # Qdrant keeps ONE point per id even when a single upsert
+        # batch repeats an id (PointsList semantics: later entries
+        # overwrite earlier ones). A DataFrame has no row order, so
+        # the engine keeps an unspecified-but-single row per id —
+        # callers that care which payload survives must pre-dedupe
+        # deterministically. Without this, batch-internal dup ids
+        # append as two rows and break the id-uniqueness every point
+        # op relies on (first surfaced by the sf0.1 fixture's
+        # duplicate texts under content-hash ids). The dedup is one
+        # shuffle on the id; producers whose ids are unique by
+        # construction (uuid point ids, a stream's keyed micro-batch)
+        # may pass dedupe_ids=False to keep the append shuffle-free.
+        if dedupe_ids:
+            points = points.dropDuplicates([id_col])
         sparse_missing = [
             n + suf for n in (self.meta.get("sparse_vectors") or ())
             for suf in ("__sidx", "__sval") if n + suf not in points.columns]

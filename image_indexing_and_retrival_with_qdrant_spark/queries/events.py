@@ -62,20 +62,28 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(floor(epoch(e.ts)) / 300) * 300 - s.i * 300 AS BIGINT) AS window_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(AVG(e.value), 6) AS avg_value
+           FLOOR(AVG(e.value) * 1000000 + 0.5) / 1000000 AS avg_value
     FROM events e CROSS JOIN generate_series(0, 1) AS s(i)
     GROUP BY 1
     """,
 )
 def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min size, 5 min slide): every event lands in
-    two buckets; F.window handles replication natively."""
+    two buckets; F.window handles replication natively.
+
+    Rounding note: avg_value rounds via ``floor(x·10⁶ + 0.5)/10⁶`` on
+    BOTH sides — pure double math, bit-identical across engines.
+    ``ROUND`` is not: Spark's F.round converts the double's shortest
+    decimal repr to BigDecimal then HALF_UPs, DuckDB rounds the binary
+    value, and a shortest-repr ending in an exact 7th-digit 5 (one
+    sf0.1 window hits 48.3478125) splits them."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("avg_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),

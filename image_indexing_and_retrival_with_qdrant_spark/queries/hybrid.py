@@ -180,8 +180,31 @@ def hybrid_sparse_dense_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame
     return rrf_fuse([sp, dn], k=10, id_col="doc_id")
 
 
+# the collection holds only docs whose id is ALSO an embeddings
+# vec_id (the mixed-space point build joins the two fixtures), so the
+# oracle's sparse branch must score that same id set — at sf0.1 the
+# documents fixture is larger than embeddings and an unrestricted
+# branch ranks docs the collection never indexed
+_COLL_SPARSE_BODY = """
+  SELECT tf.doc_id, ROUND(SUM(tf.tf * q.qval), 6) AS score
+  FROM (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS term
+          FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings))
+    GROUP BY doc_id, term
+  ) tf
+  JOIN (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS qval
+    FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS term
+          FROM documents WHERE doc_id = 0)
+    GROUP BY term
+  ) q ON tf.term = q.term
+  GROUP BY tf.doc_id
+"""
+
 _COLL_HYBRID_ORACLE = f"""
-WITH sp_scores AS ({_SPARSE_BODY}),
+WITH sp_scores AS ({_COLL_SPARSE_BODY}),
 sp AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
            AS r0

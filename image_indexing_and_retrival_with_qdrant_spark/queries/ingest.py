@@ -26,6 +26,26 @@ _E = HashEmbedder(dim=8)
 
 _QUERY_TEXT = "spark query engine"
 
+# Deterministic text-dedup for content-hash-id builders: duplicate
+# texts exist at sf0.1 (not at the smaller fixtures), and with
+# id=sha(text) they collide into one point. The ENGINE keeps an
+# unspecified row per id (Qdrant batch semantics, catalog.upsert);
+# oracle parity needs a SPECIFIED winner, so these builders dedupe at
+# the source — the lowest doc_id's row survives. DuckDB twin:
+#   (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+#    ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1)
+_DOCS_DEDUP = ("(SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+               "PARTITION BY text ORDER BY doc_id) AS rn FROM documents)"
+               " WHERE rn = 1)")
+
+
+def _dedupe_docs(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
 
 @register(
     "ingest_build_points",
@@ -225,8 +245,8 @@ def ingest_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_point_management",
-    """
-    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    f"""
+    WITH u AS (SELECT text, lang FROM {_DOCS_DEDUP})
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_deleted,
            CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n_remaining,
@@ -240,11 +260,11 @@ def ingest_point_management(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's usage — delete by filter, keyset scroll): ingest the
     corpus, delete every lang='en' point, scroll two 100-row pages.
     The counts are all oracle-derivable from ``documents``."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _dedupe_docs(load(spark, sf_dir, "documents"))
     points = build_points(
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         payload={"lang": F.col("lang")}, with_timestamp=False,
-    ).dropDuplicates(["id"])
+    )
     root = tempfile.mkdtemp(prefix="qd_point_mgmt_")
     try:
         coll = create_collection(root, "pm", dim=8, normalize=False)
@@ -267,7 +287,8 @@ def ingest_point_management(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ingest_collection_lifecycle",
     """
-    SELECT 'append' AS mode, CAST(COUNT(*) * 2 AS BIGINT) AS n_points FROM documents
+    SELECT 'append' AS mode, CAST(COUNT(DISTINCT text) * 2 AS BIGINT)
+      AS n_points FROM documents
     UNION ALL
     SELECT 'merge' AS mode, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_points FROM documents
     """,
@@ -299,8 +320,8 @@ def ingest_collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_payload_facet",
-    """
-    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    f"""
+    WITH u AS (SELECT text, lang FROM {_DOCS_DEDUP})
     SELECT CASE WHEN lang IN ('en', 'de') THEN 'high' END AS value,
            CAST(COUNT(*) AS BIGINT) AS count
     FROM u GROUP BY 1
@@ -316,11 +337,11 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-recomputed from ``documents``."""
     from ..filters import FieldCondition
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _dedupe_docs(load(spark, sf_dir, "documents"))
     points = build_points(
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         payload={"lang": F.col("lang")}, with_timestamp=False,
-    ).dropDuplicates(["id"])
+    )
     root = tempfile.mkdtemp(prefix="qd_facet_")
     try:
         coll = create_collection(root, "fc", dim=8, normalize=False)
@@ -338,8 +359,8 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_sharded_search",
-    """
-    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    f"""
+    WITH u AS (SELECT text, lang FROM {_DOCS_DEDUP})
     SELECT 'en' AS selector, CAST(COUNT(*) AS BIGINT) AS n_points
     FROM u WHERE lang = 'en'
     UNION ALL
@@ -355,11 +376,11 @@ def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     named shards. Asserts a shard-routed search never leaks
     cross-tenant rows, then returns selector-scoped counts — all
     oracle-recomputed from ``documents``."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _dedupe_docs(load(spark, sf_dir, "documents"))
     points = build_points(
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         payload={"lang": F.col("lang")}, with_timestamp=False,
-    ).dropDuplicates(["id"])
+    )
     root = tempfile.mkdtemp(prefix="qd_shard_")
     try:
         coll = create_collection(root, "sh", dim=8, normalize=False,
@@ -384,8 +405,8 @@ def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_snapshot_restore",
-    """
-    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    f"""
+    WITH u AS (SELECT text, lang FROM {_DOCS_DEDUP})
     SELECT 'loaded' AS step, CAST(COUNT(*) AS BIGINT) AS n_points FROM u
     UNION ALL
     SELECT 'deleted', CAST(COUNT(*) AS BIGINT) FROM u WHERE lang <> 'en'
@@ -404,11 +425,11 @@ def ingest_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents``."""
     from ..catalog import resolve_collection, update_aliases
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _dedupe_docs(load(spark, sf_dir, "documents"))
     points = build_points(
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         payload={"lang": F.col("lang")}, with_timestamp=False,
-    ).dropDuplicates(["id"])
+    )
     root = tempfile.mkdtemp(prefix="qd_snap_")
     try:
         coll = create_collection(root, "full", dim=8, normalize=False)
@@ -491,8 +512,8 @@ def ingest_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_payload_index",
-    """
-    WITH u AS (SELECT DISTINCT text, lang FROM documents)
+    f"""
+    WITH u AS (SELECT text, lang FROM {_DOCS_DEDUP})
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points
     FROM u GROUP BY lang ORDER BY lang
     """,
@@ -508,11 +529,11 @@ def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents``."""
     from ..filters import FieldCondition
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _dedupe_docs(load(spark, sf_dir, "documents"))
     points = build_points(
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         payload={"lang": F.col("lang")}, with_timestamp=False,
-    ).dropDuplicates(["id"])
+    )
     root = tempfile.mkdtemp(prefix="qd_pidx_")
     try:
         coll = create_collection(root, "px", dim=8, normalize=False)

@@ -68,7 +68,8 @@ def ingest_failure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
            ROUND(total - lag(total, 1, 0.0) OVER w, 2) AS gap_to_prev,
            ROUND(first_value(total) OVER w, 2) AS nation_top,
-           ROUND(CAST(cume_dist() OVER w AS DOUBLE), 6) AS cume
+           FLOOR(CAST(cume_dist() OVER w AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS cume
     FROM spend
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY total DESC, c_custkey)
     """,
@@ -93,7 +94,12 @@ def customer_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.col("total") - F.lag("total", 1, 0.0).over(w), 2).alias("gap_to_prev"),
         F.round(F.first("total").over(w), 2).alias("nation_top"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # floor(x·10⁶+0.5)/10⁶, not F.round: cume_dist is k/n and at
+        # sf0.1 one rank hits an exact 7th-digit-5 repr (0.0640625),
+        # where Spark's BigDecimal HALF_UP and DuckDB's binary ROUND
+        # disagree; the floor form is identical double math on both
+        (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("cume"),
     )
 
 
