@@ -7,6 +7,11 @@ hashes. Conventions (FIXTURES.md §4):
 
 - scores/ratios are computed in double precision and rounded (6 dp)
   on BOTH sides, so value hashes are stable;
+- where a ratio can land on an exact 7th-digit 5 (cume_dist,
+  averages of 2-decimal fixtures), round via ``floor(x*1e6+0.5)/1e6``
+  on both sides instead of ROUND — Spark's F.round HALF_UPs the
+  shortest decimal repr while DuckDB rounds the binary value, and
+  they split exactly on those halves (first hit at sf0.1);
 - every top-k has a total order: ``(score DESC, id ASC)``;
 - aggregate/computed columns carry identical aliases on both sides;
 - DuckDB integer aggregates are cast to BIGINT (DuckDB SUM(int) is
