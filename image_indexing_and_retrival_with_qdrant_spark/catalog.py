@@ -1803,7 +1803,8 @@ class Collection:
               k: int = 5, id_col: str = "id",
               vec_col: str = "embedding",
               formula: str | None = None,
-              query=None, using: str | None = None) -> DataFrame:
+              query=None, using: str | None = None,
+              with_payload=None) -> DataFrame:
         """Qdrant's universal ``query_points(prefetch=[...],
         query=...)``: run each prefetch branch through the ordinary
         search path (its own vector space, filter, and depth — and,
@@ -1828,11 +1829,30 @@ class Collection:
             prefetch = [prefetch]
         if not prefetch:
             raise ValueError("query needs at least one prefetch branch")
+
+        # ``with_payload``: None keeps each path's historical shape
+        # (rescore = the search output incl. payload; fusion/formula =
+        # id + score). An explicit selector applies Qdrant's forms —
+        # for fused shortlists the payload joins back broadcast
+        # (≤ k rows), the corpus is never re-shuffled.
+        def shape(d: DataFrame, has_payload: bool) -> DataFrame:
+            if with_payload is None:
+                return d
+            if not has_payload and with_payload not in (False,):
+                payload = [c for c in self.read(spark).columns
+                           if c not in self._vector_columns(vec_col)
+                           | {id_col}]
+                d = (self.read(spark).select(id_col, *payload)
+                     .join(F.broadcast(d), on=id_col))
+            return self._apply_with_payload(
+                d, with_payload, id_col, vec_col,
+                keep_extra=("rrf", "dbsf"))
+
         if query is not None:
-            return self._prefetch_hits(
+            return shape(self._prefetch_hits(
                 spark, Prefetch(query, using=using, limit=k,
                                 prefetch=list(prefetch)),
-                id_col, vec_col)
+                id_col, vec_col), has_payload=True)
         branches = []
         for p in prefetch:
             hits = self._prefetch_hits(spark, p, id_col, vec_col)
@@ -1846,7 +1866,7 @@ class Collection:
         else:
             raise ValueError(f"unknown fusion {fusion!r} (rrf|dbsf)")
         if formula is None:
-            return fused
+            return shape(fused, has_payload=False)
         from .operators.formula import formula_rescore
 
         # fusion emits its score under its own name (rrf/dbsf);
@@ -1856,8 +1876,10 @@ class Collection:
                    if c not in self._vector_columns(vec_col) | {id_col}]
         shortlist = self.read(spark).select(id_col, *payload).join(
             F.broadcast(fused), on=id_col)
-        return formula_rescore(shortlist, formula, k=k, id_col=id_col,
-                               boosted_col="score", payload_cols=payload)
+        return shape(
+            formula_rescore(shortlist, formula, k=k, id_col=id_col,
+                            boosted_col="score", payload_cols=payload),
+            has_payload=True)
 
     def query_batch(self, spark: SparkSession, requests: list,
                     id_col: str = "id",

@@ -206,3 +206,50 @@ def test_collection_hybrid_query_oracle(spark, sf_smoke):
     surface (mixed-space collection, universal query API)."""
     compare(spark, REGISTRY["ingest_hybrid_query"], sf_smoke,
             "ingest_hybrid_query")
+
+
+def test_query_with_payload_selector(spark, sf_smoke, tmp_path):
+    """query() with_payload: None keeps each path's legacy shape;
+    True joins payload onto fused shortlists; list/False narrow —
+    values unchanged in every form."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        Prefetch, create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.sources.embedder import (
+        HashEmbedder,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.sources.ingest import (
+        build_points,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = HashEmbedder(dim=8)
+    docs = load(spark, sf_smoke, "documents")
+    points = build_points(
+        emb.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"lang": F.col("lang"), "doc_id": F.col("doc_id")},
+        with_timestamp=False)
+    coll = create_collection(str(tmp_path), "q", dim=8, normalize=False)
+    coll.upsert(spark, points)
+    qv = [0.1] * 8
+    pf = [Prefetch(qv, limit=20), Prefetch(qv, limit=10)]
+    legacy = coll.query(spark, prefetch=pf, fusion="rrf", k=5)
+    assert set(legacy.columns) == {"id", "rrf"}
+    withp = coll.query(spark, prefetch=pf, fusion="rrf", k=5,
+                       with_payload=True)
+    assert {"id", "rrf", "lang", "doc_id"} <= set(withp.columns)
+    key = lambda d: sorted((r.id, r.rrf) for r in d.collect())
+    assert key(withp) == key(legacy)
+    only = coll.query(spark, prefetch=pf, fusion="rrf", k=5,
+                      with_payload=["lang"])
+    assert set(only.columns) == {"id", "rrf", "lang"}
+    # rescore path: legacy keeps payload; False strips it
+    resc = coll.query(spark, prefetch=pf, query=qv, k=5)
+    assert "lang" in resc.columns
+    resc_np = coll.query(spark, prefetch=pf, query=qv, k=5,
+                         with_payload=False)
+    assert "lang" not in resc_np.columns
+    assert sorted((r.id, r.score) for r in resc_np.collect()) == \
+        sorted((r.id, r.score) for r in resc.collect())
