@@ -2924,10 +2924,33 @@ class Collection:
     # -- S9: stats --------------------------------------------------------
 
     def count(self, spark: SparkSession, count_filter=None,
-              shard_key_selector=None) -> int:
+              shard_key_selector=None, exact: bool = True) -> int:
         """S9 stats; with ``count_filter`` this is Qdrant's ``count``
         endpoint (exact=True) — the predicate pushes to the scan (and
-        a ``shard_key_selector`` prunes partitions statically)."""
+        a ``shard_key_selector`` prunes partitions statically).
+
+        ``exact=False`` (Qdrant's fast-count flag, where the server
+        answers from index metadata): the unfiltered count is read
+        from the parquet FOOTERS driver-side — no Spark job, no scan,
+        O(#files) metadata reads; at 100 TB this is the difference
+        between instant and a full-corpus count stage. Parquet footers
+        are exact row counts, so the answer equals ``exact=True`` —
+        only the cost model differs, which is truer than Qdrant (its
+        fast count can be stale mid-optimization). Filtered/sharded
+        counts always take the scan path (a predicate needs data)."""
+        if (not exact and count_filter is None
+                and shard_key_selector is None):
+            if not os.path.isdir(self.path):
+                return 0
+            import pyarrow.parquet as pq
+
+            total = 0
+            for root_dir, _dirs, files in os.walk(self.path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(
+                            os.path.join(root_dir, f)).num_rows
+            return total
         if not self._has_data(spark):
             return 0
         df = spark.read.parquet(self.path)

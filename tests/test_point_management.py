@@ -770,3 +770,17 @@ def test_with_payload_on_batch_and_derived_search(spark, sf_smoke, tmp_path):
     # the group key and ranks survive payload=False
     assert {"lang", "group_rank", "rank", "id", "score"} <= set(grp.columns)
     assert "doc_id" not in grp.columns
+
+
+def test_count_fast_path(spark, sf_smoke, tmp_path):
+    """count(exact=False): footer-metadata count, no Spark job —
+    equal to the exact count, including after deletes and on
+    partitioned (payload-indexed) layouts."""
+    coll = _fill(spark, sf_smoke, tmp_path)
+    n = coll.count(spark)
+    assert coll.count(spark, exact=False) == n
+    coll.delete(spark, F.col("lang") == "en")
+    n2 = coll.count(spark)
+    assert n2 < n and coll.count(spark, exact=False) == n2
+    coll.create_payload_index(spark, "lang")  # partitionBy rewrite
+    assert coll.count(spark, exact=False) == n2
