@@ -151,7 +151,9 @@ class Collection:
         the metadata-only form)."""
         cfg = {k: v for k, v in self.meta.items()
                if k not in ("payload_indexes",)}
-        n = self.count(spark) if spark is not None else None
+        # footer-metadata count: Qdrant's get_collection likewise
+        # reports points_count from segment metadata, not a scan
+        n = self.count(spark, exact=False) if spark is not None else None
         threshold = self.meta.get("indexing_threshold")
         needs_index = (threshold is not None and n is not None
                        and n >= threshold)
