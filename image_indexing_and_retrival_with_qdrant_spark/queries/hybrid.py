@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..bench_phases import phase
 from ..operators.bm25 import bm25_rank
 from ..operators.knn import dense_knn
 from ..registry import register
@@ -269,14 +270,16 @@ def ingest_hybrid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "normalize": False}},
             sparse_vectors={"text": {}})
         coll.upsert(spark, points)
-        res = coll.query(
-            spark,
-            prefetch=[
-                Prefetch(qdense, using="dense", limit=_DEPTH),
-                Prefetch((list(qrow.indices), list(qrow.values)),
-                         using="text", limit=_DEPTH),
-            ],
-            fusion="rrf", k=10)
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            res = coll.query(
+                spark,
+                prefetch=[
+                    Prefetch(qdense, using="dense", limit=_DEPTH),
+                    Prefetch((list(qrow.indices), list(qrow.values)),
+                             using="text", limit=_DEPTH),
+                ],
+                fusion="rrf", k=10)
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..bench_phases import phase
 from ..catalog import Prefetch, create_collection
 from ..operators.knn import dense_knn
 from ..registry import register
@@ -703,9 +704,11 @@ def ingest_quantized_index_search(spark: SparkSession,
         assert coll.has_index(), "threshold crossed but index not built"
         assert coll.meta.get("codes_layout") == "cells", \
             "codes sidecar must share the IVF layout"
-        res = coll.search(spark, qv, k=5, oversampling=4.0) \
-            .select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            res = coll.search(spark, qv, k=5, oversampling=4.0) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -788,8 +791,10 @@ def ingest_quantized_batch_search(spark: SparkSession,
                                  indexing_threshold=1, k_centroids=4)
         coll.upsert(spark, points, mode="merge")
         assert coll.meta.get("codes_layout") == "cells"
-        res = coll.search_batch(spark, qvs, k=3, oversampling=4.0)
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            res = coll.search_batch(spark, qvs, k=3, oversampling=4.0)
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -825,9 +830,11 @@ def ingest_named_quantized_search(spark: SparkSession,
         coll.upsert(spark, points, mode="merge")
         assert coll.meta["vectors"]["sem"].get("sq_mins"), \
             "per-space train params missing"
-        res = coll.search(spark, qv, k=5, using="sem",
-                          oversampling=4.0).select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            res = coll.search(spark, qv, k=5, using="sem",
+                              oversampling=4.0).select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1005,25 +1012,26 @@ def ingest_tenant_defrag(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = coll.count(spark)
         coll.compact(spark, target_rows_per_file=max(1, n // 6),
                      cluster_by=["lang"])
-        ranges = []
-        for f in sorted(_os.listdir(coll.path)):
-            if not f.endswith(".parquet"):
-                continue
-            md = _pq.ParquetFile(_os.path.join(coll.path, f)).metadata
-            col_idx = {md.schema.column(i).name: i
-                       for i in range(md.num_columns)}["lang"]
-            lo = hi = None
-            for g in range(md.num_row_groups):
-                s = md.row_group(g).column(col_idx).statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-            ranges.append((lo, hi))
-        ranges.sort()
-        ok = all(nxt_lo >= prev_hi for (_, prev_hi), (nxt_lo, _)
-                 in zip(ranges, ranges[1:]))
-        counts = (coll.read(spark).groupBy("lang")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
-                  .orderBy("lang").collect())
+        with phase("search"):
+            ranges = []
+            for f in sorted(_os.listdir(coll.path)):
+                if not f.endswith(".parquet"):
+                    continue
+                md = _pq.ParquetFile(_os.path.join(coll.path, f)).metadata
+                col_idx = {md.schema.column(i).name: i
+                           for i in range(md.num_columns)}["lang"]
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(col_idx).statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                ranges.append((lo, hi))
+            ranges.sort()
+            ok = all(nxt_lo >= prev_hi for (_, prev_hi), (nxt_lo, _)
+                     in zip(ranges, ranges[1:]))
+            counts = (coll.read(spark).groupBy("lang")
+                      .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+                      .orderBy("lang").collect())
         rows = [(r.lang, r.n_points, bool(ok)) for r in counts]
         return spark.createDataFrame(
             rows, "lang string, n_points long, defragmented boolean")
@@ -1068,8 +1076,10 @@ def ingest_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll = create_collection(root, "byid", dim=8, metric="cosine",
                                  normalize=False)
         coll.upsert(spark, points, mode="merge")
-        qid = coll.read(spark).agg(F.min("id")).collect()[0][0]
-        res = coll.search(spark, qid, k=5).select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            qid = coll.read(spark).agg(F.min("id")).collect()[0][0]
+            res = coll.search(spark, qid, k=5).select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
