@@ -138,6 +138,10 @@ HEADLINE = [
     "ingest_sparse_space_search",
     # round 7: mixed-space hybrid through the universal query API
     "ingest_hybrid_query",
+    # round 8: production-width dense KNN (768-d, the width-gated HOF
+    # scorer — every other KNN entry runs ≤64-d unrolled; a codegen
+    # regression at real embedding width shows up here, VERDICT r7 #3)
+    "knn_wide_dense_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

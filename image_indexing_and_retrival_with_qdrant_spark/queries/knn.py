@@ -113,6 +113,71 @@ def knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_knn(emb, _query_of(emb, 0), k=None, score_threshold=0.25, dim=64)
 
 
+# --- production-width KNN (768-d): the reference's real embedding
+# models are 1536/2048-d dense and 128-d×n multivector
+# (incremental_indexing_vdr_2b_multi_v1.py:57, jina_v4_text_indexer.py:54)
+# while the fixture is 64-d, so every other bench entry runs the
+# ≤256-d statically-unrolled scorer. This entry tiles the fixture to
+# 768-d DETERMINISTICALLY (12 tiles, tile t scaled by the exact
+# dyadic 1 + t/16 — bit-exact in both engines) so the width-gated HOF
+# twin (functions/vector.py::_UNROLL_MAX_DIM) is exercised by the
+# driver bench and value-checked by the oracle, not only by stress
+# runs: a codegen regression at real embedding width shows up here.
+_WIDE_TILES = 12  # 12 × 64-d fixture = 768-d
+
+
+def _tile(col: str, scale: float) -> "F.Column":
+    # NB: a separate helper, not a default-arg lambda — F.transform
+    # treats a two-parameter lambda as (element, index).
+    return F.transform(F.col(col).cast("array<double>"),
+                       lambda x: x * F.lit(scale))
+
+
+def _widen(col: str) -> "F.Column":
+    return F.flatten(F.array(*[
+        _tile(col, 1.0 + t * 0.0625) for t in range(_WIDE_TILES)]))
+
+
+def _widen_sql(col: str) -> str:
+    tiles = ", ".join(
+        f"list_transform(CAST({col} AS DOUBLE[]),"
+        f" x -> x * CAST({1.0 + t * 0.0625!r} AS DOUBLE))"
+        for t in range(_WIDE_TILES))
+    return f"flatten([{tiles}])"
+
+
+@register(
+    "knn_wide_dense_top5",
+    f"""
+    WITH w AS (
+      SELECT vec_id, label, {_widen_sql('embedding')} AS wide
+      FROM embeddings
+    ),
+    q AS (SELECT wide AS qv FROM w WHERE vec_id = 0)
+    SELECT w.vec_id, w.label,
+           ROUND(list_dot_product(w.wide, q.qv)
+                 / (sqrt(list_dot_product(w.wide, w.wide))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+    FROM w CROSS JOIN q
+    ORDER BY score DESC, w.vec_id
+    LIMIT 5
+    """,
+)
+def knn_wide_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense cosine top-5 at PRODUCTION width (768-d): past the
+    ``_UNROLL_MAX_DIM`` gate ``dense_knn`` scores with the loop-shaped
+    ``zip_with``/``aggregate`` HOF twin (whole-stage codegen at any
+    width — the unrolled form blows janino's 64 KB method limit and
+    silently drops to interpreted eval). Same broadcast-NLJ +
+    TakeOrderedAndProject plan as ``knn_dense_top5``."""
+    emb = load(spark, sf_dir, "embeddings")
+    wide = emb.select("vec_id", "label", _widen("embedding").alias("wide"))
+    query = (wide.filter(F.col("vec_id") == 0)
+             .select(F.col("wide").alias("query_vec")))
+    return dense_knn(wide, query, k=5, vec_col="wide",
+                     payload_cols=["label"], dim=64 * _WIDE_TILES)
+
+
 def _euclid_sql(dim: int = 64) -> str:
     """Explicit left-to-right squared-diff sum, mirroring
     ``euclid_unrolled``'s op shape term by term."""

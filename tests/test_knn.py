@@ -17,6 +17,7 @@ KNN_QUERIES = [
     "knn_grouped_top3",
     "knn_recommend_top5",
     "knn_recommend_best_score_top5",
+    "knn_wide_dense_top5",
 ]
 
 
