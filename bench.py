@@ -142,6 +142,9 @@ HEADLINE = [
     # scorer — every other KNN entry runs ≤64-d unrolled; a codegen
     # regression at real embedding width shows up here, VERDICT r7 #3)
     "knn_wide_dense_top5",
+    # round 8: SemDeDup soft top-2 blocking (boundary-miss fix,
+    # VERDICT r7 #5 — candidate volume ~4x hard cells, same n²/k bound)
+    "dedup_semantic_soft_pairs",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -163,6 +163,7 @@ class Collection:
             "status": status,
             "points_count": n,
             "indexed": self.has_index(),
+            "index_drift": self.index_drift(),
             "payload_indexes": list(self.meta.get(
                 "payload_indexes") or ()),
             "segments_count": len([f for f in os.listdir(self.path)
@@ -276,6 +277,81 @@ class Collection:
     def has_index(self) -> bool:
         return bool(self.meta.get("index_built"))
 
+    def _ivf_footer_counts(self) -> dict[int, int]:
+        """Per-cell row counts of the IVF layout from parquet FOOTERS
+        (no Spark job — same cost model as the fast count): walk the
+        ``partitionBy(centroid_id)`` directory tree and sum each
+        partition directory's footer row counts."""
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for root_dir, _dirs, files in os.walk(self._ivf_points):
+            base = os.path.basename(root_dir)
+            if not base.startswith("centroid_id="):
+                continue
+            cid = int(base.split("=", 1)[1])
+            for f in files:
+                if f.endswith(".parquet"):
+                    counts[cid] = counts.get(cid, 0) + pq.read_metadata(
+                        os.path.join(root_dir, f)).num_rows
+        return counts
+
+    def index_drift(self, cell_cap: float | None = None,
+                    growth_cap: float | None = None) -> dict | None:
+        """IVF append-drift diagnostic, answered from parquet footers.
+
+        Why it exists: post-threshold appends are assigned with the
+        FROZEN centroids and never retrain (``_refresh_index``), so a
+        distribution-shifted append stream silently skews the cells —
+        the hot cell's probe cost grows toward its fraction of the
+        corpus, and routed recall decays at the shifted region's
+        boundaries (measured: stress.py::ivf_drift_stress, BASELINE.md
+        §IVF-drift).
+
+        The meter: ``balance_ratio`` = max cell / fair share (1/k).
+        A fresh KMeans layout has a NATURAL imbalance (uniform-sphere
+        fixtures train to ~1.5–2.5× fair share), so the absolute
+        ratio alone can't separate "that's just the data" from drift;
+        the build path records its post-layout ratio in meta
+        (``index_balance_ratio``) and the drift signal is GROWTH
+        relative to that baseline. Trigger (documented policy):
+        ``rebuild_recommended`` when growth > ``drift_growth_cap``
+        (default 1.5 — the hot cell grew 50 % past its build-time
+        share) OR absolute ratio > ``drift_cell_cap`` (default 4.0 —
+        a probe of the hot cell costs 4× fair share regardless of
+        history; the same cap-and-split bound
+        ``operators.ann.ivf_split_hot_cells`` enforces). Act with
+        ``rebuild_index()`` (full retrain) or ``ivf_split_hot_cells``
+        (in-place split of only the hot partitions). Returns None
+        when no IVF layout exists."""
+        if not self.has_index() or not os.path.isdir(self._ivf_points):
+            return None
+        cap = float(cell_cap if cell_cap is not None
+                    else self.meta.get("drift_cell_cap", 4.0))
+        gcap = float(growth_cap if growth_cap is not None
+                     else self.meta.get("drift_growth_cap", 1.5))
+        counts = self._ivf_footer_counts()
+        total = sum(counts.values())
+        if not total:
+            return None
+        k = int(self.meta.get("index_k")
+                or self.meta.get("k_centroids") or 16)
+        max_frac = max(counts.values()) / total
+        ratio = max_frac * k
+        base = self.meta.get("index_balance_ratio")
+        growth = (ratio / base) if base else None
+        return {
+            "cells": len(counts),
+            "max_cell_fraction": round(max_frac, 6),
+            "balance_ratio": round(ratio, 4),
+            "baseline_balance_ratio": base,
+            "balance_growth": round(growth, 4) if growth else None,
+            "cell_cap": cap,
+            "growth_cap": gcap,
+            "rebuild_recommended": bool(
+                ratio > cap or (growth is not None and growth > gcap)),
+        }
+
     def _centroids(self, spark: SparkSession) -> list[list[float]]:
         """centroid_id-ordered centroid list (≤ k_centroids rows — a
         driver-side fetch by design; the probe shortlist must be a
@@ -370,6 +446,15 @@ class Collection:
             ).write.mode("overwrite").parquet(self._ivf_centroids)
             self._centroid_cache = None
             self.meta["index_built"] = True
+            # build-time balance baseline (footer walk, no job): the
+            # natural KMeans imbalance this layout starts from —
+            # index_drift() measures append skew as growth over it
+            counts = self._ivf_footer_counts()
+            self.meta["index_k"] = len(cents)
+            if counts:
+                self.meta["index_balance_ratio"] = round(
+                    max(counts.values()) / sum(counts.values())
+                    * len(cents), 4)
             self._save_meta()
             return
 

@@ -37,6 +37,7 @@ from .topk import global_topk
 __all__ = ["ivf_build", "ivf_search", "ivf_cell_counts",
            "ivf_split_hot_cells", "assign_centroid_expr",
            "assign_centroid_udf", "assign_centroids",
+           "assign_centroids_top2_expr", "assign_centroids_top2_udf",
            "lsh_signatures", "lsh_band_frame", "lsh_candidates",
            "lsh_probe", "lsh_probe_literal", "lsh_query_signature",
            "lsh_search"]
@@ -135,6 +136,48 @@ def assign_centroids(centroids: list[list[float]], vec_col: Column | str,
     if isinstance(vec_col, str):
         vec_col = F.col(vec_col)
     return assign_centroid_udf(centroids, vec_col)
+
+
+def assign_centroids_top2_expr(centroids: list[list[float]],
+                               vec_col: str) -> Column:
+    """Top-2 nearest centroid ids as one codegen'd expression
+    (SemDeDup/IVF soft assignment): sort the (distance, id) structs
+    lexicographically — same (d, i) tie-break as the argmin form, so
+    ``cells[0]`` equals ``assign_centroid_expr`` exactly — and keep
+    the first two ids. Takes a column NAME for the same ms-cheap
+    SQL-string construction as the argmin form; janino limits apply
+    identically (≤64 centroids)."""
+    entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
+    return F.expr(
+        f"transform(slice(array_sort(array({entries})), 1, 2), s -> s.i)")
+
+
+def assign_centroids_top2_udf(centroids: list[list[float]],
+                              vec_col: Column) -> Column:
+    """Top-2 nearest centroid ids, Arrow-batched (the large-codebook
+    path — the SemDeDup regime's k≈n/1000 overflows the expression
+    form). ``argpartition`` pulls the 2 smallest in O(k), then a
+    2-element sort orders them (d, i)-lexicographically — the same
+    tie-break as the expression twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def nearest2(v: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        D = c_sq - 2.0 * (V @ C.T)
+        top2 = np.argpartition(D, 1, axis=1)[:, :2]
+        d2 = np.take_along_axis(D, top2, axis=1)
+        ordered = (d2[:, 0] < d2[:, 1]) | (
+            (d2[:, 0] == d2[:, 1]) & (top2[:, 0] < top2[:, 1]))
+        out = np.where(ordered[:, None], top2, top2[:, ::-1])
+        return pd.Series([row.astype(np.int32).tolist() for row in out])
+
+    return nearest2(vec_col)
 
 
 def ivf_build(corpus: DataFrame, k_centroids: int = 16,

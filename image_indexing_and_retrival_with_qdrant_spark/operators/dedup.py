@@ -44,7 +44,7 @@ __all__ = [
     "exact_dedup_groups", "dedup_keep_first",
     "minhash_signature", "minhash_band_pairs",
     "simhash", "simhash_near_pairs",
-    "jaccard_pairs", "embedding_near_pairs",
+    "jaccard_pairs", "embedding_near_pairs", "soft_blocked_near_pairs",
     "ml_minhash_similarity_join", "decontaminate",
     "connected_components", "duplicated_window_stats",
 ]
@@ -298,6 +298,57 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
     return (
         a.join(b, on="block")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(*out_cols)
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            min_cosine: float = 0.9,
+                            block_out: str | None = None) -> DataFrame:
+    """`embedding_near_pairs` with SOFT (multi-cell) blocking: each
+    row belongs to an ARRAY of blocks (its top-m nearest IVF cells —
+    standard SemDeDup/IVF soft assignment) and a pair is a candidate
+    iff the two rows share ANY cell. This closes the cell-boundary
+    miss of hard blocking (measured 7.3 % of planted near-dup pairs
+    straddle a boundary at 1M rows × 1000 cells — BASELINE.md
+    §SemDeDup): a straddling pair is missed only when the two copies
+    share NONE of their m cells, which for near-identical vectors
+    requires the boundary to split both their 1st AND 2nd
+    assignments differently.
+
+    Shape at scale: rows are exploded once per cell (m× the scan,
+    2× for top-2) and the pair join stays a cell-local equi-join —
+    candidate volume ≈ m²·(Σ cell²)/corpus, still n²/k-bounded, no
+    all-pairs. A pair sharing several cells would be emitted once per
+    shared cell; the dedupe is ALGEBRAIC, not a distinct shuffle:
+    keep the pair only in the SMALLEST shared cell id
+    (``block == array_min(array_intersect(a.cells, b.cells))``, a
+    2×2 array intersect — cheaper than the d-dim dot it gates, and
+    evaluated before the cosine filter)."""
+    v = df.select(
+        F.col(id_col), cells_col.alias("cells"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("_norm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
+        id_col, "cells",
+        F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
+    ).withColumn("block", F.explode("cells"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ]
+    if block_out is not None:
+        out_cols.insert(0, F.col("block").alias(block_out))
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("block") == F.array_min(
+            F.array_intersect(F.col("a.cells"), F.col("b.cells"))))
         .select(*out_cols)
         .filter(F.col("cosine") >= min_cosine)
     )

@@ -378,6 +378,72 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("keep", F.row_number().over(w) == 1))
 
 
+def _semantic_soft_pairs_oracle(sf_dir: str, thr: float = 0.3) -> str:
+    """Oracle factory for SOFT (top-2 cell) SemDeDup blocking:
+    re-derives the centroids, computes each vector's two nearest
+    cells via a (d, i)-lexicographic struct sort (identical
+    tie-break to Spark's array_sort over the same bit-equal
+    distances), unnests to (vector, cell) memberships, and keeps a
+    qualifying pair only in the smallest shared cell — the same
+    algebraic dedupe the Spark side applies instead of a DISTINCT."""
+    from .ann import _duck_sq_dist, _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    sl = "[" + ", ".join(
+        f"{{'d': {_duck_sq_dist('e.embedding', c)}, 'i': {cid}}}"
+        for cid, c in enumerate(cents)) + "]"
+    return f"""
+    WITH cand AS (
+      SELECT e.vec_id,
+             list_transform(list_sort({sl}),
+                            s -> CAST(s.i AS BIGINT))[1:2] AS cells,
+             list_transform(
+               CAST(e.embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+             ) AS v
+      FROM embeddings e
+    ),
+    ex AS (SELECT vec_id, cells, v, unnest(cells) AS cell FROM cand)
+    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM ex a JOIN ex b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE a.cell = list_min(list_intersect(a.cells, b.cells))
+      AND ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
+    """
+
+
+@register("dedup_semantic_soft_pairs", _semantic_soft_pairs_oracle)
+def dedup_semantic_soft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with top-2 SOFT cell assignment — the boundary-miss
+    fix for `dedup_semantic_cells`: hard blocking loses the near-dup
+    pairs whose two members straddle a cell boundary (measured 7.3 %
+    of planted pairs at 1M rows × 1000 cells, BASELINE.md §SemDeDup;
+    soft top-2 recovers recall ≥0.99 at the same shape). Each vector
+    joins its TWO nearest cells (standard IVF soft assignment /
+    SemDeDup's published mitigation), pairs are generated within any
+    shared cell, and each qualifying pair is kept exactly once — in
+    the smallest shared cell id, an algebraic rule evaluated on the
+    2-element cell arrays rather than a global DISTINCT shuffle.
+    Candidate volume stays n²/k-bounded (≈4× hard blocking for
+    top-2). Assignment, blocking, scoring, and the dedupe rule all
+    hash-check against the DuckDB twin."""
+    from ..operators.ann import assign_centroids_top2_expr
+    from ..operators.dedup import soft_blocked_near_pairs
+    from .ann import _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "embedding",
+        F.transform(
+            assign_centroids_top2_expr(cents, "embedding"),
+            lambda c: c.cast("long"),
+        ).alias("cells"))
+    return soft_blocked_near_pairs(rows, F.col("cells"), min_cosine=0.3,
+                                   block_out="cell")
+
+
 @register(
     "dedup_duplicate_clusters",
     """

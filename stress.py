@@ -463,8 +463,119 @@ def ivf_skew_stress(n: int = 10_000_000) -> None:
     spark.stop()
 
 
+def ivf_drift_stress(n_base: int = 10_000_000,
+                     n_append: int = 1_000_000) -> None:
+    """IVF append drift through the CATALOG path (VERDICT r7 item 6):
+    `_refresh_index` assigns post-threshold appends with the FROZEN
+    centroids and never retrains, so a distribution-shifted append
+    stream skews the cells silently. Scenario: a uniform base corpus
+    crosses the threshold (centroids trained on base only), then a
+    tight blob the quantizer never saw is appended. The blob piles
+    into few stale cells: probe COST for queries near it grows toward
+    the blob's corpus fraction (the hot cell must be scanned whole),
+    and recall at the blob edge fragments across stale boundaries.
+    Under test: the documented trigger — `Collection.index_drift()`
+    (surfaced in `info()["index_drift"]`) flags ``rebuild_recommended``
+    when max-cell/fair-share exceeds the cap, and `rebuild_index()`
+    clears it, restoring per-probe cost. Measured here: balance ratio
+    and hot-cell fraction before/after append and after rebuild,
+    routed recall@10 + probe latency for a blob query at fixed
+    nprobe, and the trigger firing/clearing."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        l2_normalize,
+    )
+
+    spark = get_spark("stress-drift",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+    root = tempfile.mkdtemp(prefix="stress_drift_")
+    try:
+        coll = create_collection(root, "drift", dim=DIM, normalize=False,
+                                 indexing_threshold=1, k_centroids=64)
+        noise = [
+            ((F.xxhash64(F.col("id"), F.lit(i)) % 2000001 - 1000000)
+             / F.lit(1000000.0))
+            for i in range(DIM)
+        ]
+        base = spark.range(n_base).select(
+            "id", l2_normalize(F.array(*noise)).alias("embedding"))
+        t0 = time.perf_counter()
+        coll.upsert(spark, base, mode="append", dedupe_ids=False)
+        timings["base_upsert_and_index"] = round(time.perf_counter() - t0, 2)
+        d0 = coll.index_drift()
+        timings["balance_ratio_base"] = d0["balance_ratio"]
+        assert not d0["rebuild_recommended"], d0
+
+        # shifted append: tight blob around e0 (jitter 0.05), ids
+        # disjoint from base — the incremental path assigns it with
+        # the frozen base centroids
+        blob = spark.range(n_base, n_base + n_append).select(
+            "id",
+            l2_normalize(F.array(*[
+                (F.lit(1.0) if i == 0 else F.lit(0.0)) + 0.05 * noise[i]
+                for i in range(DIM)])).alias("embedding"))
+        t0 = time.perf_counter()
+        coll.upsert(spark, blob, mode="append", dedupe_ids=False)
+        timings["shifted_append"] = round(time.perf_counter() - t0, 2)
+        d1 = coll.index_drift()
+        timings["balance_ratio_drifted"] = d1["balance_ratio"]
+        timings["balance_growth_drifted"] = d1["balance_growth"]
+        timings["max_cell_fraction_drifted"] = d1["max_cell_fraction"]
+        assert d1["rebuild_recommended"], (
+            f"drift trigger must fire on the skewed layout: {d1}")
+
+        qvec = [r.embedding for r in
+                coll.read(spark).filter(F.col("id") == n_base + 12340)
+                .collect()][0]
+        exact = {r.id for r in
+                 coll.search(spark, list(qvec), k=10, exact=True,
+                             with_payload=False).collect()}
+        t0 = time.perf_counter()
+        routed = coll.search(spark, list(qvec), k=10, nprobe=4,
+                             with_payload=False).collect()
+        timings["blob_probe_before_rebuild"] = round(
+            time.perf_counter() - t0, 2)
+        timings["blob_recall_before_rebuild"] = round(
+            len({r.id for r in routed} & exact) / 10, 2)
+
+        t0 = time.perf_counter()
+        coll.rebuild_index(spark)
+        timings["rebuild_index"] = round(time.perf_counter() - t0, 2)
+        d2 = coll.index_drift()
+        timings["balance_ratio_rebuilt"] = d2["balance_ratio"]
+        timings["max_cell_fraction_rebuilt"] = d2["max_cell_fraction"]
+        # post-rebuild the blob LEGITIMATELY owns heavy-ish cells (a
+        # dense region is real data, not drift), so the absolute
+        # ratio need not drop — what resets is the baseline: growth
+        # returns to 1.0 and the flag clears (measured 200k smoke:
+        # drifted 2.19/growth 1.79 → rebuilt 2.31/growth 1.0)
+        assert abs(d2["balance_growth"] - 1.0) < 0.01, d2
+        assert not d2["rebuild_recommended"], d2
+
+        t0 = time.perf_counter()
+        routed2 = coll.search(spark, list(qvec), k=10, nprobe=4,
+                              with_payload=False).collect()
+        timings["blob_probe_after_rebuild"] = round(
+            time.perf_counter() - t0, 2)
+        timings["blob_recall_after_rebuild"] = round(
+            len({r.id for r in routed2} & exact) / 10, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "stress_ivf_drift", "rows_base": n_base,
+        "rows_append": n_append, "dim": DIM, "k_centroids": 64,
+        "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 def semdedup_stress(n: int = 1_000_000, k: int = 1000,
-                    thr: float = 0.9) -> None:
+                    thr: float = 0.9, soft: int = 0) -> None:
     """SemDeDup at scale (`dedup_semantic_cells`/`_keep`'s shape):
     n rows with PLANTED near-dups — row p and row p + n/2 share a
     base vector with small independent jitter (cosine ≈ 0.995), so
@@ -478,7 +589,15 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
     SemDeDup's documented approximation, the measured number here.
     Pair-join cost is Σ cell²·d ≈ n²d/k — the k dial is the whole
     game, and the cap-and-split policy (skew stress above) bounds the
-    worst cell."""
+    worst cell.
+
+    ``soft=1``: top-2 soft assignment (`assign_centroids_top2_udf` +
+    `soft_blocked_near_pairs`) — the boundary-miss fix: a planted
+    pair is lost only when the copies share NONE of their 2 cells.
+    Candidate volume ≈4× hard blocking; on disk the scale form is the
+    2×-exploded ``partitionBy(cell)`` layout (cell-local join); here
+    the operator explodes in-plan and shuffles the same 2n rows —
+    identical data volume, measured as one number."""
     from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
         l2_normalize,
     )
@@ -524,8 +643,17 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         timings["train_kmeans_sampled"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
-        assigned = corpus.withColumn(
-            "centroid_id", assign_centroids(cents, F.col("embedding")))
+        if soft:
+            from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (  # noqa: E501
+                assign_centroids_top2_udf,
+            )
+
+            assigned = corpus.withColumn(
+                "cells", assign_centroids_top2_udf(cents, F.col("embedding"))
+            ).withColumn("centroid_id", F.col("cells")[0])
+        else:
+            assigned = corpus.withColumn(
+                "centroid_id", assign_centroids(cents, F.col("embedding")))
         # repartition on the cell key first: without it every write
         # task opens a file per cell it sees (tasks × k small files)
         (assigned.repartition("centroid_id")
@@ -538,9 +666,18 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         timings["max_cell_fraction"] = round(max(counts.values()) / n, 4)
 
         t0 = time.perf_counter()
+        if soft:
+            from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (  # noqa: E501
+                soft_blocked_near_pairs,
+            )
+
+            pair_src = soft_blocked_near_pairs(
+                table, F.col("cells"), min_cosine=thr)
+        else:
+            pair_src = embedding_near_pairs(
+                table, F.col("centroid_id"), min_cosine=thr)
         stats = (
-            embedding_near_pairs(table, F.col("centroid_id"),
-                                 min_cosine=thr)
+            pair_src
             .agg(
                 F.count(F.lit(1)).alias("pairs"),
                 F.sum(((F.col("id_b") - F.col("id_a")) == half)
@@ -551,15 +688,18 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         timings["pairs_emitted"] = int(stats.pairs)
         recall = stats.planted_found / half
         timings["planted_pair_recall"] = round(recall, 4)
-        assert recall > 0.5, (
-            f"cell blocking lost most planted dups (recall={recall:.3f})")
+        floor = 0.98 if soft else 0.5
+        assert recall > floor, (
+            f"cell blocking lost planted dups (recall={recall:.3f}, "
+            f"soft={bool(soft)})")
     finally:
         shutil.rmtree(layout, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
     print(json.dumps({
         "metric": "stress_semdedup", "rows": n, "cells": k, "dim": DIM,
-        "threshold": thr, "timings_sec": timings,
+        "threshold": thr, "soft_top2": bool(soft),
+        "timings_sec": timings,
     }))
     spark.stop()
 
@@ -781,8 +921,17 @@ def main() -> None:
         substring_dedup_at_scale(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        rest = sys.argv[2:]
+        semdedup_stress(
+            int(rest[0]) if rest else 1_000_000,
+            int(rest[1]) if len(rest) > 1 else 1000,
+            float(rest[2]) if len(rest) > 2 else 0.9,
+            int(rest[3]) if len(rest) > 3 else 0,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "drift":
         args = [int(a) for a in sys.argv[2:]]
-        semdedup_stress(*args)
+        ivf_drift_stress(*args)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))

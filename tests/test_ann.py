@@ -315,3 +315,35 @@ def test_ivf_split_hot_cells(spark, sf_smoke):
                                           cap_fraction=0.9)
     assert same is re_assigned and sorted(c for c, _ in same_rows) == \
         sorted(cids)
+
+
+def test_top2_assignment_expr_udf_agree(spark, sf_smoke):
+    """Soft (top-2) assignment: the Arrow-batched numpy form agrees
+    with the codegen'd struct-sort expression, and cells[0] equals
+    the hard argmin assignment (same (d, i) tie-break)."""
+    import numpy as np
+
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        as_double,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroid_expr,
+        assign_centroids_top2_expr,
+        assign_centroids_top2_udf,
+    )
+
+    emb = load(spark, sf_smoke, "embeddings")
+    rng = np.random.RandomState(7)
+    cents = rng.standard_normal((8, 64)).tolist()
+    v = as_double(F.col("embedding"))
+    by_expr = {r.vec_id: r.c for r in emb.select(
+        "vec_id",
+        assign_centroids_top2_expr(cents, "embedding").alias("c"),
+    ).collect()}
+    by_udf = {r.vec_id: list(r.c) for r in emb.select(
+        "vec_id", assign_centroids_top2_udf(cents, v).alias("c")).collect()}
+    assert {k: list(vv) for k, vv in by_expr.items()} == by_udf
+    hard = {r.vec_id: r.c for r in emb.select(
+        "vec_id", assign_centroid_expr(cents, v).alias("c")).collect()}
+    assert all(by_expr[i][0] == hard[i] for i in hard)
+    assert all(c[0] != c[1] for c in by_expr.values())

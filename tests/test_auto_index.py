@@ -141,3 +141,40 @@ def test_multivector_auto_index_routes_maxsim(spark, sf_smoke, tmp_path):
     for i, s in res:
         if i in exact_all:
             assert exact_all[i] == s
+
+
+def test_index_drift_trigger_and_rebuild(spark, sf_smoke, tmp_path):
+    """Append-drift policy (SCALE.md §ANN skew): the build records its
+    natural balance ratio as the baseline; a distribution-shifted
+    append (frozen-centroid assignment) grows the hot cell past the
+    growth cap and index_drift()/info() flag rebuild_recommended;
+    rebuild_index() re-trains and resets the baseline (growth back
+    to ~1.0)."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4)
+    base_pts = _points(spark, sf_smoke)
+    coll.upsert(spark, base_pts, mode="append")
+    d0 = coll.index_drift()
+    assert d0 is not None and d0["baseline_balance_ratio"] is not None
+    assert abs(d0["balance_growth"] - 1.0) < 0.01
+    assert not d0["rebuild_recommended"]
+
+    # shifted append, 2x the corpus piled on one direction: the
+    # frozen centroids funnel it into a single cell
+    const = F.expr(
+        "array(1.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)")
+    skew = (base_pts
+            .withColumn("id", F.concat(F.lit("skew-"), F.col("id")))
+            .withColumn("embedding", const))
+    skew = skew.unionByName(
+        skew.withColumn("id", F.concat(F.lit("b-"), F.col("id"))))
+    coll.upsert(spark, skew, mode="append")
+    d1 = coll.index_drift()
+    assert d1["balance_growth"] > d1["growth_cap"], d1
+    assert d1["rebuild_recommended"]
+    assert coll.info(spark)["index_drift"]["rebuild_recommended"]
+
+    coll.rebuild_index(spark)
+    d2 = coll.index_drift()
+    assert abs(d2["balance_growth"] - 1.0) < 0.01
+    assert not d2["rebuild_recommended"]

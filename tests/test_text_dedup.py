@@ -18,6 +18,7 @@ DEDUP = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
+    "dedup_semantic_soft_pairs",
     "dedup_semantic_keep",
     "dedup_duplicate_clusters",
     "dedup_exact_substrings",
