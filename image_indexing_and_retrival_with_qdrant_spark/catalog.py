@@ -436,8 +436,19 @@ class Collection:
                 X = [r["__r"] for r in table.select(
                     routing_vec(table).alias("__r")).limit(k).collect()]
             cents = kmeans_np(X, min(k, len(X)), seed=42)
+            # tighter literal budget than the plain-projection dispatch
+            # (1024): the layout write FUSES the assignment expression
+            # into the dynamic-partition sorter's generated method, and
+            # a 64×16 codebook that codegens fine as a projection blows
+            # janino's 64 KB limit inside sort_addToSorter — Spark
+            # falls back to row-at-a-time interpreted eval for the
+            # whole write stage (observed at the drift stress). The
+            # Arrow/BLAS UDF evaluates in its own stage; the sorter
+            # then sees a plain int column.
             assigned = table.withColumn(
-                "centroid_id", assign_centroids(cents, routing_vec(table)))
+                "centroid_id",
+                assign_centroids(cents, routing_vec(table),
+                                 max_expr_literals=512))
             assigned.write.mode("overwrite").partitionBy(
                 "centroid_id").parquet(self._ivf_points)
             spark.createDataFrame(
@@ -463,7 +474,8 @@ class Collection:
             return
         assigned = source.withColumn(
             "centroid_id",
-            assign_centroids(self._centroids(spark), routing_vec(source)),
+            assign_centroids(self._centroids(spark), routing_vec(source),
+                             max_expr_literals=512),
         )
         mode = "overwrite" if rewrote else "append"
         assigned.write.mode(mode).partitionBy(

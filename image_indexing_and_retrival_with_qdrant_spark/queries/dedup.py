@@ -444,6 +444,103 @@ def dedup_semantic_soft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    block_out="cell")
 
 
+def _semantic_soft_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
+    """Oracle factory for the full SOFT SemDeDup resolution: top-2
+    cells via struct sort, soft-blocked edges (smallest-shared-cell
+    dedupe), recursive-CTE components — which may CROSS cells under
+    soft blocking — and the farthest-from-primary-centroid keep."""
+    from .ann import _duck_sq_dist, _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    sl = "[" + ", ".join(
+        f"{{'d': {_duck_sq_dist('e.embedding', c)}, 'i': {cid}}}"
+        for cid, c in enumerate(cents)) + "]"
+    return f"""
+    WITH RECURSIVE cand AS (
+      SELECT e.vec_id, list_sort({sl}) AS s,
+             list_transform(
+               CAST(e.embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+             ) AS v
+      FROM embeddings e
+    ),
+    cand2 AS (
+      SELECT vec_id,
+             list_transform(s, x -> CAST(x.i AS BIGINT))[1:2] AS cells,
+             CAST(s[1].i AS BIGINT) AS cell,
+             ROUND(s[1].d, 6) AS cdist, v
+      FROM cand
+    ),
+    ex AS (SELECT vec_id, cells, v, unnest(cells) AS cm FROM cand2),
+    edges AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM ex a JOIN ex b ON a.cm = b.cm AND a.vec_id < b.vec_id
+      WHERE a.cm = list_min(list_intersect(a.cells, b.cells))
+        AND ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
+    ),
+    und AS (SELECT ea AS a, eb AS b FROM edges
+            UNION ALL SELECT eb, ea FROM edges),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM cand2
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    clusters AS (
+      SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.vec_id, d.cell, c.cluster_id, d.cdist,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.cdist DESC, c.vec_id ASC) = 1 AS keep
+    FROM clusters c JOIN cand2 d ON c.vec_id = d.vec_id
+    """
+
+
+@register("dedup_semantic_soft_keep", _semantic_soft_keep_oracle)
+def dedup_semantic_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup resolution over SOFT (top-2 cell) pairs: the
+    keep policy of `dedup_semantic_keep` (one survivor per component,
+    farthest from its PRIMARY centroid, ties by min vec_id) on the
+    recall-complete soft edge set. The structural difference from the
+    hard tier: soft edges can CROSS primary cells (a~b share a's
+    secondary cell, b~c share b's secondary), so components are no
+    longer cell-bounded and the cell-local union-find does not apply
+    — this tier pays the generic min-label propagation
+    (`connected_components`: diameter-bounded shuffle rounds) for
+    boundary-complete clusters. The oracle recomputes everything —
+    top-2 assignment, soft edges, transitive closure, keep window —
+    with a recursive CTE, so cross-cell chains must collapse
+    identically in both engines."""
+    from ..operators.ann import _centroid_structs_sql
+    from ..operators.dedup import (
+        connected_components,
+        soft_blocked_near_pairs,
+    )
+    from .ann import _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    entries = _centroid_structs_sql(cents, "`embedding`")
+    rows = emb.select(
+        "vec_id", "embedding",
+        F.expr(f"slice(array_sort(array({entries})), 1, 2)").alias("__s"),
+    ).select(
+        "vec_id", "embedding",
+        F.expr("transform(__s, s -> CAST(s.i AS BIGINT))").alias("cells"),
+        F.expr("CAST(__s[0].i AS BIGINT)").alias("cell"),
+        F.round(F.expr("__s[0].d"), 6).alias("cdist"))
+    pairs = soft_blocked_near_pairs(rows, F.col("cells"), min_cosine=0.3)
+    cc = connected_components(pairs, nodes=rows, id_col="vec_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cdist").desc(), F.col("vec_id").asc())
+    return (rows.join(cc, "vec_id")
+            .select("vec_id", "cell", "cluster_id", "cdist")
+            .withColumn("keep", F.row_number().over(w) == 1))
+
+
 @register(
     "dedup_duplicate_clusters",
     """

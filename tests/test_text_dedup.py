@@ -19,6 +19,7 @@ DEDUP = [
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
     "dedup_semantic_soft_pairs",
+    "dedup_semantic_soft_keep",
     "dedup_semantic_keep",
     "dedup_duplicate_clusters",
     "dedup_exact_substrings",
