@@ -314,16 +314,25 @@ class Collection:
         ratio alone can't separate "that's just the data" from drift;
         the build path records its post-layout ratio in meta
         (``index_balance_ratio``) and the drift signal is GROWTH
-        relative to that baseline. Trigger (documented policy):
-        ``rebuild_recommended`` when growth > ``drift_growth_cap``
-        (default 1.5 — the hot cell grew 50 % past its build-time
-        share) OR absolute ratio > ``drift_cell_cap`` (default 4.0 —
-        a probe of the hot cell costs 4× fair share regardless of
-        history; the same cap-and-split bound
-        ``operators.ann.ivf_split_hot_cells`` enforces). Act with
-        ``rebuild_index()`` (full retrain) or ``ivf_split_hot_cells``
-        (in-place split of only the hot partitions). Returns None
-        when no IVF layout exists."""
+        relative to that baseline.
+
+        The verdict distinguishes WHY the layout is skewed, because
+        the remedies differ (measured end-to-end in
+        stress.py::ivf_drift_stress):
+
+        - ``action="rebuild"``: growth > ``drift_growth_cap``
+          (default 1.5) — the distribution moved since training
+          (frozen-centroid appends); a full retrain re-places the
+          centroids. ``rebuild_index()``.
+        - ``action="split"``: growth within cap but absolute ratio >
+          ``drift_cell_cap`` (default 4.0) — the layout is as good as
+          training gets and the data is just DENSE there (at 10M+1M a
+          retrain still parks a tight 9 % blob in one cell); probes
+          touching it pay the hot fraction regardless of history.
+          ``split_hot_cells()`` re-trains only the hot cells in place.
+        - ``action=None``: healthy.
+
+        Returns None when no IVF layout exists."""
         if not self.has_index() or not os.path.isdir(self._ivf_points):
             return None
         cap = float(cell_cap if cell_cap is not None
@@ -340,6 +349,12 @@ class Collection:
         ratio = max_frac * k
         base = self.meta.get("index_balance_ratio")
         growth = (ratio / base) if base else None
+        if growth is not None and growth > gcap:
+            action = "rebuild"
+        elif ratio > cap:
+            action = "split"
+        else:
+            action = None
         return {
             "cells": len(counts),
             "max_cell_fraction": round(max_frac, 6),
@@ -348,8 +363,9 @@ class Collection:
             "balance_growth": round(growth, 4) if growth else None,
             "cell_cap": cap,
             "growth_cap": gcap,
-            "rebuild_recommended": bool(
-                ratio > cap or (growth is not None and growth > gcap)),
+            "action": action,
+            "rebuild_recommended": action == "rebuild",
+            "split_recommended": action == "split",
         }
 
     def _centroids(self, spark: SparkSession) -> list[list[float]]:
@@ -489,6 +505,91 @@ class Collection:
         self._centroid_cache = None
         self._save_meta()
         self._post_write(spark, None, id_col, vec_col, rewrote=True)
+
+    def split_hot_cells(self, spark: SparkSession,
+                        cap_fraction: float | None = None,
+                        vec_col: str = "embedding",
+                        id_col: str = "id") -> dict:
+        """In-place cap-and-split of the IVF layout's hot cells — the
+        remedy for ``index_drift()['action'] == 'split'``: the data is
+        legitimately dense somewhere (a retrain would park the dense
+        region in one heavy cell again, measured at the 10M drift
+        stress), so instead of a full rewrite only the hot cells'
+        members are re-trained into sub-centroids and only the hot
+        partition directories are rewritten
+        (``operators.ann.ivf_split_hot_cells`` — cost ∝ hot data, not
+        corpus; cold partition dirs move by RENAME only).
+
+        The probe addresses centroids by dense position
+        (``probe_cells``), so after retiring hot ids the kept + new
+        cells are renumbered 0..m-1: cold directories are renamed
+        (metadata-only on a filesystem; a manifest update at 100 TB),
+        the centroid table is rewritten in the new order, and the
+        drift baseline resets to the post-split layout. Collections
+        with a quantized codes sidecar rebuild it over the new cell
+        keys (same policy as a rewriting upsert). Dense single-space
+        collections only — the multivector routing sidecar and named
+        spaces route through different columns; use rebuild_index().
+
+        Returns the refreshed ``index_drift()`` dict (a no-op split —
+        nothing over the cap — returns the current one unchanged)."""
+        if not self.has_index() or not os.path.isdir(self._ivf_points):
+            raise ValueError("no IVF layout to split")
+        if self.meta.get("multivector") or self.meta.get("vectors"):
+            raise NotImplementedError(
+                "split_hot_cells supports dense single-space "
+                "collections; use rebuild_index()")
+        from .operators.ann import ivf_split_hot_cells
+
+        k = int(self.meta.get("index_k")
+                or self.meta.get("k_centroids") or 16)
+        cap = (cap_fraction if cap_fraction is not None
+               else float(self.meta.get("drift_cell_cap", 4.0)) / k)
+        cents = self._centroids(spark)
+        counts = self._ivf_footer_counts()
+        table = spark.read.parquet(self._ivf_points)
+        re_assigned, cent_rows = ivf_split_hot_cells(
+            table, cents, cap_fraction=cap, id_col=id_col,
+            vec_col=vec_col, counts=counts)
+        if len(cent_rows) == len(cents):
+            return self.index_drift()
+        base_next = len(cents)
+        # write ONLY the new sub-partitions; retire the hot dirs
+        (re_assigned.filter(F.col("centroid_id") >= base_next)
+         .write.mode("append").partitionBy("centroid_id")
+         .parquet(self._ivf_points))
+        kept = {cid for cid, _ in cent_rows}
+        for cid in set(counts) - kept:
+            shutil.rmtree(
+                os.path.join(self._ivf_points, f"centroid_id={cid}"),
+                ignore_errors=True)
+        # renumber to dense 0..m-1 (ascending old id → target ≤ old
+        # id, so in-order renames never collide)
+        cent_rows.sort(key=lambda t: t[0])
+        for new_id, (old_id, _) in enumerate(cent_rows):
+            if new_id != old_id:
+                os.rename(
+                    os.path.join(self._ivf_points,
+                                 f"centroid_id={old_id}"),
+                    os.path.join(self._ivf_points,
+                                 f"centroid_id={new_id}"))
+        spark.createDataFrame(
+            [(i, list(c)) for i, (_, c) in enumerate(cent_rows)],
+            "centroid_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(self._ivf_centroids)
+        self._centroid_cache = None
+        new_counts = self._ivf_footer_counts()
+        self.meta["index_k"] = len(cent_rows)
+        if new_counts:
+            self.meta["index_balance_ratio"] = round(
+                max(new_counts.values()) / sum(new_counts.values())
+                * len(cent_rows), 4)
+        self._save_meta()
+        if self.meta.get("quantization"):
+            # the composed cells-codes layout keys on centroid_id —
+            # rebuild it over the new cells (rewrote-upsert policy)
+            self._refresh_quant(spark, None, id_col, vec_col, True)
+        return self.index_drift()
 
     _UNSET = object()
 

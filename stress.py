@@ -548,11 +548,13 @@ def ivf_drift_stress(n_base: int = 10_000_000,
         d2 = coll.index_drift()
         timings["balance_ratio_rebuilt"] = d2["balance_ratio"]
         timings["max_cell_fraction_rebuilt"] = d2["max_cell_fraction"]
-        # post-rebuild the blob LEGITIMATELY owns heavy-ish cells (a
-        # dense region is real data, not drift), so the absolute
-        # ratio need not drop — what resets is the baseline: growth
-        # returns to 1.0 and the flag clears (measured 200k smoke:
-        # drifted 2.19/growth 1.79 → rebuilt 2.31/growth 1.0)
+        timings["action_rebuilt"] = d2["action"]
+        # post-rebuild the blob LEGITIMATELY owns heavy cells (a dense
+        # region is real data, not drift), so the absolute ratio need
+        # not drop — what resets is the baseline (growth 1.0, rebuild
+        # flag clears). At 10M+1M the retrain parks the whole 1M blob
+        # in ONE cell (ratio ~5.8 > cell_cap): the verdict becomes
+        # action="split" — re-train only the hot cells in place.
         assert abs(d2["balance_growth"] - 1.0) < 0.01, d2
         assert not d2["rebuild_recommended"], d2
 
@@ -563,6 +565,21 @@ def ivf_drift_stress(n_base: int = 10_000_000,
             time.perf_counter() - t0, 2)
         timings["blob_recall_after_rebuild"] = round(
             len({r.id for r in routed2} & exact) / 10, 2)
+
+        if d2["action"] == "split":
+            t0 = time.perf_counter()
+            d3 = coll.split_hot_cells(spark)
+            timings["split_hot_cells"] = round(time.perf_counter() - t0, 2)
+            timings["balance_ratio_split"] = d3["balance_ratio"]
+            timings["cells_after_split"] = d3["cells"]
+            assert d3["action"] is None, d3
+            t0 = time.perf_counter()
+            routed3 = coll.search(spark, list(qvec), k=10, nprobe=4,
+                                  with_payload=False).collect()
+            timings["blob_probe_after_split"] = round(
+                time.perf_counter() - t0, 2)
+            timings["blob_recall_after_split"] = round(
+                len({r.id for r in routed3} & exact) / 10, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -178,3 +178,48 @@ def test_index_drift_trigger_and_rebuild(spark, sf_smoke, tmp_path):
     d2 = coll.index_drift()
     assert abs(d2["balance_growth"] - 1.0) < 0.01
     assert not d2["rebuild_recommended"]
+
+
+def test_split_hot_cells_renumbers_and_rebalances(spark, sf_smoke, tmp_path):
+    """Catalog-level cap-and-split: hot cells re-train in place, ids
+    renumber dense (the probe addresses centroids by position), the
+    corpus stays an exact partition (exhaustive probe == exact scan),
+    and the drift baseline resets to the post-split layout."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4)
+    base_pts = _points(spark, sf_smoke)
+    coll.upsert(spark, base_pts, mode="append")
+
+    # jittered dense blob, 3x the corpus, around one direction —
+    # legitimate density, not drift noise (kmeans CAN sub-split it)
+    jit = [
+        (F.lit(1.0) if i == 0 else F.lit(0.0))
+        + 0.05 * ((F.xxhash64(F.col("id"), F.lit(i)) % 2001 - 1000)
+                  / F.lit(1000.0))
+        for i in range(8)
+    ]
+    blob = base_pts.withColumn("embedding", F.array(*jit))
+    for tag in ("s1-", "s2-", "s3-"):
+        coll.upsert(
+            spark, blob.withColumn("id", F.concat(F.lit(tag), F.col("id"))),
+            mode="append")
+
+    before = coll.index_drift()
+    after = coll.split_hot_cells(spark, cap_fraction=0.3)
+    assert after["cells"] > before["cells"]
+    assert after["max_cell_fraction"] <= before["max_cell_fraction"]
+    assert abs(after["balance_growth"] - 1.0) < 0.01  # baseline reset
+
+    # ids must be dense 0..m-1 (probe addresses by position)
+    cents = coll._centroids(spark)
+    counts = coll._ivf_footer_counts()
+    assert sorted(counts) == list(range(len(cents)))
+    assert sum(counts.values()) == coll.count(spark)
+
+    # exhaustive probe over the split layout == exact scan
+    qv = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    routed = [(r.id, r.score) for r in
+              coll.search(spark, qv, k=5).collect()]
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, exact=True).collect()]
+    assert routed == exact
