@@ -207,6 +207,18 @@ def test_semdedup_pair_join_is_blocked_equi_join(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_soft_pair_join_is_blocked_equi_join(spark, sf_smoke):
+    """Soft top-2 blocking keeps the equi-join shape: the explode
+    multiplies rows (2n memberships), but candidates still join on
+    the cell key — no cartesian/NLJ, and no global DISTINCT for the
+    shared-pair dedupe (it's the smallest-shared-cell filter)."""
+    plan = _plan(spark, sf_smoke, "dedup_semantic_soft_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the algebraic dedupe must not reintroduce an aggregate
+    assert "HashAggregate" not in plan or "distinct" not in plan.lower()
+
+
 def test_dsir_lms_broadcast_back(spark, sf_smoke):
     """DSIR's two hashed-bucket LMs are ≤B rows at any corpus size —
     they must join back BROADCAST (the corpus is never re-shuffled
