@@ -45,6 +45,7 @@ __all__ = [
     "minhash_signature", "minhash_band_pairs",
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs", "soft_blocked_near_pairs",
+    "write_soft_membership_layout", "soft_layout_near_pairs",
     "ml_minhash_similarity_join", "decontaminate",
     "connected_components", "duplicated_window_stats",
 ]
@@ -336,6 +337,76 @@ def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
         F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
     ).withColumn("block", F.explode("cells"))
     a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ]
+    if block_out is not None:
+        out_cols.insert(0, F.col("block").alias(block_out))
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("block") == F.array_min(
+            F.array_intersect(F.col("a.cells"), F.col("b.cells"))))
+        .select(*out_cols)
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def write_soft_membership_layout(df: DataFrame, cells_col: Column,
+                                 path: str, table_name: str,
+                                 buckets: int = 64,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> None:
+    """Persist the soft-assignment memberships as a BUCKETED table so
+    the SemDeDup pair join runs exchange-free.
+
+    ``soft_blocked_near_pairs`` explodes the top-m cell memberships
+    in-plan, which re-shuffles the m·n exploded rows on the cell key
+    every run (the dominant cost at 1M×1000 cells: 419 s solo,
+    BASELINE.md §round-8). This writer pays that explode ONCE:
+    normalize → explode ``cells`` to one row per (row, cell) →
+    ``bucketBy(buckets, "block")`` + ``sortBy("block")`` into an
+    external table at ``path``. A self-join of the table on ``block``
+    then needs NO ShuffleExchange on either side (Spark's bucketed
+    sort-merge join; the bucket key equals the join key), so the
+    per-run cost is the cell-local pair work itself — the layout form
+    SCALE.md promises for every blocked-join operator.
+
+    The table keeps the full ``cells`` array alongside the exploded
+    ``block`` so the smallest-shared-cell algebraic dedupe still
+    evaluates without a DISTINCT."""
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col), cells_col.alias("cells"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("_norm", F.sqrt(dot(F.col("v"), F.col("v")))).select(
+        id_col, "cells",
+        F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
+    ).withColumn("block", F.explode("cells"))
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (v.write.mode("overwrite")
+     .bucketBy(buckets, "block").sortBy("block")
+     .option("path", path).saveAsTable(table_name))
+
+
+def soft_layout_near_pairs(spark, table_name: str,
+                           min_cosine: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           block_out: str | None = None) -> DataFrame:
+    """`soft_blocked_near_pairs` over a persisted bucketed membership
+    layout (``write_soft_membership_layout``): identical pair
+    semantics — candidates share a cell, pairs dedupe algebraically to
+    their smallest shared cell, cosine is the dot of the layout's
+    pre-normalized vectors — but the self-join on ``block`` is
+    bucket-co-located, so the plan has no ShuffleExchange (pinned in
+    tests/test_plans.py). Per-run cost drops from
+    shuffle(m·n) + join to join only."""
+    t = spark.table(table_name)
+    a, b = t.alias("a"), t.alias("b")
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
     out_cols = [
         F.col(f"a.{id_col}").alias("id_a"),

@@ -611,10 +611,16 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
     ``soft=1``: top-2 soft assignment (`assign_centroids_top2_udf` +
     `soft_blocked_near_pairs`) — the boundary-miss fix: a planted
     pair is lost only when the copies share NONE of their 2 cells.
-    Candidate volume ≈4× hard blocking; on disk the scale form is the
-    2×-exploded ``partitionBy(cell)`` layout (cell-local join); here
-    the operator explodes in-plan and shuffles the same 2n rows —
-    identical data volume, measured as one number."""
+    Candidate volume ≈4× hard blocking; the operator explodes in-plan
+    and shuffles the 2n membership rows on every run.
+
+    ``soft=2``: the LAYOUT form — the 2n memberships are persisted
+    once as a bucketed table (`write_soft_membership_layout`,
+    bucketBy(cell)), and the pair join (`soft_layout_near_pairs`) is
+    a bucket-co-located SortMergeJoin with ZERO ShuffleExchanges
+    (asserted on the executed plan). Same pair semantics as soft=1;
+    the run separates the one-time layout cost from the per-run join
+    cost that soft=1 pays fused."""
     from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
         l2_normalize,
     )
@@ -671,19 +677,51 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         else:
             assigned = corpus.withColumn(
                 "centroid_id", assign_centroids(cents, F.col("embedding")))
-        # repartition on the cell key first: without it every write
-        # task opens a file per cell it sees (tasks × k small files)
-        (assigned.repartition("centroid_id")
-         .write.mode("overwrite").partitionBy("centroid_id")
-         .parquet(layout))
-        timings["assign_and_layout"] = round(time.perf_counter() - t0, 2)
+        if soft == 2:
+            from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (  # noqa: E501
+                write_soft_membership_layout,
+            )
 
-        table = spark.read.parquet(layout)
-        counts = ivf_cell_counts(table)
-        timings["max_cell_fraction"] = round(max(counts.values()) / n, 4)
+            write_soft_membership_layout(
+                assigned.select("vec_id", "cells", "embedding"),
+                F.col("cells"), layout, "stress_soft_members",
+                buckets=64)
+            timings["membership_layout_write"] = round(
+                time.perf_counter() - t0, 2)
+            table = spark.table("stress_soft_members")
+            counts = {r.block: r.c for r in table.groupBy("block")
+                      .agg(F.count(F.lit(1)).alias("c")).collect()}
+            # memberships are 2n rows; fraction is vs n like the
+            # other modes (a cell's pair cost keys on its row count)
+            timings["max_cell_fraction"] = round(
+                max(counts.values()) / n, 4)
+        else:
+            # repartition on the cell key first: without it every
+            # write task opens a file per cell it sees (tasks × k
+            # small files)
+            (assigned.repartition("centroid_id")
+             .write.mode("overwrite").partitionBy("centroid_id")
+             .parquet(layout))
+            timings["assign_and_layout"] = round(
+                time.perf_counter() - t0, 2)
+            table = spark.read.parquet(layout)
+            counts = ivf_cell_counts(table)
+            timings["max_cell_fraction"] = round(
+                max(counts.values()) / n, 4)
 
         t0 = time.perf_counter()
-        if soft:
+        if soft == 2:
+            from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (  # noqa: E501
+                soft_layout_near_pairs,
+            )
+
+            pair_src = soft_layout_near_pairs(
+                spark, "stress_soft_members", min_cosine=thr)
+            plan = pair_src._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, (
+                "layout pair join must be exchange-free")
+            timings["pair_join_exchange_free"] = True
+        elif soft:
             from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (  # noqa: E501
                 soft_blocked_near_pairs,
             )
@@ -710,12 +748,15 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
             f"cell blocking lost planted dups (recall={recall:.3f}, "
             f"soft={bool(soft)})")
     finally:
+        if soft == 2:
+            spark.sql("DROP TABLE IF EXISTS stress_soft_members")
         shutil.rmtree(layout, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
     print(json.dumps({
         "metric": "stress_semdedup", "rows": n, "cells": k, "dim": DIM,
         "threshold": thr, "soft_top2": bool(soft),
+        "soft_layout": soft == 2,
         "timings_sec": timings,
     }))
     spark.stop()

@@ -219,6 +219,50 @@ def test_semdedup_soft_pair_join_is_blocked_equi_join(spark, sf_smoke):
     assert "HashAggregate" not in plan or "distinct" not in plan.lower()
 
 
+def test_soft_membership_layout_join_is_exchange_free(spark, sf_smoke,
+                                                      tmp_path):
+    """The persisted bucketed membership layout exists to delete the
+    soft pair join's shuffle term: bucket key == join key, so the
+    self-join must plan as a bucketed SortMergeJoin with ZERO
+    ShuffleExchanges (the 1M-row stress measured the in-plan shuffle
+    at 419 s solo — BASELINE.md §round-8)."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroids_top2_udf,
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        soft_layout_near_pairs,
+        write_soft_membership_layout,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    X = [r.embedding for r in
+         sorted(emb.limit(256).collect(), key=lambda r: r.vec_id)]
+    cents = kmeans_np(X, 4, seed=42, max_iter=3)
+    assigned = emb.withColumn(
+        "cells", assign_centroids_top2_udf(cents, F.col("embedding")))
+    write_soft_membership_layout(
+        assigned, F.col("cells"), str(tmp_path / "members"),
+        "soft_members_plan_test", buckets=4, id_col="vec_id")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # a tiny fixture would otherwise broadcast; the pin is about
+        # the large-table shape, where SMJ is the only option
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = soft_layout_near_pairs(
+            spark, "soft_members_plan_test", id_col="vec_id",
+            min_cosine=0.3)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS soft_members_plan_test")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_dsir_lms_broadcast_back(spark, sf_smoke):
     """DSIR's two hashed-bucket LMs are ≤B rows at any corpus size —
     they must join back BROADCAST (the corpus is never re-shuffled

@@ -161,3 +161,44 @@ def test_cell_local_components_matches_global(spark, sf_smoke):
                for r in connected_components(
                    pairs, nodes=emb, id_col="vec_id").collect()}
     assert local == global_
+
+
+def test_soft_layout_pairs_match_inplan(spark, sf_smoke, tmp_path):
+    """The bucketed membership layout must reproduce the in-plan soft
+    pair set exactly (same candidates, same smallest-shared-cell
+    dedupe, same rounded cosines) — and its self-join must be
+    exchange-free (the plan pin lives in test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroids_top2_udf,
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        soft_blocked_near_pairs,
+        soft_layout_near_pairs,
+        write_soft_membership_layout,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    X = [r.embedding for r in
+         sorted(emb.collect(), key=lambda r: r.vec_id)][:512]
+    cents = kmeans_np(X, 6, seed=42, max_iter=5)
+    assigned = emb.withColumn(
+        "cells", assign_centroids_top2_udf(cents, F.col("embedding")))
+
+    ref = sorted((r.id_a, r.id_b, r.cosine) for r in soft_blocked_near_pairs(
+        assigned, F.col("cells"), id_col="vec_id",
+        min_cosine=0.3).collect())
+    write_soft_membership_layout(
+        assigned, F.col("cells"), str(tmp_path / "members"),
+        "soft_members_eq_test", buckets=4, id_col="vec_id")
+    try:
+        got = sorted((r.id_a, r.id_b, r.cosine)
+                     for r in soft_layout_near_pairs(
+                         spark, "soft_members_eq_test", id_col="vec_id",
+                         min_cosine=0.3).collect())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS soft_members_eq_test")
+    assert len(ref) > 0 and got == ref
