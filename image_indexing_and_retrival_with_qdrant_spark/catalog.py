@@ -188,9 +188,11 @@ class Collection:
     def _state_paths(self) -> list[str]:
         """Every on-disk path that makes up this collection's state."""
         spaces = list(self.meta.get("vectors") or ())
+        sparse = list(self.meta.get("sparse_vectors") or ())
         return [p for p in (self.path, self._ivf_points,
                             self._ivf_centroids, self.path + ".codes",
-                            *(self._codes_path_for(s) for s in spaces))
+                            *(self._codes_path_for(s) for s in spaces),
+                            *(self._postings_path_for(s) for s in sparse))
                 if os.path.exists(p)]
 
     def _snap_dir(self, name: str) -> str:
@@ -627,17 +629,39 @@ class Collection:
                 if sname not in sv:
                     raise ValueError(f"unknown sparse space {sname!r} "
                                      f"(have {sorted(sv)})")
-                unknown = sorted(set(diff) - {"modifier"})
+                unknown = sorted(set(diff) -
+                                 {"modifier", "full_scan_threshold"})
                 if unknown:
                     raise ValueError(
                         f"unknown key(s) {unknown} in sparse space "
                         f"{sname!r} diff")
-                mod = diff.get("modifier")
-                if mod not in (None, "idf"):
-                    raise ValueError(
-                        "sparse modifier must be None or 'idf'")
-                sv[sname]["modifier"] = mod
+                if "modifier" in diff:
+                    mod = diff["modifier"]
+                    if mod not in (None, "idf"):
+                        raise ValueError(
+                            "sparse modifier must be None or 'idf'")
+                    sv[sname]["modifier"] = mod
+                if "full_scan_threshold" in diff:
+                    fst = diff["full_scan_threshold"]
+                    if fst is None:
+                        # disabling the sparse index takes the layout
+                        # with it (same rule as indexing_threshold:
+                        # a live layout would silently go stale)
+                        for key in ("full_scan_threshold",
+                                    "postings_built", "n_points"):
+                            sv[sname].pop(key, None)
+                        shutil.rmtree(self._postings_path_for(sname),
+                                      ignore_errors=True)
+                    else:
+                        sv[sname]["full_scan_threshold"] = int(fst)
             self._save_meta()
+            if any("full_scan_threshold" in d
+                   for d in sparse_vectors.values()) \
+                    and self._has_data(spark):
+                # lowering the threshold below the current point count
+                # builds on the spot (Qdrant rebuilds on optimizer-
+                # config changes too)
+                self._refresh_postings(spark, None, id_col, rewrote=True)
         if self.meta.get("vectors") is not None and (
                 quantization is not self._UNSET
                 or indexing_threshold is not self._UNSET):
@@ -884,6 +908,72 @@ class Collection:
         quantization_config)."""
         return self.path + (".codes" if space is None
                             else f".codes-{space}")
+
+    def _postings_path_for(self, space: str) -> str:
+        """On-disk inverted index for one sparse space: posting rows
+        ``(id, idx, val)`` Hive-partitioned by ``bucket = idx mod B``
+        and sorted by ``idx`` within files — a sparse probe reads only
+        the query terms' bucket directories (static partition prune)
+        and inside them only the row groups whose idx range covers a
+        query term (footer min/max prune)."""
+        return self.path + f".postings-{space}"
+
+    _POSTING_BUCKETS = 64
+
+    def _write_postings(self, df: DataFrame, space: str, id_col: str,
+                        mode: str) -> int:
+        """Explode one sparse space's arrays into the bucketed posting
+        layout; returns the number of points written (the layout's
+        IDF ``N``). ``repartition(bucket)`` before the partitioned
+        write keeps it to one task per bucket (the small-files trap,
+        same as the IVF layout write)."""
+        from .operators.sparse import sparse_postings
+
+        idx_c, val_c = space + "__sidx", space + "__sval"
+        enc = df.filter(F.col(idx_c).isNotNull()).select(
+            F.col(id_col),
+            F.col(idx_c).alias("indices"), F.col(val_c).alias("values"))
+        n = enc.count()
+        posts = sparse_postings(enc, id_col=id_col).withColumn(
+            "bucket",
+            F.pmod(F.col("idx"), F.lit(self._POSTING_BUCKETS)).cast("int"))
+        (posts.repartition("bucket")
+         .sortWithinPartitions("bucket", "idx")
+         .write.mode(mode).partitionBy("bucket")
+         .parquet(self._postings_path_for(space)))
+        return n
+
+    def _refresh_postings(self, spark: SparkSession,
+                          incoming: DataFrame | None,
+                          id_col: str, rewrote: bool) -> None:
+        """Maintain each sparse space's posting layout after a write
+        (Qdrant builds its sparse inverted index at upsert once past
+        ``full_scan_threshold``). Appends write only the incoming
+        batch's postings into the existing bucket dirs; a rewrite
+        (merge conflict / delete / compact) rebuilds from the
+        surviving table. ``n_points`` (the space's IDF N — points
+        carrying the space) is maintained alongside so probes never
+        re-count the corpus."""
+        sv = self.meta.get("sparse_vectors") or {}
+        changed = False
+        for name, cfg in sv.items():
+            if cfg.get("full_scan_threshold") is None:
+                continue
+            built = bool(cfg.get("postings_built"))
+            if built and not rewrote and incoming is not None:
+                cfg["n_points"] = cfg.get("n_points", 0) + \
+                    self._write_postings(incoming, name, id_col, "append")
+                changed = True
+                continue
+            if built or (self._has_data(spark) and
+                         self.count(spark) >= cfg["full_scan_threshold"]):
+                full = spark.read.parquet(self.path)
+                cfg["n_points"] = self._write_postings(
+                    full, name, id_col, "overwrite")
+                cfg["postings_built"] = True
+                changed = True
+        if changed:
+            self._save_meta()
 
     def _refresh_quant(self, spark: SparkSession, incoming: DataFrame | None,
                        id_col: str, vec_col: str, rewrote: bool) -> None:
@@ -1159,6 +1249,7 @@ class Collection:
                     id_col: str, vec_col: str, rewrote: bool) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
+        self._refresh_postings(spark, incoming, id_col, rewrote)
 
     # -- S8: upsert -------------------------------------------------------
 
@@ -1403,6 +1494,28 @@ class Collection:
                 rescore = r["rescore"]
         return nprobe, exact, oversampling, rescore
 
+    def _pruned_postings(self, spark: SparkSession, name: str,
+                         terms, id_col: str) -> DataFrame | None:
+        """The probe side of the posting layout: None when the space
+        has no built layout, else the layout scan pruned to the query
+        terms — ``bucket IN (term buckets)`` is a STATIC partition
+        prune (only those directories are listed) and
+        ``idx IN (terms)`` pushes to parquet row-group min/max (files
+        are idx-sorted), so a probe reads ~the query terms' posting
+        lists, never the corpus. Plan pinned in tests/test_plans.py."""
+        cfg = self.meta["sparse_vectors"][name]
+        if not cfg.get("postings_built"):
+            return None
+        path = self._postings_path_for(name)
+        if not os.path.isdir(path):
+            return None
+        tset = sorted({int(t) for t in terms})
+        buckets = sorted({t % self._POSTING_BUCKETS for t in tset})
+        return (spark.read.parquet(path)
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("idx").isin(tset))
+                .select(id_col, "idx", "val"))
+
     def _sparse_search(self, spark: SparkSession, query_vector,
                        name: str, k: int = 5, query_filter=None,
                        score_threshold=None, id_col: str = "id",
@@ -1430,20 +1543,35 @@ class Collection:
             raise ValueError("sparse query indices/values length mismatch")
         idx_c, val_c = name + "__sidx", name + "__sval"
         table = self.read(spark)
-        full = table.filter(F.col(idx_c).isNotNull()).select(
-            F.col(id_col), F.col(idx_c).alias("indices"),
-            F.col(val_c).alias("values"))
         query_filter = as_predicate(query_filter)
-        enc = full if query_filter is None else (
-            table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
-            .select(F.col(id_col), F.col(idx_c).alias("indices"),
-                    F.col(val_c).alias("values")))
         mod = self.meta["sparse_vectors"][name].get("modifier")
-        hits = sparse_knn(
-            enc, list(qi), list(qv), k=k + (offset or 0), id_col=id_col,
-            modifier=mod,
-            stats_corpus=full if (mod and query_filter is not None)
-            else None)
+        posting = self._pruned_postings(spark, name, qi, id_col)
+        if posting is not None:
+            # layout probe: postings already collection-wide, so IDF
+            # stats need no separate frame; a filter restricts the
+            # CANDIDATES via an id join (df/N unchanged — Qdrant
+            # computes them at index time)
+            cand = (table.filter(F.col(idx_c).isNotNull())
+                    .filter(query_filter).select(id_col)
+                    if query_filter is not None else None)
+            hits = sparse_knn(
+                None, list(qi), list(qv), k=k + (offset or 0),
+                id_col=id_col, modifier=mod, postings=posting,
+                candidates=cand,
+                n_points=self.meta["sparse_vectors"][name].get("n_points"))
+        else:
+            full = table.filter(F.col(idx_c).isNotNull()).select(
+                F.col(id_col), F.col(idx_c).alias("indices"),
+                F.col(val_c).alias("values"))
+            enc = full if query_filter is None else (
+                table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
+                .select(F.col(id_col), F.col(idx_c).alias("indices"),
+                        F.col(val_c).alias("values")))
+            hits = sparse_knn(
+                enc, list(qi), list(qv), k=k + (offset or 0), id_col=id_col,
+                modifier=mod,
+                stats_corpus=full if (mod and query_filter is not None)
+                else None)
         if score_threshold is not None:
             hits = hits.filter(F.col("score") >= score_threshold)
         if offset:
@@ -1944,19 +2072,31 @@ class Collection:
                 qs.append((list(q[0]), list(q[1])))
         idx_c, val_c = name + "__sidx", name + "__sval"
         table = self.read(spark)
-        full = table.filter(F.col(idx_c).isNotNull()).select(
-            F.col(id_col), F.col(idx_c).alias("indices"),
-            F.col(val_c).alias("values"))
         query_filter = as_predicate(query_filter)
-        enc = full if query_filter is None else (
-            table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
-            .select(F.col(id_col), F.col(idx_c).alias("indices"),
-                    F.col(val_c).alias("values")))
         mod = self.meta["sparse_vectors"][name].get("modifier")
-        hits = sparse_knn_batch(
-            enc, qs, k=k, id_col=id_col, modifier=mod,
-            stats_corpus=full if (mod and query_filter is not None)
-            else None)
+        all_terms = {int(t) for qi_, _ in qs for t in qi_}
+        posting = (self._pruned_postings(spark, name, all_terms, id_col)
+                   if query_filter is None else None)
+        if posting is not None:
+            # batched layout probe: one pruned posting pass shared by
+            # every request (the filtered batch path keeps the array
+            # form — per-request candidate joins would fan out)
+            hits = sparse_knn_batch(
+                None, qs, k=k, id_col=id_col, modifier=mod,
+                postings=posting,
+                n_points=self.meta["sparse_vectors"][name].get("n_points"))
+        else:
+            full = table.filter(F.col(idx_c).isNotNull()).select(
+                F.col(id_col), F.col(idx_c).alias("indices"),
+                F.col(val_c).alias("values"))
+            enc = full if query_filter is None else (
+                table.filter(F.col(idx_c).isNotNull()).filter(query_filter)
+                .select(F.col(id_col), F.col(idx_c).alias("indices"),
+                        F.col(val_c).alias("values")))
+            hits = sparse_knn_batch(
+                enc, qs, k=k, id_col=id_col, modifier=mod,
+                stats_corpus=full if (mod and query_filter is not None)
+                else None)
         if score_threshold is not None:
             hits = hits.filter(F.col("score") >= score_threshold)
         drop = self._vector_columns()
@@ -2719,6 +2859,22 @@ class Collection:
             df = df.drop(*[c for c in drop if c in df.columns])
         return self._apply_with_payload(df, with_payload, id_col, vec_col)
 
+    def _has_derived_layouts(self) -> bool:
+        """Whether any derived layout (IVF, quantized codes — top-level
+        or per-named-space, sparse postings) exists or is configured:
+        the rewrite paths must run ``_post_write`` exactly when this is
+        true, else a delete/merge leaves a stale layout serving removed
+        points. (The old guard checked only ``has_index() or
+        meta['quantization']`` — named-space codes and posting layouts
+        went stale on deletes.)"""
+        named = self.meta.get("vectors") or {}
+        sv = self.meta.get("sparse_vectors") or {}
+        return (self.has_index() or bool(self.meta.get("quantization"))
+                or any(s.get("quantization") for s in named.values())
+                or any(s.get("postings_built")
+                       or s.get("full_scan_threshold") is not None
+                       for s in sv.values()))
+
     def _rewrite(self, spark: SparkSession, table: DataFrame,
                  id_col: str, vec_col: str,
                  post_write: bool = True) -> None:
@@ -2734,7 +2890,7 @@ class Collection:
         self._write_main(table, "overwrite", staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
-        if post_write and (self.has_index() or self.meta.get("quantization")):
+        if post_write and self._has_derived_layouts():
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
 
     def _data_file_count(self) -> int:
@@ -2799,7 +2955,7 @@ class Collection:
         staging = self.path + ".__rewrite__"
         self._write_main(transform(subset), "overwrite", staging)
         self._swap_staged_files(staging, files)
-        if post_write and (self.has_index() or self.meta.get("quantization")):
+        if post_write and self._has_derived_layouts():
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
         return n
 
@@ -3363,7 +3519,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     raise ValueError(
                         f"sparse space {sname!r} collides with a dense "
                         "vector space of the same name")
-                unknown = sorted(set(cfg or ()) - {"modifier"})
+                unknown = sorted(set(cfg or ()) -
+                                 {"modifier", "full_scan_threshold"})
                 if unknown:
                     raise ValueError(
                         f"unknown key(s) {unknown} in sparse space "
@@ -3373,6 +3530,14 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     raise ValueError(
                         "sparse modifier must be None or 'idf'")
                 sp[sname] = {"modifier": mod}
+                fst = (cfg or {}).get("full_scan_threshold")
+                if fst is not None:
+                    # Qdrant SparseIndexParams(full_scan_threshold):
+                    # below it searches scan the point arrays; once
+                    # the collection reaches it, the upsert persists
+                    # the postings layout (the on-disk inverted
+                    # index) and searches probe that instead
+                    sp[sname]["full_scan_threshold"] = int(fst)
             meta["sparse_vectors"] = sp
         with open(os.path.join(root, f"{name}.meta.json"), "w") as f:
             json.dump(meta, f)

@@ -15,10 +15,12 @@ aggregate's input is bounded by the postings that mention query terms
 — the inverted-index access pattern, expressed relationally. The
 groupBy keys on point id (uniform), then TakeOrderedAndProject.
 
-At 100 TB: materialize the exploded posting frame once, bucketed by
-``idx`` (``sparse_postings`` + bucketBy) — per-query cost becomes a
-bucket-pruned scan of |q| term buckets, never the full corpus; same
-layout story as BM25's (term, doc, tf) frame (SCALE.md §Sparse).
+At 100 TB: materialize the exploded posting frame once, partitioned
+by ``idx`` bucket — per-query cost becomes a bucket-pruned scan of
+|q| term buckets, never the full corpus; same layout story as BM25's
+(term, doc, tf) frame (SCALE.md §Sparse). ``Collection`` implements
+exactly this (``full_scan_threshold`` → ``_refresh_postings``); pass
+the pruned layout scan back in via ``sparse_knn(postings=)``.
 
 Vocabulary assignment (``term_vocabulary``) is prefix-blocked: ranks
 are computed per first-k-chars block in parallel and shifted by
@@ -122,12 +124,15 @@ def sparse_postings(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
+def sparse_knn(corpus: DataFrame | None, query_indices: list,
+               query_values: list,
                k: int = 10, id_col: str = "doc_id",
                round_digits: int | None = 6,
                modifier: str | None = None,
                n_points: int | None = None,
-               stats_corpus: DataFrame | None = None) -> DataFrame:
+               stats_corpus: DataFrame | None = None,
+               postings: DataFrame | None = None,
+               candidates: DataFrame | None = None) -> DataFrame:
     """Top-k by sparse dot product against one query. The broadcast
     query side prunes the exploded postings to query terms before any
     shuffle.
@@ -148,18 +153,36 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
     corpus (Qdrant computes IDF collection-wide at index time, so a
     request filter must narrow the CANDIDATES without changing df/N —
     pass the unfiltered collection here and the filtered one as
-    ``corpus``)."""
-    spark = corpus.sparkSession
+    ``corpus``).
+
+    ``postings`` replaces the in-plan array explode with a PREBUILT
+    posting frame ``(id_col, idx, val)`` — the persisted inverted
+    index (``Collection``'s bucket-partitioned postings layout): the
+    ``idx`` equi-join then rides the layout's partition/row-group
+    pruning instead of scanning every point's arrays. Pass
+    ``candidates`` (a frame of ``id_col``) to restrict the scored
+    points (the filtered-search path); IDF statistics still come from
+    the full ``postings`` frame. Scoring is identical either way —
+    results are bit-equal to the explode form."""
+    spark = (corpus or postings).sparkSession
     qdf = spark.createDataFrame(
         [(int(i), float(v)) for i, v in zip(query_indices, query_values)],
         "idx bigint, qval double",
     )
-    posting = sparse_postings(corpus, id_col=id_col)
+    posting = (postings.select(id_col, "idx", "val")
+               if postings is not None
+               else sparse_postings(corpus, id_col=id_col))
     pruned = posting.join(F.broadcast(qdf), on="idx")
+    stats_base = pruned
+    if candidates is not None:
+        pruned = pruned.join(candidates.select(id_col), on=id_col)
     if modifier == "idf":
+        if n_points is None and stats_corpus is None and corpus is None:
+            raise ValueError("idf over a postings frame needs n_points "
+                             "(distinct ids are a posting-wide agg)")
         stats = corpus if stats_corpus is None else stats_corpus
         n = float(n_points if n_points is not None else stats.count())
-        stats_pruned = pruned if stats_corpus is None else (
+        stats_pruned = stats_base if stats_corpus is None else (
             sparse_postings(stats, id_col=id_col)
             .join(F.broadcast(qdf), on="idx"))
         dfreq = stats_pruned.groupBy("idx").agg(
@@ -185,33 +208,43 @@ def sparse_knn(corpus: DataFrame, query_indices: list, query_values: list,
     return global_topk(scored, [("score", False), (id_col, True)], k)
 
 
-def sparse_knn_batch(corpus: DataFrame, queries: list, k: int = 10,
+def sparse_knn_batch(corpus: DataFrame | None, queries: list, k: int = 10,
                      id_col: str = "doc_id",
                      round_digits: int | None = 6,
                      modifier: str | None = None,
                      n_points: int | None = None,
-                     stats_corpus: DataFrame | None = None) -> DataFrame:
+                     stats_corpus: DataFrame | None = None,
+                     postings: DataFrame | None = None) -> DataFrame:
     """Batched sparse top-k: ``queries`` is a list of
     ``(indices, values)`` pairs; ALL queries share ONE posting pass
     (the broadcast side is the union of every query's terms tagged
     ``query_idx``), grouped per (query, point) and ranked per query —
     the sparse twin of ``dense_knn_batch``'s single-scan plan. Scoring
     and the IDF modifier match :func:`sparse_knn` exactly (same fold
-    discipline, df per term computed once across the batch)."""
+    discipline, df per term computed once across the batch).
+    ``postings`` swaps in the persisted inverted-index frame exactly
+    as in :func:`sparse_knn` (bit-equal results)."""
     from .topk import grouped_topk
 
-    spark = corpus.sparkSession
+    spark = (corpus or postings).sparkSession
     rows = [(qi, int(i), float(v))
             for qi, (idx, vals) in enumerate(queries)
             for i, v in zip(idx, vals)]
     qdf = spark.createDataFrame(rows, "query_idx int, idx bigint, qval double")
-    posting = sparse_postings(corpus, id_col=id_col)
+    posting = (postings.select(id_col, "idx", "val")
+               if postings is not None
+               else sparse_postings(corpus, id_col=id_col))
     pruned = posting.join(F.broadcast(qdf), on="idx")
     if modifier == "idf":
+        if n_points is None and stats_corpus is None and corpus is None:
+            raise ValueError("idf over a postings frame needs n_points "
+                             "(distinct ids are a posting-wide agg)")
         stats = corpus if stats_corpus is None else stats_corpus
         n = float(n_points if n_points is not None else stats.count())
         terms = qdf.select("idx").distinct()
-        dfreq = (sparse_postings(stats, id_col=id_col)
+        stats_posting = (posting if stats_corpus is None
+                         else sparse_postings(stats, id_col=id_col))
+        dfreq = (stats_posting
                  .join(F.broadcast(terms), on="idx")
                  .groupBy("idx").agg(
                      F.count_distinct(F.col(id_col)).cast("double")

@@ -139,6 +139,93 @@ LIMIT 10
 """
 
 
+_SPARSE_POSTINGS_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\w+') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toked)
+  GROUP BY doc_id, term
+),
+q AS (SELECT term, tf AS qval FROM tf WHERE doc_id = 0),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+idf AS (
+  SELECT tf.term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (q.qval * ln((n.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0))
+           AS c
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN idf ON tf.term = idf.term CROSS JOIN n
+),
+agg AS (
+  SELECT doc_id, list(c ORDER BY term) AS cs FROM contrib GROUP BY doc_id
+)
+SELECT agg.doc_id AS id,
+       ROUND(list_reduce(cs, (a, b) -> a + b), 6) AS score
+FROM agg JOIN documents d ON agg.doc_id = d.doc_id
+WHERE d.lang = 'en'
+ORDER BY score DESC, id
+LIMIT 10
+"""
+
+
+@register("ingest_sparse_postings_search", _SPARSE_POSTINGS_ORACLE)
+def ingest_sparse_postings_search(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The sparse search through the PERSISTED posting layout (Qdrant
+    ``SparseIndexParams(full_scan_threshold=...)`` — the sparse
+    inverted index the server builds at upsert): the collection
+    declares ``full_scan_threshold`` low enough that the upsert
+    crosses it and writes the bucket-partitioned posting layout; the
+    search then probes that layout (``bucket IN`` partition prune +
+    ``idx IN`` row-group prune — plan pinned in tests/test_plans.py)
+    instead of exploding the point arrays, and a payload filter
+    narrows the CANDIDATES via an id join while IDF df/N stay
+    collection-wide (Qdrant computes them at index time). Scores are
+    bit-equal to the array-explode path; the oracle is the IDF twin
+    plus the language filter on candidates."""
+    import shutil
+    import tempfile
+
+    from ..catalog import create_collection
+
+    docs = load(spark, sf_dir, "documents")
+    with phase("build"):
+        vocab = term_vocabulary(docs)
+        enc = sparse_from_text(docs, vocab)
+        points = (
+            enc.select(F.col("doc_id").alias("id"),
+                       F.col("indices").alias("text__sidx"),
+                       F.col("values").alias("text__sval"))
+            .join(docs.select(F.col("doc_id").alias("id"), "source",
+                              "lang"), on="id"))
+        qrow = enc.filter(F.col("doc_id") == 0).collect()[0]
+    root = tempfile.mkdtemp(prefix="qd_sparse_postings_")
+    try:
+        with phase("build"):
+            coll = create_collection(
+                root, "sp",
+                sparse_vectors={"text": {"modifier": "idf",
+                                         "full_scan_threshold": 10}})
+            coll.upsert(spark, points)
+            assert coll.meta["sparse_vectors"]["text"].get(
+                "postings_built"), "posting layout must exist"
+        with phase("search"):
+            res = coll.search(
+                spark, (list(qrow.indices), list(qrow.values)),
+                using="text", k=10, query_filter=F.col("lang") == "en",
+                with_payload=False)
+            rows = res.select("id", "score").collect()
+        return spark.createDataFrame(rows, res.select("id", "score").schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("ingest_sparse_space_search", _SPARSE_SPACE_ORACLE)
 def ingest_sparse_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sparse surface through the COLLECTION lifecycle (Qdrant

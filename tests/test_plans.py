@@ -272,6 +272,47 @@ def test_dsir_lms_broadcast_back(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_sparse_postings_probe_is_pruned(spark, sf_smoke, tmp_path):
+    """A posting-layout probe must read ~the query terms' posting
+    lists, never the corpus: static partition pruning on the bucket
+    dirs (PartitionFilters: bucket IN ...) and idx pushdown to the
+    row-group footers (PushedFilters: In(idx, ...)) — the on-disk
+    inverted-index access pattern."""
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.sparse import (
+        sparse_from_text,
+        term_vocabulary,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    enc = sparse_from_text(docs, term_vocabulary(docs))
+    points = enc.select(F.col("doc_id").alias("id"),
+                        F.col("indices").alias("text__sidx"),
+                        F.col("values").alias("text__sval"))
+    q = enc.filter(F.col("doc_id") == 0).collect()[0]
+    c = create_collection(str(tmp_path), "pp", sparse_vectors={
+        "text": {"full_scan_threshold": 10}})
+    c.upsert(spark, points)
+    hits = c.search(spark, (list(q.indices)[:5], list(q.values)[:5]),
+                    using="text", k=5, with_payload=False)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    # (match on the pruning metadata, not the layout path — FileScan's
+    # Location string truncates at 100 chars under long tmp dirs)
+    scan = [l for l in plan.splitlines()
+            if "FileScan" in l and "PartitionFilters: [bucket" in l]
+    assert scan, "search must probe the posting layout with a static " \
+                 "bucket partition prune"
+    assert all("In(idx" in l.split("PushedFilters")[-1] for l in scan), \
+        "query terms must push to the posting row groups"
+    # the point arrays never scan on the probe path
+    assert "text__sidx" not in plan
+
+
 def test_sparse_space_search_broadcasts_query_terms(spark, sf_smoke, tmp_path):
     """Collection sparse search: the query-term side broadcasts into
     the posting join (pruning before any shuffle), and the payload

@@ -325,3 +325,97 @@ def test_sparse_recommend(spark, sf_smoke, tmp_path):
         [(r.doc_id, r.score) for r in ref]
     with pytest.raises(ValueError, match="average_vector"):
         coll.recommend(spark, positive=[0], strategy="best_score")
+
+
+def _encode_points(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_vocabulary(docs)
+    enc = sparse_from_text(docs, vocab)
+    points = (enc.select(F.col("doc_id").alias("id"),
+                         F.col("indices").alias("text__sidx"),
+                         F.col("values").alias("text__sval"))
+              .join(docs.select(F.col("doc_id").alias("id"),
+                                "source", "lang"), on="id"))
+    q = enc.filter(F.col("doc_id") == 0).collect()[0]
+    return points, (list(q.indices), list(q.values))
+
+
+def test_postings_layout_lifecycle(spark, sf_smoke, tmp_path):
+    """The persisted posting layout must be a pure ACCESS-PATH change:
+    bit-equal results vs the array-explode collection across plain /
+    filtered / batch search, incremental appends (posting append),
+    deletes (layout rebuild via the rewrite hook), and snapshot
+    restore (the layout is collection state)."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    points, q = _encode_points(spark, sf_smoke)
+    root = str(tmp_path)
+    c1 = create_collection(root, "lay", sparse_vectors={
+        "text": {"modifier": "idf", "full_scan_threshold": 10}})
+    c2 = create_collection(root, "arr", sparse_vectors={
+        "text": {"modifier": "idf"}})
+    c1.upsert(spark, points)
+    c2.upsert(spark, points)
+    assert c1.meta["sparse_vectors"]["text"].get("postings_built")
+    assert not c2.meta["sparse_vectors"]["text"].get("postings_built")
+
+    def hits(c, **kw):
+        return [(r.id, r.score) for r in c.search(
+            spark, q, using="text", k=10, with_payload=False,
+            **kw).collect()]
+
+    base = hits(c1)
+    assert base == hits(c2)
+    flt = F.col("lang") == "en"
+    assert hits(c1, query_filter=flt) == hits(c2, query_filter=flt)
+    b1 = [(r.query_idx, r.id, r.score) for r in
+          c1.search_batch(spark, [q, q], using="text", k=5).collect()]
+    b2 = [(r.query_idx, r.id, r.score) for r in
+          c2.search_batch(spark, [q, q], using="text", k=5).collect()]
+    assert b1 == b2
+    # append: layout extends with only the incoming batch's postings
+    extra = points.withColumn("id", F.col("id") + 100000)
+    c1.upsert(spark, extra)
+    c2.upsert(spark, extra)
+    assert hits(c1) == hits(c2)
+    # delete: the scoped rewrite must rebuild the layout (stale
+    # postings would keep serving the removed points)
+    c1.delete(spark, F.col("id") >= 100000)
+    c2.delete(spark, F.col("id") >= 100000)
+    assert hits(c1) == hits(c2) == base
+    # snapshot carries the layout; restore keeps probing it
+    snap = c1.create_snapshot()
+    c1.delete(spark, F.col("id") >= 0)
+    c1.restore_snapshot(snap)
+    assert hits(c1) == base
+
+
+def test_update_collection_full_scan_threshold(spark, sf_smoke, tmp_path):
+    """Lowering full_scan_threshold below the point count builds the
+    layout on the spot; setting it None drops layout + flags (the
+    stale-layout rule indexing_threshold follows)."""
+    import os
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    points, q = _encode_points(spark, sf_smoke)
+    c = create_collection(str(tmp_path), "upd",
+                          sparse_vectors={"text": {"modifier": "idf"}})
+    c.upsert(spark, points)
+    assert not c.meta["sparse_vectors"]["text"].get("postings_built")
+    c.update_collection(spark, sparse_vectors={
+        "text": {"full_scan_threshold": 10}})
+    assert c.meta["sparse_vectors"]["text"]["postings_built"]
+    assert os.path.isdir(c._postings_path_for("text"))
+    ref = [(r.id, r.score) for r in c.search(
+        spark, q, using="text", k=10, with_payload=False).collect()]
+    c.update_collection(spark, sparse_vectors={
+        "text": {"full_scan_threshold": None}})
+    assert not c.meta["sparse_vectors"]["text"].get("postings_built")
+    assert not os.path.isdir(c._postings_path_for("text"))
+    assert ref == [(r.id, r.score) for r in c.search(
+        spark, q, using="text", k=10, with_payload=False).collect()]
