@@ -46,6 +46,7 @@ __all__ = [
     "simhash", "simhash_near_pairs",
     "jaccard_pairs", "embedding_near_pairs", "soft_blocked_near_pairs",
     "write_soft_membership_layout", "soft_layout_near_pairs",
+    "bloom_filter_build", "bloom_filter_probe",
     "ml_minhash_similarity_join", "decontaminate",
     "connected_components", "duplicated_window_stats",
 ]
@@ -423,6 +424,76 @@ def soft_layout_near_pairs(spark, table_name: str,
         .select(*out_cols)
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# --- Bloom-filter incremental dedup ---------------------------------------
+#
+# Deduping a NEW batch against a massive historical corpus must not
+# join the corpus per batch. The Bloom filter is the standard answer:
+# scan the history once into an m-bit filter (a compact aggregate),
+# broadcast it, and probe each incoming batch map-side. "Maybe seen"
+# rows (all k probe bits set) go to an exact check or are dropped;
+# "definitely new" rows (any bit clear — the Bloom guarantee: no
+# false negatives) skip the expensive path entirely. At 100 TB the
+# history scan amortizes over every later batch, and the filter is
+# incrementally maintainable: bit_or the new batch's own word frame
+# into the stored one (a union-groupBy on ≤m/64 rows).
+#
+# Hashing is the portable md5 pair + Kirsch–Mitzenmacher derivation
+# (g_s = h1 + s·h2, exact int64 for s ≤ 7 — same discipline as
+# MinHash), so the DuckDB oracle reproduces every probe bit and the
+# flag set hash-matches exactly: the "approximate" structure is
+# bit-deterministic, like the engine's other sketches.
+
+_BLOOM_M = 1 << 18      # filter bits (power of two; 4 KiB packed)
+_BLOOM_K = 5            # probe hashes (K-M bound: s ≤ 7)
+
+
+def _bloom_positions(text: Column, m: int, k: int) -> Column:
+    """The k probe bit positions of one value: (h1 + s·h2) mod m,
+    s = 0..k-1. Both halves come from ONE md5 per row."""
+    h1, h2 = hash64_pair(text)
+    return F.transform(F.sequence(F.lit(0), F.lit(k - 1)),
+                       lambda s: F.pmod(h1 + s * h2, F.lit(m)))
+
+
+def bloom_filter_build(df: DataFrame, text_col: str = "text",
+                       m: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Build the packed filter: ``(word, bits)`` with ``word`` =
+    bit position / 64 and ``bits`` the bit_or of the 1-bit masks —
+    at most m/64 rows regardless of corpus size (the broadcastable
+    invariant). One scan, one uniform ≤m/64-key shuffle."""
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(text_col), m, k)).alias("bit"))
+    return (pos.select(
+        (F.col("bit") / 64).cast("long").alias("word"),
+        # shiftleft() the function takes a literal shift; the SQL
+        # form accepts the column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+        .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_filter_probe(batch: DataFrame, bloom: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       m: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Probe a batch against a built filter: ``(id_col, maybe_dup)``
+    — true iff ALL k probe bits are set (standard Bloom semantics:
+    false positives at the designed rate, never false negatives).
+    The filter side broadcasts (≤m/64 rows); the only shuffle is the
+    per-id k-row regroup (uniform ids)."""
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(text_col), m, k)).alias("bit"))
+    probes = probes.select(
+        id_col, (F.col("bit") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+        .alias("mask"))
+    joined = probes.join(F.broadcast(bloom), on="word", how="left")
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("mask")) != 0))
+    return (joined.groupBy(id_col)
+            .agg((F.min(hit.cast("int")) == 1).alias("maybe_dup")))
 
 
 # --- spark.ml MinHashLSH tier --------------------------------------------

@@ -629,3 +629,60 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return duplicated_window_stats(docs, window=_W).filter(
         F.col("dup_windows") > 0)
+
+
+_BLOOM_ORACLE = f"""
+WITH hist AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id < 350
+),
+hh AS (
+  SELECT {_HASH.format(expr='text')} AS h1,
+         {_HASH2.format(expr='text')} AS h2
+  FROM hist
+),
+hbits AS (
+  SELECT DISTINCT (h1 + s * h2) % 262144 AS bit
+  FROM hh, (SELECT unnest(generate_series(0, 4)) AS s)
+),
+batch AS (
+  SELECT doc_id, {_HASH.format(expr='text')} AS h1,
+         {_HASH2.format(expr='text')} AS h2
+  FROM documents WHERE doc_id >= 250
+),
+bprobe AS (
+  SELECT doc_id, (h1 + s * h2) % 262144 AS bit
+  FROM batch, (SELECT unnest(generate_series(0, 4)) AS s)
+),
+flags AS (
+  SELECT doc_id,
+         MIN(CASE WHEN bit IN (SELECT bit FROM hbits)
+             THEN 1 ELSE 0 END) = 1 AS maybe_dup
+  FROM bprobe GROUP BY doc_id
+)
+SELECT doc_id, maybe_dup FROM flags
+"""
+
+
+@register("dedup_bloom_incremental", _BLOOM_ORACLE)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a historical corpus WITHOUT joining
+    it per batch: docs < 350 are the history, docs ≥ 250 the incoming
+    batch (the 250-349 overlap plants guaranteed re-ingested rows —
+    every one MUST flag; the fixture's texts are otherwise distinct,
+    so the rest flag only at the designed false-positive rate). The
+    history scans ONCE into a packed m-bit Bloom filter (≤ m/64
+    ``(word, bits)`` rows — broadcastable at any corpus size); the
+    batch probes it map-side and flags rows whose k probe bits are all
+    set. No false negatives by construction, so unflagged rows safely
+    skip any exact check. Probes use the portable md5 pair +
+    Kirsch–Mitzenmacher hashes (the MinHash discipline), making the
+    filter bit-deterministic: the oracle re-derives every probe bit as
+    a position-set membership — exactly equivalent to the packed
+    word test."""
+    from ..operators.dedup import bloom_filter_build, bloom_filter_probe
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 350)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    bloom = bloom_filter_build(hist)
+    return bloom_filter_probe(batch, bloom)

@@ -202,3 +202,44 @@ def test_soft_layout_pairs_match_inplan(spark, sf_smoke, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS soft_members_eq_test")
     assert len(ref) > 0 and got == ref
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark, sf_smoke):
+    """Bloom semantics: every re-ingested text MUST flag (no false
+    negatives at any m); at an aggressively small m false positives
+    appear but stay near the analytic rate (1 - e^(-kn/m))^k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.dedup import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    hist = docs.filter(F.col("doc_id") < 350)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    m, k = 1 << 11, 5  # 2048 bits for ~350 keys: FPR by design
+    bloom = bloom_filter_build(hist, m=m, k=k)
+    assert bloom.count() <= m // 64
+    flags = {r.doc_id: r.maybe_dup for r in
+             bloom_filter_probe(batch, bloom, m=m, k=k).collect()}
+    # the 250-349 overlap was ingested into the filter: all must flag
+    assert all(flags[i] for i in range(250, 350))
+    fresh = [i for i in flags if i >= 350]
+    fpr = sum(flags[i] for i in fresh) / len(fresh)
+    expect = (1 - math.exp(-k * 350 / m)) ** k
+    assert 0 < fpr < 4 * expect, (fpr, expect)
+
+
+def test_bloom_oracle_parity(spark, sf_smoke, sf_oracle):
+    from image_indexing_and_retrival_with_qdrant_spark.registry import (
+        REGISTRY,
+    )
+    from tests.oracle import compare
+
+    for sf in (sf_smoke, sf_oracle):
+        compare(spark, REGISTRY["dedup_bloom_incremental"], sf,
+                "dedup_bloom_incremental")
