@@ -145,6 +145,12 @@ HEADLINE = [
     # round 8: SemDeDup soft top-2 blocking (boundary-miss fix,
     # VERDICT r7 #5 — candidate volume ~4x hard cells, same n²/k bound)
     "dedup_semantic_soft_pairs",
+    # round 8: persisted sparse posting layout (build = vocab + encode
+    # + upsert + postings write; search = bucket/row-group-pruned
+    # probe + candidate filter join) and Bloom incremental dedup
+    # (one history scan into a broadcastable filter, map-side probe)
+    "ingest_sparse_postings_search",
+    "dedup_bloom_incremental",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -953,6 +953,89 @@ def defrag_stress(n: int = 10_000_000, n_tenants: int = 50) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def sparse_postings_stress(n: int = 2_000_000, n_terms: int = 20,
+                           vocab: int = 100_000) -> None:
+    """The persisted sparse posting layout vs the array-explode scan,
+    through the collection surface: ``n`` synthetic sparse points of
+    ``n_terms`` uniform vocabulary ids (n·n_terms posting rows — 40M
+    at the default shape). Collection A searches by exploding the
+    point arrays every query; collection B crossed
+    ``full_scan_threshold`` at upsert, so its searches probe the
+    bucket-partitioned posting layout (partition prune to the query
+    terms' buckets + idx row-group prune). Same query, asserted
+    bit-equal results; the reported ratio is the read-path win the
+    layout buys for its one-time build cost."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    spark = get_spark("stress-sparse",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+
+    idx = F.sort_array(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.lit(n_terms)),
+        lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(vocab)))))
+    points = (spark.range(n).select(
+        F.col("id"),
+        idx.alias("text__sidx"))
+        .withColumn("text__sval",
+                    F.transform(F.col("text__sidx"),
+                                lambda _: F.lit(1.0))))
+    pts_dir = tempfile.mkdtemp(prefix="stress_sparse_pts_")
+    points.write.mode("overwrite").parquet(pts_dir)
+    points = spark.read.parquet(pts_dir)
+    qrow = points.filter(F.col("id") == 12345).collect()[0]
+    q = (list(qrow.text__sidx), list(qrow.text__sval))
+
+    root = tempfile.mkdtemp(prefix="stress_sparse_")
+    try:
+        t0 = time.perf_counter()
+        ca = create_collection(root, "arr",
+                               sparse_vectors={"text": {"modifier": "idf"}})
+        ca.upsert(spark, points, dedupe_ids=False)
+        timings["upsert_array_only"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cb = create_collection(root, "lay", sparse_vectors={
+            "text": {"modifier": "idf", "full_scan_threshold": 1000}})
+        cb.upsert(spark, points, dedupe_ids=False)
+        timings["upsert_with_postings_build"] = round(
+            time.perf_counter() - t0, 2)
+
+        def run(c):
+            return [(r.id, r.score) for r in c.search(
+                spark, q, using="text", k=10, with_payload=False)
+                .collect()]
+
+        # warm both paths once (JVM/codegen), then 3-run medians
+        ra, rb = run(ca), run(cb)
+        assert ra == rb, "layout probe must be bit-equal to the scan"
+        for key, coll in (("search_array_scan", ca),
+                          ("search_postings_probe", cb)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run(coll)
+                runs.append(round(time.perf_counter() - t0, 2))
+            assert out == ra
+            timings[key] = sorted(runs)[1]
+            timings[key + "_runs"] = runs
+        timings["probe_speedup"] = round(
+            timings["search_array_scan"]
+            / max(timings["search_postings_probe"], 1e-9), 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(pts_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "stress_sparse_postings", "rows": n,
+        "terms_per_doc": n_terms, "vocab": vocab,
+        "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "composed":
         args = [int(a) for a in sys.argv[2:]]
@@ -986,6 +1069,10 @@ def main() -> None:
             float(rest[2]) if len(rest) > 2 else 0.9,
             int(rest[3]) if len(rest) > 3 else 0,
         )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "sparse":
+        args = [int(a) for a in sys.argv[2:]]
+        sparse_postings_stress(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "drift":
         args = [int(a) for a in sys.argv[2:]]
