@@ -2643,6 +2643,31 @@ class Collection:
             metric=cfg.get("metric", "cosine"),
         )
 
+    def search_matrix_offsets(self, spark: SparkSession, sample: int = 10,
+                              k: int = 3, query_filter=None,
+                              id_col: str = "id",
+                              vec_col: str = "embedding",
+                              using: str | None = None) -> dict:
+        """Qdrant's ``search_matrix_offsets``: the same sampled
+        distance matrix as :meth:`search_matrix`, serialized flat —
+        ``ids`` (the sampled points), ``offsets_row``/``offsets_col``
+        (indices into ``ids``) and ``scores``, ordered by (row offset,
+        neighbor rank — the metric's own direction). A pure driver-
+        side re-shaping of the ≤ sample·k pair rows; the distributed
+        work is identical."""
+        pairs = self.search_matrix(
+            spark, sample=sample, k=k, query_filter=query_filter,
+            id_col=id_col, vec_col=vec_col, using=using).collect()
+        ids = sorted({r["id_a"] for r in pairs} | {r["id_b"] for r in pairs})
+        pos = {pid: i for i, pid in enumerate(ids)}
+        rows = sorted(pairs, key=lambda r: (pos[r["id_a"]], r["rank"]))
+        return {
+            "ids": ids,
+            "offsets_row": [pos[r["id_a"]] for r in rows],
+            "offsets_col": [pos[r["id_b"]] for r in rows],
+            "scores": [r["score"] for r in rows],
+        }
+
     def sample(self, spark: SparkSession, n: int = 10, query_filter=None,
                id_col: str = "id") -> DataFrame:
         """Qdrant's random sampling (``query=sample(random)``) analog.

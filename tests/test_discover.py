@@ -155,3 +155,27 @@ def test_discover_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="at least one request"):
         coll.discover_batch(spark, [])
+
+
+def test_search_matrix_offsets_matches_pairs(spark, tmp_path):
+    """The offsets serialization (Qdrant search_matrix_offsets) must
+    be a pure re-shaping of the pairs result: same sampled points,
+    same neighbors, offsets indexing into the ids list."""
+    coll = _coll(spark, tmp_path)
+    pairs = coll.search_matrix(spark, sample=5, k=2).collect()
+    off = coll.search_matrix_offsets(spark, sample=5, k=2)
+    assert len(off["scores"]) == len(pairs) == 10
+    assert sorted(off["ids"]) == off["ids"]
+    got = {(off["ids"][r], off["ids"][c], s)
+           for r, c, s in zip(off["offsets_row"], off["offsets_col"],
+                              off["scores"])}
+    assert got == {(p.id_a, p.id_b, p.score) for p in pairs}
+    # per-row neighbor order follows the rank column
+    by_row = {}
+    for r, s in zip(off["offsets_row"], off["scores"]):
+        by_row.setdefault(r, []).append(s)
+    ranked = {(p.id_a): None for p in pairs}
+    for a in ranked:
+        want = [p.score for p in sorted(
+            (p for p in pairs if p.id_a == a), key=lambda p: p.rank)]
+        assert by_row[off["ids"].index(a)] == want
