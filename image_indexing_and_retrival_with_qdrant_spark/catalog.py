@@ -157,8 +157,15 @@ class Collection:
         threshold = self.meta.get("indexing_threshold")
         needs_index = (threshold is not None and n is not None
                        and n >= threshold)
-        status = "yellow" if (needs_index and not self.has_index()) \
-            else "green"
+        # a sparse space past its full_scan_threshold without a built
+        # posting layout is the same optimizing state
+        sparse_pending = any(
+            c.get("full_scan_threshold") is not None
+            and not c.get("postings_built")
+            and n is not None and n >= c["full_scan_threshold"]
+            for c in (self.meta.get("sparse_vectors") or {}).values())
+        status = "yellow" if ((needs_index and not self.has_index())
+                              or sparse_pending) else "green"
         return {
             "status": status,
             "points_count": n,

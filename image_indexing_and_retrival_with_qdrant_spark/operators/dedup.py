@@ -378,7 +378,14 @@ def write_soft_membership_layout(df: DataFrame, cells_col: Column,
 
     The table keeps the full ``cells`` array alongside the exploded
     ``block`` so the smallest-shared-cell algebraic dedupe still
-    evaluates without a DISTINCT."""
+    evaluates without a DISTINCT.
+
+    Size ``buckets`` ≥ ~8× the cluster's parallelism: a bucketed scan
+    is exactly one task per bucket and AQE cannot re-split it (no
+    exchange to re-plan), so too few buckets serializes the skewed
+    tail — measured at 1M×1000 cells on 32 cores: 64 buckets 664 s,
+    256 buckets 416 s ≡ the shuffled form's 419 s with zero
+    exchanges (BASELINE.md §round-8)."""
     spark = df.sparkSession
     v = df.select(
         F.col(id_col), cells_col.alias("cells"),

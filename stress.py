@@ -592,7 +592,8 @@ def ivf_drift_stress(n_base: int = 10_000_000,
 
 
 def semdedup_stress(n: int = 1_000_000, k: int = 1000,
-                    thr: float = 0.9, soft: int = 0) -> None:
+                    thr: float = 0.9, soft: int = 0,
+                    buckets: int = 64) -> None:
     """SemDeDup at scale (`dedup_semantic_cells`/`_keep`'s shape):
     n rows with PLANTED near-dups — row p and row p + n/2 share a
     base vector with small independent jitter (cosine ≈ 0.995), so
@@ -685,7 +686,7 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
             write_soft_membership_layout(
                 assigned.select("vec_id", "cells", "embedding"),
                 F.col("cells"), layout, "stress_soft_members",
-                buckets=64)
+                buckets=buckets)
             timings["membership_layout_write"] = round(
                 time.perf_counter() - t0, 2)
             table = spark.table("stress_soft_members")
@@ -757,6 +758,7 @@ def semdedup_stress(n: int = 1_000_000, k: int = 1000,
         "metric": "stress_semdedup", "rows": n, "cells": k, "dim": DIM,
         "threshold": thr, "soft_top2": bool(soft),
         "soft_layout": soft == 2,
+        "layout_buckets": buckets if soft == 2 else None,
         "timings_sec": timings,
     }))
     spark.stop()
@@ -1068,6 +1070,7 @@ def main() -> None:
             int(rest[1]) if len(rest) > 1 else 1000,
             float(rest[2]) if len(rest) > 2 else 0.9,
             int(rest[3]) if len(rest) > 3 else 0,
+            int(rest[4]) if len(rest) > 4 else 64,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "sparse":
