@@ -151,6 +151,10 @@ HEADLINE = [
     # (one history scan into a broadcastable filter, map-side probe)
     "ingest_sparse_postings_search",
     "dedup_bloom_incremental",
+    # round 8: the exchange-free bucketed soft-membership layout
+    # (build = explode+normalize+bucketed write; search = the
+    # zero-shuffle pair join — BASELINE.md §round-8 calibration)
+    "dedup_semantic_soft_layout_pairs",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

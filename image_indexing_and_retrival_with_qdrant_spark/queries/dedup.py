@@ -444,6 +444,55 @@ def dedup_semantic_soft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    block_out="cell")
 
 
+@register("dedup_semantic_soft_layout_pairs", _semantic_soft_pairs_oracle)
+def dedup_semantic_soft_layout_pairs(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """`dedup_semantic_soft_pairs` through the PERSISTED bucketed
+    membership layout (`write_soft_membership_layout` +
+    `soft_layout_near_pairs`): the 2n soft memberships are written
+    once bucketBy(cell), and the pair join is a bucket-co-located
+    SortMergeJoin with zero ShuffleExchanges (plan-pinned in
+    tests/test_plans.py; bucket-count calibration in BASELINE.md
+    §round-8 — size buckets ≥ ~8× cluster parallelism). Pair
+    semantics are identical to the in-plan soft join, so the oracle
+    is the same DuckDB twin — the exchange-free path itself is
+    value-verified."""
+    import shutil
+    import tempfile
+
+    from ..operators.ann import assign_centroids_top2_expr
+    from ..operators.dedup import (
+        soft_layout_near_pairs,
+        write_soft_membership_layout,
+    )
+    from .ann import _np_centroids
+
+    cents = _np_centroids(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "embedding",
+        F.transform(
+            assign_centroids_top2_expr(cents, "embedding"),
+            lambda c: c.cast("long"),
+        ).alias("cells"))
+    from ..bench_phases import phase
+
+    path = tempfile.mkdtemp(prefix="qd_soft_members_")
+    table = "qd_soft_members_q"
+    try:
+        with phase("build"):
+            write_soft_membership_layout(rows, F.col("cells"), path,
+                                         table, buckets=8)
+        with phase("search"):
+            res = soft_layout_near_pairs(spark, table, min_cosine=0.3,
+                                         block_out="cell")
+            out = res.collect()
+        return spark.createDataFrame(out, res.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _semantic_soft_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
     """Oracle factory for the full SOFT SemDeDup resolution: top-2
     cells via struct sort, soft-blocked edges (smallest-shared-cell

@@ -19,10 +19,12 @@ DEDUP = [
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
     "dedup_semantic_soft_pairs",
+    "dedup_semantic_soft_layout_pairs",
     "dedup_semantic_soft_keep",
     "dedup_semantic_keep",
     "dedup_duplicate_clusters",
     "dedup_exact_substrings",
+    "dedup_bloom_incremental",
 ]
 
 
