@@ -155,6 +155,9 @@ HEADLINE = [
     # (build = explode+normalize+bucketed write; search = the
     # zero-shuffle pair join — BASELINE.md §round-8 calibration)
     "dedup_semantic_soft_layout_pairs",
+    # round 8: BQ shortlist -> exact rescore at production width
+    # (768-d -> 24 packed words; sign-diverse dimension-mixed tiles)
+    "ann_bq_wide_rescore_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -405,6 +405,98 @@ def ann_bq_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_knn(corpus, _query_of(emb, 0), k=5, dim=64)
 
 
+_MIX_TILES = 12  # 12 × 64-d fixture = 768-d
+
+
+def _mix_tile(col: str, t: int) -> "F.Column":
+    """Tile t of the sign-diverse widening: x[(i+t) mod 64] − x[i].
+    Unlike the scale-tiled `_widen` (queries/knn.py), each tile MIXES
+    dimensions, so its sign bits are genuinely new — a pure positive
+    scaling would give every tile identical BQ words and the wide
+    hamming would degenerate to 12× the 64-d ranking."""
+    base = F.col(col).cast("array<double>")
+    return F.transform(
+        base, lambda x, i: F.element_at(base, (i + t) % 64 + 1) - x)
+
+
+def _widen_mix(col: str) -> "F.Column":
+    return F.flatten(F.array(*[
+        _mix_tile(col, t) for t in range(1, _MIX_TILES + 1)]))
+
+
+def _widen_mix_sql(col: str) -> str:
+    tiles = []
+    for t in range(1, _MIX_TILES + 1):
+        elems = ", ".join(
+            f"CAST({col}[{(j + t) % 64 + 1}] AS DOUBLE)"
+            f" - CAST({col}[{j + 1}] AS DOUBLE)"
+            for j in range(64))
+        tiles.append(f"[{elems}]")
+    return "flatten([" + ", ".join(tiles) + "])"
+
+
+def _bq_wide_word_sql(word: int, col: str = "wide") -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{word * 32 + bit + 1}] > 0.0 "
+        f"THEN {1 << bit} ELSE 0 END"
+        for bit in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _bq_wide_oracle(dim: int = 64 * _MIX_TILES) -> str:
+    words = dim // 32
+    enc = ", ".join(f"{_bq_wide_word_sql(w)} AS w{w}" for w in range(words))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(e.w{w}, q.w{w})) AS BIGINT)"
+        for w in range(words)
+    )
+    return f"""
+    WITH wdf AS (SELECT vec_id, {_widen_mix_sql('embedding')} AS wide
+                 FROM embeddings),
+    enc AS (SELECT vec_id, wide, {enc} FROM wdf),
+    q AS (SELECT * FROM enc WHERE vec_id = 0),
+    short AS (
+      SELECT e.vec_id, {ham} AS hamming
+      FROM enc e CROSS JOIN q
+      ORDER BY hamming ASC, e.vec_id
+      LIMIT 50
+    )
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.wide, q.wide)
+                 / (sqrt(list_dot_product(e.wide, e.wide))
+                    * sqrt(list_dot_product(q.wide, q.wide))), 6) AS score
+    FROM enc e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """
+
+
+@register("ann_bq_wide_rescore_top5", _bq_wide_oracle())
+def ann_bq_wide_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ shortlist → exact rescore at PRODUCTION width (768-d → 24
+    packed words, 96-byte codes = 32× compression where it actually
+    matters): the fixture widens through a dimension-MIXING transform
+    (x[(i+t) mod 64] − x[i] per tile) so every tile contributes new
+    sign bits. Exercises the word-packing/hamming expressions at 24
+    words and the 768-d HOF rescore — the regime Qdrant runs BQ in
+    (1536-d OpenAI embeddings; reference dims 1536/2048). Integer
+    shortlist + deterministic cosine: full value oracle end-to-end."""
+    from ..operators.bq import bq_encode, bq_search
+    from ..operators.knn import dense_knn
+
+    dim = 64 * _MIX_TILES
+    emb = load(spark, sf_dir, "embeddings")
+    wide = emb.select("vec_id", _widen_mix("embedding").alias("wide"))
+    codes = bq_encode(wide, dim=dim, vec_col="wide")
+    qrow = wide.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = list(qrow.wide)
+    short = bq_search(codes, qvec, k=50).select("vec_id")
+    corpus = wide.join(F.broadcast(short), on="vec_id")
+    query = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    return dense_knn(corpus, query, k=5, vec_col="wide", dim=dim)
+
+
 @register(
     "knn_join_top3",
     f"""

@@ -14,7 +14,8 @@ from image_indexing_and_retrival_with_qdrant_spark.tables import load
 from tests.oracle import compare
 
 
-@pytest.mark.parametrize("name", ["ann_bq_top5", "ann_bq_rescore_top5"])
+@pytest.mark.parametrize("name", ["ann_bq_top5", "ann_bq_rescore_top5",
+                                  "ann_bq_wide_rescore_top5"])
 @pytest.mark.parametrize("sf", ["sf_smoke", "sf_oracle"])
 def test_bq_oracle_parity(spark, sf, name, request):
     compare(spark, REGISTRY[name], request.getfixturevalue(sf), name)
