@@ -2151,7 +2151,9 @@ class Collection:
               vec_col: str = "embedding",
               formula: str | None = None,
               query=None, using: str | None = None,
-              with_payload=None) -> DataFrame:
+              with_payload=None,
+              group_by: str | None = None, group_size: int = 2,
+              with_lookup=None) -> DataFrame:
         """Qdrant's universal ``query_points(prefetch=[...],
         query=...)``: run each prefetch branch through the ordinary
         search path (its own vector space, filter, and depth — and,
@@ -2169,13 +2171,56 @@ class Collection:
         joined with the collection's payload columns (broadcast, the
         corpus is never re-shuffled) and rescored by the formula over
         the fused prescore (``score``) + payload; top-k by the
-        formula value, returned as ``score``."""
+        formula value, returned as ``score``.
+
+        ``group_by=`` makes this Qdrant's ``query_points_groups`` in
+        its universal form (prefetch/fusion/rescore/formula THEN
+        grouping): the pipeline runs to a group_size-scaled pool
+        depth, the pooled hits group by the payload field (best
+        ``group_size`` per group, top ``k`` groups by best hit,
+        ``group_rank`` attached), and ``with_lookup`` joins the group
+        ids' payload from another collection exactly as in
+        :meth:`search_groups`. Note prefetch branch limits are the
+        caller's — set them deep enough to fill k·group_size."""
         from .operators.fusion import dbsf_fuse, rrf_fuse
 
         if isinstance(prefetch, Prefetch):
             prefetch = [prefetch]
         if not prefetch:
             raise ValueError("query needs at least one prefetch branch")
+        if group_by is not None:
+            from .operators.topk import top_groups
+
+            pool = max(50, k * group_size * 10)
+            base = self.query(spark, list(prefetch), fusion=fusion,
+                              k=pool, id_col=id_col, vec_col=vec_col,
+                              formula=formula, query=query, using=using)
+            if query is not None:
+                asc = self._ranks_ascending(using, vec_col)
+            else:
+                asc = False
+                if formula is None:
+                    # fused frames carry their score under the fusion
+                    # name (rrf/dbsf) and no payload
+                    base = base.withColumnRenamed(fusion, "score")
+            if group_by not in base.columns:
+                keys = self.read(spark).select(id_col, group_by)
+                base = keys.join(F.broadcast(base), on=id_col)
+            out = top_groups(base, group_by,
+                             [("score", asc), (id_col, True)],
+                             limit=k, group_size=group_size)
+            if with_lookup is not None:
+                out = self._attach_lookup(spark, out, group_by,
+                                          with_lookup, id_col)
+            if with_payload is None:
+                return out
+            extra = tuple(c for c in out.columns
+                          if c in (group_by, "group_rank")
+                          or c.startswith("lookup_"))
+            return self._apply_with_payload(out, with_payload, id_col,
+                                            vec_col, keep_extra=extra)
+        if group_size != 2 or with_lookup is not None:
+            raise ValueError("group_size/with_lookup need group_by=")
 
         # ``with_payload``: None keeps each path's historical shape
         # (rescore = the search output incl. payload; fusion/formula =
@@ -2772,6 +2817,18 @@ class Collection:
                 d, with_payload, id_col, vec_col, keep_extra=extra)
         if with_lookup is None:
             return shape(out)
+        return shape(self._attach_lookup(spark, out, group_by,
+                                         with_lookup, id_col))
+
+    def _attach_lookup(self, spark: SparkSession, out: DataFrame,
+                       group_by: str, with_lookup, id_col: str) -> DataFrame:
+        """Qdrant ``WithLookup``: attach ``lookup_<field>`` columns
+        from the collection whose point ids are the group values. The
+        grouped result is ≤ limit·group_size rows: materialize it once
+        (eager localCheckpoint) so the gids collect and the final join
+        don't each re-run the scoring pass; the ≤limit group ids push
+        into the lookup scan as a literal ``IN`` (row-group pruning)
+        and the matched rows broadcast."""
         if isinstance(with_lookup, tuple):
             lookup, lfields = with_lookup
         else:
@@ -2782,17 +2839,14 @@ class Collection:
             # space name, not the searched space's) stay projected away
             lfields = [c for c in ltab.columns
                        if c not in lookup._vector_columns() | {id_col}]
-        # the grouped result is ≤ limit·group_size rows: materialize it
-        # once (eager localCheckpoint) so the gids collect and the
-        # final join don't each re-run the corpus scoring pass
         out = out.localCheckpoint()
         gids = [r[0] for r in out.select(group_by).distinct().collect()]
         sel = ltab.filter(F.col(id_col).isin(gids)).select(
             F.col(id_col).alias("__gid"),
             *[F.col(c).alias(f"lookup_{c}") for c in lfields])
-        return shape(out.join(F.broadcast(sel),
-                              out[group_by] == sel["__gid"], "left")
-                     .drop("__gid"))
+        return (out.join(F.broadcast(sel),
+                         out[group_by] == sel["__gid"], "left")
+                .drop("__gid"))
 
     def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
                              cfg: dict, k: int, query_filter,

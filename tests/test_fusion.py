@@ -253,3 +253,54 @@ def test_query_with_payload_selector(spark, sf_smoke, tmp_path):
     assert "lang" not in resc_np.columns
     assert sorted((r.id, r.score) for r in resc_np.collect()) == \
         sorted((r.id, r.score) for r in resc.collect())
+
+
+def test_query_group_by_matches_manual_grouping(spark, tmp_path):
+    """query(group_by=) — Qdrant query_points_groups in the universal
+    form: the grouped output must re-derive from the ungrouped fused
+    pool (best group_size per group, groups ranked by their best
+    fused score, group_rank attached)."""
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0],
+             [float(i % 7 + 1), float((i * 3) % 5)], f"g{i % 4}")
+            for i in range(60)]
+    pts = spark.createDataFrame(
+        rows, "id int, full array<double>, head array<double>, grp string")
+    c = create_collection(str(tmp_path), "gq", vectors={
+        "full": {"dim": 4, "metric": "cosine", "normalize": False},
+        "head": {"dim": 2, "metric": "cosine", "normalize": False}})
+    c.upsert(spark, pts)
+    qf, qh = [2.0, 1.0, 0.0, 1.0], [2.0, 1.0]
+    branches = [Prefetch(qf, using="full", limit=40),
+                Prefetch(qh, using="head", limit=40)]
+    grouped = c.query(spark, branches, fusion="rrf", k=2,
+                      group_by="grp", group_size=3).collect()
+    # re-derive from the ungrouped pool at the same depth
+    pool = {r.id: r.score for r in c.query(
+        spark, branches, fusion="rrf", k=50)
+        .withColumnRenamed("rrf", "score").collect()}
+    grp_of = {i: f"g{i % 4}" for i in range(60)}
+    by_grp: dict = {}
+    for pid, s in pool.items():
+        by_grp.setdefault(grp_of[pid], []).append((-s, pid))
+    want_groups = sorted(
+        by_grp, key=lambda g: min(by_grp[g]))[:2]
+    got_groups = {}
+    for r in grouped:
+        got_groups.setdefault(r.grp, []).append((r.group_rank, r.rank, r.id))
+    assert set(got_groups) == set(want_groups)
+    for g, members in got_groups.items():
+        want = [pid for _, pid in sorted(by_grp[g])[:3]]
+        assert [pid for _, rk, pid in sorted(members)] == want
+    # rescore form groups too, and with_lookup attaches group payload
+    lk = create_collection(str(tmp_path), "lkup", dim=2, normalize=False)
+    lk.upsert(spark, spark.createDataFrame(
+        [(f"g{i}", [1.0, 0.0], f"meta{i}") for i in range(4)],
+        "id string, embedding array<double>, note string"))
+    out = c.query(spark, [Prefetch(qh, using="head", limit=40)],
+                  query=qf, using="full", k=2,
+                  group_by="grp", group_size=2,
+                  with_lookup=lk).collect()
+    assert len({r.grp for r in out}) == 2
+    assert all(r.lookup_note == "meta" + r.grp[1:] for r in out)
+    with pytest.raises(ValueError, match="need group_by"):
+        c.query(spark, branches, k=2, group_size=5)
