@@ -117,6 +117,69 @@ class Prefetch:
         self.prefetch = prefetch
 
 
+class RecommendQuery:
+    """Top-level ``query=`` object for the universal API (Qdrant
+    ``RecommendQuery``): re-rank the prefetch candidates by recommend
+    score (``average_vector`` or ``best_score``); without prefetch,
+    identical to :meth:`Collection.recommend`. Example points are
+    excluded from the results, as in the dedicated endpoint."""
+
+    def __init__(self, positive: list, negative: list = (),
+                 strategy: str = "average_vector"):
+        self.positive = list(positive)
+        self.negative = list(negative)
+        self.strategy = strategy
+
+
+class DiscoverQuery:
+    """Top-level ``query=`` object (Qdrant ``DiscoverQuery``): rank
+    prefetch candidates by discovery score — zones satisfied, then
+    target similarity (`operators/discover.py`)."""
+
+    def __init__(self, target, context: list):
+        self.target = target
+        self.context = list(context)
+
+
+class ContextQuery:
+    """Top-level ``query=`` object (Qdrant ``ContextQuery``): rank
+    prefetch candidates by context-only score ``sum(min(0,
+    s_pos − s_neg))``."""
+
+    def __init__(self, context: list):
+        self.context = list(context)
+
+
+class OrderByQuery:
+    """Top-level ``query=`` object (Qdrant ``OrderByQuery``): the
+    prefetch candidates are returned ordered by a payload field
+    (``order_value`` attached), id as tie-break — the query-API form
+    of ``scroll(order_by=...)``. ``start_from`` bounds the field value
+    (inclusive), exactly like the scroll analog."""
+
+    def __init__(self, key: str, desc: bool = False, start_from=None):
+        self.key = key
+        self.desc = desc
+        self.start_from = start_from
+
+
+class SampleQuery:
+    """Top-level ``query=`` object (Qdrant ``SampleQuery(random)``).
+    Qdrant samples uniformly at random; the engine's reproducible
+    analog (the ``search_matrix`` convention) ranks by a seeded
+    content hash ``md5(id || seed)`` — deterministic, uniform over
+    ids, and re-derivable by the DuckDB oracle."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = int(seed)
+
+
+#: query= objects the universal API dispatches on (everything except a
+#: raw vector / multivector).
+_QUERY_OBJECTS = (RecommendQuery, DiscoverQuery, ContextQuery,
+                  OrderByQuery, SampleQuery)
+
+
 class Collection:
     # auto-index KMeans trains driver-side on at most this many
     # routing vectors (seeded sample; ~64k × 128-d ≈ 64 MB) — the
@@ -2125,6 +2188,18 @@ class Collection:
         return (self._vector_cfg(using, vec_col)
                 .get("metric", "cosine") in _DISTANCE_METRICS)
 
+    def _query_ranks_ascending(self, query, using: str | None,
+                               vec_col: str) -> bool:
+        """Rank direction of a top-level ``query=`` value: a raw
+        vector ranks by the space's metric; ``best_score`` recommend
+        and discovery/context scores always rank descending."""
+        if isinstance(query, RecommendQuery):
+            return (self._ranks_ascending(using, vec_col)
+                    if query.strategy == "average_vector" else False)
+        if isinstance(query, (DiscoverQuery, ContextQuery)):
+            return False
+        return self._ranks_ascending(using, vec_col)
+
     def _prefetch_hits(self, spark: SparkSession, p: "Prefetch",
                        id_col: str, vec_col: str) -> DataFrame:
         """Evaluate one (possibly nested) prefetch branch. A branch
@@ -2186,7 +2261,11 @@ class Collection:
 
         if isinstance(prefetch, Prefetch):
             prefetch = [prefetch]
-        if not prefetch:
+        prefetch = list(prefetch) if prefetch else []
+        if not prefetch and not isinstance(query, _QUERY_OBJECTS):
+            # query objects run collection-wide without prefetch
+            # (Qdrant query_points(query=RecommendQuery(...)));
+            # vector rescore / fusion need candidates to operate on
             raise ValueError("query needs at least one prefetch branch")
         if group_by is not None:
             from .operators.topk import top_groups
@@ -2195,8 +2274,12 @@ class Collection:
             base = self.query(spark, list(prefetch), fusion=fusion,
                               k=pool, id_col=id_col, vec_col=vec_col,
                               formula=formula, query=query, using=using)
+            if isinstance(query, (OrderByQuery, SampleQuery)):
+                raise ValueError(
+                    "group_by= does not compose with order_by/sample "
+                    "queries (no score to rank groups by)")
             if query is not None:
-                asc = self._ranks_ascending(using, vec_col)
+                asc = self._query_ranks_ascending(query, using, vec_col)
             else:
                 asc = False
                 if formula is None:
@@ -2239,6 +2322,59 @@ class Collection:
             return self._apply_with_payload(
                 d, with_payload, id_col, vec_col,
                 keep_extra=("rrf", "dbsf"))
+
+        if isinstance(query, _QUERY_OBJECTS):
+            # Qdrant query-object forms: the prefetch union restricts
+            # the dedicated path with a literal ``id IN`` (≤ Σ limits
+            # ids, pushed to the scan — row-group pruning, the corpus
+            # is never re-shuffled); no prefetch = collection-wide.
+            cand = None
+            if prefetch:
+                ids: set = set()
+                for p in prefetch:
+                    hits = self._prefetch_hits(spark, p, id_col, vec_col)
+                    ids.update(r[id_col] for r in
+                               hits.select(id_col).collect())
+                cand = F.col(id_col).isin(sorted(ids))
+            if isinstance(query, RecommendQuery):
+                return shape(self.recommend(
+                    spark, query.positive, query.negative, k=k,
+                    query_filter=cand, id_col=id_col, vec_col=vec_col,
+                    using=using, strategy=query.strategy),
+                    has_payload=True)
+            if isinstance(query, (DiscoverQuery, ContextQuery)):
+                target = (query.target
+                          if isinstance(query, DiscoverQuery) else None)
+                return shape(self.discover(
+                    spark, query.context, target=target, k=k,
+                    query_filter=cand, id_col=id_col, vec_col=vec_col,
+                    using=using), has_payload=True)
+            table = self.read(spark)
+            if cand is not None:
+                table = table.filter(cand)
+            table = table.drop(*[c for c in self._vector_columns(vec_col)
+                                 if c in table.columns and c != id_col])
+            if isinstance(query, OrderByQuery):
+                ob = F.col(query.key)
+                if query.start_from is not None:
+                    table = table.filter(
+                        ob <= query.start_from if query.desc
+                        else ob >= query.start_from)
+                keys = [ob.desc() if query.desc else ob.asc(),
+                        F.col(id_col).asc()]
+                out = (table.orderBy(*keys).limit(k)
+                       .withColumn("order_value",
+                                   F.col(query.key).cast("double")))
+                return self._apply_with_payload(
+                    out, with_payload, id_col, vec_col,
+                    keep_extra=("order_value",))
+            # SampleQuery: seeded content-hash rank, uniform over ids
+            rk = F.md5(F.concat(F.col(id_col).cast("string"),
+                                F.lit(str(query.seed))))
+            out = (table.withColumn("__r", rk)
+                   .orderBy(F.col("__r").asc(), F.col(id_col).asc())
+                   .limit(k).drop("__r"))
+            return shape(out, has_payload=True)
 
         if query is not None:
             return shape(self._prefetch_hits(
@@ -2292,6 +2428,10 @@ class Collection:
 
         branches = []
         for i, req in enumerate(requests):
+            if isinstance(req.get("query"), (OrderByQuery, SampleQuery)):
+                raise ValueError(
+                    "query_batch requests need a score to rank by — "
+                    "run order_by/sample queries through query()")
             out = self.query(spark, id_col=id_col, vec_col=vec_col,
                              **req)
             score = next(c for c in ("score", "rrf", "dbsf")
@@ -2299,7 +2439,8 @@ class Collection:
             # rescore-by-vector in a distance space ranks ascending;
             # every fusion/formula score ranks descending
             asc = (req.get("query") is not None
-                   and self._ranks_ascending(req.get("using"), vec_col))
+                   and self._query_ranks_ascending(
+                       req.get("query"), req.get("using"), vec_col))
             w = Window.partitionBy("query_idx").orderBy(
                 F.col("score").asc() if asc else F.col("score").desc(),
                 F.col(id_col))

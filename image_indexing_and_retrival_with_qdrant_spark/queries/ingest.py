@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bench_phases import phase
-from ..catalog import Prefetch, create_collection
+from ..catalog import (OrderByQuery, Prefetch, RecommendQuery,
+                       SampleQuery, create_collection)
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
@@ -1081,5 +1082,146 @@ def ingest_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = coll.search(spark, qid, k=5).select("id", "score")
             rows = res.collect()
         return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Universal query API: query-object forms (Qdrant RecommendQuery /
+# OrderByQuery / SampleQuery as query_points(query=...), optionally
+# re-ranking a prefetch candidate set). Reference: the qdrant-client
+# models the reference passes to query_points — the engine runs the
+# dedicated path restricted by a literal ``id IN`` candidate pushdown.
+# ---------------------------------------------------------------------------
+
+# cosine over DOUBLE[] with the engine's left-to-right summation
+_QCOS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+# top-20 prefetch candidates for the vec-0 query, shared by the three
+# query-object oracles (same truncation the Prefetch branch applies)
+_QOBJ_CAND = f"""
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         ROUND({_QCOS.format(a='e.embedding', b='q.qv')}, 6) AS pscore
+  FROM embeddings e CROSS JOIN q
+  ORDER BY pscore DESC, e.vec_id
+  LIMIT 20
+)"""
+
+
+def _qobj_collection(spark: SparkSession, sf_dir: str):
+    """Collection over the embeddings fixture (64-d, raw cosine) plus
+    the vec-0 query vector and the shared top-20 prefetch branch."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias(
+                         "embedding"),
+                     "label")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .collect()[0].embedding]
+    root = tempfile.mkdtemp(prefix="qd_qobj_")
+    coll = create_collection(root, "qo", dim=64, metric="cosine",
+                             normalize=False)
+    coll.upsert(spark, pts, mode="merge")
+    return root, coll, [Prefetch(qv, limit=20)]
+
+
+@register(
+    "knn_query_recommend_prefetch_top5",
+    f"""
+    WITH {_QOBJ_CAND},
+    p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 1),
+    p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 2),
+    n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 3),
+    scored AS (
+      SELECT e.vec_id,
+             GREATEST(ROUND({_QCOS.format(a='e.embedding', b='p1.v')}, 6),
+                      ROUND({_QCOS.format(a='e.embedding', b='p2.v')}, 6))
+               AS mp,
+             ROUND({_QCOS.format(a='e.embedding', b='n1.v')}, 6) AS mn
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+      CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN n1
+      WHERE e.vec_id NOT IN (1, 2, 3)
+    )
+    SELECT vec_id AS id,
+           CASE WHEN mp > mn THEN mp ELSE ROUND(-(mn * mn), 6) END AS score
+    FROM scored
+    ORDER BY score DESC, id
+    LIMIT 5
+    """,
+)
+def knn_query_recommend_prefetch_top5(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """``query_points(prefetch=..., query=RecommendQuery(...))``: the
+    dense top-20 prefetch shortlist is re-ranked by best_score
+    recommendation (positives 1,2 / negative 3, examples excluded) —
+    the candidate union restricts the recommend scan with a pushed
+    literal ``id IN`` (≤20 ids), so the re-rank reads a shortlist,
+    never the corpus."""
+    root, coll, pf = _qobj_collection(spark, sf_dir)
+    try:
+        res = coll.query(
+            spark, pf,
+            query=RecommendQuery([1, 2], [3], strategy="best_score"),
+            k=5).select("id", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "knn_query_order_by_top5",
+    f"""
+    WITH {_QOBJ_CAND}
+    SELECT e.vec_id AS id, CAST(e.label AS DOUBLE) AS order_value
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+    ORDER BY e.label ASC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def knn_query_order_by_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``query_points(prefetch=..., query=OrderByQuery(key))``: the
+    prefetch candidates come back ordered by a payload field
+    (``order_value`` attached, id tie-break) — the query-API form of
+    ``scroll(order_by=...)`` over a retrieved shortlist instead of
+    the whole collection."""
+    root, coll, pf = _qobj_collection(spark, sf_dir)
+    try:
+        res = coll.query(spark, pf, query=OrderByQuery("label"),
+                         k=5).select("id", "order_value")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "knn_query_sample_top5",
+    f"""
+    WITH {_QOBJ_CAND}
+    SELECT e.vec_id AS id, e.label
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+    ORDER BY md5(CAST(e.vec_id AS VARCHAR) || '42'), e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_query_sample_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``query_points(prefetch=..., query=SampleQuery())``: a
+    reproducible sample of the prefetch candidates. Qdrant samples
+    uniformly at random; the engine's deterministic analog ranks by
+    the seeded content hash ``md5(id || seed)`` (the ``search_matrix``
+    convention), which the oracle re-derives bit-identically."""
+    root, coll, pf = _qobj_collection(spark, sf_dir)
+    try:
+        res = coll.query(spark, pf, query=SampleQuery(seed=42),
+                         k=5).select("id", "label")
+        return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -304,3 +304,128 @@ def test_query_group_by_matches_manual_grouping(spark, tmp_path):
     assert all(r.lookup_note == "meta" + r.grp[1:] for r in out)
     with pytest.raises(ValueError, match="need group_by"):
         c.query(spark, branches, k=2, group_size=5)
+
+
+# ---------------------------------------------------------------------------
+# Universal query API: query-object forms (RecommendQuery / DiscoverQuery /
+# ContextQuery / OrderByQuery / SampleQuery as query=)
+# ---------------------------------------------------------------------------
+
+from image_indexing_and_retrival_with_qdrant_spark.catalog import (  # noqa: E402
+    ContextQuery,
+    DiscoverQuery,
+    OrderByQuery,
+    RecommendQuery,
+    SampleQuery,
+)
+
+
+def _qobj_coll(spark, tmp_path):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)],
+             i % 4, float(i)) for i in range(50)]
+    pts = spark.createDataFrame(
+        rows, "id int, embedding array<double>, tag int, w double")
+    c = create_collection(str(tmp_path), "qo", dim=6, normalize=False)
+    c.upsert(spark, pts)
+    return c, [Prefetch([1.0, 0.5, -0.5, 1.0, 0.0, 0.5], limit=20)]
+
+
+def test_query_object_recommend_matches_dedicated(spark, tmp_path):
+    """query=RecommendQuery over prefetch == recommend() restricted to
+    the candidate ids; without prefetch == recommend() verbatim."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    cand = [r.id for r in c.search(
+        spark, pf[0].query, k=20).select("id").collect()]
+    for strategy in ("average_vector", "best_score"):
+        got = c.query(spark, pf,
+                      query=RecommendQuery([1, 2], [3], strategy=strategy),
+                      k=5).select("id", "score").collect()
+        want = c.recommend(spark, [1, 2], [3], k=5, strategy=strategy,
+                           query_filter=F.col("id").isin(cand),
+                           ).select("id", "score").collect()
+        assert [(r.id, r.score) for r in got] == \
+            [(r.id, r.score) for r in want]
+    got = c.query(spark, None, query=RecommendQuery([1], [2]),
+                  k=5).select("id", "score").collect()
+    want = c.recommend(spark, [1], [2], k=5).select("id", "score").collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_query_object_discover_and_context(spark, tmp_path):
+    """DiscoverQuery/ContextQuery == discover() on the candidate set."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    cand = [r.id for r in c.search(
+        spark, pf[0].query, k=20).select("id").collect()]
+    flt = F.col("id").isin(cand)
+    got = c.query(spark, pf, query=DiscoverQuery(4, [(1, 2), (5, 6)]),
+                  k=5).select("id", "score").collect()
+    want = c.discover(spark, [(1, 2), (5, 6)], target=4, k=5,
+                      query_filter=flt).select("id", "score").collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    got = c.query(spark, pf, query=ContextQuery([(1, 2)]),
+                  k=5).select("id", "score").collect()
+    want = c.discover(spark, [(1, 2)], target=None, k=5,
+                      query_filter=flt).select("id", "score").collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_query_object_order_by_and_sample(spark, tmp_path):
+    """OrderByQuery walks the payload field over the candidates
+    (order_value attached, start_from/desc honored); SampleQuery is a
+    deterministic seeded-hash sample, collection-wide sans prefetch."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    cand = sorted(r.id for r in c.search(
+        spark, pf[0].query, k=20).select("id").collect())
+    out = c.query(spark, pf, query=OrderByQuery("w"), k=5).collect()
+    assert [r.id for r in out] == sorted(cand)[:5]
+    assert [r.order_value for r in out] == [float(i) for i in sorted(cand)[:5]]
+    out = c.query(spark, pf, query=OrderByQuery("w", desc=True,
+                                                start_from=30.0),
+                  k=3).collect()
+    le30 = [i for i in sorted(cand, reverse=True) if i <= 30]
+    assert [r.id for r in out] == le30[:3]
+    assert "embedding" not in out[0].asDict()  # vectors stay dropped
+    s1 = [r.id for r in c.query(spark, pf, query=SampleQuery(seed=7),
+                                k=5).collect()]
+    s2 = [r.id for r in c.query(spark, pf, query=SampleQuery(seed=7),
+                                k=5).collect()]
+    assert s1 == s2 and len(s1) == 5 and set(s1) <= set(cand)
+    full = [r.id for r in c.query(spark, None, query=SampleQuery(seed=7),
+                                  k=50).collect()]
+    assert sorted(full) == list(range(50))  # collection-wide, uniform rank
+
+
+def test_query_object_guards(spark, tmp_path):
+    """No score to rank by: order_by/sample reject group_by and batch."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    with pytest.raises(ValueError, match="group_by"):
+        c.query(spark, pf, query=SampleQuery(), k=3, group_by="tag")
+    with pytest.raises(ValueError, match="score to rank"):
+        c.query_batch(spark, [{"prefetch": pf,
+                               "query": OrderByQuery("w"), "k": 3}])
+    with pytest.raises(ValueError, match="prefetch"):
+        c.query(spark, None, query=[1.0] * 6, k=3)  # vector needs prefetch
+
+
+def test_query_object_group_by_and_batch(spark, tmp_path):
+    """RecommendQuery composes with group_by (pool re-grouped) and
+    with query_batch (scores rank descending for best_score)."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    out = c.query(spark, pf, query=RecommendQuery([1], strategy="best_score"),
+                  k=2, group_by="tag", group_size=2).collect()
+    assert len({r.tag for r in out}) == 2
+    assert all(r.group_rank in (1, 2) for r in out)
+    got = c.query_batch(spark, [
+        {"prefetch": pf, "query": RecommendQuery([1], strategy="best_score"),
+         "k": 3}]).collect()
+    scores = [r.score for r in sorted(got, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.parametrize("name", [
+    "knn_query_recommend_prefetch_top5",
+    "knn_query_order_by_top5",
+    "knn_query_sample_top5",
+])
+def test_query_object_registry_oracle(spark, sf_smoke, name):
+    compare(spark, REGISTRY[name], sf_smoke, name)
