@@ -847,3 +847,98 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         F.row_number().over(w)
         <= F.floor(0.25 * F.count(F.lit(1)).over(n)))
+
+
+# ---------------------------------------------------------------------------
+# PCA-compressed retrieval (learned dimensionality reduction — the
+# trained counterpart of the matryoshka prefix and the JL sketch)
+# ---------------------------------------------------------------------------
+
+_PCA_OUT = 8
+_NP_PCA: dict = {}
+
+
+def _np_pca(sf_dir: str, r: int = _PCA_OUT):
+    """Deterministic PCA train per sf_dir: mean + top-r eigenvectors
+    of the covariance over the embeddings fixture, derived driver-side
+    in pure numpy from a sorted parquet read (`read_vectors_np`, the
+    kmeans_np convention) — the query builder and the oracle factory
+    call THIS, so their component literals are bit-identical. Sign
+    fixed per component (largest-|x| entry positive) so eigh's sign
+    ambiguity can't flip a column. At 100 TB: train on a seeded
+    ≤64k-row sample, project scan-local (one codegen pass)."""
+    import os
+
+    key = (sf_dir, r)
+    if key not in _NP_PCA:
+        from ..operators.ann import read_vectors_np
+
+        X = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        C = (Xc.T @ Xc) / len(X)
+        w, V = np.linalg.eigh(C)
+        order = np.argsort(w)[::-1][:r]
+        W = V[:, order].T.copy()
+        for i in range(r):
+            j = int(np.argmax(np.abs(W[i])))
+            if W[i, j] < 0.0:
+                W[i] = -W[i]
+        _NP_PCA[key] = ([float(m) for m in mu],
+                        [[float(x) for x in row] for row in W])
+    return _NP_PCA[key]
+
+
+def _pca_oracle(sf_dir: str, k: int = 5) -> str:
+    """Oracle FACTORY: re-derives the identical mean/components, then
+    recomputes center → project → cosine with the same left-to-right
+    dot shapes as every KNN twin."""
+    mu, W = _np_pca(sf_dir)
+    ce = "[" + ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) - {m!r}"
+        for j, m in enumerate(mu)) + "]"
+    pe = "[" + ", ".join(
+        "list_dot_product(ce, [" + ", ".join(repr(x) for x in row) + "])"
+        for row in W) + "]"
+    return f"""
+    WITH c AS (SELECT vec_id, label, {ce} AS ce FROM embeddings),
+    p AS (SELECT vec_id, label, {pe} AS pe FROM c),
+    q AS (SELECT pe AS qv FROM p WHERE vec_id = 7)
+    SELECT p.vec_id, p.label,
+           ROUND(list_dot_product(p.pe, q.qv)
+                 / (sqrt(list_dot_product(p.pe, p.pe))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+    FROM p CROSS JOIN q
+    ORDER BY score DESC, p.vec_id
+    LIMIT {k}
+    """
+
+
+@register("emb_pca_top5", _pca_oracle)
+def emb_pca_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-compressed retrieval: center on the trained mean, project
+    64-d → {r}-d through the top eigenvectors (literal constants
+    shared with the oracle factory), cosine top-5 in the compressed
+    space. Training is a bounded driver-side numpy pass (the FAISS /
+    kmeans_np sampled-train convention); the projection itself is one
+    scan-local expression per output dim — at 100 TB it runs inside
+    the scan's whole-stage-codegen pass, and the 8×-smaller compressed
+    column is what gets stored/shuffled downstream (same sidecar
+    layout as the SQ/PQ codes).""".format(r=_PCA_OUT)
+    mu, W = _np_pca(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    ev = as_double(F.col("embedding"))
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    ce = F.zip_with(ev, mu_arr, lambda x, m: x - m)
+    pe = F.array(*[dot(ce, F.array(*[F.lit(x) for x in row]))
+                   for row in W])
+    p = emb.select("vec_id", "label", pe.alias("pe"))
+    q = p.filter(F.col("vec_id") == 7).select(F.col("pe").alias("qv"))
+    score = dot(F.col("pe"), F.col("qv")) / (
+        F.sqrt(dot(F.col("pe"), F.col("pe")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    scored = p.join(F.broadcast(q)).select(
+        "vec_id", "label", F.round(score, 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)

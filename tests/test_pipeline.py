@@ -15,6 +15,7 @@ NAMES = [
     "docs_scrub_pii",
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
+    "emb_pca_top5",
     "docs_pack_sequences",
     "docs_stratified_split",
     "docs_source_mixture",
@@ -61,3 +62,24 @@ def test_scrub_redacts_injected_pii(spark, sf_smoke):
 def test_matryoshka_self_hit(spark, sf_smoke):
     rows = REGISTRY["emb_matryoshka_top5"].builder(spark, sf_smoke).collect()
     assert rows[0].vec_id == 7 and rows[0].score == 1.0
+
+
+def test_pca_self_hit_and_variance_order(spark, sf_smoke):
+    """The query point ranks itself first at cosine 1.0, and the
+    trained components come out in descending-eigenvalue order with
+    the sign convention applied (largest-|x| entry positive)."""
+    import numpy as np
+
+    from image_indexing_and_retrival_with_qdrant_spark.queries.pipeline import (
+        _np_pca,
+    )
+
+    rows = REGISTRY["emb_pca_top5"].builder(spark, sf_smoke).collect()
+    assert rows[0].vec_id == 7 and rows[0].score == 1.0
+    mu, W = _np_pca(sf_smoke)
+    assert len(mu) == 64 and len(W) == 8
+    Wn = np.asarray(W)
+    # orthonormal rows, sign-fixed
+    assert np.allclose(Wn @ Wn.T, np.eye(8), atol=1e-9)
+    for row in Wn:
+        assert row[int(np.argmax(np.abs(row)))] > 0.0
