@@ -65,6 +65,7 @@ HEADLINE = [
     "docs_scrub_pii",
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
+    "emb_pca_top5",
     "ann_sq_top5",
     "ann_bq_rescore_top5",
     # discovery API family (scan-local literal-folded passes)
