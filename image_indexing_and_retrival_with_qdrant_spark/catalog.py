@@ -2365,6 +2365,8 @@ class Collection:
                 out = (table.orderBy(*keys).limit(k)
                        .withColumn("order_value",
                                    F.col(query.key).cast("double")))
+                if with_payload is None:  # historical shape: keep all
+                    return out
                 return self._apply_with_payload(
                     out, with_payload, id_col, vec_col,
                     keep_extra=("order_value",))
