@@ -191,6 +191,7 @@ def main() -> None:
     REGISTRY["ann_lsh_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_bq_wide_rescore_top5"].builder(spark, sf_dir).collect()
     REGISTRY["maxsim_top5"].builder(spark, sf_dir).collect()
     # det tiers: kmeans_np train + cached assignment/code frames are
     # the one-time index builds (same policy as the IVF warmup above);

@@ -424,6 +424,31 @@ def _widen_mix(col: str) -> "F.Column":
         _mix_tile(col, t) for t in range(1, _MIX_TILES + 1)]))
 
 
+_BQ_WIDE_CACHE: dict = {}
+
+
+def _bq_wide_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time wide BQ layout: the 768-element mixing transform and
+    the 768-bit word pack are HOF/CASE expressions Catalyst evaluates
+    interpreted per element — build them ONCE into a checkpointed
+    ``(vec_id, wide, bits)`` frame (localCheckpoint truncates the
+    literal-heavy lineage, the `_ivf_det_index` rationale) so the
+    timed entry measures hamming shortlist + 768-d rescore, not the
+    index build. Same one-time-cost policy as every other tier; on
+    disk this is the usual codes-sidecar layout."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _BQ_WIDE_CACHE or not _session_alive(spark):
+        from ..operators.bq import bq_encode
+
+        dim = 64 * _MIX_TILES
+        emb = load(spark, sf_dir, "embeddings")
+        wide = emb.select("vec_id", _widen_mix("embedding").alias("wide"))
+        _BQ_WIDE_CACHE[key] = bq_encode(
+            wide, dim=dim, vec_col="wide", carry_cols=("wide",)
+        ).localCheckpoint()
+    return _BQ_WIDE_CACHE[key]
+
+
 def _widen_mix_sql(col: str) -> str:
     tiles = []
     for t in range(1, _MIX_TILES + 1):
@@ -482,17 +507,16 @@ def ann_bq_wide_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     words and the 768-d HOF rescore — the regime Qdrant runs BQ in
     (1536-d OpenAI embeddings; reference dims 1536/2048). Integer
     shortlist + deterministic cosine: full value oracle end-to-end."""
-    from ..operators.bq import bq_encode, bq_search
+    from ..operators.bq import bq_search
     from ..operators.knn import dense_knn
 
     dim = 64 * _MIX_TILES
-    emb = load(spark, sf_dir, "embeddings")
-    wide = emb.select("vec_id", _widen_mix("embedding").alias("wide"))
-    codes = bq_encode(wide, dim=dim, vec_col="wide")
-    qrow = wide.filter(F.col("vec_id") == 0).collect()[0]
-    qvec = list(qrow.wide)
-    short = bq_search(codes, qvec, k=50).select("vec_id")
-    corpus = wide.join(F.broadcast(short), on="vec_id")
+    layout = _bq_wide_index(spark, sf_dir)
+    qvec = list(layout.filter(F.col("vec_id") == 0).collect()[0].wide)
+    short = bq_search(layout.select("vec_id", "bits"), qvec,
+                      k=50).select("vec_id")
+    corpus = layout.select("vec_id", "wide").join(
+        F.broadcast(short), on="vec_id")
     query = spark.createDataFrame([(qvec,)], "query_vec array<double>")
     return dense_knn(corpus, query, k=5, vec_col="wide", dim=dim)
 
