@@ -902,10 +902,12 @@ def knn_multistage_prefetch_top5(spark: SparkSession,
                 "head": {"dim": 4, "metric": "cosine", "normalize": False},
             })
         coll.upsert(spark, points, mode="merge")
-        res = coll.query(
-            spark, [Prefetch(qv[:4], using="head", limit=20)],
-            query=qv, using="full", k=5).select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        with phase("search"):
+            res = coll.query(
+                spark, [Prefetch(qv[:4], using="head", limit=20)],
+                query=qv, using="full", k=5).select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

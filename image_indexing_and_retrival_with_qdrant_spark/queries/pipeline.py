@@ -927,11 +927,18 @@ def emb_pca_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout as the SQ/PQ codes).""".format(r=_PCA_OUT)
     mu, W = _np_pca(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    ev = as_double(F.col("embedding"))
-    mu_arr = F.array(*[F.lit(m) for m in mu])
-    ce = F.zip_with(ev, mu_arr, lambda x, m: x - m)
-    pe = F.array(*[dot(ce, F.array(*[F.lit(x) for x in row]))
-                   for row in W])
+    # unrolled JVM-parsed projection (the centroid/ADC convention):
+    # left-associated (e[j] − mu_j)·w_j sums are float-identical to
+    # the oracle's list_dot_product over the centered array, and they
+    # run inside whole-stage codegen instead of interpreted HOFs
+    comps = []
+    for row in W:
+        terms = " + ".join(
+            f"((CAST(element_at(`embedding`, {j + 1}) AS DOUBLE)"
+            f" - {m!r}D) * {x!r}D)"
+            for j, (m, x) in enumerate(zip(mu, row)))
+        comps.append(f"({terms})")
+    pe = F.expr("array(" + ", ".join(comps) + ")")
     p = emb.select("vec_id", "label", pe.alias("pe"))
     q = p.filter(F.col("vec_id") == 7).select(F.col("pe").alias("qv"))
     score = dot(F.col("pe"), F.col("qv")) / (
