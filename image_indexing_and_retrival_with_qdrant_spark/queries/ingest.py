@@ -16,8 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bench_phases import phase
-from ..catalog import (OrderByQuery, Prefetch, RecommendQuery,
-                       SampleQuery, create_collection)
+from ..catalog import (ContextQuery, DiscoverQuery, OrderByQuery,
+                       Prefetch, RecommendQuery, SampleQuery,
+                       create_collection)
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
@@ -1224,6 +1225,87 @@ def knn_query_sample_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         res = coll.query(spark, pf, query=SampleQuery(seed=42),
                          k=5).select("id", "label")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# example-vector CTEs over the embeddings fixture (the discover/context
+# convention: stored vectors fetched by id on both engines)
+_QOBJ_RCOS = ("ROUND(" + _QCOS + ", 6)")
+_QOBJ_EX = """
+    t  AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+    n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+    p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3),
+    n2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 4)
+"""
+
+
+@register(
+    "knn_query_discover_prefetch_top5",
+    f"""
+    WITH {_QOBJ_CAND},
+    {_QOBJ_EX.lstrip()}
+    SELECT e.vec_id AS id,
+           CAST((CASE WHEN {_QOBJ_RCOS.format(a='e.embedding', b='p1.v')}
+                         > {_QOBJ_RCOS.format(a='e.embedding', b='n1.v')}
+                      THEN 1 ELSE -1 END)
+              + (CASE WHEN {_QOBJ_RCOS.format(a='e.embedding', b='p2.v')}
+                         > {_QOBJ_RCOS.format(a='e.embedding', b='n2.v')}
+                      THEN 1 ELSE -1 END) AS INTEGER) AS rank,
+           {_QOBJ_RCOS.format(a='e.embedding', b='t.v')} AS score
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+    CROSS JOIN t CROSS JOIN p1 CROSS JOIN n1 CROSS JOIN p2 CROSS JOIN n2
+    ORDER BY rank DESC, score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_query_discover_prefetch_top5(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """``query_points(prefetch=..., query=DiscoverQuery(target,
+    context))``: discovery search re-ranks ONLY the prefetch
+    candidates — zones satisfied (+1/−1 per context pair), ties by
+    target cosine — via the pushed ``id IN`` candidate filter. Target
+    and examples resolve to stored vectors by id, as in the dedicated
+    endpoint."""
+    root, coll, pf = _qobj_collection(spark, sf_dir)
+    try:
+        res = coll.query(
+            spark, pf, query=DiscoverQuery(0, [(1, 2), (3, 4)]),
+            k=5).select("id", "rank", "score")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "knn_query_context_prefetch_top5",
+    f"""
+    WITH {_QOBJ_CAND},
+    {_QOBJ_EX.lstrip()}
+    SELECT e.vec_id AS id,
+           LEAST(0.0, {_QOBJ_RCOS.format(a='e.embedding', b='p1.v')}
+                    - {_QOBJ_RCOS.format(a='e.embedding', b='n1.v')})
+         + LEAST(0.0, {_QOBJ_RCOS.format(a='e.embedding', b='p2.v')}
+                    - {_QOBJ_RCOS.format(a='e.embedding', b='n2.v')})
+           AS score
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+    CROSS JOIN p1 CROSS JOIN n1 CROSS JOIN p2 CROSS JOIN n2
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_query_context_prefetch_top5(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """``query_points(prefetch=..., query=ContextQuery(context))``:
+    context-only scoring ``Σ min(0, s⊕ − s⊖)`` over the prefetch
+    candidates (0 = inside every positive zone), ties by id."""
+    root, coll, pf = _qobj_collection(spark, sf_dir)
+    try:
+        res = coll.query(
+            spark, pf, query=ContextQuery([(1, 2), (3, 4)]),
+            k=5).select("id", "score")
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -426,6 +426,8 @@ def test_query_object_group_by_and_batch(spark, tmp_path):
     "knn_query_recommend_prefetch_top5",
     "knn_query_order_by_top5",
     "knn_query_sample_top5",
+    "knn_query_discover_prefetch_top5",
+    "knn_query_context_prefetch_top5",
 ])
 def test_query_object_registry_oracle(spark, sf_smoke, name):
     compare(spark, REGISTRY[name], sf_smoke, name)
