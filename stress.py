@@ -1038,6 +1038,110 @@ def sparse_postings_stress(n: int = 2_000_000, n_terms: int = 20,
     spark.stop()
 
 
+def pca_projection_stress(n: int = 10_000_000, r: int = 8,
+                          dim: int = 64) -> None:
+    """PCA compression at scale: train driver-side on a seeded 64k
+    sample (the kmeans_np convention), then measure (a) projection
+    throughput — the unrolled JVM-parsed expression vs the
+    zip_with/aggregate HOF formulation Catalyst interprets per
+    element (the emb_pca_top5 round-8 rewrite, quantified), and
+    (b) top-10 cosine over the PERSISTED compressed column vs the
+    persisted full-width column — the bytes/compute ratio a 100 TB
+    corpus sees once the 8x-smaller sidecar is what downstream
+    stages scan."""
+    import numpy as np
+
+    spark = get_spark("stress-pca",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    dims = [
+        ((F.xxhash64(F.col("id"), F.lit(i)) % 2000001 - 1000000)
+         / F.lit(1000000.0))
+        for i in range(dim)
+    ]
+    pts_dir = tempfile.mkdtemp(prefix="stress_pca_pts_")
+    prj_dir = tempfile.mkdtemp(prefix="stress_pca_prj_")
+    out = {"metric": "stress_pca", "rows": n, "dim": dim, "r": r}
+    try:
+        spark.range(n).select(
+            F.col("id").cast("int").alias("id"),
+            F.array(*dims).alias("embedding"),
+        ).write.mode("overwrite").parquet(pts_dir)
+        points = spark.read.parquet(pts_dir)
+
+        # train: seeded fraction sample (an orderBy(hash).limit(64k)
+        # would ship a LocalLimit of 64k rows from EVERY task to the
+        # driver — >1 GiB at 10M×64-d; the fraction sample collects
+        # ~64k rows total), eigh driver-side
+        t0 = time.perf_counter()
+        frac = min(1.0, 65536.0 * 1.2 / max(n, 1))
+        sample = points.sample(fraction=frac, seed=99).limit(65536).collect()
+        X = np.asarray([row.embedding for row in sample], dtype=np.float64)
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        w, V = np.linalg.eigh((Xc.T @ Xc) / len(X))
+        W = V[:, np.argsort(w)[::-1][:r]].T
+        out["train_sec"] = round(time.perf_counter() - t0, 2)
+        out["explained_var_pct"] = round(
+            100.0 * float(np.sort(w)[::-1][:r].sum() / w.sum()), 1)
+
+        comps = []
+        for row in W:
+            terms = " + ".join(
+                f"((CAST(element_at(`embedding`, {j + 1}) AS DOUBLE)"
+                f" - {float(m)!r}D) * {float(x)!r}D)"
+                for j, (m, x) in enumerate(zip(mu, row)))
+            comps.append(f"({terms})")
+        unrolled = F.expr("array(" + ", ".join(comps) + ")")
+        mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+        from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+            dot,
+        )
+        ce = F.zip_with(F.col("embedding"), mu_arr, lambda x, m: x - m)
+        hof = F.array(*[
+            dot(ce, F.array(*[F.lit(float(x)) for x in row])) for row in W])
+
+        def median3(fn):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return round(sorted(ts)[1], 2)
+
+        def project(expr):
+            return lambda: (points.select("id", expr.alias("pe"))
+                            .write.format("noop").mode("overwrite").save())
+
+        out["project_unrolled_sec"] = median3(project(unrolled))
+        out["project_hof_sec"] = median3(project(hof))
+        out["unrolled_speedup"] = round(
+            out["project_hof_sec"] / out["project_unrolled_sec"], 2)
+
+        # persisted compressed sidecar vs full width: same top-10 job
+        points.select("id", unrolled.alias("pe")).write.mode(
+            "overwrite").parquet(prj_dir)
+        proj = spark.read.parquet(prj_dir)
+        from image_indexing_and_retrival_with_qdrant_spark.operators.knn import (
+            dense_knn,
+        )
+        qfull = points.filter(F.col("id") == 12345).select(
+            F.col("embedding").alias("query_vec"))
+        qproj = proj.filter(F.col("id") == 12345).select(
+            F.col("pe").alias("query_vec"))
+        out["top10_full_sec"] = median3(lambda: dense_knn(
+            points, qfull, k=10, id_col="id", dim=dim).collect())
+        out["top10_pca_sec"] = median3(lambda: dense_knn(
+            proj, qproj, k=10, id_col="id", vec_col="pe", dim=r).collect())
+        out["pca_search_speedup"] = round(
+            out["top10_full_sec"] / out["top10_pca_sec"], 2)
+    finally:
+        shutil.rmtree(pts_dir, ignore_errors=True)
+        shutil.rmtree(prj_dir, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "composed":
         args = [int(a) for a in sys.argv[2:]]
@@ -1076,6 +1180,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "sparse":
         args = [int(a) for a in sys.argv[2:]]
         sparse_postings_stress(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pca":
+        args = [int(a) for a in sys.argv[2:]]
+        pca_projection_stress(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "drift":
         args = [int(a) for a in sys.argv[2:]]
