@@ -431,3 +431,20 @@ def test_query_object_group_by_and_batch(spark, tmp_path):
 ])
 def test_query_object_registry_oracle(spark, sf_smoke, name):
     compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_query_by_id_through_universal_api(spark, tmp_path):
+    """query=<point id> on the universal API (Qdrant query-by-id in
+    query_points): the stored vector drives the rescore over the
+    prefetch candidates, the point excludes itself."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    qv = [float(x) for x in c.read(spark).filter(
+        F.col("id") == 3).collect()[0].embedding]
+    cand = [r.id for r in c.search(
+        spark, pf[0].query, k=20).select("id").collect()]
+    got = c.query(spark, pf, query=3, k=5).select("id", "score").collect()
+    want = c.search(spark, qv, k=5,
+                    query_filter=F.col("id").isin(cand) & (F.col("id") != 3)
+                    ).select("id", "score").collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    assert all(r.id != 3 for r in got)
