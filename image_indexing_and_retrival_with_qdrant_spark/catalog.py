@@ -2188,6 +2188,25 @@ class Collection:
         return (self._vector_cfg(using, vec_col)
                 .get("metric", "cosine") in _DISTANCE_METRICS)
 
+    def _attach_query_vectors(self, spark: SparkSession, d: DataFrame,
+                              using: str | None, vec_col: str,
+                              id_col: str, sort_cols: list) -> DataFrame:
+        """Qdrant ``query_points(with_vectors=True)`` for the universal
+        API: the using-space stored vector (or a sparse space's
+        index/value pair) joins onto the ≤pool-row result with the
+        RESULT side broadcast — the corpus never re-shuffles — then
+        the branch's ordering is restored (bounded ≤k-row sort)."""
+        sv = self.meta.get("sparse_vectors") or {}
+        if using in sv:
+            cols = [using + "__sidx", using + "__sval"]
+        else:
+            cols = [self._vector_cfg(using, vec_col)["vec_col"]]
+        cols = [c for c in cols if c not in d.columns]
+        if not cols:
+            return d
+        side = self.read(spark).select(id_col, *cols)
+        return side.join(F.broadcast(d), on=id_col).orderBy(*sort_cols)
+
     def _query_ranks_ascending(self, query, using: str | None,
                                vec_col: str) -> bool:
         """Rank direction of a top-level ``query=`` value: a raw
@@ -2226,7 +2245,7 @@ class Collection:
               vec_col: str = "embedding",
               formula: str | None = None,
               query=None, using: str | None = None,
-              with_payload=None,
+              with_payload=None, with_vectors: bool = False,
               group_by: str | None = None, group_size: int = 2,
               with_lookup=None) -> DataFrame:
         """Qdrant's universal ``query_points(prefetch=[...],
@@ -2256,7 +2275,12 @@ class Collection:
         ``group_rank`` attached), and ``with_lookup`` joins the group
         ids' payload from another collection exactly as in
         :meth:`search_groups`. Note prefetch branch limits are the
-        caller's — set them deep enough to fill k·group_size."""
+        caller's — set them deep enough to fill k·group_size.
+
+        ``with_vectors=True`` (Qdrant ``query_points(with_vectors=)``)
+        attaches the ``using``-space stored vector — sparse spaces
+        attach their index/value pair — on every path, result side
+        broadcast, branch ordering restored (≤pool-row sort)."""
         from .operators.fusion import dbsf_fuse, rrf_fuse
 
         if isinstance(prefetch, Prefetch):
@@ -2295,6 +2319,11 @@ class Collection:
             if with_lookup is not None:
                 out = self._attach_lookup(spark, out, group_by,
                                           with_lookup, id_col)
+            if with_vectors:
+                out = self._attach_query_vectors(
+                    spark, out, using, vec_col, id_col,
+                    [F.col("group_rank"), F.col("rank"),
+                     F.col(id_col).asc()])
             if with_payload is None:
                 return out
             extra = tuple(c for c in out.columns
@@ -2323,6 +2352,12 @@ class Collection:
                 d, with_payload, id_col, vec_col,
                 keep_extra=("rrf", "dbsf"))
 
+        def attach_vectors(d: DataFrame, sort_cols: list) -> DataFrame:
+            if not with_vectors:
+                return d
+            return self._attach_query_vectors(
+                spark, d, using, vec_col, id_col, sort_cols)
+
         if isinstance(query, _QUERY_OBJECTS):
             # Qdrant query-object forms: the prefetch union restricts
             # the dedicated path with a literal ``id IN`` (≤ Σ limits
@@ -2337,18 +2372,24 @@ class Collection:
                                hits.select(id_col).collect())
                 cand = F.col(id_col).isin(sorted(ids))
             if isinstance(query, RecommendQuery):
-                return shape(self.recommend(
+                asc = self._query_ranks_ascending(query, using, vec_col)
+                return attach_vectors(shape(self.recommend(
                     spark, query.positive, query.negative, k=k,
                     query_filter=cand, id_col=id_col, vec_col=vec_col,
                     using=using, strategy=query.strategy),
-                    has_payload=True)
+                    has_payload=True),
+                    [F.col("score").asc() if asc else F.col("score").desc(),
+                     F.col(id_col).asc()])
             if isinstance(query, (DiscoverQuery, ContextQuery)):
                 target = (query.target
                           if isinstance(query, DiscoverQuery) else None)
-                return shape(self.discover(
+                sort = ([F.col("rank").desc()] if target is not None
+                        else []) + [F.col("score").desc(),
+                                    F.col(id_col).asc()]
+                return attach_vectors(shape(self.discover(
                     spark, query.context, target=target, k=k,
                     query_filter=cand, id_col=id_col, vec_col=vec_col,
-                    using=using), has_payload=True)
+                    using=using), has_payload=True), sort)
             table = self.read(spark)
             if cand is not None:
                 table = table.filter(cand)
@@ -2365,24 +2406,31 @@ class Collection:
                 out = (table.orderBy(*keys).limit(k)
                        .withColumn("order_value",
                                    F.col(query.key).cast("double")))
+                osort = [F.col("order_value").desc() if query.desc
+                         else F.col("order_value").asc(),
+                         F.col(id_col).asc()]
                 if with_payload is None:  # historical shape: keep all
-                    return out
-                return self._apply_with_payload(
+                    return attach_vectors(out, osort)
+                return attach_vectors(self._apply_with_payload(
                     out, with_payload, id_col, vec_col,
-                    keep_extra=("order_value",))
+                    keep_extra=("order_value",)), osort)
             # SampleQuery: seeded content-hash rank, uniform over ids
             rk = F.md5(F.concat(F.col(id_col).cast("string"),
                                 F.lit(str(query.seed))))
             out = (table.withColumn("__r", rk)
                    .orderBy(F.col("__r").asc(), F.col(id_col).asc())
                    .limit(k).drop("__r"))
-            return shape(out, has_payload=True)
+            return attach_vectors(shape(out, has_payload=True),
+                                  [rk.asc(), F.col(id_col).asc()])
 
         if query is not None:
-            return shape(self._prefetch_hits(
+            asc = self._ranks_ascending(using, vec_col)
+            return attach_vectors(shape(self._prefetch_hits(
                 spark, Prefetch(query, using=using, limit=k,
                                 prefetch=list(prefetch)),
-                id_col, vec_col), has_payload=True)
+                id_col, vec_col), has_payload=True),
+                [F.col("score").asc() if asc else F.col("score").desc(),
+                 F.col(id_col).asc()])
         branches = []
         for p in prefetch:
             hits = self._prefetch_hits(spark, p, id_col, vec_col)
@@ -2396,7 +2444,9 @@ class Collection:
         else:
             raise ValueError(f"unknown fusion {fusion!r} (rrf|dbsf)")
         if formula is None:
-            return shape(fused, has_payload=False)
+            return attach_vectors(shape(fused, has_payload=False),
+                                  [F.col(fusion).desc(),
+                                   F.col(id_col).asc()])
         from .operators.formula import formula_rescore
 
         # fusion emits its score under its own name (rrf/dbsf);
@@ -2406,10 +2456,11 @@ class Collection:
                    if c not in self._vector_columns(vec_col) | {id_col}]
         shortlist = self.read(spark).select(id_col, *payload).join(
             F.broadcast(fused), on=id_col)
-        return shape(
+        return attach_vectors(shape(
             formula_rescore(shortlist, formula, k=k, id_col=id_col,
                             boosted_col="score", payload_cols=payload),
-            has_payload=True)
+            has_payload=True),
+            [F.col("score").desc(), F.col(id_col).asc()])
 
     def query_batch(self, spark: SparkSession, requests: list,
                     id_col: str = "id",

@@ -448,3 +448,36 @@ def test_query_by_id_through_universal_api(spark, tmp_path):
                     ).select("id", "score").collect()
     assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
     assert all(r.id != 3 for r in got)
+
+
+def test_query_with_vectors_on_every_path(spark, tmp_path):
+    """with_vectors=True attaches the stored vector on the rescore,
+    fusion, query-object, and grouped paths; values match storage and
+    ordering is unchanged."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    stored = {r.id: [float(x) for x in r.embedding]
+              for r in c.read(spark).select("id", "embedding").collect()}
+
+    def check(df, base_ids):
+        rows = df.collect()
+        assert [r.id for r in rows] == base_ids
+        for r in rows:
+            assert [float(x) for x in r.embedding] == stored[r.id]
+
+    qv = [1.0, 0.5, -0.5, 1.0, 0.0, 0.5]
+    base = c.query(spark, pf, query=qv, k=5)
+    check(c.query(spark, pf, query=qv, k=5, with_vectors=True),
+          [r.id for r in base.collect()])
+    base = c.query(spark, pf, fusion="rrf", k=5)
+    check(c.query(spark, pf, fusion="rrf", k=5, with_vectors=True),
+          [r.id for r in base.collect()])
+    base = c.query(spark, pf, query=RecommendQuery([1], [2]), k=5)
+    check(c.query(spark, pf, query=RecommendQuery([1], [2]), k=5,
+                  with_vectors=True), [r.id for r in base.collect()])
+    base = c.query(spark, pf, query=OrderByQuery("w", desc=True), k=5)
+    check(c.query(spark, pf, query=OrderByQuery("w", desc=True), k=5,
+                  with_vectors=True), [r.id for r in base.collect()])
+    grouped = c.query(spark, pf, query=qv, k=2, group_by="tag",
+                      group_size=2, with_vectors=True).collect()
+    assert grouped and all(
+        [float(x) for x in r.embedding] == stored[r.id] for r in grouped)
