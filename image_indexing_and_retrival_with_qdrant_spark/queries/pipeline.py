@@ -889,17 +889,41 @@ def _np_pca(sf_dir: str, r: int = _PCA_OUT):
     return _NP_PCA[key]
 
 
+def _pca_project_expr(mu: list, W: list):
+    """Unrolled JVM-parsed projection (the centroid/ADC convention):
+    left-associated (e[j] − mu_j)·w_j sums are float-identical to the
+    oracle's list_dot_product over the centered array, and they run
+    inside whole-stage codegen instead of interpreted HOFs."""
+    comps = []
+    for row in W:
+        terms = " + ".join(
+            f"((CAST(element_at(`embedding`, {j + 1}) AS DOUBLE)"
+            f" - {m!r}D) * {x!r}D)"
+            for j, (m, x) in enumerate(zip(mu, row)))
+        comps.append(f"({terms})")
+    return F.expr("array(" + ", ".join(comps) + ")")
+
+
+def _pca_ce_sql(mu: list) -> str:
+    return "[" + ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) - {m!r}"
+        for j, m in enumerate(mu)) + "]"
+
+
+def _pca_pe_sql(W: list) -> str:
+    """Projection over a prior `ce` alias — sequential list_dot_product
+    matches the Spark side's left-associated unrolled sums exactly."""
+    return "[" + ", ".join(
+        "list_dot_product(ce, [" + ", ".join(repr(x) for x in row) + "])"
+        for row in W) + "]"
+
+
 def _pca_oracle(sf_dir: str, k: int = 5) -> str:
     """Oracle FACTORY: re-derives the identical mean/components, then
     recomputes center → project → cosine with the same left-to-right
     dot shapes as every KNN twin."""
     mu, W = _np_pca(sf_dir)
-    ce = "[" + ", ".join(
-        f"CAST(embedding[{j + 1}] AS DOUBLE) - {m!r}"
-        for j, m in enumerate(mu)) + "]"
-    pe = "[" + ", ".join(
-        "list_dot_product(ce, [" + ", ".join(repr(x) for x in row) + "])"
-        for row in W) + "]"
+    ce, pe = _pca_ce_sql(mu), _pca_pe_sql(W)
     return f"""
     WITH c AS (SELECT vec_id, label, {ce} AS ce FROM embeddings),
     p AS (SELECT vec_id, label, {pe} AS pe FROM c),
@@ -927,18 +951,7 @@ def emb_pca_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout as the SQ/PQ codes).""".format(r=_PCA_OUT)
     mu, W = _np_pca(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    # unrolled JVM-parsed projection (the centroid/ADC convention):
-    # left-associated (e[j] − mu_j)·w_j sums are float-identical to
-    # the oracle's list_dot_product over the centered array, and they
-    # run inside whole-stage codegen instead of interpreted HOFs
-    comps = []
-    for row in W:
-        terms = " + ".join(
-            f"((CAST(element_at(`embedding`, {j + 1}) AS DOUBLE)"
-            f" - {m!r}D) * {x!r}D)"
-            for j, (m, x) in enumerate(zip(mu, row)))
-        comps.append(f"({terms})")
-    pe = F.expr("array(" + ", ".join(comps) + ")")
+    pe = _pca_project_expr(mu, W)
     p = emb.select("vec_id", "label", pe.alias("pe"))
     q = p.filter(F.col("vec_id") == 7).select(F.col("pe").alias("qv"))
     score = dot(F.col("pe"), F.col("qv")) / (
@@ -949,3 +962,156 @@ def emb_pca_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.round(score, 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# PCA → IVF composition (the FAISS "PCA,IVF" transform-then-index
+# pattern: coarse-quantize in the compressed space, rescore full-width)
+# ---------------------------------------------------------------------------
+
+_PCA_IVF_K = 16
+_NP_PCA_CENTS: dict = {}
+
+
+def _np_pca_centroids(sf_dir: str, kc: int = _PCA_IVF_K):
+    """kmeans_np over the PCA-projected corpus — training is free to
+    use BLAS (the centroids are shared literals, not re-derived
+    computations); only probe/assignment shapes must match the SQL."""
+    key = (sf_dir, kc)
+    if key not in _NP_PCA_CENTS:
+        import os
+
+        from ..operators.ann import kmeans_np, read_vectors_np
+
+        mu, W = _np_pca(sf_dir)
+        X = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))
+        Xp = (X - np.asarray(mu)) @ np.asarray(W).T
+        _NP_PCA_CENTS[key] = kmeans_np(Xp, kc, seed=42)
+    return _NP_PCA_CENTS[key]
+
+
+def _np_pca_probe(sf_dir: str, nprobe: int = 4) -> list[int]:
+    """Driver-side coarse probe: project the query with EXPLICIT
+    left-to-right float64 folds (the exact SQL shape — no BLAS, whose
+    summation order differs), then rank centroid distances the same
+    way, ties by centroid id."""
+    import os
+
+    from ..operators.ann import read_vectors_np
+
+    mu, W = _np_pca(sf_dir)
+    q = read_vectors_np(os.path.join(sf_dir, "embeddings.parquet"))[7]
+    qp = []
+    for row in W:
+        acc = 0.0
+        for j, (m, x) in enumerate(zip(mu, row)):
+            acc += (float(q[j]) - m) * x
+        qp.append(acc)
+    dists = []
+    for cid, c in enumerate(_np_pca_centroids(sf_dir)):
+        acc = 0.0
+        for a, b in zip(qp, c):
+            acc += (a - float(b)) * (a - float(b))
+        dists.append((acc, cid))
+    return sorted(cid for _, cid in sorted(dists)[:nprobe])
+
+
+_PCA_IVF_CACHE: dict = {}
+
+
+def _pca_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time projected+assigned layout ``(vec_id, embedding, cid)``
+    — the assignment argmin references the 512-op projection 16×8×2
+    times, and projection collapse would re-inline it into EVERY
+    reference (~8M ops/row, unrunnable); project into a checkpointed
+    frame first (the `_ivf_det_index` lineage-cut rationale), then
+    assign over the materialized 8-d column. On disk this is the usual
+    ``partitionBy(centroid_id)`` layout, built once."""
+    from ..operators.ann import assign_centroid_expr
+    from .ann import _cache_key, _session_alive
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _PCA_IVF_CACHE or not _session_alive(spark):
+        mu, W = _np_pca(sf_dir)
+        cents = [[float(x) for x in c] for c in _np_pca_centroids(sf_dir)]
+        emb = load(spark, sf_dir, "embeddings")
+        p = emb.select("vec_id", "embedding",
+                       _pca_project_expr(mu, W).alias("pe")
+                       ).localCheckpoint()
+        _PCA_IVF_CACHE[key] = p.withColumn(
+            "cid", assign_centroid_expr(cents, "pe")).localCheckpoint()
+    return _PCA_IVF_CACHE[key]
+
+
+def _duck_pe_dist(c) -> str:
+    return "(" + " + ".join(
+        f"((p.pe[{j + 1}] - {float(x)!r}) * (p.pe[{j + 1}] - {float(x)!r}))"
+        for j, x in enumerate(c)) + ")"
+
+
+def _pca_ivf_oracle(sf_dir: str, k: int = 5, nprobe: int = 4) -> str:
+    """Oracle FACTORY: re-derives mean/components AND centroids, then
+    recomputes projection, first-min assignment, the nprobe probe, and
+    the full-width cosine rescore — the entire transform-then-index
+    read path hash-checked (the _ivf_det_oracle discipline in the
+    compressed space)."""
+    mu, W = _np_pca(sf_dir)
+    cents = _np_pca_centroids(sf_dir)
+    ce, pe = _pca_ce_sql(mu), _pca_pe_sql(W)
+    dl = "list_value(" + ", ".join(_duck_pe_dist(c) for c in cents) + ")"
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cid, {_duck_pe_dist(c)} AS d FROM qp p"
+        for i, c in enumerate(cents))
+    cos = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]),"
+        " CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]),"
+        " CAST({b} AS DOUBLE[]))))"
+    )
+    return f"""
+    WITH c0 AS (SELECT vec_id, embedding, {ce} AS ce FROM embeddings),
+    p AS (SELECT vec_id, embedding, {pe} AS pe FROM c0),
+    qp AS (SELECT pe FROM p WHERE vec_id = 7),
+    probe AS (
+      SELECT cid FROM ({probe_rows})
+      ORDER BY d ASC, cid ASC LIMIT {nprobe}
+    ),
+    cand AS (
+      SELECT p.vec_id, p.embedding,
+             list_position({dl}, list_min({dl})) - 1 AS cid
+      FROM p
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT c.vec_id,
+           ROUND({cos.format(a='c.embedding', b='q.qv')}, 6) AS score
+    FROM cand c CROSS JOIN q
+    WHERE c.cid IN (SELECT cid FROM probe)
+    ORDER BY score DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@register("emb_pca_ivf_top5", _pca_ivf_oracle)
+def emb_pca_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA→IVF composed retrieval (FAISS's ``PCA64,IVF...`` index
+    factory pattern): coarse-quantize in the 8-d COMPRESSED space
+    (16 kmeans_np cells trained on projected vectors — an 8× cheaper
+    assignment pass and an 8× smaller routing table than raw-space
+    IVF), probe the query's 4 nearest cells, exact full-width cosine
+    over just the probed fraction. Assignment, probe, AND rescore are
+    value-checked through the factory oracle. At 100 TB: the
+    projection+assignment is one codegen scan; cells become the usual
+    ``partitionBy(centroid_id)`` layout; the compressed routing table
+    (16×8 floats) broadcasts for free."""
+    probe = _np_pca_probe(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    cand = _pca_ivf_frame(spark, sf_dir).filter(F.col("cid").isin(probe))
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qv"))
+    ev = as_double(F.col("embedding"))
+    qd = as_double(F.col("qv"))
+    score = dot(ev, qd) / (F.sqrt(dot(ev, ev)) * F.sqrt(dot(qd, qd)))
+    return (cand.join(F.broadcast(qv))
+            .select("vec_id", F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(5))

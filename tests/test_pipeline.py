@@ -16,6 +16,7 @@ NAMES = [
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
     "emb_pca_top5",
+    "emb_pca_ivf_top5",
     "docs_pack_sequences",
     "docs_stratified_split",
     "docs_source_mixture",
@@ -83,3 +84,17 @@ def test_pca_self_hit_and_variance_order(spark, sf_smoke):
     assert np.allclose(Wn @ Wn.T, np.eye(8), atol=1e-9)
     for row in Wn:
         assert row[int(np.argmax(np.abs(row)))] > 0.0
+
+
+def test_pca_ivf_probe_is_subset_and_recall(spark, sf_smoke):
+    """The probed result is a subset of cells (assignment real) and
+    finds the query point itself (cell containing vec 7 is always the
+    nearest probe)."""
+    rows = REGISTRY["emb_pca_ivf_top5"].builder(spark, sf_smoke).collect()
+    assert rows[0].vec_id == 7 and rows[0].score == 1.0
+    from image_indexing_and_retrival_with_qdrant_spark.queries.pipeline import (
+        _np_pca_probe,
+    )
+
+    probe = _np_pca_probe(sf_smoke)
+    assert len(probe) == 4 and len(set(probe)) == 4
