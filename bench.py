@@ -66,6 +66,7 @@ HEADLINE = [
     "emb_matryoshka_top5",
     "emb_random_projection_top5",
     "emb_pca_top5",
+    "emb_pca_ivf_top5",
     "ann_sq_top5",
     "ann_bq_rescore_top5",
     # discovery API family (scan-local literal-folded passes)
@@ -192,6 +193,8 @@ def main() -> None:
     REGISTRY["ann_sq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_rescore_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_bq_wide_rescore_top5"].builder(spark, sf_dir).collect()
+    # pca-ivf: projected+assigned layout checkpoint (one-time build)
+    REGISTRY["emb_pca_ivf_top5"].builder(spark, sf_dir).collect()
     REGISTRY["maxsim_top5"].builder(spark, sf_dir).collect()
     # det tiers: kmeans_np train + cached assignment/code frames are
     # the one-time index builds (same policy as the IVF warmup above);
