@@ -214,6 +214,95 @@ def quantindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+
+def pca_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
+    """PCA→IVF routing recall vs raw-space IVF at equal k_centroids
+    (16): coarse cells trained and probed in the 8-d COMPRESSED space
+    (the queries/pipeline.py::emb_pca_ivf machinery over a temp
+    layout) against cells trained on the raw 64-d vectors — same
+    kmeans_np seed, same probe rule. On clustered data PCA
+    concentrates the cluster structure (explained variance reported),
+    so this measures what the 8× transform actually costs the router.
+    Feeds BASELINE.md §pca-ivf-recall."""
+    import shutil
+    import tempfile
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        assign_centroid_expr,
+        kmeans_np,
+        read_vectors_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.queries.pipeline import (
+        _np_pca,
+        _np_pca_centroids,
+        _pca_ivf_frame,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="recall_pca_")
+    try:
+        corpus.select("vec_id", "embedding").write.mode(
+            "overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        mu, W = _np_pca(tmp)
+        X = read_vectors_np(os.path.join(tmp, "embeddings.parquet"))
+        Xc = X - np.asarray(mu)
+        ev = np.sort(np.linalg.eigvalsh((Xc.T @ Xc) / len(X)))[::-1]
+        out["explained_var_pct"] = round(
+            100.0 * float(ev[:len(W)].sum() / ev.sum()), 1)
+
+        frame_pca = _pca_ivf_frame(spark, tmp)
+        cents_pca = _np_pca_centroids(tmp)
+        cents_raw = kmeans_np(X, len(cents_pca), seed=42)
+        frame_raw = corpus.withColumn(
+            "cid", assign_centroid_expr(
+                [[float(x) for x in c] for c in cents_raw], "embedding")
+        ).localCheckpoint()
+
+        def project(q):
+            qp = []
+            for row in W:
+                acc = 0.0
+                for j, (m, x) in enumerate(zip(mu, row)):
+                    acc += (float(q[j]) - m) * x
+                qp.append(acc)
+            return qp
+
+        def nearest(q, cents, nprobe):
+            dists = []
+            for cid, c in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(q, c):
+                    acc += (float(a) - float(b)) * (float(a) - float(b))
+                dists.append((acc, cid))
+            return [cid for _, cid in sorted(dists)[:nprobe]]
+
+        def qdf(qid):
+            return spark.createDataFrame([(qvecs[qid],)],
+                                         "query_vec array<double>")
+
+        curves: dict = {}
+        for nprobe in (1, 2, 4, 8):
+            r_pca, r_raw = [], []
+            for qid in qids:
+                probe = nearest(project(qvecs[qid]), cents_pca, nprobe)
+                got = {r.vec_id for r in dense_knn(
+                    frame_pca.filter(F.col("cid").isin(probe)),
+                    qdf(qid), k=k, dim=DIM).collect()}
+                r_pca.append(recall(got, exact[qid]))
+                probe = nearest(qvecs[qid], cents_raw, nprobe)
+                got = {r.vec_id for r in dense_knn(
+                    frame_raw.filter(F.col("cid").isin(probe)),
+                    qdf(qid), k=k, dim=DIM).collect()}
+                r_raw.append(recall(got, exact[qid]))
+            curves[nprobe] = {
+                "pca": round(sum(r_pca) / len(r_pca), 4),
+                "raw": round(sum(r_raw) / len(r_raw), 4),
+            }
+        out["pca_ivf_recall"] = curves
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
     """Two-stage MaxSim rescore-depth→recall on a clustered
     MULTIVECTOR corpus, through the real `Collection.search(rescore=)`
@@ -285,6 +374,7 @@ def main() -> None:
     maxsim_only = "--maxsim" in sys.argv
     cells_only = "--cells" in sys.argv
     quantindex_only = "--quantindex" in sys.argv
+    pca_only = "--pca" in sys.argv
     argv = [a for a in sys.argv if not a.startswith("--")]
     n = int(argv[1]) if len(argv) > 1 else 5000
     n_q = int(argv[2]) if len(argv) > 2 else 20
@@ -323,6 +413,12 @@ def main() -> None:
 
     if quant_only:
         quant_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
+    if pca_only:
+        pca_sweep(spark, corpus, qids, qvecs, exact, k, out)
         out["wall_sec"] = round(time.time() - t0, 1)
         print(json.dumps(out))
         spark.stop()
