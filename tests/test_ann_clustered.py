@@ -121,3 +121,43 @@ def test_lsh_multiprobe_recall_on_clustered(spark, corpus, queries):
     plain, multi = _mean_recall(got[0], exact), _mean_recall(got[1], exact)
     assert multi >= plain
     assert multi >= 0.9
+
+
+def test_pca_ivf_routing_recall(spark, corpus, queries, tmp_path):
+    """Coarse routing in the 8-d PCA space tracks raw-space IVF on
+    clustered data (BASELINE.md §pca-ivf-recall measures ≥0.99 at
+    nprobe=4 for 20k/100k; threshold sits safely below at n=2000)."""
+    import os
+
+    from image_indexing_and_retrival_with_qdrant_spark.queries.pipeline import (
+        _np_pca,
+        _np_pca_centroids,
+        _pca_ivf_frame,
+    )
+
+    corpus.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+    frame = _pca_ivf_frame(spark, str(tmp_path))
+    mu, W = _np_pca(str(tmp_path))
+    cents = _np_pca_centroids(str(tmp_path))
+    qids, qvecs, exact = queries
+    hits = 0.0
+    for qid in qids:
+        qp = []
+        for row in W:
+            acc = 0.0
+            for j, (m, x) in enumerate(zip(mu, row)):
+                acc += (float(qvecs[qid][j]) - m) * x
+            qp.append(acc)
+        dists = sorted(
+            (sum((a - float(b)) * (a - float(b))
+                 for a, b in zip(qp, c)), cid)
+            for cid, c in enumerate(cents))
+        probe = [cid for _, cid in dists[:4]]
+        qdf = spark.createDataFrame([(qvecs[qid],)],
+                                    "query_vec array<double>")
+        got = {r.vec_id for r in dense_knn(
+            frame.filter(F.col("cid").isin(probe)), qdf,
+            k=K, dim=DIM).collect()}
+        hits += len(got & exact[qid]) / K
+    assert hits / len(qids) >= 0.9
