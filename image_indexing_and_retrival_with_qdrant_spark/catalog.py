@@ -2189,18 +2189,28 @@ class Collection:
                 .get("metric", "cosine") in _DISTANCE_METRICS)
 
     def _attach_query_vectors(self, spark: SparkSession, d: DataFrame,
-                              using: str | None, vec_col: str,
-                              id_col: str, sort_cols: list) -> DataFrame:
-        """Qdrant ``query_points(with_vectors=True)`` for the universal
-        API: the using-space stored vector (or a sparse space's
-        index/value pair) joins onto the ≤pool-row result with the
-        RESULT side broadcast — the corpus never re-shuffles — then
-        the branch's ordering is restored (bounded ≤k-row sort)."""
+                              with_vectors, using: str | None,
+                              vec_col: str, id_col: str,
+                              sort_cols: list) -> DataFrame:
+        """Qdrant ``query_points(with_vectors=...)`` for the universal
+        API: ``True`` attaches the using-space stored vector (a sparse
+        space attaches its index/value pair); a LIST of space names
+        (Qdrant's vector-name selector) attaches exactly those spaces'
+        columns. The join runs with the ≤pool-row RESULT side
+        broadcast — the corpus never re-shuffles — then the branch's
+        ordering is restored (bounded ≤k-row sort)."""
         sv = self.meta.get("sparse_vectors") or {}
-        if using in sv:
-            cols = [using + "__sidx", using + "__sval"]
+
+        def space_cols(name):
+            if name in sv:
+                return [name + "__sidx", name + "__sval"]
+            return [self._vector_cfg(name, vec_col)["vec_col"]]
+
+        if isinstance(with_vectors, (list, tuple, set)):
+            cols = [c for name in sorted(with_vectors)
+                    for c in space_cols(name)]
         else:
-            cols = [self._vector_cfg(using, vec_col)["vec_col"]]
+            cols = space_cols(using)
         cols = [c for c in cols if c not in d.columns]
         if not cols:
             return d
@@ -2321,7 +2331,7 @@ class Collection:
                                           with_lookup, id_col)
             if with_vectors:
                 out = self._attach_query_vectors(
-                    spark, out, using, vec_col, id_col,
+                    spark, out, with_vectors, using, vec_col, id_col,
                     [F.col("group_rank"), F.col("rank"),
                      F.col(id_col).asc()])
             if with_payload is None:
@@ -2356,7 +2366,7 @@ class Collection:
             if not with_vectors:
                 return d
             return self._attach_query_vectors(
-                spark, d, using, vec_col, id_col, sort_cols)
+                spark, d, with_vectors, using, vec_col, id_col, sort_cols)
 
         if isinstance(query, _QUERY_OBJECTS):
             # Qdrant query-object forms: the prefetch union restricts

@@ -481,3 +481,26 @@ def test_query_with_vectors_on_every_path(spark, tmp_path):
                       group_size=2, with_vectors=True).collect()
     assert grouped and all(
         [float(x) for x in r.embedding] == stored[r.id] for r in grouped)
+
+
+def test_query_with_vectors_named_selector(spark, tmp_path):
+    """with_vectors=[names] attaches exactly those spaces' columns
+    (Qdrant's vector-name selector), any space — searched or not."""
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float(i % 3), 1.0],
+             [float(i % 7 + 1), float((i * 3) % 5)]) for i in range(30)]
+    pts = spark.createDataFrame(
+        rows, "id int, full array<double>, head array<double>")
+    c = create_collection(str(tmp_path), "wv", vectors={
+        "full": {"dim": 4, "metric": "cosine", "normalize": False},
+        "head": {"dim": 2, "metric": "cosine", "normalize": False}})
+    c.upsert(spark, pts)
+    out = c.query(spark, [Prefetch([2.0, 1.0], using="head", limit=10)],
+                  query=[2.0, 1.0, 0.0, 1.0], using="full", k=3,
+                  with_vectors=["head"]).collect()
+    stored = {r.id: list(r.head) for r in pts.collect()}
+    assert all(list(r.head) == stored[r.id] for r in out)
+    assert "full" not in out[0].asDict()  # selector is exact
+    both = c.query(spark, [Prefetch([2.0, 1.0], using="head", limit=10)],
+                   query=[2.0, 1.0, 0.0, 1.0], using="full", k=3,
+                   with_vectors=["full", "head"]).collect()
+    assert {"full", "head"} <= set(both[0].asDict())
