@@ -504,3 +504,29 @@ def test_query_with_vectors_named_selector(spark, tmp_path):
                    query=[2.0, 1.0, 0.0, 1.0], using="full", k=3,
                    with_vectors=["full", "head"]).collect()
     assert {"full", "head"} <= set(both[0].asDict())
+
+
+def test_query_with_vectors_sparse_space(spark, tmp_path):
+    """with_vectors over a hybrid collection: True on a sparse-using
+    rescore attaches the index/value pair; the name selector mixes
+    dense and sparse spaces."""
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)],
+             [i % 3, 3 + i % 2], [1.0 + i % 4, 0.5]) for i in range(30)]
+    pts = spark.createDataFrame(
+        rows, "id int, dense array<double>, "
+              "text__sidx array<int>, text__sval array<double>")
+    c = create_collection(str(tmp_path), "hv",
+                          vectors={"dense": {"dim": 4, "metric": "dot",
+                                             "normalize": False}},
+                          sparse_vectors={"text": {}})
+    c.upsert(spark, pts)
+    pf = [Prefetch([1.0, 0.5, -0.5, 1.0], using="dense", limit=15)]
+    out = c.query(spark, pf, query=([0, 3], [1.0, 1.0]), using="text",
+                  k=3, with_vectors=True).collect()
+    stored = {r.id: (list(r.text__sidx), list(r.text__sval))
+              for r in pts.collect()}
+    assert all((list(r.text__sidx), list(r.text__sval)) == stored[r.id]
+               for r in out)
+    both = c.query(spark, pf, query=([0, 3], [1.0, 1.0]), using="text",
+                   k=3, with_vectors=["dense", "text"]).collect()
+    assert {"dense", "text__sidx", "text__sval"} <= set(both[0].asDict())
