@@ -1722,6 +1722,26 @@ class Collection:
         from .operators.knn import dense_knn
         from .operators.maxsim import maxsim_knn
 
+        if isinstance(with_vectors, (list, tuple, set)):
+            # Qdrant's vector-name selector (query_points accepts it on
+            # every endpoint): run the search plain, then attach exactly
+            # the named spaces' columns — ≤k-row result side broadcast,
+            # ordering restored
+            base = self.search(
+                spark, query_vector, k=k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact,
+                using=using, oversampling=oversampling, offset=offset,
+                shard_key_selector=shard_key_selector, rescore=rescore,
+                formula=formula, prefetch_limit=prefetch_limit,
+                recall_target=recall_target, with_payload=with_payload)
+            asc = (self._ranks_ascending(using, vec_col)
+                   and formula is None)
+            return self._attach_query_vectors(
+                spark, base, with_vectors, using, vec_col, id_col,
+                [F.col("score").asc() if asc else F.col("score").desc(),
+                 F.col(id_col).asc()])
+
         if with_payload is not True:
             full = self.search(
                 spark, query_vector, k=k, query_filter=query_filter,
@@ -1988,6 +2008,22 @@ class Collection:
         tier — per-query tiers would defeat the single-pass plan)."""
         from .operators.knn import dense_knn_batch
 
+        if isinstance(with_vectors, (list, tuple, set)):
+            # vector-name selector, batch form: attach after the
+            # single-pass batch search; ordering restored per query
+            base = self.search_batch(
+                spark, query_vectors, k=k, query_filter=query_filter,
+                score_threshold=score_threshold, id_col=id_col,
+                vec_col=vec_col, nprobe=nprobe, exact=exact,
+                using=using, oversampling=oversampling, rescore=rescore,
+                recall_target=recall_target, with_payload=with_payload)
+            asc = self._ranks_ascending(using, vec_col)
+            return self._attach_query_vectors(
+                spark, base, with_vectors, using, vec_col, id_col,
+                [F.col("query_idx").asc(),
+                 F.col("score").asc() if asc else F.col("score").desc(),
+                 F.col(id_col).asc()])
+
         if with_payload is not True:
             full = self.search_batch(
                 spark, query_vectors, k=k, query_filter=query_filter,
@@ -2193,12 +2229,13 @@ class Collection:
                               vec_col: str, id_col: str,
                               sort_cols: list) -> DataFrame:
         """Qdrant ``query_points(with_vectors=...)`` for the universal
-        API: ``True`` attaches the using-space stored vector (a sparse
-        space attaches its index/value pair); a LIST of space names
-        (Qdrant's vector-name selector) attaches exactly those spaces'
-        columns. The join runs with the ≤pool-row RESULT side
-        broadcast — the corpus never re-shuffles — then the branch's
-        ordering is restored (bounded ≤k-row sort)."""
+        API: ``True`` attaches EVERY space's stored vector (sparse
+        spaces attach their index/value pair) — Qdrant returns all
+        named vectors for ``True``; a LIST of space names (Qdrant's
+        vector-name selector) attaches exactly those spaces' columns.
+        The join runs with the ≤pool-row RESULT side broadcast — the
+        corpus never re-shuffles — then the branch's ordering is
+        restored (bounded ≤k-row sort)."""
         sv = self.meta.get("sparse_vectors") or {}
 
         def space_cols(name):
@@ -2209,6 +2246,12 @@ class Collection:
         if isinstance(with_vectors, (list, tuple, set)):
             cols = [c for name in sorted(with_vectors)
                     for c in space_cols(name)]
+        elif with_vectors is True:
+            named = self.meta.get("vectors") or {}
+            cols = [c for n in sorted(named) for c in space_cols(n)]
+            if not named and ("dim" in self.meta or not sv):
+                cols += space_cols(None)  # single unnamed dense space
+            cols += [c for n in sorted(sv) for c in space_cols(n)]
         else:
             cols = space_cols(using)
         cols = [c for c in cols if c not in d.columns]
@@ -2288,9 +2331,11 @@ class Collection:
         caller's — set them deep enough to fill k·group_size.
 
         ``with_vectors=True`` (Qdrant ``query_points(with_vectors=)``)
-        attaches the ``using``-space stored vector — sparse spaces
-        attach their index/value pair — on every path, result side
-        broadcast, branch ordering restored (≤pool-row sort)."""
+        attaches EVERY space's stored vector — Qdrant returns all
+        named vectors for ``True``; a list of space names narrows to
+        exactly those (sparse spaces attach their index/value pair) —
+        on every path, result side broadcast, branch ordering restored
+        (≤pool-row sort)."""
         from .operators.fusion import dbsf_fuse, rrf_fuse
 
         if isinstance(prefetch, Prefetch):
@@ -2304,14 +2349,14 @@ class Collection:
         if group_by is not None:
             from .operators.topk import top_groups
 
-            pool = max(50, k * group_size * 10)
-            base = self.query(spark, list(prefetch), fusion=fusion,
-                              k=pool, id_col=id_col, vec_col=vec_col,
-                              formula=formula, query=query, using=using)
             if isinstance(query, (OrderByQuery, SampleQuery)):
                 raise ValueError(
                     "group_by= does not compose with order_by/sample "
                     "queries (no score to rank groups by)")
+            pool = max(50, k * group_size * 10)
+            base = self.query(spark, list(prefetch), fusion=fusion,
+                              k=pool, id_col=id_col, vec_col=vec_col,
+                              formula=formula, query=query, using=using)
             if query is not None:
                 asc = self._query_ranks_ascending(query, using, vec_col)
             else:
@@ -2491,7 +2536,8 @@ class Collection:
 
         branches = []
         for i, req in enumerate(requests):
-            if isinstance(req.get("query"), (OrderByQuery, SampleQuery)):
+            obj = req.get("query")
+            if isinstance(obj, (OrderByQuery, SampleQuery)):
                 raise ValueError(
                     "query_batch requests need a score to rank by — "
                     "run order_by/sample queries through query()")
@@ -2501,18 +2547,29 @@ class Collection:
                          if c in out.columns)
             # rescore-by-vector in a distance space ranks ascending;
             # every fusion/formula score ranks descending
-            asc = (req.get("query") is not None
+            asc = (obj is not None
                    and self._query_ranks_ascending(
-                       req.get("query"), req.get("using"), vec_col))
-            w = Window.partitionBy("query_idx").orderBy(
-                F.col("score").asc() if asc else F.col("score").desc(),
-                F.col(id_col))
+                       obj, req.get("using"), vec_col))
+            order = [F.col("score").asc() if asc
+                     else F.col("score").desc(), F.col(id_col)]
+            if isinstance(obj, DiscoverQuery) and "rank" in out.columns:
+                # discovery ranks by zones satisfied FIRST, target
+                # score second — same order query()/discover() return
+                order = [F.col("__zone_rank").desc()] + order
+                out = out.withColumnRenamed("rank", "__zone_rank")
+            else:
+                out = out.select(
+                    [c for c in out.columns if c != "rank"])
+            w = Window.partitionBy("query_idx").orderBy(*order)
             branches.append(out.select(
                 F.lit(i).alias("query_idx"),
                 F.col(id_col),
-                F.col(score).alias("score"))
+                F.col(score).alias("score"),
+                *([F.col("__zone_rank")]
+                  if "__zone_rank" in out.columns else []))
                 .withColumn("rank",
-                            F.row_number().over(w).cast("int")))
+                            F.row_number().over(w).cast("int"))
+                .drop("__zone_rank"))
         union = branches[0]
         for b in branches[1:]:
             union = union.unionByName(b)
@@ -3562,7 +3619,7 @@ class Collection:
         shaped.write.mode("overwrite").parquet(staging)
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
-        if self.has_index() or self.meta.get("quantization"):
+        if self._has_derived_layouts():
             self._post_write(spark, None, id_col, vec_col, rewrote=True)
         return len([f for f in os.listdir(self.path)
                     if f.endswith(".parquet")])

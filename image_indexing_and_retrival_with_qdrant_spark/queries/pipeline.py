@@ -941,14 +941,14 @@ def _pca_oracle(sf_dir: str, k: int = 5) -> str:
 @register("emb_pca_top5", _pca_oracle)
 def emb_pca_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-compressed retrieval: center on the trained mean, project
-    64-d → {r}-d through the top eigenvectors (literal constants
-    shared with the oracle factory), cosine top-5 in the compressed
-    space. Training is a bounded driver-side numpy pass (the FAISS /
-    kmeans_np sampled-train convention); the projection itself is one
-    scan-local expression per output dim — at 100 TB it runs inside
-    the scan's whole-stage-codegen pass, and the 8×-smaller compressed
-    column is what gets stored/shuffled downstream (same sidecar
-    layout as the SQ/PQ codes).""".format(r=_PCA_OUT)
+    64-d → 8-d (``_PCA_OUT``) through the top eigenvectors (literal
+    constants shared with the oracle factory), cosine top-5 in the
+    compressed space. Training is a bounded driver-side numpy pass
+    (the FAISS / kmeans_np sampled-train convention); the projection
+    itself is one scan-local expression per output dim — at 100 TB it
+    runs inside the scan's whole-stage-codegen pass, and the
+    8×-smaller compressed column is what gets stored/shuffled
+    downstream (same sidecar layout as the SQ/PQ codes)."""
     mu, W = _np_pca(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     pe = _pca_project_expr(mu, W)

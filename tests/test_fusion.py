@@ -422,6 +422,25 @@ def test_query_object_group_by_and_batch(spark, tmp_path):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_query_batch_discover_ranks_by_zones(spark, tmp_path):
+    """DiscoverQuery through query_batch ranks exactly like query():
+    zones satisfied DESC first, target score second — not by the score
+    column alone (discovery's score is the target similarity, the rank
+    is the zone count)."""
+    c, pf = _qobj_coll(spark, tmp_path)
+    dq = DiscoverQuery(4, [(1, 2), (5, 6)])
+    want = [r.id for r in c.query(spark, pf, query=dq, k=5).collect()]
+    got = c.query_batch(spark, [{"prefetch": pf, "query": dq, "k": 5}]
+                        ).collect()
+    assert [r.id for r in sorted(got, key=lambda r: r.rank)] == want
+    # ContextQuery (no target → no zone rank) still ranks by score desc
+    cq = ContextQuery([(1, 2)])
+    wantc = [r.id for r in c.query(spark, pf, query=cq, k=5).collect()]
+    gotc = c.query_batch(spark, [{"prefetch": pf, "query": cq, "k": 5}]
+                         ).collect()
+    assert [r.id for r in sorted(gotc, key=lambda r: r.rank)] == wantc
+
+
 @pytest.mark.parametrize("name", [
     "knn_query_recommend_prefetch_top5",
     "knn_query_order_by_top5",

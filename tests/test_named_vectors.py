@@ -317,3 +317,40 @@ def test_search_with_vectors(spark, qcoll):
     batch = qcoll.search_batch(spark, [[2.0, 3.0]], k=2, using="fast",
                                with_vectors=True).collect()
     assert "fast" in set(batch[0].asDict())
+
+
+def test_search_with_vectors_name_selector(spark, qcoll):
+    """Qdrant's vector-name selector on search/search_batch
+    (query_points/search_batch accept with_vectors=[names] everywhere,
+    not just the universal query API): exactly the named spaces'
+    columns attach — searched or not — values match storage, ordering
+    unchanged."""
+    stored = {r.id: (list(r.fast), list(r.raw))
+              for r in qcoll.read(spark).select("id", "fast",
+                                                "raw").collect()}
+    plain = qcoll.search(spark, [2.0, 3.0], k=3, using="fast").collect()
+    out = qcoll.search(spark, [2.0, 3.0], k=3, using="fast",
+                       with_vectors=["raw"]).collect()
+    assert [r.id for r in out] == [r.id for r in plain]
+    assert "fast" not in out[0].asDict()  # selector is exact
+    assert all(list(r.raw) == stored[r.id][1] for r in out)
+    both = qcoll.search(spark, [2.0, 3.0], k=3, using="fast",
+                        with_vectors=["fast", "raw"]).collect()
+    assert all((list(r.fast), list(r.raw)) == stored[r.id]
+               for r in both)
+    assert [r.id for r in both] == [r.id for r in plain]
+
+
+def test_search_batch_with_vectors_name_selector(spark, qcoll):
+    """List selector on the batched path: per-request ordering is the
+    plain batch's; the named columns ride along."""
+    stored = {r.id: list(r.raw)
+              for r in qcoll.read(spark).select("id", "raw").collect()}
+    qs = [[2.0, 3.0], [1.0, 1.0]]
+    plain = qcoll.search_batch(spark, qs, k=3, using="fast").collect()
+    out = qcoll.search_batch(spark, qs, k=3, using="fast",
+                             with_vectors=["raw"]).collect()
+    assert ([(r.query_idx, r.id) for r in out]
+            == [(r.query_idx, r.id) for r in plain])
+    assert "fast" not in out[0].asDict()
+    assert all(list(r.raw) == stored[r.id] for r in out)

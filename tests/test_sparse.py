@@ -174,6 +174,10 @@ def test_sparse_space_collection_surface(spark, sf_smoke, tmp_path):
     stored = points.filter(F.col("id") == wv.id).collect()[0]
     assert list(wv.text__sidx) == list(stored.text__sidx)
     assert list(wv.text__sval) == list(stored.text__sval)
+    # name selector (Qdrant with_vectors=["text"]) attaches the pair too
+    wl = coll.search(spark, qv, k=1, with_vectors=["text"]).collect()[0]
+    assert (list(wl.text__sidx), list(wl.text__sval)) == \
+        (list(stored.text__sidx), list(stored.text__sval))
     # dense knobs rejected on sparse spaces
     with pytest.raises(ValueError, match="dense-tier knobs"):
         coll.search(spark, qv, k=5, nprobe=2)
