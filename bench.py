@@ -160,6 +160,10 @@ HEADLINE = [
     # round 8: BQ shortlist -> exact rescore at production width
     # (768-d -> 24 packed words; sign-diverse dimension-mixed tiles)
     "ann_bq_wide_rescore_top5",
+    # round 9: PCA as collection config (transform="pca") — lifecycle
+    # build (train + projected cell-partitioned sidecar) + routed
+    # compressed-space search with full-width rescore
+    "ingest_pca_space_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -261,7 +261,9 @@ class Collection:
         sparse = list(self.meta.get("sparse_vectors") or ())
         return [p for p in (self.path, self._ivf_points,
                             self._ivf_centroids, self.path + ".codes",
+                            self.path + ".pca",
                             *(self._codes_path_for(s) for s in spaces),
+                            *(self._pca_path_for(s) for s in spaces),
                             *(self._postings_path_for(s) for s in sparse))
                 if os.path.exists(p)]
 
@@ -465,6 +467,11 @@ class Collection:
         """
         thr = self.meta.get("indexing_threshold")
         if not thr:
+            return
+        if self.meta.get("transform"):
+            # transform collections route through IVF cells carved in
+            # the COMPRESSED space (_refresh_pca): the threshold gates
+            # the PCA train instead of a raw-vector layout
             return
         from .operators.ann import assign_centroids
 
@@ -979,6 +986,14 @@ class Collection:
         return self.path + (".codes" if space is None
                             else f".codes-{space}")
 
+    def _pca_path_for(self, space: str | None) -> str:
+        """Projected-vector sidecar for one PCA-transformed space
+        (``transform="pca"``): rows ``(id, pvec, pcell)`` partitioned
+        by ``pcell`` — IVF cells carved in the COMPRESSED space, so a
+        probe is a statically partition-pruned scan of the r/d-sized
+        sidecar (the FAISS ``PCA,IVF`` layout as collection state)."""
+        return self.path + (".pca" if space is None else f".pca-{space}")
+
     def _postings_path_for(self, space: str) -> str:
         """On-disk inverted index for one sparse space: posting rows
         ``(id, idx, val)`` Hive-partitioned by ``bucket = idx mod B``
@@ -1238,6 +1253,171 @@ class Collection:
         return grouped_topk(scored, ["query_idx"], order, m,
                             local_prune=True).select("query_idx", id_col)
 
+    # -- PCA transform (FAISS "PCA,IVF" as collection config) -------------
+
+    def _refresh_pca(self, spark: SparkSession, incoming: DataFrame | None,
+                     id_col: str, vec_col: str, rewrote: bool) -> None:
+        """Maintain each PCA-transformed space's projected sidecar
+        after a write — the ``_refresh_quant`` discipline. Training
+        (mean + top-r eigenvectors + compressed-space KMeans cells)
+        happens ONCE, when the collection first reaches its
+        ``indexing_threshold`` (Qdrant's deferred server-side index
+        build, ``incremental_indexing_colpali_with_qdrant.py:132``;
+        named spaces train at first write), and the components freeze
+        in the meta; afterwards appends project only the incoming
+        batch with the frozen ``(mu, W)`` and a rewrite (merge
+        conflict / delete / compact) re-projects the surviving
+        table."""
+        named = self.meta.get("vectors")
+        if named:
+            for sname, scfg in named.items():
+                if scfg.get("transform") == "pca":
+                    self._refresh_pca_one(spark, incoming, id_col,
+                                          sname, rewrote, scfg, sname,
+                                          threshold=1)
+            return
+        if self.meta.get("transform") == "pca":
+            thr = int(self.meta.get("indexing_threshold") or 1)
+            self._refresh_pca_one(spark, incoming, id_col, vec_col,
+                                  rewrote, self.meta, None,
+                                  threshold=thr)
+
+    def _refresh_pca_one(self, spark: SparkSession,
+                         incoming: DataFrame | None, id_col: str,
+                         vec_col: str, rewrote: bool, cfg: dict,
+                         space: str | None, threshold: int) -> None:
+        from .operators.ann import assign_centroids, kmeans_np
+        from .operators.pca import (
+            PCA_TRAIN_CAP,
+            pca_project_expr,
+            pca_project_py,
+            pca_train_np,
+        )
+
+        if "pca_mu" not in cfg:
+            if (not self._has_data(spark)
+                    or self.count(spark) < threshold):
+                return
+            table = self.read(spark)
+            if vec_col not in table.columns or _is_nested(table, vec_col):
+                return
+            # bounded deterministic train set: the first PCA_TRAIN_CAP
+            # rows BY ID (a TakeOrdered heap, ≤cap rows to the driver)
+            # — reproducible by the oracle factory from the same
+            # parquet, unlike a partition-order sample
+            rows = (table.filter(F.col(vec_col).isNotNull())
+                    .orderBy(F.col(id_col).asc())
+                    .limit(PCA_TRAIN_CAP)
+                    .select(as_double(F.col(vec_col)).alias("__v"))
+                    .collect())
+            X = [list(r["__v"]) for r in rows]
+            if not X:
+                return
+            mu, W = pca_train_np(X, int(cfg["pca_dim"]))
+            proj = [pca_project_py(mu, W, v) for v in X]
+            kc = int(self.meta.get("k_centroids")
+                     or cfg.get("k_centroids") or 16)
+            cents = kmeans_np(proj, min(kc, len(proj)), seed=42)
+            cfg["pca_mu"], cfg["pca_w"] = mu, W
+            cfg["pca_centroids"] = [[float(x) for x in c] for c in cents]
+            self._save_meta()
+            incoming, rewrote = None, True  # project the whole table once
+        source = (self.read(spark) if rewrote or incoming is None
+                  else incoming)
+        if vec_col not in source.columns:
+            return
+        pe = pca_project_expr(cfg["pca_mu"], cfg["pca_w"],
+                              vec_col=vec_col)
+        projected = (source.filter(F.col(vec_col).isNotNull())
+                     .select(F.col(id_col), pe.alias("pvec"))
+                     .withColumn("pcell",
+                                 assign_centroids(cfg["pca_centroids"],
+                                                  "pvec",
+                                                  max_expr_literals=512)))
+        mode = "overwrite" if rewrote else "append"
+        (projected.write.mode(mode).partitionBy("pcell")
+         .parquet(self._pca_path_for(space)))
+
+    def _pca_shortlist(self, spark: SparkSession, qv: list[float],
+                       m: int, id_col: str, cfg: dict,
+                       space: str | None,
+                       nprobe: int | None) -> DataFrame:
+        """ids of the ``m`` best points under the space's metric in the
+        COMPRESSED space: project the query driver-side (r doubles),
+        probe the ``nprobe`` nearest compressed-space cells (a literal
+        ``pcell IN`` — statically partition-pruned; None probes every
+        cell, which drops nothing), rank the r/d-sized sidecar with
+        the ordinary dense top-m plan. Callers exact-rescore the
+        shortlist at full width via literal ``id IN``.
+
+        Cosine spaces rank the compressed stage by EUCLID: PCA is an
+        orthogonal projection, so it preserves L2 geometry — and on
+        normalize-at-write collections L2 is monotone with cosine
+        (``||a−b||² = 2 − 2cos``) — while compressed-space cosine
+        would divide by zero for any point projecting onto the
+        training mean. The rescore is the space's true metric."""
+        from .operators.knn import dense_knn
+        from .operators.pca import pca_project_py
+
+        pq = pca_project_py(cfg["pca_mu"], cfg["pca_w"], qv)
+        side = spark.read.parquet(self._pca_path_for(space))
+        cents = cfg.get("pca_centroids") or []
+        if cents and nprobe is not None and nprobe < len(cents):
+            probe = sorted(
+                range(len(cents)),
+                key=lambda i: (_sq_dist(pq, cents[i]), i))[:nprobe]
+            side = side.filter(
+                F.col("pcell").isin([int(i) for i in probe]))
+        side = side.drop("pcell")
+        qdf = spark.createDataFrame([(pq,)], "query_vec array<double>")
+        metric = cfg.get("metric", "cosine")
+        short = dense_knn(side, qdf, k=m, id_col=id_col,
+                          vec_col="pvec", payload_cols=(),
+                          metric="euclid" if metric == "cosine"
+                          else metric,
+                          prenormalized=False,
+                          dim=int(cfg["pca_dim"]))
+        return short.select(id_col)
+
+    def _pca_shortlist_batch(self, spark: SparkSession,
+                             qvs: list[list[float]], m: int,
+                             id_col: str, cfg: dict, space: str | None,
+                             nprobe: int | None) -> DataFrame:
+        """(query_idx, id) pairs of each query's m best compressed-
+        space points — ONE sidecar pass for the whole batch (broadcast
+        projected query set + per-query window top-m), pruned to the
+        probe UNION when ``nprobe`` narrows (the `_quant_shortlist_
+        batch` shape over the projected layout)."""
+        from .operators.knn import dense_knn_batch
+        from .operators.pca import pca_project_py
+
+        pqs = [pca_project_py(cfg["pca_mu"], cfg["pca_w"], v)
+               for v in qvs]
+        side = spark.read.parquet(self._pca_path_for(space))
+        cents = cfg.get("pca_centroids") or []
+        if cents and nprobe is not None and nprobe < len(cents):
+            probe: set = set()
+            for pq in pqs:
+                probe.update(sorted(
+                    range(len(cents)),
+                    key=lambda i: (_sq_dist(pq, cents[i]), i))[:nprobe])
+            side = side.filter(
+                F.col("pcell").isin(sorted(int(i) for i in probe)))
+        side = side.drop("pcell")
+        queries = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(pqs)],
+            "query_idx int, query_vec array<double>")
+        metric = cfg.get("metric", "cosine")
+        short = dense_knn_batch(side, queries, k=m, id_col=id_col,
+                                vec_col="pvec", query_id_col="query_idx",
+                                payload_cols=(),
+                                metric="euclid" if metric == "cosine"
+                                else metric,
+                                prenormalized=False,
+                                dim=int(cfg["pca_dim"]),
+                                local_prune=True)
+        return short.select("query_idx", id_col)
+
     def _maxsim_stage1(self, corpus: DataFrame, pooled_q: list[float],
                        m: int, id_col: str, vec_col: str,
                        dim: int) -> DataFrame:
@@ -1320,6 +1500,7 @@ class Collection:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_postings(spark, incoming, id_col, rewrote)
+        self._refresh_pca(spark, incoming, id_col, vec_col, rewrote)
 
     # -- S8: upsert -------------------------------------------------------
 
@@ -1947,7 +2128,24 @@ class Collection:
         # cells scan) or the exact scan — Qdrant's filtered search
         # likewise never drops matches to quantization.
         quantize = cfg.get("quantization") if query_filter is None else None
-        if (self.has_index() and not exact
+        if (cfg.get("transform") == "pca" and cfg.get("pca_mu")
+                and not exact and query_filter is None
+                and k is not None):
+            # PCA-transformed space (transform="pca" — the FAISS
+            # "PCA,IVF" pattern as collection config): probe nprobe
+            # compressed-space cells of the projected sidecar, rank
+            # there (r/d of the bytes), exact-rescore the oversampled
+            # shortlist at full width via literal id IN (row-group-
+            # pruned main-table fetch). Untrained (below threshold) or
+            # filtered searches take the exact scan — the same
+            # filter-correctness rule as quantization.
+            m = max(k, int(math.ceil(k * oversampling)))
+            short = self._pca_shortlist(spark, qv, m, id_col,
+                                        cfg=cfg, space=space,
+                                        nprobe=nprobe)
+            ids = [r[id_col] for r in short.collect()]
+            corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif (self.has_index() and not exact
                 and quantize
                 and cfg.get("codes_layout") == "cells"):
             # composed IVF + quantization (Qdrant's index-over-
@@ -2117,7 +2315,24 @@ class Collection:
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
         include_pairs = None
-        if not exact and q_ and (composed or not self.has_index()):
+        if (cfg.get("transform") == "pca" and cfg.get("pca_mu")
+                and not exact and query_filter is None
+                and per_query is None):
+            # PCA-transformed space, batch form: ONE pass over the
+            # projected sidecar ranks every query's compressed
+            # shortlist; each query exact-rescores only ITS pairs,
+            # the distinct-id keep-list row-group-prunes the
+            # full-width fetch (the batched-quantized shape)
+            m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
+            include_pairs = self._pca_shortlist_batch(
+                spark, qvs, m, id_col, cfg=cfg, space=space,
+                nprobe=nprobe)
+            include_pairs = spark.createDataFrame(
+                include_pairs.collect(), include_pairs.schema)
+            ids = [r[id_col] for r in
+                   include_pairs.select(id_col).distinct().collect()]
+            corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif not exact and q_ and (composed or not self.has_index()):
             # batched quantized prefetch + exact rescore: ONE pass
             # over the codes sidecar ranks every query's shortlist
             # (partition-pruned to the probe union when composed);
@@ -3217,7 +3432,9 @@ class Collection:
         named = self.meta.get("vectors") or {}
         sv = self.meta.get("sparse_vectors") or {}
         return (self.has_index() or bool(self.meta.get("quantization"))
-                or any(s.get("quantization") for s in named.values())
+                or bool(self.meta.get("transform"))
+                or any(s.get("quantization") or s.get("transform")
+                       for s in named.values())
                 or any(s.get("postings_built")
                        or s.get("full_scan_threshold") is not None
                        for s in sv.values()))
@@ -3719,7 +3936,9 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       quantization: str | None = None,
                       shard_key: str | None = None,
                       datatype: str | None = None,
-                      sparse_vectors: dict | None = None) -> Collection:
+                      sparse_vectors: dict | None = None,
+                      transform: str | None = None,
+                      pca_dim: int | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -3741,7 +3960,20 @@ def create_collection(root: str, name: str, dim: int | None = None,
     dense scoring is JVM-side expression code over float arrays —
     dense compression wants the SQ/BQ quantization tiers instead
     (which also rescore exactly). Scoring stays float64; fp16 is the
-    storage rounding only."""
+    storage rounding only.
+
+    ``transform="pca"`` + ``pca_dim=r`` (the FAISS ``PCA,IVF`` index
+    factory as collection config): once the collection reaches
+    ``indexing_threshold`` (or at first write without one), PCA
+    components train on a bounded id-ordered sample and freeze in the
+    meta, every point projects into an r-dim sidecar partitioned by
+    IVF cells carved in the COMPRESSED space, and searches route
+    there — probe ``nprobe`` cells of the r/d-sized layout, rank
+    compressed, exact-rescore the oversampled shortlist at full
+    width. Point ops maintain the sidecar like the quantizer codes.
+    Named spaces take ``{"transform": "pca", "pca_dim": r}`` per
+    space (training at first write). Dense float32 spaces only, and
+    exclusive with ``quantization`` on the same space."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
         if vectors is not None:
@@ -3750,16 +3982,18 @@ def create_collection(root: str, name: str, dim: int | None = None,
             # vector column is named after the space. Auto-indexing is
             # single-space-only (which space would the layout carve?).
             if dim is not None or indexing_threshold is not None \
-                    or quantization is not None or datatype is not None:
+                    or quantization is not None or datatype is not None \
+                    or transform is not None or pca_dim is not None:
                 raise ValueError(
                     "named-vector collections take per-space config in "
                     "`vectors`; top-level dim/indexing_threshold/"
-                    "quantization/datatype don't apply")
+                    "quantization/datatype/transform don't apply")
             spaces = {}
             for vname, cfg in vectors.items():
                 unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
                                              "normalize", "datatype",
-                                             "quantization"})
+                                             "quantization", "transform",
+                                             "pca_dim", "k_centroids"})
                 if unknown:
                     # a silently-dropped spec key (e.g. "datatype")
                     # would hand the user different storage than they
@@ -3802,6 +4036,34 @@ def create_collection(root: str, name: str, dim: int | None = None,
                                 "spaces (dense compression: use "
                                 "quantization='sq'/'bq')")
                         spaces[vname]["datatype"] = "float16"
+                tr = cfg.get("transform")
+                if tr is not None:
+                    if tr != "pca":
+                        raise ValueError("transform must be 'pca'")
+                    if bool(cfg.get("multivector")):
+                        raise ValueError("transform supports dense spaces")
+                    if qz is not None:
+                        raise ValueError(
+                            "transform and quantization are exclusive "
+                            "on one space (the PCA sidecar IS the "
+                            "compressed layout)")
+                    if dt == "float16":
+                        raise ValueError(
+                            "transform supports float32 spaces")
+                    r = cfg.get("pca_dim")
+                    if r is None or not 0 < int(r) < int(cfg["dim"]):
+                        raise ValueError(
+                            "transform='pca' needs pca_dim in "
+                            f"1..{int(cfg['dim']) - 1}")
+                    spaces[vname]["transform"] = "pca"
+                    spaces[vname]["pca_dim"] = int(r)
+                    if cfg.get("k_centroids") is not None:
+                        spaces[vname]["k_centroids"] = \
+                            int(cfg["k_centroids"])
+                elif cfg.get("pca_dim") is not None \
+                        or cfg.get("k_centroids") is not None:
+                    raise ValueError(
+                        "pca_dim/k_centroids need transform='pca'")
             meta = {"vectors": spaces}
         elif dim is None and sparse_vectors is not None:
             # sparse-only collection (Qdrant allows collections with
@@ -3855,6 +4117,29 @@ def create_collection(root: str, name: str, dim: int | None = None,
                             "collections (dense compression: use "
                             "quantization='sq'/'bq')")
                     meta["datatype"] = "float16"
+            if transform is not None:
+                if transform != "pca":
+                    raise ValueError("transform must be 'pca'")
+                if multivector:
+                    raise ValueError(
+                        "transform supports dense collections")
+                if quantization is not None:
+                    raise ValueError(
+                        "transform and quantization are exclusive "
+                        "(the PCA sidecar IS the compressed layout)")
+                if datatype == "float16":
+                    raise ValueError("transform supports float32 "
+                                     "collections")
+                if pca_dim is None or not 0 < int(pca_dim) < int(dim):
+                    raise ValueError(
+                        f"transform='pca' needs pca_dim in 1..{dim - 1}")
+                meta["transform"] = "pca"
+                meta["pca_dim"] = int(pca_dim)
+                # compressed-space IVF cells (the routed layout); the
+                # raw-vector auto-index is replaced by this one
+                meta.setdefault("k_centroids", int(k_centroids))
+            elif pca_dim is not None:
+                raise ValueError("pca_dim needs transform='pca'")
         if sparse_vectors is not None:
             # Qdrant sparse_vectors_config: named sparse spaces —
             # points carry `<name>__sidx` (ascending vocabulary ids)

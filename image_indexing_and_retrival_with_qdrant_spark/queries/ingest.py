@@ -1309,3 +1309,139 @@ def knn_query_context_prefetch_top5(spark: SparkSession,
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# PCA as a per-space collection transform (round 9 — the FAISS
+# "PCA,IVF" index factory as collection config; the engine-native
+# analog of the reference's server-side index build past
+# indexing_threshold, incremental_indexing_colpali_with_qdrant.py:132)
+# ---------------------------------------------------------------------------
+
+_PCA_SPACE_R = 4
+_PCA_SPACE_CACHE: dict = {}
+
+
+def _pca_space_params(sf_dir: str):
+    """Re-derive the collection's frozen PCA train for the oracle:
+    the same stub embeddings (pure-Python md5 formula — the
+    ``PandasHashEmbedder`` twin), the same id-ordered train prefix,
+    and the SAME shared trainer (``operators/pca.py:pca_train_np``),
+    so (mu, W) and the projected query are bit-identical to what
+    ``upsert`` froze in the collection meta."""
+    if sf_dir not in _PCA_SPACE_CACHE:
+        import hashlib
+        import os
+
+        import pyarrow.parquet as papq
+
+        from ..operators.pca import (
+            PCA_TRAIN_CAP,
+            pca_project_py,
+            pca_train_np,
+        )
+        from ..sources.embedder import _HALF, _MOD
+
+        texts = (papq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"]).column("text").to_pylist())
+
+        def vec(text: str, prefix: str = "") -> list[float]:
+            out = []
+            for i in range(_E.dim):
+                h = hashlib.md5(
+                    f"{prefix}{text}:{i}".encode()).hexdigest()
+                out.append((int(h[:15], 16) % _MOD - _HALF)
+                           / float(_HALF))
+            return out
+
+        rows = sorted(
+            (hashlib.sha256(t.encode()).hexdigest(), t)
+            for t in set(texts))[:PCA_TRAIN_CAP]
+        X = [vec(t) for _id, t in rows]
+        mu, W = pca_train_np(X, _PCA_SPACE_R)
+        pquery = pca_project_py(mu, W, vec(_QUERY_TEXT, "query:"))
+        _PCA_SPACE_CACHE[sf_dir] = (mu, W, pquery)
+    return _PCA_SPACE_CACHE[sf_dir]
+
+
+def _pca_space_oracle(sf_dir: str, k: int = 5, m: int = 20) -> str:
+    """Oracle FACTORY for the PCA-transformed collection read path.
+    Recomputes every stage: center → project through the re-derived
+    components (sequential ``list_dot_product`` ≡ the engine's
+    left-associated unrolled sums), the compressed-space EUCLID top-m
+    shortlist (the probe is exhaustive — default nprobe = every cell
+    — so the IVF stage drops nothing and the oracle needs no centroid
+    model; the m << corpus truncation is the real approximation), and
+    the exact full-width cosine rescore."""
+    from ..operators.pca import pca_ce_sql, pca_pe_sql
+
+    mu, W, pquery = _pca_space_params(sf_dir)
+    d = _embed_dims_sql("t.text", "passage")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    ce = pca_ce_sql([f"e{j}" for j in range(1, n + 1)], mu)
+    pe = pca_pe_sql(W)
+    qd = " + ".join(
+        f"((pe[{i + 1}] - {float(x)!r}) * (pe[{i + 1}] - {float(x)!r}))"
+        for i, x in enumerate(pquery))
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, n + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    c AS (SELECT id, {ce} AS ce FROM e),
+    p AS (SELECT id, {pe} AS pe FROM c),
+    short AS (
+      SELECT p.id, ROUND(sqrt({qd}), 6) AS qdist
+      FROM p
+      ORDER BY qdist ASC, p.id
+      LIMIT {m}
+    )
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e JOIN short ON e.id = short.id
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("ingest_pca_space_search", _pca_space_oracle)
+def ingest_pca_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA as collection config (round 9): ``create_collection(
+    transform="pca", pca_dim=4, indexing_threshold=1)`` makes ONE
+    upsert train the components on the id-ordered prefix, freeze
+    (mu, W) in the meta, and project every point into the
+    cell-partitioned compressed sidecar; ``search`` then ranks the
+    r/d-sized projected layout (compressed-space EUCLID — monotone
+    with cosine on L2-preserving projections), fetches the oversampled
+    shortlist by literal ``id IN`` (row-group-pruned), and
+    exact-rescores at full width. The compressed truncation is real
+    (m = 20 << corpus), so the PCA ranking itself is value-checked.
+    Point-op sidecar maintenance is pinned in
+    tests/test_pca_collection.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_pca_space_")
+    try:
+        coll = create_collection(root, "pt", dim=8, normalize=False,
+                                 transform="pca", pca_dim=_PCA_SPACE_R,
+                                 indexing_threshold=1, k_centroids=4)
+        coll.upsert(spark, points, mode="merge")
+        assert "pca_mu" in coll.meta, \
+            "threshold crossed but PCA not trained"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5, oversampling=4.0) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
