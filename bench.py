@@ -164,6 +164,11 @@ HEADLINE = [
     # build (train + projected cell-partitioned sidecar) + routed
     # compressed-space search with full-width rescore
     "ingest_pca_space_search",
+    # round 9: OPQ — learned rotation before PQ at ann_pq_det_top5's
+    # exact code budget (8×16, 32×); ADC probe over the cached
+    # rotated-code table (build warmed outside the timer, like every
+    # det tier)
+    "ann_opq_top5",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
@@ -207,6 +212,7 @@ def main() -> None:
     REGISTRY["ann_ivf_det_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_pq_det_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_pq_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_opq_top5"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     components: dict[str, dict[str, float]] = {}

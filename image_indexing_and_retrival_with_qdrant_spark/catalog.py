@@ -208,7 +208,8 @@ class Collection:
     def info(self, spark: SparkSession | None = None) -> dict:
         """Qdrant ``get_collection`` analog: status + config + counts.
         ``status`` is ``green`` (index current or not required) or
-        ``yellow`` (indexing threshold crossed but layout missing —
+        ``yellow`` (indexing threshold crossed but layout missing, or
+        an unexecuted ``index_drift()`` rebuild/split verdict —
         Qdrant's optimizing state). Config echoes the frozen creation
         meta; counts need a SparkSession (omitted → counts are None,
         the metadata-only form)."""
@@ -227,13 +228,18 @@ class Collection:
             and not c.get("postings_built")
             and n is not None and n >= c["full_scan_threshold"]
             for c in (self.meta.get("sparse_vectors") or {}).values())
+        # a pending drift verdict (rebuild/split recommended but not
+        # executed — drift_auto=None, or action="rebuild" under the
+        # "split" policy) is the same optimizing-needed state
+        drift = self.index_drift()
         status = "yellow" if ((needs_index and not self.has_index())
-                              or sparse_pending) else "green"
+                              or sparse_pending
+                              or (drift or {}).get("action")) else "green"
         return {
             "status": status,
             "points_count": n,
             "indexed": self.has_index(),
-            "index_drift": self.index_drift(),
+            "index_drift": drift,
             "payload_indexes": list(self.meta.get(
                 "payload_indexes") or ()),
             "segments_count": len([f for f in os.listdir(self.path)
@@ -678,7 +684,8 @@ class Collection:
                           id_col: str = "id",
                           vec_col: str = "embedding",
                           vectors: dict | None = None,
-                          sparse_vectors: dict | None = None) -> None:
+                          sparse_vectors: dict | None = None,
+                          drift_auto=_UNSET) -> None:
         """Qdrant's ``update_collection`` (post-create config changes):
 
         - ``quantization``: switch to ``"sq"``/``"bq"`` (the code
@@ -698,6 +705,11 @@ class Collection:
           None/"idf"}``. The modifier is a QUERY-time weighting here
           (stats come from the postings at search), so the switch is
           pure metadata — no re-encode.
+        - ``drift_auto``: set/clear the post-write drift policy
+          (``None``/``"split"``/``"rebuild"`` — see
+          ``create_collection``). Enabling it applies the policy to
+          the CURRENT layout immediately (Qdrant re-optimizes on
+          optimizer-config changes too).
 
         Omitted arguments stay unchanged."""
         if sparse_vectors is not None:
@@ -741,7 +753,8 @@ class Collection:
                 self._refresh_postings(spark, None, id_col, rewrote=True)
         if self.meta.get("vectors") is not None and (
                 quantization is not self._UNSET
-                or indexing_threshold is not self._UNSET):
+                or indexing_threshold is not self._UNSET
+                or drift_auto is not self._UNSET):
             raise ValueError(
                 "config updates apply to single-space collections "
                 "(use vectors={name: {...}} for named spaces)")
@@ -812,6 +825,28 @@ class Collection:
                     and self.count(spark) >= indexing_threshold):
                 self._refresh_index(spark, None, id_col, vec_col,
                                     rewrote=True)
+        if drift_auto is not self._UNSET:
+            if drift_auto not in (None, "split", "rebuild"):
+                raise ValueError(
+                    "drift_auto must be None, 'split' or 'rebuild'")
+            if drift_auto is not None:
+                if self.meta.get("indexing_threshold") is None:
+                    raise ValueError(
+                        "drift_auto needs indexing_threshold (no IVF "
+                        "layout to maintain otherwise)")
+                if self.meta.get("multivector"):
+                    raise ValueError(
+                        "drift_auto supports dense single-space "
+                        "collections (split_hot_cells' scope)")
+                self.meta["drift_auto"] = drift_auto
+            else:
+                self.meta.pop("drift_auto", None)
+            self._save_meta()
+            if drift_auto is not None and self._has_data(spark):
+                # enabling the policy applies it to the CURRENT layout
+                # on the spot (Qdrant re-optimizes on optimizer-config
+                # changes too)
+                self._auto_drift(spark, id_col, vec_col)
 
     # -- named vector spaces (Qdrant vectors_config={name: ...}) ----------
 
@@ -1501,6 +1536,50 @@ class Collection:
         self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_postings(spark, incoming, id_col, rewrote)
         self._refresh_pca(spark, incoming, id_col, vec_col, rewrote)
+        self._auto_drift(spark, id_col, vec_col)
+
+    def _auto_drift(self, spark: SparkSession, id_col: str,
+                    vec_col: str) -> None:
+        """Execute the ``drift_auto`` policy after a write —
+        ``index_drift()`` produces action-typed verdicts; this is the
+        consumer (Qdrant analogy: the server's optimizer re-optimizes
+        segments after writes without being asked). Policies:
+
+        - ``None`` (default): never act — a pending verdict surfaces
+          as ``info()["status"] == "yellow"`` either way.
+        - ``"split"``: run ``split_hot_cells()`` when the verdict is
+          ``split`` (in-place, cost ∝ hot data, probe semantics
+          preserved); ``rebuild`` verdicts still only surface — a
+          full retrain is never implicit under this policy.
+        - ``"rebuild"``: full autonomy — ``rebuild_index()`` on
+          ``rebuild`` verdicts (then the split remedy once if the
+          fresh layout still has a legitimately-dense cell over the
+          absolute cap), ``split_hot_cells()`` on ``split`` verdicts.
+
+        The check itself is parquet-footer math (no scan);
+        reentrancy-guarded because ``rebuild_index()`` runs
+        ``_post_write`` itself."""
+        policy = self.meta.get("drift_auto")
+        if not policy or getattr(self, "_in_auto_drift", False):
+            return
+        drift = self.index_drift()
+        action = (drift or {}).get("action")
+        if not action:
+            return
+        self._in_auto_drift = True
+        try:
+            if action == "split":
+                self.split_hot_cells(spark, vec_col=vec_col,
+                                     id_col=id_col)
+            elif action == "rebuild" and policy == "rebuild":
+                self.rebuild_index(spark, vec_col=vec_col,
+                                   id_col=id_col)
+                after = self.index_drift()
+                if (after or {}).get("action") == "split":
+                    self.split_hot_cells(spark, vec_col=vec_col,
+                                         id_col=id_col)
+        finally:
+            self._in_auto_drift = False
 
     # -- S8: upsert -------------------------------------------------------
 
@@ -3938,7 +4017,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       datatype: str | None = None,
                       sparse_vectors: dict | None = None,
                       transform: str | None = None,
-                      pca_dim: int | None = None) -> Collection:
+                      pca_dim: int | None = None,
+                      drift_auto: str | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -3973,7 +4053,18 @@ def create_collection(root: str, name: str, dim: int | None = None,
     width. Point ops maintain the sidecar like the quantizer codes.
     Named spaces take ``{"transform": "pca", "pca_dim": r}`` per
     space (training at first write). Dense float32 spaces only, and
-    exclusive with ``quantization`` on the same space."""
+    exclusive with ``quantization`` on the same space.
+
+    ``drift_auto`` (the Qdrant-optimizer analog — the server
+    re-optimizes segments after writes without being asked): consume
+    ``index_drift()``'s action-typed verdict automatically after each
+    write. ``"split"`` runs ``split_hot_cells()`` on split verdicts
+    (in-place, cost ∝ hot data) but never a full retrain;
+    ``"rebuild"`` additionally runs ``rebuild_index()`` on rebuild
+    verdicts. ``None`` (default) only surfaces pending verdicts as
+    ``info()["status"] == "yellow"``. Requires ``indexing_threshold``
+    (there is no layout to maintain otherwise); dense single-space
+    collections."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
         if vectors is not None:
@@ -3983,11 +4074,13 @@ def create_collection(root: str, name: str, dim: int | None = None,
             # single-space-only (which space would the layout carve?).
             if dim is not None or indexing_threshold is not None \
                     or quantization is not None or datatype is not None \
-                    or transform is not None or pca_dim is not None:
+                    or transform is not None or pca_dim is not None \
+                    or drift_auto is not None:
                 raise ValueError(
                     "named-vector collections take per-space config in "
                     "`vectors`; top-level dim/indexing_threshold/"
-                    "quantization/datatype/transform don't apply")
+                    "quantization/datatype/transform/drift_auto don't "
+                    "apply")
             spaces = {}
             for vname, cfg in vectors.items():
                 unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
@@ -4087,6 +4180,19 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 meta["k_centroids"] = int(k_centroids)
                 if train_fraction is not None:
                     meta["train_fraction"] = float(train_fraction)
+            if drift_auto is not None:
+                if drift_auto not in ("split", "rebuild"):
+                    raise ValueError(
+                        "drift_auto must be None, 'split' or 'rebuild'")
+                if indexing_threshold is None:
+                    raise ValueError(
+                        "drift_auto needs indexing_threshold (no IVF "
+                        "layout to maintain otherwise)")
+                if multivector:
+                    raise ValueError(
+                        "drift_auto supports dense single-space "
+                        "collections (split_hot_cells' scope)")
+                meta["drift_auto"] = drift_auto
             if shard_key is not None:
                 # Qdrant custom sharding (sharding_method=CUSTOM +
                 # create_shard_key): the shard key column LEADS the

@@ -500,6 +500,39 @@ def main() -> None:
          for q in qids]
     out["pq_recall@10_8x128"] = round(float(np.mean(r)), 3)
 
+    # OPQ at the SAME code budget (8 blocks × 128 codes): learned
+    # orthonormal rotation before PQ (operators/opq.py — Ge et al.
+    # CVPR'13). The recall delta vs pq_recall@10_8x128 is the value of
+    # the rotation at equal bytes. Training/encode run driver-side in
+    # numpy here (this harness measures recall, not throughput; the
+    # engine's distributed encode path is `_opq_det_index`).
+    from image_indexing_and_retrival_with_qdrant_spark.operators.opq import (
+        opq_encode_np,
+        opq_train_np,
+        rotate_np,
+    )
+
+    crows = sorted(corpus.select("vec_id", "embedding").collect(),
+                   key=lambda r: r.vec_id)
+    X = np.asarray([r.embedding for r in crows])
+    R, ocbs = opq_train_np(X[:65536], n_blocks=8, k_codes=128)
+    Rm = np.asarray(R)
+    ocodes_np = opq_encode_np(rotate_np(X, Rm), ocbs)
+    ocodes = spark.createDataFrame(
+        [(int(r.vec_id), *[int(c) for c in row])
+         for r, row in zip(crows, ocodes_np)],
+        "vec_id long, " + ", ".join(f"code{b} int" for b in range(8)),
+    ).cache()
+    ocodes.count()
+    r = [recall({x.vec_id for x in
+                 pq_search(ocodes, ocbs,
+                           [float(v) for v in
+                            rotate_np(np.asarray([qvecs[q]]), Rm)[0]],
+                           k=k).collect()},
+                exact[q])
+         for q in qids]
+    out["opq_recall@10_8x128"] = round(float(np.mean(r)), 3)
+
     acodes = codes.join(assigned.select("vec_id", "centroid_id"),
                         on="vec_id").cache()
     acodes.count()

@@ -591,6 +591,92 @@ def ivf_drift_stress(n_base: int = 10_000_000,
     spark.stop()
 
 
+def drift_auto_stress(n_base: int = 10_000_000,
+                      n_append: int = 1_000_000) -> None:
+    """Auto-drift policy at scale (the consumer for `index_drift()`'s
+    verdicts): the SAME shifted-append scenario as ivf_drift_stress,
+    but the collection carries ``drift_auto="rebuild"`` — the
+    append's own post-write hook consumes the verdict (full retrain
+    on the growth breach, then the split remedy once if the fresh
+    layout still parks the dense blob over the absolute cap). There
+    is NO manual index-maintenance call anywhere in this function;
+    ivf_drift_stress records what the same append does without the
+    policy (recall fragments at the blob edge until someone calls
+    rebuild/split by hand). Measured: append wall inclusive of the
+    auto maintenance, the post-append verdict (must be clean), cell
+    count growth, and routed blob recall@10 at nprobe=4 vs exact."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.functions.vector import (
+        l2_normalize,
+    )
+
+    spark = get_spark("stress-drift-auto",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+    root = tempfile.mkdtemp(prefix="stress_drift_auto_")
+    try:
+        coll = create_collection(root, "drift", dim=DIM, normalize=False,
+                                 indexing_threshold=1, k_centroids=64,
+                                 drift_auto="rebuild")
+        noise = [
+            ((F.xxhash64(F.col("id"), F.lit(i)) % 2000001 - 1000000)
+             / F.lit(1000000.0))
+            for i in range(DIM)
+        ]
+        base = spark.range(n_base).select(
+            "id", l2_normalize(F.array(*noise)).alias("embedding"))
+        t0 = time.perf_counter()
+        coll.upsert(spark, base, mode="append", dedupe_ids=False)
+        timings["base_upsert_and_index"] = round(time.perf_counter() - t0, 2)
+        cells0 = coll.index_drift()["cells"]
+
+        blob = spark.range(n_base, n_base + n_append).select(
+            "id",
+            l2_normalize(F.array(*[
+                (F.lit(1.0) if i == 0 else F.lit(0.0)) + 0.05 * noise[i]
+                for i in range(DIM)])).alias("embedding"))
+        t0 = time.perf_counter()
+        coll.upsert(spark, blob, mode="append", dedupe_ids=False)
+        timings["shifted_append_with_auto_maintenance"] = round(
+            time.perf_counter() - t0, 2)
+
+        d = coll.index_drift()
+        timings["balance_ratio_after"] = d["balance_ratio"]
+        timings["cells_before"] = cells0
+        timings["cells_after"] = d["cells"]
+        timings["action_after"] = d["action"]
+        assert d["action"] is None, (
+            f"the policy must leave a clean layout: {d}")
+        status = coll.info(spark)["status"]
+        timings["status_after"] = status
+        assert status == "green", status
+
+        qvec = [r.embedding for r in
+                coll.read(spark).filter(F.col("id") == n_base + 12340)
+                .collect()][0]
+        exact = {r.id for r in
+                 coll.search(spark, list(qvec), k=10, exact=True,
+                             with_payload=False).collect()}
+        t0 = time.perf_counter()
+        routed = coll.search(spark, list(qvec), k=10, nprobe=4,
+                             with_payload=False).collect()
+        timings["blob_probe_sec"] = round(time.perf_counter() - t0, 2)
+        timings["blob_recall"] = round(
+            len({r.id for r in routed} & exact) / 10, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "stress_drift_auto", "rows_base": n_base,
+        "rows_append": n_append, "dim": DIM, "k_centroids": 64,
+        "policy": "rebuild", "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 def semdedup_stress(n: int = 1_000_000, k: int = 1000,
                     thr: float = 0.9, soft: int = 0,
                     buckets: int = 64) -> None:
@@ -1188,6 +1274,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "drift":
         args = [int(a) for a in sys.argv[2:]]
         ivf_drift_stress(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "driftauto":
+        args = [int(a) for a in sys.argv[2:]]
+        drift_auto_stress(*args)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))

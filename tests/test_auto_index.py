@@ -223,3 +223,109 @@ def test_split_hot_cells_renumbers_and_rebalances(spark, sf_smoke, tmp_path):
     exact = [(r.id, r.score) for r in
              coll.search(spark, qv, k=5, exact=True).collect()]
     assert routed == exact
+
+
+# --- round 9: drift_auto policy (VERDICT r8 item 4 — index_drift()'s
+# --- action-typed verdicts get a consumer on the write path)
+
+
+def _dense_blob(base_pts):
+    """Jittered dense blob around one direction — legitimate density
+    (kmeans CAN sub-split it), the split-verdict shape."""
+    jit = [
+        (F.lit(1.0) if i == 0 else F.lit(0.0))
+        + 0.05 * ((F.xxhash64(F.col("id"), F.lit(i)) % 2001 - 1000)
+                  / F.lit(1000.0))
+        for i in range(8)
+    ]
+    return base_pts.withColumn("embedding", F.array(*jit))
+
+
+def test_drift_auto_split_policy(spark, sf_smoke, tmp_path):
+    """drift_auto="split": an append that leaves a cell over the
+    absolute cap is split by the SAME upsert's post-write hook — no
+    manual split_hot_cells() call, verdict cleared, status green,
+    routed search still exact over the split layout."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4,
+                             drift_auto="split")
+    base_pts = _points(spark, sf_smoke)
+    coll.upsert(spark, base_pts, mode="append")
+    k0 = len(coll._centroids(spark))
+    assert coll.index_drift()["action"] is None
+
+    # tighten the caps so the blob lands a *split* verdict (ratio
+    # over the cell cap, growth under the growth cap — the knobs
+    # index_drift() documents)
+    coll.meta["drift_cell_cap"] = 2.0
+    coll.meta["drift_growth_cap"] = 100.0
+    coll._save_meta()
+
+    blob = _dense_blob(base_pts)
+    for tag in ("s1-", "s2-", "s3-"):
+        coll.upsert(
+            spark, blob.withColumn("id", F.concat(F.lit(tag), F.col("id"))),
+            mode="append")
+
+    d = coll.index_drift()
+    assert d["action"] is None, d            # verdict consumed in-line
+    assert len(coll._centroids(spark)) > k0  # hot cell actually split
+    assert coll.info(spark)["status"] == "green"
+    # the auto-split layout still partitions the corpus exactly
+    qv = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    routed = [(r.id, r.score) for r in coll.search(spark, qv, k=5).collect()]
+    exact = [(r.id, r.score) for r in
+             coll.search(spark, qv, k=5, exact=True).collect()]
+    assert routed == exact
+
+
+def test_drift_auto_split_never_rebuilds(spark, sf_smoke, tmp_path):
+    """Under the "split" policy a *rebuild* verdict only surfaces
+    (info status yellow, flag set) — a full retrain is never implicit;
+    switching the policy to "rebuild" via update_collection applies it
+    on the spot (growth resets, status back to green)."""
+    coll = create_collection(str(tmp_path), "c", dim=8, normalize=False,
+                             indexing_threshold=1, k_centroids=4,
+                             drift_auto="split")
+    base_pts = _points(spark, sf_smoke)
+    coll.upsert(spark, base_pts, mode="append")
+
+    # distribution shift: 2x the corpus piled on one direction — the
+    # frozen centroids funnel it into one cell (rebuild verdict)
+    const = F.expr(
+        "array(1.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)")
+    skew = (base_pts
+            .withColumn("id", F.concat(F.lit("skew-"), F.col("id")))
+            .withColumn("embedding", const))
+    skew = skew.unionByName(
+        skew.withColumn("id", F.concat(F.lit("b-"), F.col("id"))))
+    coll.upsert(spark, skew, mode="append")
+
+    d = coll.index_drift()
+    assert d["rebuild_recommended"]          # surfaced, not executed
+    assert coll.info(spark)["status"] == "yellow"
+
+    coll.update_collection(spark, drift_auto="rebuild")
+    d2 = coll.index_drift()
+    assert d2["action"] is None, d2
+    assert abs(d2["balance_growth"] - 1.0) < 0.01
+    assert coll.info(spark)["status"] == "green"
+
+
+def test_drift_auto_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="drift_auto must be"):
+        create_collection(str(tmp_path), "bad1", dim=8,
+                          indexing_threshold=1, drift_auto="always")
+    with pytest.raises(ValueError, match="needs indexing_threshold"):
+        create_collection(str(tmp_path), "bad2", dim=8,
+                          drift_auto="split")
+    with pytest.raises(ValueError, match="don't\\s+apply"):
+        create_collection(str(tmp_path), "bad3",
+                          vectors={"v": {"dim": 8}}, drift_auto="split")
+    coll = create_collection(str(tmp_path), "ok", dim=8,
+                             indexing_threshold=1, drift_auto="split")
+    assert coll.meta["drift_auto"] == "split"
+    coll.update_collection(spark, drift_auto=None)
+    assert "drift_auto" not in coll.meta
+    with pytest.raises(ValueError, match="drift_auto must be"):
+        coll.update_collection(spark, drift_auto="sometimes")
