@@ -441,7 +441,8 @@ def dedup_semantic_soft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: c.cast("long"),
         ).alias("cells"))
     return soft_blocked_near_pairs(rows, F.col("cells"), min_cosine=0.3,
-                                   block_out="cell")
+                                   block_out="cell",
+                                   materialize_memberships=True)
 
 
 @register("dedup_semantic_soft_layout_pairs", _semantic_soft_pairs_oracle)
@@ -579,7 +580,8 @@ def dedup_semantic_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(__s, s -> CAST(s.i AS BIGINT))").alias("cells"),
         F.expr("CAST(__s[0].i AS BIGINT)").alias("cell"),
         F.round(F.expr("__s[0].d"), 6).alias("cdist"))
-    pairs = soft_blocked_near_pairs(rows, F.col("cells"), min_cosine=0.3)
+    pairs = soft_blocked_near_pairs(rows, F.col("cells"), min_cosine=0.3,
+                                    materialize_memberships=True)
     cc = connected_components(pairs, nodes=rows, id_col="vec_id")
     from pyspark.sql import Window
 
