@@ -169,6 +169,11 @@ HEADLINE = [
     # rotated-code table (build warmed outside the timer, like every
     # det tier)
     "ann_opq_top5",
+    # round 9: product quantization as collection config (Qdrant
+    # ProductQuantization parity; lifecycle by construction — the
+    # components split shows build vs ADC+rescore read path)
+    "ingest_pq_quantized_search",
+    "ingest_opq_quantized_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

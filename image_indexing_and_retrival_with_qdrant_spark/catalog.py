@@ -776,14 +776,20 @@ class Collection:
                     continue
                 qz = diff["quantization"]
                 scfg = named[sname]
-                if qz not in (None, "sq", "bq"):
+                if qz not in (None, "sq", "bq", "pq", "opq"):
                     raise ValueError(f"unknown quantization {qz!r}")
                 if qz is not None and scfg.get("multivector"):
                     raise ValueError("quantization supports dense spaces")
                 scfg["quantization"] = qz
                 # frozen train params belong to the OLD config
-                for key in ("sq_mins", "sq_steps", "codes_layout"):
+                for key in ("sq_mins", "sq_steps", "codes_layout",
+                            "pq_codebooks", "opq_rotation",
+                            "pq_blocks", "pq_codes"):
                     scfg.pop(key, None)
+                if qz in ("pq", "opq"):
+                    blocks, codes = _pq_validate(int(scfg["dim"]), qz)
+                    scfg["pq_blocks"] = blocks
+                    scfg["pq_codes"] = codes
                 self._save_meta()
                 if qz is None:
                     shutil.rmtree(self._codes_path_for(sname),
@@ -792,15 +798,22 @@ class Collection:
                     self._refresh_quant_one(spark, None, id_col, sname,
                                             True, scfg, sname)
         if quantization is not self._UNSET:
-            if quantization not in (None, "sq", "bq"):
+            if quantization not in (None, "sq", "bq", "pq", "opq"):
                 raise ValueError(f"unknown quantization {quantization!r}")
             if quantization is not None and self.meta.get("multivector"):
                 # same invariant create_collection enforces
                 raise ValueError("quantization supports dense collections")
             self.meta["quantization"] = quantization
             # frozen train params belong to the OLD config
-            for k in ("sq_mins", "sq_steps", "codes_layout"):
+            for k in ("sq_mins", "sq_steps", "codes_layout",
+                      "pq_codebooks", "opq_rotation",
+                      "pq_blocks", "pq_codes"):
                 self.meta.pop(k, None)
+            if quantization in ("pq", "opq"):
+                blocks, codes = _pq_validate(
+                    int(self.meta["dim"]), quantization)
+                self.meta["pq_blocks"] = blocks
+                self.meta["pq_codes"] = codes
             self._save_meta()
             if quantization is None:
                 shutil.rmtree(self._codes_path, ignore_errors=True)
@@ -1137,6 +1150,49 @@ class Collection:
             cfg["sq_steps"] = steps
             self._save_meta()
             incoming, rewrote = None, True  # encode the whole table once
+        if q in ("pq", "opq") and "pq_codebooks" not in cfg:
+            # PQ/OPQ codebooks train ONCE on the id-ordered bounded
+            # prefix (the _refresh_pca_one fetch: a TakeOrdered heap,
+            # ≤ PCA_TRAIN_CAP rows to the driver — reproducible by an
+            # oracle factory from the same parquet) and freeze in the
+            # config; kmeans_np / opq_train_np are bit-deterministic,
+            # so the whole quantizer is value-checkable. Below
+            # pq_codes train rows the quantizer stays untrained and
+            # searches take the exact scan (kmeans needs ≥ k rows).
+            import numpy as np
+
+            from .operators.ann import kmeans_np
+            from .operators.opq import opq_train_np
+            from .operators.pca import PCA_TRAIN_CAP
+
+            if not self._has_data(spark):
+                return
+            table = self.read(spark)
+            if vec_col not in table.columns or _is_nested(table, vec_col):
+                return
+            rows = (table.filter(F.col(vec_col).isNotNull())
+                    .orderBy(F.col(id_col).asc())
+                    .limit(PCA_TRAIN_CAP)
+                    .select(as_double(F.col(vec_col)).alias("__v"))
+                    .collect())
+            blocks = int(cfg["pq_blocks"])
+            k_codes = int(cfg.get("pq_codes", 16))
+            if len(rows) < k_codes:
+                return
+            X = np.asarray([list(r["__v"]) for r in rows],
+                           dtype=np.float64)
+            if q == "opq":
+                R, cbs = opq_train_np(X, n_blocks=blocks,
+                                      k_codes=k_codes)
+                cfg["opq_rotation"] = R
+            else:
+                subdim = int(cfg["dim"]) // blocks
+                cbs = [kmeans_np(X[:, b * subdim:(b + 1) * subdim],
+                                 k_codes, seed=42 + b)
+                       for b in range(blocks)]
+            cfg["pq_codebooks"] = cbs
+            self._save_meta()
+            incoming, rewrote = None, True  # encode the whole table once
         # When the IVF layout exists (dense collections only — quant is
         # rejected for multivector), the codes sidecar shares it:
         # partitionBy(centroid_id) so the quantized prefetch inside
@@ -1176,6 +1232,15 @@ class Collection:
             codes = bq_encode(source, int(cfg["dim"]),
                               vec_col=vec_col, id_col=id_col,
                               carry_cols=carry)
+        elif q in ("pq", "opq"):
+            if "pq_codebooks" not in cfg:
+                return  # untrained (below pq_codes rows): no sidecar
+            from .operators.pq import pq_encode_frame
+
+            codes = pq_encode_frame(
+                source, cfg["pq_codebooks"], vec_col=vec_col,
+                id_col=id_col, carry_cols=carry,
+                rotation=cfg.get("opq_rotation"))
         else:
             raise ValueError(f"unknown quantization {q!r}")
         mode = "overwrite" if rewrote else "append"
@@ -1213,9 +1278,32 @@ class Collection:
         if cfg["quantization"] == "sq":
             short = sq_search(codes, cfg["sq_mins"],
                               cfg["sq_steps"], qv, k=m, id_col=id_col)
+        elif cfg["quantization"] in ("pq", "opq"):
+            # ADC over the code sidecar; OPQ rotates the query
+            # driver-side (same left-to-right fold as the encode side)
+            from .operators.pq import pq_search
+
+            short = pq_search(codes, cfg["pq_codebooks"],
+                              self._pq_query_vec(cfg, qv), k=m,
+                              id_col=id_col)
         else:
             short = bq_search(codes, qv, k=m, id_col=id_col)
         return short.select(id_col)
+
+    @staticmethod
+    def _pq_query_vec(cfg: dict, qv: list) -> list[float]:
+        """The query in code-space coordinates: identity for PQ, the
+        frozen OPQ rotation for ``quantization="opq"`` (zero-mean
+        ``pca_project_py`` — the plain left-to-right double loop,
+        float-identical to the fold-shape row rotation)."""
+        R = cfg.get("opq_rotation")
+        if R is None:
+            return [float(x) for x in qv]
+        from .operators.pca import pca_project_py
+
+        d = len(R)
+        w = [[R[i][j] for i in range(d)] for j in range(d)]
+        return pca_project_py([0.0] * d, w, [float(x) for x in qv])
 
     def _quant_shortlist_batch(self, spark: SparkSession,
                                qvs: list[list[float]], m: int, id_col: str,
@@ -1270,6 +1358,37 @@ class Collection:
                               F.round(dot_unrolled(
                                   "__deq", "query_vec", len(mins)),
                                   6).alias("qscore")))
+            order = [("qscore", False), (id_col, True)]
+        elif cfg["quantization"] in ("pq", "opq"):
+            # ONE codes pass for the whole batch: each query ships its
+            # ADC lookup table as a flat array column (n_blocks ×
+            # k_codes doubles, computed driver-side with the same
+            # left-to-right python dot the single-query literal form
+            # embeds), and the per-row score is the same left-assoc
+            # element_at sum over the row's codes — bit-equal to
+            # pq_search on each query separately.
+            cbs = cfg["pq_codebooks"]
+            n_blocks, kc = len(cbs), len(cbs[0])
+            subdim = len(cbs[0][0])
+            luts = []
+            for i, v in enumerate(qvs):
+                v2 = self._pq_query_vec(cfg, v)
+                flat = []
+                for b in range(n_blocks):
+                    q_sub = v2[b * subdim:(b + 1) * subdim]
+                    flat.extend(
+                        sum(float(x) * float(c)
+                            for x, c in zip(q_sub, cw))
+                        for cw in cbs[b])
+                luts.append((i, flat))
+            queries = spark.createDataFrame(
+                luts, "query_idx int, lut array<double>")
+            adc = " + ".join(
+                f"element_at(`lut`, {b * kc} + `code{b}` + 1)"
+                for b in range(n_blocks))
+            scored = (codes.join(F.broadcast(queries))
+                      .select("query_idx", F.col(id_col),
+                              F.round(F.expr(adc), 6).alias("qscore")))
             order = [("qscore", False), (id_col, True)]
         else:
             words = [(i, [int(w) for w in bq_query_words(v)])
@@ -1803,6 +1922,8 @@ class Collection:
 
         cfg = self._vector_cfg(using, vec_col)
         q = cfg.get("quantization")
+        if q in ("pq", "opq") and "pq_codebooks" not in cfg:
+            q = None  # untrained quantizer: nothing to spend a miss on
         if q and self.has_index() and cfg.get(
                 "codes_layout") != "cells":
             # no composed codes layout on disk (pre-round-6 sidecar):
@@ -2207,6 +2328,8 @@ class Collection:
         # cells scan) or the exact scan — Qdrant's filtered search
         # likewise never drops matches to quantization.
         quantize = cfg.get("quantization") if query_filter is None else None
+        if quantize in ("pq", "opq") and "pq_codebooks" not in cfg:
+            quantize = None  # untrained (< pq_codes rows): exact scan
         if (cfg.get("transform") == "pca" and cfg.get("pca_mu")
                 and not exact and query_filter is None
                 and k is not None):
@@ -2391,6 +2514,8 @@ class Collection:
         # index-only / exact instead — same rule as single-query
         q_ = (cfg.get("quantization")
               if query_filter is None and per_query is None else None)
+        if q_ in ("pq", "opq") and "pq_codebooks" not in cfg:
+            q_ = None  # untrained (< pq_codes rows): exact scan
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
         include_pairs = None
@@ -4004,6 +4129,30 @@ def delete_collection(root: str, name: str) -> bool:
     return True
 
 
+def _pq_validate(dim: int, q: str, blocks=None, codes=16) -> tuple[int, int]:
+    """Validate/default the product-quantizer shape: ``blocks``
+    defaults to ~8-dim subvectors clamped to [2, 16] (the FAISS m
+    convention) and must divide ``dim``; ``codes`` is the per-block
+    codebook size (16 → 4-bit codes). OPQ additionally caps the width:
+    the d×d rotation freezes in the meta JSON, which stops being a
+    broadcast-for-free constant somewhere past 256-d (589k doubles at
+    768) — wide spaces should compress through ``transform="pca"``
+    first, which stores r×d."""
+    blocks = int(blocks) if blocks is not None \
+        else max(2, min(16, dim // 8))
+    codes = int(codes)
+    if blocks < 1 or dim % blocks:
+        raise ValueError(
+            f"pq_blocks must divide dim {dim} (got {blocks})")
+    if not 2 <= codes <= 256:
+        raise ValueError("pq_codes must be in 2..256")
+    if q == "opq" and dim > 256:
+        raise ValueError(
+            "opq supports dim <= 256 (the dxd rotation freezes in "
+            "the meta; use transform='pca' for wide spaces)")
+    return blocks, codes
+
+
 def create_collection(root: str, name: str, dim: int | None = None,
                       metric: str = "cosine", multivector: bool = False,
                       comparator: str | None = None,
@@ -4018,7 +4167,9 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       sparse_vectors: dict | None = None,
                       transform: str | None = None,
                       pca_dim: int | None = None,
-                      drift_auto: str | None = None) -> Collection:
+                      drift_auto: str | None = None,
+                      pq_blocks: int | None = None,
+                      pq_codes: int = 16) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -4086,7 +4237,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
                                              "normalize", "datatype",
                                              "quantization", "transform",
-                                             "pca_dim", "k_centroids"})
+                                             "pca_dim", "k_centroids",
+                                             "pq_blocks", "pq_codes"})
                 if unknown:
                     # a silently-dropped spec key (e.g. "datatype")
                     # would hand the user different storage than they
@@ -4108,13 +4260,26 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     # Qdrant VectorParams.quantization_config: each
                     # named space may carry its own quantizer. Same
                     # rules as the top-level knob: dense spaces only.
-                    if qz not in ("sq", "bq"):
+                    if qz not in ("sq", "bq", "pq", "opq"):
                         raise ValueError(
-                            "quantization must be 'sq' or 'bq'")
+                            "quantization must be 'sq', 'bq', 'pq' "
+                            "or 'opq'")
                     if bool(cfg.get("multivector")):
                         raise ValueError(
                             "quantization supports dense spaces")
                     spaces[vname]["quantization"] = qz
+                    if qz in ("pq", "opq"):
+                        blocks, codes = _pq_validate(
+                            int(cfg["dim"]), qz, cfg.get("pq_blocks"),
+                            cfg.get("pq_codes", 16))
+                        spaces[vname]["pq_blocks"] = blocks
+                        spaces[vname]["pq_codes"] = codes
+                if qz not in ("pq", "opq") and (
+                        cfg.get("pq_blocks") is not None
+                        or cfg.get("pq_codes") is not None):
+                    raise ValueError(
+                        "pq_blocks/pq_codes need "
+                        "quantization='pq'/'opq'")
                 dt = cfg.get("datatype")
                 if dt is not None:
                     # same rules as the top-level knob: fp16 is for
@@ -4203,15 +4368,28 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 meta["shard_key"] = shard_key
                 meta["payload_indexes"] = [shard_key]
             if quantization is not None:
-                # Qdrant quantization_config: scalar(int8) or binary.
-                # Dense single-space collections only (the MaxSim and
-                # named-space quantized paths are future work).
-                if quantization not in ("sq", "bq"):
-                    raise ValueError("quantization must be 'sq' or 'bq'")
+                # Qdrant quantization_config: scalar(int8), binary,
+                # or product (ProductQuantization — "pq"; "opq" adds
+                # the learned FAISS-style rotation before it). Dense
+                # single-space collections only for sq/bq (the
+                # MaxSim quantized path is future work).
+                if quantization not in ("sq", "bq", "pq", "opq"):
+                    raise ValueError(
+                        "quantization must be 'sq', 'bq', 'pq' or "
+                        "'opq'")
                 if multivector:
                     raise ValueError(
                         "quantization supports dense collections")
                 meta["quantization"] = quantization
+                if quantization in ("pq", "opq"):
+                    blocks, codes = _pq_validate(
+                        int(dim), quantization, pq_blocks, pq_codes)
+                    meta["pq_blocks"] = blocks
+                    meta["pq_codes"] = codes
+            if pq_blocks is not None and \
+                    quantization not in ("pq", "opq"):
+                raise ValueError(
+                    "pq_blocks needs quantization='pq'/'opq'")
             if datatype is not None:
                 if datatype not in ("float32", "float16"):
                     raise ValueError(

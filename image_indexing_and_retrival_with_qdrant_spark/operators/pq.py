@@ -212,3 +212,71 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
         .select(F.col(id_col), score.alias("score"))
     )
     return global_topk(exact, [("score", False), (id_col, True)], k)
+
+
+def pq_code_sql(codebook: list, vec_sql: str, off: int) -> str:
+    """One block's nearest-codeword id as a JVM-parseable SQL string:
+    unrolled left-associated (x−c)² sums per codeword over
+    ``vec_sql``'s elements at ``off``.. (CAST to DOUBLE — identity on
+    double inputs, the widening on float32 storage), argmin via
+    ``array_min`` over (d, i) structs (first-min tie-break). The
+    string form costs ~ms to build where the Column form costs
+    ~k·subdim·5 py4j round trips (measured 10 s at 8×16×8)."""
+    entries = ", ".join(
+        "named_struct('d', (" + " + ".join(
+            f"((CAST(element_at({vec_sql}, {off + j + 1}) AS DOUBLE)"
+            f" - {float(cj)!r}D)"
+            f" * (CAST(element_at({vec_sql}, {off + j + 1}) AS DOUBLE)"
+            f" - {float(cj)!r}D))"
+            for j, cj in enumerate(cw)
+        ) + f"), 'i', {cid})"
+        for cid, cw in enumerate(codebook))
+    return f"array_min(array({entries})).i"
+
+
+def rotation_fold_sql(R: list, vec_sql: str) -> str:
+    """OPQ rotation as the FOLD-shape SQL expression (bit-equal to
+    the unrolled left-assoc chain — operators/pca.py's past-the-gate
+    branch; the d×d unrolled form overflows janino's method budget):
+    component j is ``aggregate(zip_with(x·R[:,j]))`` over the
+    zero-centered cast array, pairing exactly with the oracle's
+    ``list_dot_product`` over ``CAST(e[i] AS DOUBLE) - 0.0``."""
+    from ..functions.vector import _lit_array_sql
+
+    d = len(R)
+    ce = (f"zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+          f"{_lit_array_sql([0.0] * d)}, (x, m) -> x - m)")
+    comps = [
+        f"aggregate(zip_with({ce}, "
+        f"{_lit_array_sql([R[i][j] for i in range(d)])}, "
+        f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        for j in range(d)]
+    return "array(" + ", ".join(comps) + ")"
+
+
+def pq_encode_frame(df: DataFrame, codebooks: list,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    carry_cols: tuple = (),
+                    rotation: list | None = None) -> DataFrame:
+    """Encode a frame with FROZEN codebooks (the catalog sidecar
+    writer — the PQ analog of ``sq_encode``): one scan-local
+    projection producing ``(id, carry..., code0..code{B-1})``. With
+    ``rotation`` (OPQ), rows rotate first through the fold-shape
+    expression and the argmin runs over the rotated doubles — same
+    float shapes as the ``ann_opq_top5`` builder, so a DuckDB oracle
+    re-derives identical codes."""
+    n_blocks = len(codebooks)
+    subdim = len(codebooks[0][0])
+    src = f"`{vec_col}`"
+    if rotation is not None:
+        df = df.selectExpr(
+            *[f"`{c}`" for c in (id_col, *carry_cols)],
+            f"{rotation_fold_sql(rotation, src)} AS __rot",
+        )
+        src = "`__rot`"
+        df = df.localCheckpoint(eager=True)  # don't re-rotate per block
+    return df.selectExpr(
+        *[f"`{c}`" for c in (id_col, *carry_cols)],
+        *[f"{pq_code_sql(codebooks[b], src, b * subdim)} AS code{b}"
+          for b in range(n_blocks)],
+    )

@@ -1445,3 +1445,197 @@ def ingest_pca_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round 9: product quantization as collection config (Qdrant
+# --- quantization_config=ProductQuantization parity; "opq" adds the
+# --- FAISS-style learned rotation). The whole quantizer — codebook
+# --- train on the id-ordered prefix, (rotation,) per-row codes, ADC
+# --- LUT ranking, truncation, exact rescore — is re-derived by the
+# --- oracle factory, so the tier is value-checked end-to-end.
+
+_PQ_LC_CACHE: dict = {}
+
+
+def _pq_lifecycle_train(sf_dir: str, opq: bool):
+    """(codebooks, rotation, query_vec) derived EXACTLY as the
+    collection derives them: the deduped corpus's (id, dims) are
+    materialized via DuckDB (bit-equal to the HashEmbedder values the
+    collection stores — every ingest oracle rests on that proven
+    pairing), ordered by id (ASCII sha256 hex: identical binary order
+    in Spark and DuckDB), truncated to the PCA_TRAIN_CAP prefix in
+    that order, and trained with the same deterministic
+    kmeans_np / opq_train_np the catalog calls
+    (`_refresh_quant_one`)."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.ann import kmeans_np
+    from ..operators.opq import opq_train_np
+    from ..operators.pca import PCA_TRAIN_CAP
+
+    key = (sf_dir, opq)
+    if key not in _PQ_LC_CACHE:
+        dims = _embed_dims_sql("t.text", "passage")
+        sel = ", ".join(f"({d}) AS e{j}"
+                        for j, d in enumerate(dims, start=1))
+        cols = ", ".join(f"e{j}" for j in range(1, len(dims) + 1))
+        con = duckdb.connect()
+        X = np.asarray(con.execute(f"""
+            WITH t AS (SELECT DISTINCT text FROM
+                       read_parquet('{sf_dir}/documents.parquet')),
+            e AS (SELECT sha256(t.text) AS id, {sel} FROM t)
+            SELECT {cols} FROM e ORDER BY id LIMIT {PCA_TRAIN_CAP}
+        """).fetchall(), dtype=np.float64)
+        qv = [float(x) for x in con.execute(
+            "SELECT " + ", ".join(
+                f"({d})" for d in
+                _embed_dims_sql(f"'{_QUERY_TEXT}'", "query"))
+        ).fetchone()]
+        con.close()
+        blocks, k_codes = 2, 16  # _pq_validate's defaults at dim=8
+        if opq:
+            R, cbs = opq_train_np(X, n_blocks=blocks, k_codes=k_codes)
+        else:
+            R, subdim = None, X.shape[1] // blocks
+            cbs = [kmeans_np(X[:, b * subdim:(b + 1) * subdim],
+                             k_codes, seed=42 + b)
+                   for b in range(blocks)]
+        _PQ_LC_CACHE[key] = (cbs, R, qv)
+    return _PQ_LC_CACHE[key]
+
+
+def _pq_lifecycle_oracle(sf_dir: str, opq: bool = False, k: int = 5,
+                         m: int = 20) -> str:
+    """Oracle FACTORY for the PQ/OPQ collection read path: re-derive
+    the frozen quantizer (`_pq_lifecycle_train`), then recompute —
+    stage by stage, in the same float shapes as the engine —
+    (1) the OPQ rotation of every row (the proven zero-mean
+    center→list_dot_product pairing), (2) each block's first-min
+    argmin code, (3) the ADC LUT ranking over the driver-rotated
+    query (LUT literals from the same left-to-right python dot
+    `pq_search` embeds), (4) the truncation to the m = k·oversampling
+    shortlist, (5) the exact cosine rescore of those m."""
+    from ..operators.pca import pca_ce_sql, pca_pe_sql, pca_project_py
+
+    cbs, R, qv = _pq_lifecycle_train(sf_dir, opq)
+    dims = _embed_dims_sql("t.text", "passage")
+    n = len(dims)
+    sel = ", ".join(f"({d}) AS e{j}" for j, d in enumerate(dims, start=1))
+    subdim = len(cbs[0][0])
+    if opq:
+        d_ = len(R)
+        w = [[R[i][j] for i in range(d_)] for j in range(d_)]
+        ce = pca_ce_sql([f"e.e{j}" for j in range(1, n + 1)],
+                        [0.0] * d_)
+        rot_cte = (f"r AS (SELECT e.id, {pca_pe_sql(w, 'ce')} AS rot "
+                   f"FROM (SELECT id, {ce} AS ce, * FROM e) e),")
+        elem = "r.rot[{i}]"
+        adc_src = "r"
+        qv2 = pca_project_py([0.0] * d_, w, qv)
+    else:
+        rot_cte = ""
+        elem = "e.e{i}"
+        adc_src = "e"
+        qv2 = [float(x) for x in qv]
+    terms = []
+    for b, cb in enumerate(cbs):
+        off = b * subdim
+        bdl = "list_value(" + ", ".join(
+            "(" + " + ".join(
+                f"(({elem.format(i=off + j + 1)} - {float(cj)!r})"
+                f" * ({elem.format(i=off + j + 1)} - {float(cj)!r}))"
+                for j, cj in enumerate(cw)
+            ) + ")"
+            for cw in cb) + ")"
+        pos = f"list_position({bdl}, list_min({bdl}))"  # 1-based code
+        q_sub = qv2[off:off + subdim]
+        lut = ", ".join(
+            f"{sum(float(q) * float(c) for q, c in zip(q_sub, cw))!r}"
+            for cw in cb)
+        terms.append(f"(CAST(list_value({lut}) AS DOUBLE[]))[{pos}]")
+    adc = " + ".join(terms)
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dot = " + ".join(f"({qj}) * (e.e{j})"
+                     for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, n + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {sel} FROM t),
+    {rot_cte}
+    short AS (
+      SELECT {adc_src}.id, ROUND({adc}, 6) AS qscore
+      FROM {adc_src}
+      ORDER BY qscore DESC, {adc_src}.id
+      LIMIT {m}
+    )
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e JOIN short ON e.id = short.id
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+def _pq_lifecycle_query(spark: SparkSession, sf_dir: str,
+                        quantization: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_pq_")
+    try:
+        coll = create_collection(root, "cpq", dim=8, normalize=False,
+                                 quantization=quantization)
+        coll.upsert(spark, points, mode="merge")
+        assert "pq_codebooks" in coll.meta, "quantizer must be trained"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5, oversampling=4.0) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("ingest_pq_quantized_search", _pq_lifecycle_oracle)
+def ingest_pq_quantized_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Product quantization as collection config (Qdrant
+    ``quantization_config=ProductQuantization`` — the third quantizer
+    kind next to scalar/binary): ``create_collection(
+    quantization="pq")`` trains per-block kmeans_np codebooks ONCE on
+    the id-ordered bounded prefix at first build (frozen in the
+    meta), every point encodes to ``pq_blocks`` one-byte codes in the
+    sidecar (maintained by point ops like the SQ/BQ codes), and
+    ``search`` ranks the codes by ADC lookup (whole-stage-codegen
+    ``element_at`` sums — no vector bytes touched), then
+    exact-rescores the m = k·oversampling shortlist via literal
+    ``id IN``. The truncation is real (m=20 of the corpus) so the
+    quantized ranking itself is value-checked, not just the rescore."""
+    return _pq_lifecycle_query(spark, sf_dir, "pq")
+
+
+def _opq_lifecycle_oracle(sf_dir: str) -> str:
+    return _pq_lifecycle_oracle(sf_dir, opq=True)
+
+
+@register("ingest_opq_quantized_search", _opq_lifecycle_oracle)
+def ingest_opq_quantized_search(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """``quantization="opq"`` — product quantization behind the
+    learned orthonormal rotation (FAISS ``OPQ`` index factory;
+    `operators/opq.py`): training additionally derives the
+    Procrustes-optimal rotation, rows rotate through the fold-shape
+    expression before encoding, and queries rotate driver-side. Same
+    read path as ``ingest_pq_quantized_search`` with strictly better
+    coordinates at the same code budget (BASELINE.md §opq) — and the
+    rotation rides the one-time encode, so the per-query cost is
+    identical. Rotation, codes, LUT ranking, truncation, and rescore
+    all hash-check against the factory oracle."""
+    return _pq_lifecycle_query(spark, sf_dir, "opq")

@@ -56,7 +56,7 @@ def test_delete_refreshes_codes(spark, tmp_path):
 
 
 def test_quantization_validation(tmp_path):
-    with pytest.raises(ValueError, match="'sq' or 'bq'"):
+    with pytest.raises(ValueError, match="quantization must be"):
         create_collection(str(tmp_path), "bad", dim=4, quantization="pq9")
     with pytest.raises(ValueError, match="dense collections"):
         create_collection(str(tmp_path), "bad2", dim=4, multivector=True,
