@@ -89,6 +89,15 @@ _IVF_MEASURED_CELLS = 16
 _QUANT_OVERSAMPLING: dict[str, list[tuple[float, float]]] = {
     "sq": [(2.0, 0.95), (4.0, 0.99), (10.0, 0.998)],
     "bq": [(4.0, 0.25), (10.0, 0.40), (16.0, 0.45)],
+    # pq/opq at the collection defaults (8 blocks × 16 codes, 32×),
+    # measured on the clustered 20k corpus (recall_curve.py --quant,
+    # BASELINE.md §pq-oversampling: os4 0.315/0.315, os10 0.47/0.435,
+    # os16 0.55/0.55); ceilings at-or-below the measured points, the
+    # BQ convention. At this code budget the rotation is ~neutral on
+    # the normalized clustered corpus — OPQ's measured win is at
+    # larger codebooks (§opq: +24 % at 8×128).
+    "pq": [(4.0, 0.30), (10.0, 0.45), (16.0, 0.50)],
+    "opq": [(4.0, 0.30), (10.0, 0.42), (16.0, 0.50)],
 }
 
 # (rescore depth, recall@10 ceiling) — multivector two-stage on the

@@ -117,6 +117,52 @@ def quant_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
             r_bq.append(len(short & exact[q]) / k)
         out[f"sq_rescore_recall@10_os{os_}"] = round(float(np.mean(r_sq)), 3)
         out[f"bq_rescore_recall@10_os{os_}"] = round(float(np.mean(r_bq)), 3)
+
+    # PQ/OPQ prefetch → rescore on the same oversampling grid (the
+    # quantization="pq"/"opq" collection defaults at this width:
+    # 8 blocks × 16 codes = 32×). Train/encode/rank in numpy — this
+    # is a recall measurement, not a throughput one (the engine's
+    # distributed encode is pq_encode_frame); recall of
+    # prefetch-top-(k·os) + exact rescore = |shortlist ∩ exact|/k as
+    # above. Feeds routing._QUANT_OVERSAMPLING["pq"/"opq"].
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.opq import (
+        opq_encode_np,
+        opq_train_np,
+        rotate_np,
+    )
+
+    crows = sorted(unit.collect(), key=lambda r: r.vec_id)
+    ids = np.asarray([r.vec_id for r in crows])
+    X = np.asarray([r.embedding for r in crows])
+    blocks, kc_ = 8, 16
+    subdim = X.shape[1] // blocks
+    tiers = {}
+    pq_cbs = [kmeans_np(X[:65536, b * subdim:(b + 1) * subdim], kc_,
+                        seed=42 + b) for b in range(blocks)]
+    tiers["pq"] = (None, pq_cbs,
+                   opq_encode_np(X, pq_cbs))
+    R_, ocbs_ = opq_train_np(X[:65536], n_blocks=blocks, k_codes=kc_)
+    Rm_ = np.asarray(R_)
+    tiers["opq"] = (Rm_, ocbs_, opq_encode_np(rotate_np(X, Rm_), ocbs_))
+    for os_ in (1, 2, 4, 6, 10, 16):
+        m = k * os_
+        for name, (Rm, cbs, codes) in tiers.items():
+            rs = []
+            for q in qids:
+                qv = np.asarray(uq[q], dtype=np.float64)
+                if Rm is not None:
+                    qv = rotate_np(qv[None, :], Rm)[0]
+                scores = np.zeros(len(ids))
+                for b, cb in enumerate(cbs):
+                    lut = np.asarray(cb) @ qv[b * subdim:(b + 1) * subdim]
+                    scores += lut[codes[:, b]]
+                short = set(ids[np.lexsort((ids, -scores))[:m]].tolist())
+                rs.append(len(short & exact[q]) / k)
+            out[f"{name}_rescore_recall@10_os{os_}"] = round(
+                float(np.mean(rs)), 3)
     unit.unpersist()
     sq_codes.unpersist()
     bq_codes.unpersist()

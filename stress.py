@@ -953,6 +953,12 @@ def composed_at_scale(n: int = 2_000_000, dim: int = 64) -> None:
             ("ivf", {"indexing_threshold": 1, "k_centroids": 64}),
             ("composed", {"indexing_threshold": 1, "k_centroids": 64,
                           "quantization": "sq"}),
+            # round 9: product quantization composed with the index —
+            # 8 B of codes per 64-d row (32x) vs SQ's 64 B (4x); the
+            # probe reads nprobe/kc of the smallest sidecar any dense
+            # tier has, and the ADC LUT never touches vector bytes
+            ("composed_pq", {"indexing_threshold": 1, "k_centroids": 64,
+                             "quantization": "pq"}),
         ):
             t0 = time.perf_counter()
             c = create_collection(root, tag, dim=dim, metric="cosine",
@@ -980,6 +986,12 @@ def composed_at_scale(n: int = 2_000_000, dim: int = 64) -> None:
                                              oversampling=4.0))
         out["composed_speedup_vs_exact"] = round(
             out["exact_scan_sec"] / out["composed_nprobe8_os4_sec"], 2)
+        out["composed_pq_nprobe8_os4_sec"] = median3(
+            lambda: colls["composed_pq"].search(spark, qvec, k=10,
+                                                nprobe=8,
+                                                oversampling=4.0))
+        out["composed_pq_speedup_vs_exact"] = round(
+            out["exact_scan_sec"] / out["composed_pq_nprobe8_os4_sec"], 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(pts_dir, ignore_errors=True)

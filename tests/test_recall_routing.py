@@ -71,6 +71,17 @@ def test_route_quantized_oversampling():
                             quantization="bq")["exact"]
     assert route_for_recall(0.9995, indexed=False,
                             quantization="bq")["exact"]
+    # pq/opq (round 9): the 32x band routes like BQ — small targets
+    # get an oversampling from the measured ceilings, anything above
+    # the trusted 0.50 goes exact (BASELINE.md §pq-oversampling)
+    assert route_for_recall(0.25, indexed=False,
+                            quantization="pq")["oversampling"] == 4.0
+    assert route_for_recall(0.4, indexed=False,
+                            quantization="pq")["oversampling"] == 10.0
+    assert route_for_recall(0.5, indexed=False,
+                            quantization="opq")["oversampling"] == 16.0
+    assert route_for_recall(0.9, indexed=False,
+                            quantization="pq")["exact"]
 
 
 def test_route_multivector_rescore():
