@@ -1108,6 +1108,33 @@ class Collection:
         if changed:
             self._save_meta()
 
+    @staticmethod
+    def _train_prefix(table: DataFrame, id_col: str, vec_col: str,
+                      cap: int) -> list[list[float]]:
+        """First ``cap`` rows BY ID as python float lists — the
+        deterministic bounded train set every driver-side trainer
+        (PCA, PQ/OPQ) uses. Two steps on purpose: the id frontier
+        first (a TakeOrdered over bare ids — ≤ tasks×cap×8 B to the
+        driver), then ONE filtered scan collecting exactly those
+        rows' vectors. Collecting vectors through
+        ``orderBy().limit(cap)`` directly ships every partition's
+        top-``cap`` VECTORS to the driver before the final take —
+        32 tasks × 65536 × 64 doubles ≈ 1 GB at 2M×64, over
+        ``spark.driver.maxResultSize`` (found by the composed
+        stress)."""
+        base = table.filter(F.col(vec_col).isNotNull())
+        ids = [r[0] for r in (base.select(id_col)
+                              .orderBy(F.col(id_col).asc())
+                              .limit(cap).collect())]
+        if not ids:
+            return []
+        rows = (base.filter(F.col(id_col) <= ids[-1])
+                .select(F.col(id_col),
+                        as_double(F.col(vec_col)).alias("__v"))
+                .collect())
+        rows.sort(key=lambda r: r[0])
+        return [list(r["__v"]) for r in rows]
+
     def _refresh_quant(self, spark: SparkSession, incoming: DataFrame | None,
                        id_col: str, vec_col: str, rewrote: bool) -> None:
         """Maintain the quantized-code sidecar(s) after a write. SQ
@@ -1170,17 +1197,13 @@ class Collection:
             table = self.read(spark)
             if vec_col not in table.columns or _is_nested(table, vec_col):
                 return
-            rows = (table.filter(F.col(vec_col).isNotNull())
-                    .orderBy(F.col(id_col).asc())
-                    .limit(PCA_TRAIN_CAP)
-                    .select(as_double(F.col(vec_col)).alias("__v"))
-                    .collect())
             blocks = int(cfg["pq_blocks"])
             k_codes = int(cfg.get("pq_codes", 16))
+            rows = self._train_prefix(table, id_col, vec_col,
+                                      PCA_TRAIN_CAP)
             if len(rows) < k_codes:
                 return
-            X = np.asarray([list(r["__v"]) for r in rows],
-                           dtype=np.float64)
+            X = np.asarray(rows, dtype=np.float64)
             if q == "opq":
                 R, cbs = opq_train_np(X, n_blocks=blocks,
                                       k_codes=k_codes)
@@ -1456,15 +1479,13 @@ class Collection:
             if vec_col not in table.columns or _is_nested(table, vec_col):
                 return
             # bounded deterministic train set: the first PCA_TRAIN_CAP
-            # rows BY ID (a TakeOrdered heap, ≤cap rows to the driver)
-            # — reproducible by the oracle factory from the same
-            # parquet, unlike a partition-order sample
-            rows = (table.filter(F.col(vec_col).isNotNull())
-                    .orderBy(F.col(id_col).asc())
-                    .limit(PCA_TRAIN_CAP)
-                    .select(as_double(F.col(vec_col)).alias("__v"))
-                    .collect())
-            X = [list(r["__v"]) for r in rows]
+            # rows BY ID — reproducible by the oracle factory from the
+            # same parquet, unlike a partition-order sample; fetched
+            # via the two-step `_train_prefix` (ids first, then one
+            # filtered vector scan — the direct orderBy().limit()
+            # collect over vectors blows maxResultSize at 2M×64)
+            X = self._train_prefix(table, id_col, vec_col,
+                                   PCA_TRAIN_CAP)
             if not X:
                 return
             mu, W = pca_train_np(X, int(cfg["pca_dim"]))
