@@ -174,6 +174,9 @@ HEADLINE = [
     # components split shows build vs ADC+rescore read path)
     "ingest_pq_quantized_search",
     "ingest_opq_quantized_search",
+    # round 9: QuantizationSearchParams(rescore=False) — the read
+    # path is ONLY the codes sidecar (no full-vector stage)
+    "ingest_quantized_noscore_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

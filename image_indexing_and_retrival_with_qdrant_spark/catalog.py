@@ -1280,7 +1280,8 @@ class Collection:
                          m: int, id_col: str,
                          probe_ids: list[int] | None = None,
                          cfg: dict | None = None,
-                         space: str | None = None) -> DataFrame:
+                         space: str | None = None,
+                         with_scores: bool = False) -> DataFrame:
         """ids of the m best points under the quantized metric. With
         ``probe_ids`` (the composed IVF+quantization path) the codes
         scan is reduced to a literal ``centroid_id IN (...)`` —
@@ -1311,6 +1312,11 @@ class Collection:
                               id_col=id_col)
         else:
             short = bq_search(codes, qv, k=m, id_col=id_col)
+        if with_scores:
+            # QuantizationSearchParams(rescore=False): the quantized
+            # ranking score IS the result score (sq/pq/opq — callers
+            # reject bq, whose Hamming rank is not a similarity)
+            return short.select(id_col, "score")
         return short.select(id_col)
 
     @staticmethod
@@ -2068,7 +2074,8 @@ class Collection:
                prefetch_limit: int | None = None,
                recall_target: float | None = None,
                with_vectors: bool = False,
-               with_payload=True):
+               with_payload=True,
+               quantization_params: dict | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -2136,7 +2143,8 @@ class Collection:
                 using=using, oversampling=oversampling, offset=offset,
                 shard_key_selector=shard_key_selector, rescore=rescore,
                 formula=formula, prefetch_limit=prefetch_limit,
-                recall_target=recall_target, with_payload=with_payload)
+                recall_target=recall_target, with_payload=with_payload,
+                quantization_params=quantization_params)
             asc = (self._ranks_ascending(using, vec_col)
                    and formula is None)
             return self._attach_query_vectors(
@@ -2152,7 +2160,8 @@ class Collection:
                 using=using, oversampling=oversampling, offset=offset,
                 shard_key_selector=shard_key_selector, rescore=rescore,
                 formula=formula, prefetch_limit=prefetch_limit,
-                recall_target=recall_target, with_vectors=with_vectors)
+                recall_target=recall_target, with_vectors=with_vectors,
+                quantization_params=quantization_params)
             return self._apply_with_payload(
                 full, with_payload, id_col, vec_col)
 
@@ -2165,10 +2174,12 @@ class Collection:
                     f"collection has sparse spaces {sorted(sv)}; "
                     "pass using=<name>")
             if (nprobe is not None or exact or rescore is not None
-                    or formula is not None or recall_target is not None):
+                    or formula is not None or recall_target is not None
+                    or quantization_params is not None):
                 raise ValueError(
                     "sparse search takes no dense-tier knobs "
-                    "(nprobe/exact/rescore/formula/recall_target)")
+                    "(nprobe/exact/rescore/formula/recall_target/"
+                    "quantization_params)")
             return self._sparse_search(
                 spark, query_vector, using or next(iter(sv)), k=k,
                 query_filter=query_filter,
@@ -2225,7 +2236,8 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
                 oversampling=oversampling,
-                shard_key_selector=shard_key_selector, rescore=rescore)
+                shard_key_selector=shard_key_selector, rescore=rescore,
+                quantization_params=quantization_params)
             payload = [c for c in pre.columns if c not in (id_col, "score")]
             out = formula_rescore(
                 pre, formula, k=k + offset, id_col=id_col,
@@ -2247,7 +2259,8 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
                 oversampling=oversampling,
-                shard_key_selector=shard_key_selector, rescore=rescore)
+                shard_key_selector=shard_key_selector, rescore=rescore,
+                quantization_params=quantization_params)
             from pyspark.sql import Window
 
             cfg0 = self._vector_cfg(using, vec_col)
@@ -2298,6 +2311,11 @@ class Collection:
             ).drop("centroid_id")
 
         if cfg.get("multivector"):
+            if quantization_params:
+                raise ValueError(
+                    "quantization_params apply to quantized dense "
+                    "spaces (multivector collections are never "
+                    "quantized)")
             qv = [[float(x) for x in v] for v in query_vector]
             if cfg.get("normalize"):
                 qv = [_unit(v) for v in qv]
@@ -2351,6 +2369,61 @@ class Collection:
         quantize = cfg.get("quantization") if query_filter is None else None
         if quantize in ("pq", "opq") and "pq_codebooks" not in cfg:
             quantize = None  # untrained (< pq_codes rows): exact scan
+        # Qdrant SearchParams.quantization (QuantizationSearchParams):
+        # per-request quantizer control — ignore=True searches the
+        # original vectors, oversampling overrides the knob, and
+        # rescore=False returns the quantized ranking scores directly
+        # (no full-vector stage at all).
+        qp = dict(quantization_params or {})
+        unknown = sorted(set(qp) - {"ignore", "rescore", "oversampling"})
+        if unknown:
+            raise ValueError(
+                f"unknown quantization_params key(s) {unknown}")
+        if qp.get("ignore"):
+            quantize = None
+        if qp.get("oversampling") is not None:
+            oversampling = float(qp["oversampling"])
+        if qp.get("rescore", True) is False:
+            from .operators.knn import _DISTANCE_METRICS
+
+            if not quantize or exact:
+                raise ValueError(
+                    "quantization_params rescore=False needs an "
+                    "active quantizer (trained, not ignored, no "
+                    "filter, exact=False)")
+            if quantize == "bq":
+                raise ValueError(
+                    "rescore=False supports sq/pq/opq (the binary "
+                    "Hamming rank is not a similarity score)")
+            if cfg.get("metric", "cosine") in _DISTANCE_METRICS:
+                raise ValueError(
+                    "rescore=False returns inner-product-shaped "
+                    "quantized scores; distance-metric collections "
+                    "must rescore")
+            if k is None:
+                raise ValueError("rescore=False requires a finite k")
+            probe = (probe_cells(qv)
+                     if (self.has_index()
+                         and cfg.get("codes_layout") == "cells")
+                     else None)
+            short = self._quant_shortlist(spark, qv, k, id_col,
+                                          probe_ids=probe, cfg=cfg,
+                                          space=space,
+                                          with_scores=True)
+            if score_threshold is not None:
+                short = short.filter(F.col("score") >= score_threshold)
+            payload = [c for c in corpus.columns if c not in not_payload]
+            hits = short
+            if payload:
+                # payload joins back onto the ≤k-row hit list (the
+                # _sparse_search pattern); the corpus fetch is
+                # semi-join-pruned to those ids
+                pay = corpus.select(id_col, *payload).join(
+                    F.broadcast(short.select(id_col)), on=id_col)
+                hits = short.join(F.broadcast(pay), on=id_col,
+                                  how="left")
+            return hits.orderBy(F.col("score").desc(),
+                                F.col(id_col).asc())
         if (cfg.get("transform") == "pca" and cfg.get("pca_mu")
                 and not exact and query_filter is None
                 and k is not None):

@@ -1639,3 +1639,70 @@ def ingest_opq_quantized_search(spark: SparkSession,
     identical. Rotation, codes, LUT ranking, truncation, and rescore
     all hash-check against the factory oracle."""
     return _pq_lifecycle_query(spark, sf_dir, "opq")
+
+
+def _quant_noscore_oracle(k: int = 5) -> str:
+    """Oracle for QuantizationSearchParams(rescore=False): the result
+    scores ARE the quantized ranking — per-dim (min, step) trained on
+    the deduped corpus, int8 encode, bucket-center dequantize-dot
+    (the `_composed_oracle` fragment), ROUND 6, top-k, and NO exact
+    stage anywhere."""
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    mm = ", ".join(f"min(e{j}) AS mn{j}, max(e{j}) AS mx{j}"
+                   for j in range(1, n + 1))
+    deq_terms = []
+    for j, qj in enumerate(q, start=1):
+        st = f"((s.mx{j} - s.mn{j}) / 256.0)"
+        code = (f"LEAST(255, GREATEST(0, FLOOR((e.e{j} - s.mn{j})"
+                f" / {st})))")
+        deq_terms.append(f"(s.mn{j} + ({code} + 0.5) * {st}) * ({qj})")
+    qscore = " + ".join(deq_terms)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    s AS (SELECT {mm} FROM e)
+    SELECT e.id, ROUND({qscore}, 6) AS score
+    FROM e CROSS JOIN s
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("ingest_quantized_noscore_search", _quant_noscore_oracle())
+def ingest_quantized_noscore_search(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Qdrant ``SearchParams.quantization =
+    QuantizationSearchParams(rescore=False)``: the search returns the
+    QUANTIZED ranking scores directly — no full-vector stage at all,
+    so the scan cost is exactly the 4×-smaller codes sidecar and the
+    result's ``score`` column is the dequantize-dot value itself
+    (sq/pq/opq only; `ignore=True` and per-request `oversampling`
+    live on the same dict — tests/test_pq_quantized.py). The oracle
+    recomputes the trained (min, step), every row's int8 codes, and
+    the bucket-center dot with NO rescore stage, so a silently
+    rescoring engine would hash-mismatch."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_noscore_")
+    try:
+        coll = create_collection(root, "cn", dim=8, normalize=False,
+                                 quantization="sq")
+        coll.upsert(spark, points, mode="merge")
+        with phase("search"):
+            res = coll.search(
+                spark, qv, k=5,
+                quantization_params={"rescore": False}) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -344,3 +344,13 @@ def test_sparse_space_search_broadcasts_query_terms(spark, sf_smoke, tmp_path):
         coll.search(spark, (list(q.indices), list(q.values)), k=5))
     assert plan.count("BroadcastHashJoin") >= 2  # qdf prune + hit-list
     assert "CartesianProduct" not in plan
+
+
+def test_opq_adc_probe_is_exchange_free(spark, sf_smoke):
+    """OPQ ADC (round 9) is the PQ shape: literal-LUT element_at sums
+    projected over the cached rotated-code table feeding per-partition
+    heaps — no shuffle, no join, no vector bytes in the probe."""
+    plan = _plan(spark, sf_smoke, "ann_opq_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan

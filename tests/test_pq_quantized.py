@@ -168,3 +168,74 @@ def test_named_space_pq_search(spark, tmp_path):
     "name", ["ingest_pq_quantized_search", "ingest_opq_quantized_search"])
 def test_pq_lifecycle_oracle_parity(spark, sf_smoke, name):
     compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+# --- Qdrant SearchParams.quantization (QuantizationSearchParams) ---
+
+
+def test_quantization_params_ignore_matches_exact(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "qp1", dim=8,
+                             quantization="pq")
+    coll.upsert(spark, _pts(spark, range(40)))
+    qv = [2.0, -1.0, 0.5, 1.0, 0.0, -0.5, 1.5, 0.25]
+    ig = coll.search(spark, qv, k=5,
+                     quantization_params={"ignore": True}).collect()
+    ex = coll.search(spark, qv, k=5, exact=True).collect()
+    assert [(r.id, r.score) for r in ig] == [(r.id, r.score) for r in ex]
+
+
+def test_quantization_params_no_rescore_returns_quantized_scores(
+        spark, tmp_path):
+    coll = create_collection(str(tmp_path), "qp2", dim=8,
+                             quantization="sq")
+    coll.upsert(spark, _pts(spark, range(40)))
+    qv = [2.0, -1.0, 0.5, 1.0, 0.0, -0.5, 1.5, 0.25]
+    nr = coll.search(spark, qv, k=5,
+                     quantization_params={"rescore": False}).collect()
+    assert len(nr) == 5
+    exact_scores = {r.id: r.score for r in
+                    coll.search(spark, qv, k=40, exact=True).collect()}
+    # quantized scores approximate but do not equal the exact ones
+    assert any(abs(r.score - exact_scores[r.id]) > 1e-9 for r in nr)
+    # payload rides along on the ≤k hit list
+    coll2 = create_collection(str(tmp_path), "qp2b", dim=8,
+                              quantization="opq")
+    pts = _pts(spark, range(40)).withColumn(
+        "title", F.concat(F.lit("t"), F.col("id")))
+    coll2.upsert(spark, pts)
+    row = coll2.search(spark, qv, k=3,
+                       quantization_params={"rescore": False}).collect()[0]
+    assert row.title == f"t{row.id}"
+
+
+def test_quantization_params_oversampling_override(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "qp3", dim=8,
+                             quantization="sq")
+    coll.upsert(spark, _pts(spark, range(60)))
+    qv = [2.0, -1.0, 0.5, 1.0, 0.0, -0.5, 1.5, 0.25]
+    a = coll.search(spark, qv, k=5, oversampling=1.0,
+                    quantization_params={"oversampling": 12.0}).collect()
+    b = coll.search(spark, qv, k=5, oversampling=12.0).collect()
+    assert [(r.id, r.score) for r in a] == [(r.id, r.score) for r in b]
+
+
+def test_quantization_params_validation(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "qp4", dim=8,
+                             quantization="bq")
+    coll.upsert(spark, _pts(spark, range(40)))
+    qv = [1.0] * 8
+    with pytest.raises(ValueError, match="unknown quantization_params"):
+        coll.search(spark, qv, k=3, quantization_params={"bogus": 1})
+    with pytest.raises(ValueError, match="supports sq/pq/opq"):
+        coll.search(spark, qv, k=3,
+                    quantization_params={"rescore": False})
+    plain = create_collection(str(tmp_path), "qp5", dim=8)
+    plain.upsert(spark, _pts(spark, range(20)))
+    with pytest.raises(ValueError, match="active quantizer"):
+        plain.search(spark, qv, k=3,
+                     quantization_params={"rescore": False})
+
+
+def test_noscore_lifecycle_oracle_parity(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_quantized_noscore_search"], sf_smoke,
+            "ingest_quantized_noscore_search")
