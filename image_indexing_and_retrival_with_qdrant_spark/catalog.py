@@ -2490,7 +2490,9 @@ class Collection:
                      rescore: int | None = None,
                      recall_target: float | None = None,
                      with_vectors: bool = False,
-                     with_payload=True) -> DataFrame:
+                     with_payload=True,
+                     quantization_params: dict | None = None
+                     ) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
         All queries share ONE corpus pass (broadcast query set +
@@ -2510,7 +2512,8 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact,
                 using=using, oversampling=oversampling, rescore=rescore,
-                recall_target=recall_target, with_payload=with_payload)
+                recall_target=recall_target, with_payload=with_payload,
+                quantization_params=quantization_params)
             asc = self._ranks_ascending(using, vec_col)
             return self._attach_query_vectors(
                 spark, base, with_vectors, using, vec_col, id_col,
@@ -2524,7 +2527,8 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 vec_col=vec_col, nprobe=nprobe, exact=exact,
                 using=using, oversampling=oversampling, rescore=rescore,
-                recall_target=recall_target, with_vectors=with_vectors)
+                recall_target=recall_target, with_vectors=with_vectors,
+                quantization_params=quantization_params)
             return self._apply_with_payload(
                 full, with_payload, id_col, vec_col)
         sv = self.meta.get("sparse_vectors") or {}
@@ -2536,10 +2540,12 @@ class Collection:
                     f"collection has sparse spaces {sorted(sv)}; "
                     "pass using=<name>")
             if (nprobe is not None or exact or rescore is not None
-                    or recall_target is not None):
+                    or recall_target is not None
+                    or quantization_params is not None):
                 raise ValueError(
                     "sparse search takes no dense-tier knobs "
-                    "(nprobe/exact/rescore/recall_target)")
+                    "(nprobe/exact/rescore/recall_target/"
+                    "quantization_params)")
             if isinstance(query_filter, (list, tuple)):
                 raise ValueError(
                     "per-request filters are dense-batch-only; sparse "
@@ -2610,6 +2616,25 @@ class Collection:
               if query_filter is None and per_query is None else None)
         if q_ in ("pq", "opq") and "pq_codebooks" not in cfg:
             q_ = None  # untrained (< pq_codes rows): exact scan
+        # Qdrant QuantizationSearchParams, batch form (one dict for
+        # the whole batch — per-request params would defeat the
+        # single-pass plan): ignore + oversampling mirror search();
+        # rescore=False is single-query-only (the batch result
+        # contract is exact scores per query) — honest rejection
+        # beats a silently different score column.
+        qp = dict(quantization_params or {})
+        unknown = sorted(set(qp) - {"ignore", "rescore", "oversampling"})
+        if unknown:
+            raise ValueError(
+                f"unknown quantization_params key(s) {unknown}")
+        if qp.get("rescore", True) is False:
+            raise ValueError(
+                "quantization_params rescore=False is single-query "
+                "(use search()); batch results carry exact scores")
+        if qp.get("ignore"):
+            q_ = None
+        if qp.get("oversampling") is not None:
+            oversampling = float(qp["oversampling"])
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
         include_pairs = None
@@ -4240,6 +4265,15 @@ def _pq_validate(dim: int, q: str, blocks=None, codes=16) -> tuple[int, int]:
             f"pq_blocks must divide dim {dim} (got {blocks})")
     if not 2 <= codes <= 256:
         raise ValueError("pq_codes must be in 2..256")
+    if codes * dim > 16384:
+        # the bit-reproducible encode is an unrolled expression whose
+        # size is codes×dim literals per full pass; past this it stops
+        # being a reasonable plan (196k literals at 768×256). The
+        # defaults stay comfortably under (16×768 = 12288).
+        raise ValueError(
+            "pq codebook too large for the expression encode "
+            f"(pq_codes × dim ≤ 16384, got {codes * dim}); lower "
+            "pq_codes or use quantization='sq'")
     if q == "opq" and dim > 256:
         raise ValueError(
             "opq supports dim <= 256 (the dxd rotation freezes in "

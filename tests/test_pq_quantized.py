@@ -239,3 +239,31 @@ def test_quantization_params_validation(spark, tmp_path):
 def test_noscore_lifecycle_oracle_parity(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_quantized_noscore_search"], sf_smoke,
             "ingest_quantized_noscore_search")
+
+
+def test_pq_codebook_size_guard(tmp_path):
+    with pytest.raises(ValueError, match="codebook too large"):
+        create_collection(str(tmp_path), "big", dim=768,
+                          quantization="pq", pq_codes=256)
+    # the wide-dim defaults stay under the gate
+    c = create_collection(str(tmp_path), "wide", dim=768,
+                          quantization="pq")
+    assert c.meta["pq_blocks"] == 16 and c.meta["pq_codes"] == 16
+
+
+def test_quantization_params_batch_forms(spark, tmp_path):
+    coll = create_collection(str(tmp_path), "qb", dim=8,
+                             quantization="pq")
+    coll.upsert(spark, _pts(spark, range(50)))
+    qvs = [[1.0] * 8, [2.0, -1.0, 0.5, 1.0, 0.0, -0.5, 1.5, 0.25]]
+    ig = coll.search_batch(spark, qvs, k=3,
+                           quantization_params={"ignore": True}).collect()
+    ex = coll.search_batch(spark, qvs, k=3, exact=True).collect()
+    assert sorted((r.query_idx, r.id, r.score) for r in ig) == \
+        sorted((r.query_idx, r.id, r.score) for r in ex)
+    with pytest.raises(ValueError, match="single-query"):
+        coll.search_batch(spark, qvs, k=3,
+                          quantization_params={"rescore": False})
+    with pytest.raises(ValueError, match="unknown quantization_params"):
+        coll.search_batch(spark, qvs, k=3,
+                          quantization_params={"x": 1})
