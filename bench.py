@@ -177,6 +177,9 @@ HEADLINE = [
     # round 9: QuantizationSearchParams(rescore=False) — the read
     # path is ONLY the codes sidecar (no full-vector stage)
     "ingest_quantized_noscore_search",
+    # round 9: the full FAISS OPQ,IVF,PQ recipe through the catalog
+    # (rotated cells-partitioned codes + probe + ADC + exact rescore)
+    "ingest_opq_composed_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -1706,3 +1706,43 @@ def ingest_quantized_noscore_search(spark: SparkSession,
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("ingest_opq_composed_search", _opq_lifecycle_oracle)
+def ingest_opq_composed_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The full FAISS ``OPQ..,IVF..,PQ..`` recipe as collection
+    config: ``quantization="opq"`` + ``indexing_threshold=1`` builds
+    BOTH the IVF layout and the cells-partitioned rotated-code
+    sidecar in one upsert (``codes_layout == "cells"``); search
+    probes cells, ADC-ranks the 8-bit codes inside them
+    (partition-pruned scan), and exact-rescores the oversampled
+    shortlist via literal ``id IN``. The default probe is exhaustive,
+    so the cells partition drops nothing and the oracle is exactly
+    the flat OPQ twin's (`_pq_lifecycle_oracle(opq=True)`) — the
+    ADC truncation is the checked approximation; non-exhaustive
+    probing is pinned in tests/test_pq_quantized.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_opqc_")
+    try:
+        coll = create_collection(root, "coc", dim=8, normalize=False,
+                                 quantization="opq",
+                                 indexing_threshold=1, k_centroids=4)
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index(), "threshold crossed but index not built"
+        assert coll.meta.get("codes_layout") == "cells", \
+            "rotated codes must share the IVF layout"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5, oversampling=4.0) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

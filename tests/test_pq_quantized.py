@@ -267,3 +267,8 @@ def test_quantization_params_batch_forms(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown quantization_params"):
         coll.search_batch(spark, qvs, k=3,
                           quantization_params={"x": 1})
+
+
+def test_opq_composed_lifecycle_oracle_parity(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_opq_composed_search"], sf_smoke,
+            "ingest_opq_composed_search")
