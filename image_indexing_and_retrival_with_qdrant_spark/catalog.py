@@ -1338,7 +1338,8 @@ class Collection:
                                qvs: list[list[float]], m: int, id_col: str,
                                probe_ids: list[int] | None = None,
                                cfg: dict | None = None,
-                               space: str | None = None) -> DataFrame:
+                               space: str | None = None,
+                               with_scores: bool = False) -> DataFrame:
         """(query_idx, id) pairs of each query's m best points under
         the quantized metric — ONE codes pass for the whole batch
         (broadcast query set + per-query window top-m with map-side
@@ -1433,8 +1434,14 @@ class Collection:
                       .select("query_idx", F.col(id_col),
                               ham.alias("hamming")))
             order = [("hamming", True), (id_col, True)]
-        return grouped_topk(scored, ["query_idx"], order, m,
-                            local_prune=True).select("query_idx", id_col)
+        out = grouped_topk(scored, ["query_idx"], order, m,
+                           local_prune=True)
+        if with_scores:
+            # batch rescore=False: the quantized rank IS the score
+            # (sq/pq/opq — callers reject bq's Hamming rank)
+            return out.select("query_idx", id_col,
+                              F.col(order[0][0]).alias("score"))
+        return out.select("query_idx", id_col)
 
     # -- PCA transform (FAISS "PCA,IVF" as collection config) -------------
 
@@ -2618,25 +2625,62 @@ class Collection:
             q_ = None  # untrained (< pq_codes rows): exact scan
         # Qdrant QuantizationSearchParams, batch form (one dict for
         # the whole batch — per-request params would defeat the
-        # single-pass plan): ignore + oversampling mirror search();
-        # rescore=False is single-query-only (the batch result
-        # contract is exact scores per query) — honest rejection
-        # beats a silently different score column.
+        # single-pass plan): ignore/oversampling/rescore all mirror
+        # search(); rescore=False returns each query's quantized
+        # ranking scores from ONE codes pass.
         qp = dict(quantization_params or {})
         unknown = sorted(set(qp) - {"ignore", "rescore", "oversampling"})
         if unknown:
             raise ValueError(
                 f"unknown quantization_params key(s) {unknown}")
-        if qp.get("rescore", True) is False:
-            raise ValueError(
-                "quantization_params rescore=False is single-query "
-                "(use search()); batch results carry exact scores")
         if qp.get("ignore"):
             q_ = None
         if qp.get("oversampling") is not None:
             oversampling = float(qp["oversampling"])
+        no_rescore = qp.get("rescore", True) is False
+        if no_rescore:
+            from .operators.knn import _DISTANCE_METRICS
+
+            if not q_ or exact:
+                raise ValueError(
+                    "quantization_params rescore=False needs an "
+                    "active quantizer (trained, not ignored, no "
+                    "filter, exact=False)")
+            if q_ == "bq":
+                raise ValueError(
+                    "rescore=False supports sq/pq/opq (the binary "
+                    "Hamming rank is not a similarity score)")
+            if cfg.get("metric", "cosine") in _DISTANCE_METRICS:
+                raise ValueError(
+                    "rescore=False returns inner-product-shaped "
+                    "quantized scores; distance-metric collections "
+                    "must rescore")
+            if k is None:
+                raise ValueError("rescore=False requires a finite k")
         composed = bool(q_ and self.has_index()
                         and cfg.get("codes_layout") == "cells")
+        if no_rescore:
+            short = self._quant_shortlist_batch(
+                spark, qvs, k, id_col,
+                probe_ids=probe_union() if composed else None,
+                cfg=cfg, space=space, with_scores=True)
+            if score_threshold is not None:
+                short = short.filter(F.col("score") >= score_threshold)
+            nr_not_payload = self._vector_columns(vec_col) | {id_col}
+            if with_vectors:
+                nr_not_payload -= {vec_col}
+            payload = [c for c in corpus.columns
+                       if c not in nr_not_payload]
+            hits = short
+            if payload:
+                pay = corpus.select(id_col, *payload).join(
+                    F.broadcast(short.select(id_col).distinct()),
+                    on=id_col)
+                hits = short.join(F.broadcast(pay), on=id_col,
+                                  how="left")
+            return hits.orderBy(F.col("query_idx").asc(),
+                                F.col("score").desc(),
+                                F.col(id_col).asc())
         include_pairs = None
         if (cfg.get("transform") == "pca" and cfg.get("pca_mu")
                 and not exact and query_filter is None

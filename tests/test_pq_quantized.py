@@ -261,9 +261,15 @@ def test_quantization_params_batch_forms(spark, tmp_path):
     ex = coll.search_batch(spark, qvs, k=3, exact=True).collect()
     assert sorted((r.query_idx, r.id, r.score) for r in ig) == \
         sorted((r.query_idx, r.id, r.score) for r in ex)
-    with pytest.raises(ValueError, match="single-query"):
-        coll.search_batch(spark, qvs, k=3,
-                          quantization_params={"rescore": False})
+    # batch rescore=False == per-query single no-rescore
+    b = coll.search_batch(spark, qvs, k=3,
+                          quantization_params={"rescore": False}).collect()
+    want = sorted(
+        (i, r.id, r.score) for i, qv in enumerate(qvs)
+        for r in coll.search(
+            spark, qv, k=3,
+            quantization_params={"rescore": False}).collect())
+    assert sorted((r.query_idx, r.id, r.score) for r in b) == want
     with pytest.raises(ValueError, match="unknown quantization_params"):
         coll.search_batch(spark, qvs, k=3,
                           quantization_params={"x": 1})
