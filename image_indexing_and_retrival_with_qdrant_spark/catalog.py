@@ -232,14 +232,19 @@ class Collection:
         # executed — drift_auto=None, or action="rebuild" under the
         # "split" policy) is the same optimizing-needed state
         drift = self.index_drift()
+        pdrift = (self.pca_drift()
+                  if self.meta.get("transform") == "pca" else None)
         status = "yellow" if ((needs_index and not self.has_index())
                               or sparse_pending
-                              or (drift or {}).get("action")) else "green"
+                              or (drift or {}).get("action")
+                              or (pdrift or {}).get("action")) \
+            else "green"
         return {
             "status": status,
             "points_count": n,
             "indexed": self.has_index(),
             "index_drift": drift,
+            "pca_drift": pdrift,
             "payload_indexes": list(self.meta.get(
                 "payload_indexes") or ()),
             "segments_count": len([f for f in os.listdir(self.path)
@@ -357,17 +362,19 @@ class Collection:
     def has_index(self) -> bool:
         return bool(self.meta.get("index_built"))
 
-    def _ivf_footer_counts(self) -> dict[int, int]:
-        """Per-cell row counts of the IVF layout from parquet FOOTERS
-        (no Spark job — same cost model as the fast count): walk the
-        ``partitionBy(centroid_id)`` directory tree and sum each
-        partition directory's footer row counts."""
+    @staticmethod
+    def _partition_footer_counts(path: str, key: str) -> dict[int, int]:
+        """Per-partition row counts of a ``partitionBy(key)`` layout
+        from parquet FOOTERS (no Spark job — same cost model as the
+        fast count): walk the directory tree and sum each partition
+        directory's footer row counts."""
         import pyarrow.parquet as pq
 
         counts: dict[int, int] = {}
-        for root_dir, _dirs, files in os.walk(self._ivf_points):
+        prefix = key + "="
+        for root_dir, _dirs, files in os.walk(path):
             base = os.path.basename(root_dir)
-            if not base.startswith("centroid_id="):
+            if not base.startswith(prefix):
                 continue
             cid = int(base.split("=", 1)[1])
             for f in files:
@@ -375,6 +382,10 @@ class Collection:
                     counts[cid] = counts.get(cid, 0) + pq.read_metadata(
                         os.path.join(root_dir, f)).num_rows
         return counts
+
+    def _ivf_footer_counts(self) -> dict[int, int]:
+        return self._partition_footer_counts(self._ivf_points,
+                                             "centroid_id")
 
     def index_drift(self, cell_cap: float | None = None,
                     growth_cap: float | None = None) -> dict | None:
@@ -447,6 +458,82 @@ class Collection:
             "rebuild_recommended": action == "rebuild",
             "split_recommended": action == "split",
         }
+
+    def pca_drift(self, space: str | None = None,
+                  cell_cap: float | None = None,
+                  growth_cap: float | None = None) -> dict | None:
+        """Append-drift meter for a PCA-transformed space's ``pcell``
+        sidecar — ``index_drift()``'s twin, answered from parquet
+        footers: appends project + assign with the FROZEN
+        (mu, W, compressed-space centroids) and never retrain
+        (`_refresh_pca_one`), so a distribution-shifted append stream
+        skews the compressed cells exactly the way it skews the raw
+        IVF layout — the probe cost of the hot pcell grows toward its
+        corpus fraction and routed recall decays at the shifted
+        region's boundaries. Same caps/growth algebra as
+        ``index_drift()``, but only ONE action: both a growth breach
+        and an absolute-cap breach map to ``action="rebuild"`` —
+        there is no in-place split remedy, because the cells live in
+        the LEARNED subspace (a shifted stream also moves the optimal
+        mu/W, so re-carving cells under stale components just
+        re-partitions a wrong projection). The remedy is
+        ``rebuild_transform()``. Returns None without a trained
+        transform."""
+        cfg = (self.meta["vectors"][space] if space is not None
+               else self.meta)
+        if cfg.get("transform") != "pca" or "pca_mu" not in cfg:
+            return None
+        counts = self._partition_footer_counts(
+            self._pca_path_for(space), "pcell")
+        total = sum(counts.values())
+        if not total:
+            return None
+        k = len(cfg.get("pca_centroids") or ()) or 1
+        cap = float(cell_cap if cell_cap is not None
+                    else self.meta.get("drift_cell_cap", 4.0))
+        gcap = float(growth_cap if growth_cap is not None
+                     else self.meta.get("drift_growth_cap", 1.5))
+        max_frac = max(counts.values()) / total
+        ratio = max_frac * k
+        base = cfg.get("pca_balance_ratio")
+        growth = (ratio / base) if base else None
+        action = ("rebuild"
+                  if ((growth is not None and growth > gcap)
+                      or ratio > cap) else None)
+        return {
+            "cells": len(counts),
+            "max_cell_fraction": round(max_frac, 6),
+            "balance_ratio": round(ratio, 4),
+            "baseline_balance_ratio": base,
+            "balance_growth": round(growth, 4) if growth else None,
+            "cell_cap": cap,
+            "growth_cap": gcap,
+            "action": action,
+            "rebuild_recommended": action == "rebuild",
+        }
+
+    def rebuild_transform(self, spark: SparkSession,
+                          space: str | None = None,
+                          id_col: str = "id",
+                          vec_col: str = "embedding") -> dict | None:
+        """Full retrain + re-projection of a PCA-transformed space —
+        ``pca_drift()``'s remedy and the transform analog of
+        ``rebuild_index()``: drop the frozen (mu, W, centroids,
+        baseline) and re-run the deferred build against the CURRENT
+        table (the bounded id-prefix now includes the shifted data,
+        so components, cells, and the drift baseline all re-place).
+        Returns the refreshed ``pca_drift()``."""
+        cfg = (self.meta["vectors"][space] if space is not None
+               else self.meta)
+        if cfg.get("transform") != "pca":
+            raise ValueError("no PCA transform on this space")
+        for key in ("pca_mu", "pca_w", "pca_centroids",
+                    "pca_balance_ratio"):
+            cfg.pop(key, None)
+        self._save_meta()
+        shutil.rmtree(self._pca_path_for(space), ignore_errors=True)
+        self._refresh_pca(spark, None, id_col, vec_col, rewrote=True)
+        return self.pca_drift(space)
 
     def _centroids(self, spark: SparkSession) -> list[list[float]]:
         """centroid_id-ordered centroid list (≤ k_centroids rows — a
@@ -1525,6 +1612,17 @@ class Collection:
         mode = "overwrite" if rewrote else "append"
         (projected.write.mode(mode).partitionBy("pcell")
          .parquet(self._pca_path_for(space)))
+        if rewrote:
+            # record the post-(re)build balance as the drift baseline
+            # (the index_balance_ratio discipline: the absolute ratio
+            # alone can't separate "that's just the data" from drift)
+            counts = self._partition_footer_counts(
+                self._pca_path_for(space), "pcell")
+            if counts and cfg.get("pca_centroids"):
+                cfg["pca_balance_ratio"] = round(
+                    max(counts.values()) / sum(counts.values())
+                    * len(cfg["pca_centroids"]), 4)
+                self._save_meta()
 
     def _pca_shortlist(self, spark: SparkSession, qv: list[float],
                        m: int, id_col: str, cfg: dict,

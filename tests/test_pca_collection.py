@@ -191,3 +191,58 @@ def test_normalized_space_routes(spark, tmp_path):
 def test_registry_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_pca_space_search"], sf_smoke,
             "ingest_pca_space_search")
+
+
+# --- round 9: pca_drift / rebuild_transform (index_drift's twin for
+# --- the pcell sidecar)
+
+
+def test_pca_drift_meter_and_rebuild_transform(spark, tmp_path):
+    """The crossing build records a pcell balance baseline; a
+    distribution-shifted append (projected/assigned with the FROZEN
+    components) grows the hot compressed cell past the growth cap —
+    pca_drift() flags rebuild, info() surfaces it (status yellow),
+    and rebuild_transform() retrains on the current prefix, resets
+    the baseline, and keeps search exact-consistent."""
+    c = create_collection(str(tmp_path), "pd", dim=6, normalize=False,
+                          transform="pca", pca_dim=3,
+                          indexing_threshold=1, k_centroids=4)
+    c.upsert(spark, _pts(spark))
+    d0 = c.pca_drift()
+    assert d0 is not None and d0["baseline_balance_ratio"] is not None
+    assert abs(d0["balance_growth"] - 1.0) < 0.01
+    assert d0["action"] is None
+
+    # 3x the corpus piled on one direction: the frozen projection
+    # funnels it into one compressed cell
+    const = F.expr("array(3.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)")
+    skew = _pts(spark).withColumn(
+        "id", F.col("id") + 1000).withColumn("embedding", const)
+    for off in (0, 100, 200):
+        c.upsert(spark, skew.withColumn("id", F.col("id") + off))
+    d1 = c.pca_drift()
+    assert d1["balance_growth"] > d1["growth_cap"], d1
+    assert d1["rebuild_recommended"]
+    info = c.info(spark)
+    assert info["pca_drift"]["rebuild_recommended"]
+    assert info["status"] == "yellow"
+
+    d2 = c.rebuild_transform(spark)
+    assert abs(d2["balance_growth"] - 1.0) < 0.01
+    assert not d2["rebuild_recommended"]
+    # the rebuilt read path still agrees with the exact scan at
+    # exhaustive probe depth
+    qv = [1.0, 0.5, -0.5, 1.0, 0.25, 0.5]
+    routed = [(r.id, r.score) for r in
+              c.search(spark, qv, k=5, oversampling=16.0).collect()]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert routed == exact
+
+
+def test_pca_drift_none_without_transform(spark, tmp_path):
+    c = create_collection(str(tmp_path), "nd", dim=6, normalize=False)
+    c.upsert(spark, _pts(spark))
+    assert c.pca_drift() is None
+    with pytest.raises(ValueError, match="no PCA transform"):
+        c.rebuild_transform(spark)
