@@ -234,7 +234,14 @@ class Collection:
         drift = self.index_drift()
         pdrift = (self.pca_drift()
                   if self.meta.get("transform") == "pca" else None)
-        status = "yellow" if ((needs_index and not self.has_index())
+        # a transform="pca" collection's deferred build IS its index
+        # (the raw auto-index is replaced — create_collection docs):
+        # the pending state is "threshold crossed, transform
+        # untrained", not the absent raw layout
+        pending_index = (needs_index and not self.has_index())
+        if self.meta.get("transform") == "pca":
+            pending_index = needs_index and "pca_mu" not in self.meta
+        status = "yellow" if (pending_index
                               or sparse_pending
                               or (drift or {}).get("action")
                               or (pdrift or {}).get("action")) \
@@ -930,10 +937,11 @@ class Collection:
                 raise ValueError(
                     "drift_auto must be None, 'split' or 'rebuild'")
             if drift_auto is not None:
-                if self.meta.get("indexing_threshold") is None:
+                if self.meta.get("indexing_threshold") is None \
+                        and self.meta.get("transform") is None:
                     raise ValueError(
-                        "drift_auto needs indexing_threshold (no IVF "
-                        "layout to maintain otherwise)")
+                        "drift_auto needs indexing_threshold or a "
+                        "transform (no maintained layout otherwise)")
                 if self.meta.get("multivector"):
                     raise ValueError(
                         "drift_auto supports dense single-space "
@@ -1805,7 +1813,9 @@ class Collection:
         - ``"rebuild"``: full autonomy — ``rebuild_index()`` on
           ``rebuild`` verdicts (then the split remedy once if the
           fresh layout still has a legitimately-dense cell over the
-          absolute cap), ``split_hot_cells()`` on ``split`` verdicts.
+          absolute cap), ``split_hot_cells()`` on ``split`` verdicts,
+          and ``rebuild_transform()`` on a PCA sidecar's
+          ``pca_drift()`` rebuild verdict.
 
         The check itself is parquet-footer math (no scan);
         reentrancy-guarded because ``rebuild_index()`` runs
@@ -1813,9 +1823,10 @@ class Collection:
         policy = self.meta.get("drift_auto")
         if not policy or getattr(self, "_in_auto_drift", False):
             return
-        drift = self.index_drift()
-        action = (drift or {}).get("action")
-        if not action:
+        action = (self.index_drift() or {}).get("action")
+        p_action = ((self.pca_drift() or {}).get("action")
+                    if self.meta.get("transform") == "pca" else None)
+        if not action and not p_action:
             return
         self._in_auto_drift = True
         try:
@@ -1829,6 +1840,11 @@ class Collection:
                 if (after or {}).get("action") == "split":
                     self.split_hot_cells(spark, vec_col=vec_col,
                                          id_col=id_col)
+            if p_action == "rebuild" and policy == "rebuild":
+                # the transform sidecar's only remedy is a full
+                # retrain — never implicit under the "split" policy
+                self.rebuild_transform(spark, id_col=id_col,
+                                       vec_col=vec_col)
         finally:
             self._in_auto_drift = False
 
@@ -4482,10 +4498,12 @@ def create_collection(root: str, name: str, dim: int | None = None,
     write. ``"split"`` runs ``split_hot_cells()`` on split verdicts
     (in-place, cost ∝ hot data) but never a full retrain;
     ``"rebuild"`` additionally runs ``rebuild_index()`` on rebuild
-    verdicts. ``None`` (default) only surfaces pending verdicts as
-    ``info()["status"] == "yellow"``. Requires ``indexing_threshold``
-    (there is no layout to maintain otherwise); dense single-space
-    collections."""
+    verdicts — and, on transform="pca" collections,
+    ``rebuild_transform()`` on ``pca_drift()`` rebuild verdicts (the
+    learned sidecar's only remedy). ``None`` (default) only surfaces
+    pending verdicts as ``info()["status"] == "yellow"``. Requires
+    ``indexing_threshold`` or a transform (no maintained layout
+    otherwise); dense single-space collections."""
     os.makedirs(root, exist_ok=True)
     if not collection_exists(root, name):
         if vectors is not None:
@@ -4619,10 +4637,10 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 if drift_auto not in ("split", "rebuild"):
                     raise ValueError(
                         "drift_auto must be None, 'split' or 'rebuild'")
-                if indexing_threshold is None:
+                if indexing_threshold is None and transform is None:
                     raise ValueError(
-                        "drift_auto needs indexing_threshold (no IVF "
-                        "layout to maintain otherwise)")
+                        "drift_auto needs indexing_threshold or a "
+                        "transform (no maintained layout otherwise)")
                 if multivector:
                     raise ValueError(
                         "drift_auto supports dense single-space "

@@ -246,3 +246,28 @@ def test_pca_drift_none_without_transform(spark, tmp_path):
     assert c.pca_drift() is None
     with pytest.raises(ValueError, match="no PCA transform"):
         c.rebuild_transform(spark)
+
+
+def test_drift_auto_rebuilds_transform(spark, tmp_path):
+    """drift_auto='rebuild' on a transform collection: the shifted
+    append's own post-write hook consumes the pca_drift verdict via
+    rebuild_transform — no manual call, baseline reset, status
+    green."""
+    c = create_collection(str(tmp_path), "pa", dim=6, normalize=False,
+                          transform="pca", pca_dim=3,
+                          indexing_threshold=1, k_centroids=4,
+                          drift_auto="rebuild")
+    c.upsert(spark, _pts(spark))
+    mu0 = list(c.meta["pca_mu"])
+    const = F.expr("array(3.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D)")
+    skew = _pts(spark).withColumn(
+        "id", F.col("id") + 1000).withColumn("embedding", const)
+    for off in (0, 100, 200):
+        c.upsert(spark, skew.withColumn("id", F.col("id") + off))
+    d = c.pca_drift()
+    assert d["action"] is None, d            # consumed in-line
+    # the rebuild fires at whichever append breaches the cap; later
+    # appends may re-drift a little but stay under the caps
+    assert d["balance_growth"] < d["growth_cap"]
+    assert list(c.meta["pca_mu"]) != mu0     # components re-trained
+    assert c.info(spark)["status"] == "green"
