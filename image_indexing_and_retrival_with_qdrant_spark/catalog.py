@@ -4423,15 +4423,6 @@ def _pq_validate(dim: int, q: str, blocks=None, codes=16) -> tuple[int, int]:
             f"pq_blocks must divide dim {dim} (got {blocks})")
     if not 2 <= codes <= 256:
         raise ValueError("pq_codes must be in 2..256")
-    if codes * dim > 16384:
-        # the bit-reproducible encode is an unrolled expression whose
-        # size is codes×dim literals per full pass; past this it stops
-        # being a reasonable plan (196k literals at 768×256). The
-        # defaults stay comfortably under (16×768 = 12288).
-        raise ValueError(
-            "pq codebook too large for the expression encode "
-            f"(pq_codes × dim ≤ 16384, got {codes * dim}); lower "
-            "pq_codes or use quantization='sq'")
     if q == "opq" and dim > 256:
         raise ValueError(
             "opq supports dim <= 256 (the dxd rotation freezes in "

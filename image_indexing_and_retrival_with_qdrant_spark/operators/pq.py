@@ -215,23 +215,33 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
 
 
 def pq_code_sql(codebook: list, vec_sql: str, off: int) -> str:
-    """One block's nearest-codeword id as a JVM-parseable SQL string:
-    unrolled left-associated (x−c)² sums per codeword over
-    ``vec_sql``'s elements at ``off``.. (CAST to DOUBLE — identity on
-    double inputs, the widening on float32 storage), argmin via
-    ``array_min`` over (d, i) structs (first-min tie-break). The
-    string form costs ~ms to build where the Column form costs
-    ~k·subdim·5 py4j round trips (measured 10 s at 8×16×8)."""
-    entries = ", ".join(
-        "named_struct('d', (" + " + ".join(
-            f"((CAST(element_at({vec_sql}, {off + j + 1}) AS DOUBLE)"
-            f" - {float(cj)!r}D)"
-            f" * (CAST(element_at({vec_sql}, {off + j + 1}) AS DOUBLE)"
-            f" - {float(cj)!r}D))"
-            for j, cj in enumerate(cw)
-        ) + f"), 'i', {cid})"
-        for cid, cw in enumerate(codebook))
-    return f"array_min(array({entries})).i"
+    """One block's nearest-codeword id as a JVM-parseable SQL string
+    in the LOOP shape: distances as a ``transform`` over the codebook
+    array literal — each a ``zip_with`` + ``aggregate`` fold-sum of
+    (x−c)², bit-equal to the unrolled left-assoc chain (a left fold
+    from 0.0 equals it; the operators/pca.py proven pairing) — then
+    argmin via ``array_position(dists, array_min(dists))``, the same
+    first-minimum tie-break as the oracle's ``list_position``.
+
+    Why loop-shaped and not the fully-unrolled struct form: the
+    unrolled tree is O(k·subdim) expression NODES, and janino blows
+    the driver heap compiling it at large shapes (measured: OOM at
+    128 codes × 64-d and at the 768-d defaults, 16×16×48). This form
+    is O(1) nodes over two constant-folded array literals, so plan
+    size is independent of the codebook. The string form costs ~ms to
+    build where the Column form costs ~k·subdim·5 py4j round trips
+    (measured 10 s at 8×16×8)."""
+    from ..functions.vector import _lit_array_sql
+
+    subdim = len(codebook[0])
+    cb = "array(" + ", ".join(_lit_array_sql(cw) for cw in codebook) + ")"
+    sub = (f"slice(CAST({vec_sql} AS ARRAY<DOUBLE>), {off + 1}, "
+           f"{subdim})")
+    dists = (f"transform({cb}, cw -> aggregate(zip_with({sub}, cw, "
+             f"(x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), "
+             f"(a, x) -> a + x))")
+    return (f"CAST(array_position({dists}, array_min({dists})) - 1 "
+            f"AS INT)")
 
 
 def rotation_fold_sql(R: list, vec_sql: str) -> str:

@@ -241,11 +241,10 @@ def test_noscore_lifecycle_oracle_parity(spark, sf_smoke):
             "ingest_quantized_noscore_search")
 
 
-def test_pq_codebook_size_guard(tmp_path):
-    with pytest.raises(ValueError, match="codebook too large"):
-        create_collection(str(tmp_path), "big", dim=768,
-                          quantization="pq", pq_codes=256)
-    # the wide-dim defaults stay under the gate
+def test_pq_codebook_defaults_wide(tmp_path):
+    """Wide-dim defaults: 16 blocks × 16 codes at 768-d (the loop-
+    shaped encode keeps plan size independent of the codebook, so no
+    size gate beyond pq_codes ≤ 256)."""
     c = create_collection(str(tmp_path), "wide", dim=768,
                           quantization="pq")
     assert c.meta["pq_blocks"] == 16 and c.meta["pq_codes"] == 16
@@ -278,3 +277,51 @@ def test_quantization_params_batch_forms(spark, tmp_path):
 def test_opq_composed_lifecycle_oracle_parity(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_opq_composed_search"], sf_smoke,
             "ingest_opq_composed_search")
+
+
+def test_pq_large_codebook_64d(spark, tmp_path):
+    """pq_codes=128 at 64-d (the recall-relevant configuration —
+    BASELINE.md §opq measured the rotation win at 8×128): trains past
+    128 rows, encodes 8 codes/row, high-oversampling search equals
+    exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(200)]
+    pts = spark.createDataFrame(rows, "id int, embedding array<double>")
+    coll = create_collection(str(tmp_path), "big", dim=64,
+                             quantization="opq", pq_codes=128)
+    coll.upsert(spark, pts)
+    assert len(coll.meta["pq_codebooks"][0]) == 128
+    qv = rows[5][1]
+    approx = coll.search(spark, qv, k=5, oversampling=20.0).collect()
+    exact = coll.search(spark, qv, k=5, exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_pq_wide_named_space_768d(spark, tmp_path):
+    """Production-width named space (768-d, default 16 blocks × 48-d
+    subvectors): the SQL-string encode and the width-gated machinery
+    hold at real embedding width."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(768)])
+            for i in range(40)]
+    pts = spark.createDataFrame(rows, "id int, v array<double>")
+    coll = create_collection(
+        str(tmp_path), "wide",
+        vectors={"v": {"dim": 768, "quantization": "pq",
+                       "normalize": False}})
+    coll.upsert(spark, pts)
+    assert coll.meta["vectors"]["v"]["pq_blocks"] == 16
+    codes = spark.read.parquet(coll._codes_path_for("v"))
+    assert codes.count() == 40
+    qv = rows[3][1]
+    approx = coll.search(spark, qv, k=5, using="v",
+                         oversampling=8.0).collect()
+    exact = coll.search(spark, qv, k=5, using="v", exact=True).collect()
+    assert [(r.id, r.score) for r in approx] == \
+        [(r.id, r.score) for r in exact]
