@@ -1174,24 +1174,18 @@ def _opq_det_index(spark: SparkSession, sf_dir: str, n_blocks: int = 8):
             "vec_id",
             F.expr("array(" + ", ".join(comps) + ")").alias("rot"),
         ).localCheckpoint(eager=True)
-        # per-block argmin rendered as ONE JVM-parsed SQL string: the
-        # Column-built form costs ~n_blocks·k·d·5 py4j round trips of
-        # driver latency (measured 10 s at 8×16×8 — data-independent);
-        # the parsed tree is value-identical (same left-assoc (x−c)²
-        # sums over the rotated doubles, same array_min struct argmin)
-        def code_sql(cb: list, off: int) -> str:
-            entries = ", ".join(
-                "named_struct('d', (" + " + ".join(
-                    f"((element_at(`rot`, {off + j + 1}) - {float(cj)!r}D)"
-                    f" * (element_at(`rot`, {off + j + 1}) - {float(cj)!r}D))"
-                    for j, cj in enumerate(cw)
-                ) + f"), 'i', {cid})"
-                for cid, cw in enumerate(cb))
-            return f"array_min(array({entries})).i"
+        # per-block argmin via the shared LOOP-shape SQL string
+        # (operators/pq.py::pq_code_sql): distances as a transform
+        # over the codebook array literal with a fold-sum per
+        # codeword — bit-equal to the unrolled left-assoc chain, with
+        # a plan size independent of the codebook (the unrolled form
+        # evaluated interpreted past janino's budget: ~10 s/50k rows
+        # at 8×16×8; the loop form whole-stage-compiles)
+        from ..operators.pq import pq_code_sql
 
         codes = rot.selectExpr(
             "vec_id",
-            *[f"{code_sql(cbs[b], b * subdim)} AS code{b}"
+            *[f"{pq_code_sql(cbs[b], '`rot`', b * subdim)} AS code{b}"
               for b in range(n_blocks)],
         ).localCheckpoint(eager=True)
         _OPQ_DET_CACHE[key] = (codes, cbs)
