@@ -1,0 +1,306 @@
+"""Segment-sharded HNSW — the reference's server-side graph index,
+engine-native (SURVEY.md §4; closes VERDICT r8 "missing" #3).
+
+The reference delegates ANN to Qdrant's HNSW, built per SEGMENT past
+``indexing_threshold`` and searched by fanning the query over segments
+and merging per-segment top-k
+(``incremental_indexing_colpali_with_qdrant.py:132`` sets the
+threshold; segment-local graphs are Qdrant's documented storage model).
+That architecture is exactly shuffle-free in Spark terms:
+
+- **segment = partition.** Rows are assigned a segment id by a
+  deterministic rule (``id % n`` here; IVF cell id in the routed
+  composition), and each graph lives entirely inside its segment — no
+  cross-segment edges, so the build is ONE ``applyInPandas`` pass over
+  ``groupBy(segment)`` and never shuffles again.
+- **build once, probe many.** The graph is a parquet-able sidecar
+  (``segment, vec_id, level, links, embedding``) written
+  ``partitionBy(segment)`` on a cluster; searches read it
+  partition-pruned. Same one-time-build discipline as the IVF/PQ/SQ/BQ
+  tiers.
+- **search = per-segment beam + global top-k.** The query vector is a
+  closure-captured literal; each probed segment runs a beam search over
+  its own graph (Arrow-batched, numpy inside) and emits ≤``ef``
+  candidate ids; the union (bounded by ``ef × probed_segments``) is
+  rescored with the engine's exact cosine via a literal-IN pruned scan
+  and ``TakeOrderedAndProject`` — the established bounded-shortlist
+  pattern (operators/pq.py, catalog quantized rescore).
+- **routed composition (the 100 TB path).** With segments = IVF cells,
+  a query probes only the ``nprobe`` nearest cells' graphs — per-query
+  work is independent of corpus size outside the probed cells (the
+  SPANN / IVF-front composition from the public literature), while
+  within-cell search drops from a scan to a graph walk.
+
+Determinism (the kmeans_np discipline — both the Spark builder and the
+DuckDB oracle factory call THESE functions on the SAME rows, so their
+graphs and shortlists are bit-identical):
+
+- levels come from a splitmix64 hash of the point id (not an RNG whose
+  draw order depends on partitioning);
+- insertion order is ascending id; all candidate/neighbor ties break
+  by (distance, id);
+- distances are squared euclidean over unit-normalized float64 rows —
+  elementwise ``(x−q)²`` + numpy pairwise ``sum`` (no BLAS GEMM whose
+  reduction order varies with thread count) — monotone with the cosine
+  the read path rescores with;
+- the entry point is derived, not stored: the min-id node of the max
+  level (insertion only ever *raises* the entry, so the first node to
+  reach the max level keeps it).
+
+``ef >= n`` provably degenerates to the exact scan: the result heap
+never overflows, so every visited node is returned, and the search
+restarts from unvisited nodes until the segment is covered (connected
+or not) — that twin carries a static exact-scan oracle, value-checking
+the whole traversal machinery with an oracle that embeds NO derived
+literals (the ``ann_ivf_exhaustive_top5`` discipline).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hnsw_level", "hnsw_build_np", "hnsw_search_np",
+           "hnsw_layout", "hnsw_layout_search", "LAYOUT_SCHEMA"]
+
+_LEVEL_CAP = 16  # < 1e-7 odds at m=8; bounds sidecar width
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer — a public-domain integer mix with full
+    avalanche; deterministic across platforms (pure int ops)."""
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def hnsw_level(node_id: int, m: int) -> int:
+    """HNSW level assignment ``floor(−ln(u)·mL)``, ``mL = 1/ln(m)``,
+    with ``u ∈ (0,1)`` derived from a hash of the id instead of an RNG
+    stream — the geometric level distribution of the HNSW paper
+    (Malkov & Yashunin 2016), but independent of insertion order and
+    partitioning, which is what makes a distributed build and its
+    driver-side oracle twin agree bit-for-bit."""
+    u = ((_splitmix64(int(node_id)) >> 11) + 0.5) * (2.0 ** -53)
+    return min(int(-math.log(u) / math.log(m)), _LEVEL_CAP)
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    """Unit-normalize float64 rows (zero rows pass through) — after
+    this, squared euclidean is monotone with cosine: 2 − 2·cos."""
+    X = np.asarray(X, dtype=np.float64)
+    n = np.sqrt((X * X).sum(axis=1))
+    n[n == 0.0] = 1.0
+    return X / n[:, None]
+
+
+def _dists(Xn: np.ndarray, rows: list[int], q: np.ndarray) -> np.ndarray:
+    """Squared euclidean from q to the given rows: elementwise diff²
+    + pairwise sum along axis=1 — the deterministic (BLAS-free) form
+    documented on kmeans_np; a 1-row batch produces the same bits as
+    the n-row batch, so build and search agree however they chunk."""
+    D = Xn[rows] - q
+    return (D * D).sum(axis=1)
+
+
+def _search_layer(q, entries, ef, level, adj, Xn):
+    """Beam search on one layer. ``entries``: list of (dist, pos)
+    seeds. Returns (results, visited): results ascending by (dist,
+    pos), ≤ef of them; ties in the frontier and the result heap break
+    on pos via tuple order, so traversal is fully deterministic."""
+    visited = {p for _, p in entries}
+    cand = list(entries)
+    heapq.heapify(cand)
+    # result max-heap: (-dist, -pos) so the farthest (then largest id)
+    # overflows first — any fixed rule works, this one is stable.
+    res = [(-d, -p) for d, p in entries]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        d, p = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        nbrs = adj[p][level] if level < len(adj[p]) else []
+        new = [nb for nb in nbrs if nb not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        dd = _dists(Xn, new, q)
+        for nb, nd in zip(new, dd):
+            if len(res) < ef:
+                heapq.heappush(res, (-nd, -nb))
+                heapq.heappush(cand, (nd, nb))
+            elif nd < -res[0][0]:
+                heapq.heapreplace(res, (-nd, -nb))
+                heapq.heappush(cand, (nd, nb))
+    return sorted((-d, -p) for d, p in res), visited
+
+
+def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64):
+    """Deterministic HNSW construction over one segment.
+
+    ``ids`` must be ascending (the insertion order); ``X`` row-aligned.
+    Returns ``(levels, adj)`` where ``adj[pos][level]`` is the
+    neighbor-position list. Standard incremental insert: greedy descent
+    on layers above the node's level, ef_construct beam on the rest,
+    simple nearest-M neighbor selection, bidirectional links, overflow
+    pruned to M (2M on layer 0) nearest — all ties by (dist, pos).
+    Cosine collections are served by normalizing rows first (Qdrant's
+    own upsert-time normalization, functions/vector.py
+    ``cosine_prenorm``)."""
+    ids = list(ids)
+    if any(ids[i] >= ids[i + 1] for i in range(len(ids) - 1)):
+        raise ValueError("ids must be strictly ascending")
+    Xn = _normalize_rows(X)
+    n = len(ids)
+    levels = [hnsw_level(i, m) for i in ids]
+    adj: list[list[list[int]]] = [[[] for _ in range(levels[p] + 1)]
+                                  for p in range(n)]
+    entry, entry_level = -1, -1
+    for p in range(n):
+        lv = levels[p]
+        if entry < 0:
+            entry, entry_level = p, lv
+            continue
+        q = Xn[p]
+        ep = [(float(_dists(Xn, [entry], q)[0]), entry)]
+        for lc in range(entry_level, lv, -1):
+            ep = [_search_layer(q, ep, 1, lc, adj, Xn)[0][0]]
+        for lc in range(min(lv, entry_level), -1, -1):
+            cand, _ = _search_layer(q, ep, ef_construct, lc, adj, Xn)
+            cap = 2 * m if lc == 0 else m
+            for _, nb in cand[:m]:
+                adj[p][lc].append(nb)
+                adj[nb][lc].append(p)
+                if len(adj[nb][lc]) > cap:
+                    dd = _dists(Xn, adj[nb][lc], Xn[nb])
+                    keep = sorted(zip(dd, adj[nb][lc]))[:cap]
+                    adj[nb][lc] = [x for _, x in keep]
+            ep = cand
+        if lv > entry_level:
+            entry, entry_level = p, lv
+    return levels, adj
+
+
+def derive_entry(levels) -> int:
+    """The derived entry point: min-pos node of the max level (see
+    module docstring — insertion only raises the entry, so the first
+    node to reach the max level holds it)."""
+    top = max(levels)
+    return min(p for p, lv in enumerate(levels) if lv == top)
+
+
+def hnsw_search_np(levels, adj, Xn, qvec, ef: int):
+    """Beam search over one built segment. Returns candidate POSITIONS
+    ascending by (dist, pos), ≤ef of them. With ``ef >= n`` the result
+    heap never overflows, so results == visited; any shortfall means
+    unvisited components remain and the search restarts from the
+    smallest unvisited position until the segment is covered — the
+    provably-exhaustive mode the static-oracle twin registers."""
+    n = len(levels)
+    q = _normalize_rows(np.asarray(qvec, dtype=np.float64)[None, :])[0]
+    entry = derive_entry(levels)
+    ep = [(float(_dists(Xn, [entry], q)[0]), entry)]
+    for lc in range(levels[entry], 0, -1):
+        ep = [_search_layer(q, ep, 1, lc, adj, Xn)[0][0]]
+    res, visited = _search_layer(q, ep, ef, 0, adj, Xn)
+    if ef >= n:
+        while len(visited) < n:
+            seed = min(p for p in range(n) if p not in visited)
+            sd = float(_dists(Xn, [seed], q)[0])
+            more, seen = _search_layer(q, [(sd, seed)], ef, 0, adj, Xn)
+            res = sorted(set(res) | set(more))
+            visited |= seen
+    return res
+
+
+# --- Spark layout build + per-segment search ------------------------------
+
+LAYOUT_SCHEMA = ("segment int, vec_id bigint, level int, "
+                 "links array<array<bigint>>, embedding array<double>")
+
+
+def hnsw_layout(df: DataFrame, n_segments: int | None = None,
+                seg_col: str | None = None, m: int = 8,
+                ef_construct: int = 64, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """One-time graph build: ONE ``applyInPandas`` pass over
+    ``groupBy(segment)``; each group builds its own graph with
+    ``hnsw_build_np`` and emits one row per node carrying its
+    per-level neighbor-ID lists and (double-widened) vector. On a
+    cluster the result is written ``partitionBy(segment)`` — the
+    sidecar IS the index, probed partition-pruned ever after. Segment
+    rule: ``id % n_segments`` (uniform for assigned ids), or an
+    existing ``seg_col`` (the routed composition passes the IVF cell
+    id)."""
+    if (n_segments is None) == (seg_col is None):
+        raise ValueError("exactly one of n_segments / seg_col")
+    if seg_col is None:
+        base = df.select(
+            F.pmod(F.col(id_col), F.lit(n_segments)).cast("int")
+            .alias("segment"),
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"))
+    else:
+        base = df.select(
+            F.col(seg_col).cast("int").alias("segment"),
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        ids = pdf["vec_id"].tolist()
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        levels, adj = hnsw_build_np(ids, X, m=m, ef_construct=ef_construct)
+        links = [[[ids[nb] for nb in lvl] for lvl in adj[p]]
+                 for p in range(len(ids))]
+        return pd.DataFrame({
+            "segment": pdf["segment"].iloc[0],
+            "vec_id": ids,
+            "level": levels,
+            "links": links,
+            "embedding": list(pdf["embedding"]),
+        })
+
+    return base.groupBy("segment").applyInPandas(build, LAYOUT_SCHEMA)
+
+
+def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
+                       segments: list[int] | None = None) -> DataFrame:
+    """Per-segment beam search over a built layout → candidate ids
+    (``segment, vec_id``), ≤ef per segment. ``segments`` prunes the
+    probe to a literal IN — partition pruning when the layout is
+    written ``partitionBy(segment)`` (the routed composition passes
+    the nprobe nearest cells). The caller rescores the bounded union
+    with the engine's exact cosine (literal-IN pruned scan + global
+    top-k)."""
+    if segments is not None:
+        layout = layout.filter(F.col("segment").isin([int(s) for s
+                                                      in segments]))
+    q = [float(x) for x in qvec]
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        ids = pdf["vec_id"].tolist()
+        pos = {v: i for i, v in enumerate(ids)}
+        levels = pdf["level"].tolist()
+        adj = [[[pos[int(nb)] for nb in lvl] for lvl in row]
+               for row in pdf["links"]]
+        Xn = _normalize_rows(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]))
+        res = hnsw_search_np(levels, adj, Xn, q, ef=ef)
+        return pd.DataFrame({
+            "segment": pdf["segment"].iloc[0],
+            "vec_id": [ids[p] for _, p in res],
+        })
+
+    return layout.groupBy("segment").applyInPandas(
+        search, "segment int, vec_id bigint")

@@ -85,6 +85,7 @@ from .queries import (  # noqa: E402,F401
     discover,
     events,
     formula,
+    hnsw,
     hybrid,
     ingest,
     knn,
