@@ -180,6 +180,15 @@ HEADLINE = [
     # round 9: the full FAISS OPQ,IVF,PQ recipe through the catalog
     # (rotated cells-partitioned codes + probe + ADC + exact rescore)
     "ingest_opq_composed_search",
+    # round 9 continuation: segment-sharded HNSW (the reference's
+    # actual server-side index) — per-segment beam + literal-IN
+    # rescore on the warmed graph layout, and the IVF-routed
+    # composition probing nprobe cells' graphs only
+    "ann_hnsw_top5",
+    "ann_hnsw_routed_top5",
+    # batched form: one deserialize+normalize per segment shared by
+    # the whole query batch (the batch-shares-one-pass discipline)
+    "ann_hnsw_batch_top3",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
@@ -224,6 +233,9 @@ def main() -> None:
     REGISTRY["ann_pq_det_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_pq_top5"].builder(spark, sf_dir).collect()
     REGISTRY["ann_opq_top5"].builder(spark, sf_dir).collect()
+    # sharded-HNSW graph layouts (plain + routed) are one-time builds
+    REGISTRY["ann_hnsw_top5"].builder(spark, sf_dir).collect()
+    REGISTRY["ann_hnsw_routed_top5"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     components: dict[str, dict[str, float]] = {}

@@ -102,35 +102,52 @@ def _np_cells(sf_dir: str, k: int = 16) -> list[int]:
     return _NP_CELLS[key]
 
 
-def _np_hnsw_candidates(sf_dir: str, ef: int,
-                        routed: bool = False) -> list[int]:
-    """Driver-side build + search over every (probed) segment —
-    ids of the candidate union, ≡ what the Spark per-segment search
-    emits (verified bit-identical in tests/test_hnsw.py)."""
-    key = (sf_dir, ef, routed)
-    if key not in _NP_CAND:
+_NP_GRAPHS: dict = {}
+
+
+def _np_graphs(sf_dir: str, routed: bool = False) -> dict:
+    """Driver-side graphs, built ONCE per (sf, sharding) and shared by
+    every oracle factory: segment → (ids, levels, adj, Xn)."""
+    key = (sf_dir, routed)
+    if key not in _NP_GRAPHS:
         ids, X = _np_rows(sf_dir)
         if routed:
             cells = _np_cells(sf_dir)
-            segs = {s: [i for i, c in zip(range(len(ids)), cells)
-                        if c == s]
-                    for s in _np_probe(sf_dir, _NPROBE)}
+            members = {s: [p for p, c in enumerate(cells) if c == s]
+                       for s in set(cells)}
         else:
-            segs = {s: [p for p, i in enumerate(ids)
-                        if i % _SEGMENTS == s]
-                    for s in range(_SEGMENTS)}
-        qv = np.asarray(_np_query_vec(sf_dir), dtype=np.float64)
-        out = []
-        for s in sorted(segs):
-            rows = segs[s]
+            members = {s: [p for p, i in enumerate(ids)
+                           if i % _SEGMENTS == s]
+                       for s in range(_SEGMENTS)}
+        built = {}
+        for s, rows in members.items():
             if not rows:
                 continue
             seg_ids = [ids[p] for p in rows]
             Xs = X[rows]
             levels, adj = hnsw_build_np(seg_ids, Xs, m=_M,
                                         ef_construct=_EFC)
-            res = hnsw_search_np(levels, adj, _normalize_rows(Xs),
-                                 qv, ef=ef)
+            built[s] = (seg_ids, levels, adj, _normalize_rows(Xs))
+        _NP_GRAPHS[key] = built
+    return _NP_GRAPHS[key]
+
+
+def _np_hnsw_candidates(sf_dir: str, ef: int, routed: bool = False,
+                        qid: int = 0) -> list[int]:
+    """Driver-side search over every (probed) segment — ids of the
+    candidate union, ≡ what the Spark per-segment search emits
+    (verified bit-identical in tests/test_hnsw.py)."""
+    key = (sf_dir, ef, routed, qid)
+    if key not in _NP_CAND:
+        graphs = _np_graphs(sf_dir, routed)
+        segs = _np_probe(sf_dir, _NPROBE) if routed else sorted(graphs)
+        qv = np.asarray(_np_query_vec(sf_dir, qid), dtype=np.float64)
+        out = []
+        for s in segs:
+            if s not in graphs:
+                continue
+            seg_ids, levels, adj, Xn = graphs[s]
+            res = hnsw_search_np(levels, adj, Xn, qv, ef=ef)
             out += [seg_ids[p] for _, p in res]
         _NP_CAND[key] = sorted(out)
     return _NP_CAND[key]
@@ -236,6 +253,64 @@ def ann_hnsw_exhaustive_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery gets a STATIC exact-scan oracle with no derived
     literals — the ``ann_ivf_exhaustive_top5`` discipline."""
     return _search(spark, sf_dir, ef=10 ** 9)
+
+
+def _hnsw_batch_oracle(ef: int = _EF, k: int = 3, qids=(1, 2, 3)):
+    def factory(sf_dir: str) -> str:
+        values = ", ".join(
+            f"({q}, {v})" for q in qids
+            for v in _np_hnsw_candidates(sf_dir, ef, qid=q))
+        in_list = ", ".join(str(q) for q in qids)
+        return f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN ({in_list})),
+        cand(query_id, vec_id) AS (SELECT * FROM (VALUES {values})),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND({_COS.format(a='e.embedding', b='q.qv')}, 6)
+                   AS score
+          FROM embeddings e
+          JOIN cand c ON e.vec_id = c.vec_id
+          JOIN q ON q.query_id = c.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, score, rank FROM ranked
+        WHERE rank <= {k}
+        """
+    return factory
+
+
+@register("ann_hnsw_batch_top3", _hnsw_batch_oracle())
+def ann_hnsw_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sharded-HNSW (query_batch_points over the graph index):
+    three queries share ONE deserialize+normalize pass per segment
+    (`hnsw_layout_search_batch`), then each rescores only ITS own
+    candidate set via `dense_knn_batch(include_pairs=)` — the batched
+    quantized-prefetch discipline. Per-query oracle: the driver twin
+    re-derives each query's shortlist from the SAME shared graphs and
+    DuckDB recomputes score + rank."""
+    from ..operators.hnsw import hnsw_layout_search_batch
+    from ..operators.knn import dense_knn_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    lay = _hnsw_index(spark, sf_dir)
+    qids = (1, 2, 3)
+    cand = hnsw_layout_search_batch(
+        lay, [(q, _np_query_vec(sf_dir, q)) for q in qids],
+        ef=_EF).collect()
+    pairs = spark.createDataFrame(
+        [(r.query_id, r.vec_id) for r in cand],
+        "query_id bigint, vec_id bigint")
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return dense_knn_batch(emb, queries, k=3, dim=64,
+                           include_pairs=pairs)
 
 
 @register("ann_hnsw_routed_top5", _hnsw_oracle(routed=True))

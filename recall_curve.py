@@ -349,6 +349,82 @@ def pca_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def hnsw_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
+    """Sharded-HNSW ef→recall + the IVF-routed composition
+    (operators/hnsw.py). Runs the SAME hnsw_build_np/hnsw_search_np
+    bodies the applyInPandas stages run (bit-identical — pinned in
+    tests/test_hnsw.py::test_spark_layout_matches_driver_twin),
+    driver-side for sweep speed: this is a recall measurement, not a
+    throughput one (stress.py carries the distributed timings).
+
+    Two axes: (a) plain 4-way id-mod sharding across ef — the beam-miss
+    curve; (b) segments = 16 kmeans cells probed at nprobe — the
+    composed cell-miss × beam-miss curve the 100 TB path pays.
+    Feeds BASELINE.md §hnsw-recall and routing's HNSW ceilings."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
+        kmeans_np,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.hnsw import (
+        _normalize_rows,
+        hnsw_build_np,
+        hnsw_search_np,
+    )
+
+    crows = sorted(corpus.select("vec_id", "embedding").collect(),
+                   key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in crows]
+    X = np.asarray([r.embedding for r in crows], dtype=np.float64)
+
+    def build_segments(members: dict):
+        """members: seg → ascending positions. Returns seg → (ids,
+        levels, adj, Xn)."""
+        built = {}
+        for s, rows in members.items():
+            if not rows:
+                continue
+            seg_ids = [ids[p] for p in rows]
+            Xs = X[rows]
+            levels, adj = hnsw_build_np(seg_ids, Xs)
+            built[s] = (seg_ids, levels, adj, _normalize_rows(Xs))
+        return built
+
+    def topk_ids(built, segs, qv, ef):
+        merged = []
+        for s in segs:
+            if s not in built:
+                continue
+            seg_ids, levels, adj, Xn = built[s]
+            res = hnsw_search_np(levels, adj, Xn, qv, ef=ef)
+            merged += [(d, seg_ids[p]) for d, p in res]
+        return {i for _, i in sorted(merged)[:k]}
+
+    t0 = time.time()
+    plain = build_segments(
+        {s: [p for p, i in enumerate(ids) if i % 4 == s]
+         for s in range(4)})
+    out["hnsw_build_sec_4seg"] = round(time.time() - t0, 1)
+    for ef in (8, 16, 32, 64):
+        rs = [recall(topk_ids(plain, range(4),
+                              np.asarray(qvecs[q], dtype=np.float64), ef),
+                     exact[q]) for q in qids]
+        out[f"hnsw_recall@10_ef{ef}"] = round(float(np.mean(rs)), 3)
+
+    cents = np.asarray(kmeans_np(X, 16, seed=42))
+    d2 = np.stack([((X - c) ** 2).sum(axis=1) for c in cents], axis=1)
+    cells = np.argmin(d2, axis=1)
+    routed = build_segments(
+        {s: np.nonzero(cells == s)[0].tolist() for s in range(16)})
+    for nprobe in (1, 2, 4, 8):
+        rs = []
+        for q in qids:
+            qv = np.asarray(qvecs[q], dtype=np.float64)
+            cd = ((cents - qv) ** 2).sum(axis=1)
+            probe = np.argsort(cd, kind="stable")[:nprobe].tolist()
+            rs.append(recall(topk_ids(routed, probe, qv, 32), exact[q]))
+        out[f"hnsw_routed_recall@10_np{nprobe}"] = round(
+            float(np.mean(rs)), 3)
+
+
 def maxsim_sweep(spark, n: int, n_q: int, k: int, out: dict) -> None:
     """Two-stage MaxSim rescore-depth→recall on a clustered
     MULTIVECTOR corpus, through the real `Collection.search(rescore=)`
@@ -421,6 +497,7 @@ def main() -> None:
     cells_only = "--cells" in sys.argv
     quantindex_only = "--quantindex" in sys.argv
     pca_only = "--pca" in sys.argv
+    hnsw_only = "--hnsw" in sys.argv
     argv = [a for a in sys.argv if not a.startswith("--")]
     n = int(argv[1]) if len(argv) > 1 else 5000
     n_q = int(argv[2]) if len(argv) > 2 else 20
@@ -465,6 +542,12 @@ def main() -> None:
         return
     if pca_only:
         pca_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
+    if hnsw_only:
+        hnsw_sweep(spark, corpus, qids, qvecs, exact, k, out)
         out["wall_sec"] = round(time.time() - t0, 1)
         print(json.dumps(out))
         spark.stop()

@@ -120,8 +120,30 @@ def test_spark_layout_matches_driver_twin(spark, sf_smoke):
 
 def test_registered_queries_hash_match(spark, sf_smoke):
     for name in ("ann_hnsw_top5", "ann_hnsw_exhaustive_top5",
-                 "ann_hnsw_routed_top5"):
+                 "ann_hnsw_routed_top5", "ann_hnsw_batch_top3"):
         compare(spark, REGISTRY[name], sf_smoke, name)
+
+
+def test_batch_search_matches_single(spark, sf_smoke):
+    """The batched per-segment search returns each query's single-query
+    candidate set exactly (one shared deserialize is an execution
+    detail, not a semantic one)."""
+    from image_indexing_and_retrival_with_qdrant_spark.operators.hnsw import (
+        hnsw_layout_search_batch,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.queries.hnsw import (
+        _hnsw_index,
+        _np_query_vec,
+    )
+
+    lay = _hnsw_index(spark, sf_smoke)
+    qs = [(q, _np_query_vec(sf_smoke, q)) for q in (1, 2)]
+    batch = hnsw_layout_search_batch(lay, qs, ef=16).collect()
+    for qid, qv in qs:
+        single = sorted(r.vec_id for r in
+                        hnsw_layout_search(lay, qv, ef=16).collect())
+        got = sorted(r.vec_id for r in batch if r.query_id == qid)
+        assert got == single
 
 
 def test_exhaustive_query_equals_dense_knn(spark, sf_smoke):
