@@ -189,6 +189,11 @@ HEADLINE = [
     # batched form: one deserialize+normalize per segment shared by
     # the whole query batch (the batch-shares-one-pass discipline)
     "ann_hnsw_batch_top3",
+    # hnsw_config as collection config (Qdrant HnswConfigDiff — the
+    # reference backend's actual index): lifecycle by construction,
+    # components split shows cells+graphs build vs the graph-walk
+    # read path
+    "ingest_hnsw_index_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -241,7 +241,12 @@ class Collection:
         pending_index = (needs_index and not self.has_index())
         if self.meta.get("transform") == "pca":
             pending_index = needs_index and "pca_mu" not in self.meta
+        # an hnsw_config collection whose cells exist but whose graph
+        # sidecar lags is the same optimizing state
+        hnsw_pending = (bool(self.meta.get("hnsw"))
+                        and self.has_index() and not self._has_hnsw())
         status = "yellow" if (pending_index
+                              or hnsw_pending
                               or sparse_pending
                               or (drift or {}).get("action")
                               or (pdrift or {}).get("action")) \
@@ -250,6 +255,7 @@ class Collection:
             "status": status,
             "points_count": n,
             "indexed": self.has_index(),
+            "hnsw_built": self._has_hnsw(),
             "index_drift": drift,
             "pca_drift": pdrift,
             "payload_indexes": list(self.meta.get(
@@ -279,7 +285,7 @@ class Collection:
         sparse = list(self.meta.get("sparse_vectors") or ())
         return [p for p in (self.path, self._ivf_points,
                             self._ivf_centroids, self.path + ".codes",
-                            self.path + ".pca",
+                            self.path + ".pca", self._hnsw_graphs,
                             *(self._codes_path_for(s) for s in spaces),
                             *(self._pca_path_for(s) for s in spaces),
                             *(self._postings_path_for(s) for s in sparse))
@@ -615,16 +621,26 @@ class Collection:
             # FAISS's 256-points-per-centroid training convention,
             # floored for tiny k and ceilinged by _TRAIN_CAP
             cap = max(4096, min(self._TRAIN_CAP, 256 * k))
-            routing = table.select(routing_vec(table).alias("__r"))
             if frac is not None:
-                routing = routing.sample(fraction=float(frac), seed=42)
-            elif n > cap:
-                # slight oversample so the limit is actually reached
-                routing = routing.sample(
-                    fraction=min(1.0, 1.1 * cap / n), seed=42)
-            # cap ALWAYS: the train set is collected, so it must stay
-            # driver-sized whatever fraction the user declared
-            X = [r["__r"] for r in routing.limit(cap).collect()]
+                # legacy knob: a user-declared sample fraction (seeded
+                # per partition, so run-reproducible only for a frozen
+                # file layout); capped because the set is collected
+                routing = table.select(
+                    routing_vec(table).alias("__r")).sample(
+                    fraction=float(frac), seed=42)
+                X = [r["__r"] for r in routing.limit(cap).collect()]
+            else:
+                # deterministic id-ordered prefix — the same
+                # `_train_prefix` discipline the PCA/PQ trainers use,
+                # so the cells are bit-reproducible across processes
+                # (LIMIT without ORDER returns rows in scan order,
+                # which moves with parquet row-group layout; measured
+                # as run-to-run centroid swings at the hnsw stress).
+                # The two-step fetch keeps the driver transfer at
+                # cap×d doubles whatever the table width.
+                rt = table.select(F.col(id_col),
+                                  routing_vec(table).alias("__rv"))
+                X = self._train_prefix(rt, id_col, "__rv", cap)
             if len(X) < min(k, n):
                 # an unlucky tiny sample (user fraction × small table)
                 # must not starve the trainer below k rows
@@ -676,11 +692,79 @@ class Collection:
         assigned.write.mode(mode).partitionBy(
             "centroid_id").parquet(self._ivf_points)
 
+    # -- per-segment HNSW graphs (hnsw_config parity) ---------------------
+
+    @property
+    def _hnsw_graphs(self) -> str:
+        return self.path + ".hnsw"
+
+    def _has_hnsw(self) -> bool:
+        return bool(self.meta.get("hnsw_built"))
+
+    def _refresh_hnsw(self, spark: SparkSession,
+                      incoming: DataFrame | None, id_col: str,
+                      vec_col: str, rewrote: bool) -> None:
+        """Maintain the per-cell HNSW graph sidecar after a write
+        (``hnsw_config`` collections — Qdrant builds one HNSW per
+        segment past ``indexing_threshold``; here segment = IVF cell,
+        the routed composition). Runs AFTER ``_refresh_index`` in the
+        ``_post_write`` chain, so the ``.ivf`` layout already holds
+        the appended rows: an append rebuilds only the cells the
+        incoming batch touched (dynamic partition overwrite — cost ∝
+        touched cells' data, the ``split_hot_cells`` discipline); a
+        rewrite or first build regenerates every cell's graph. Graph
+        construction is the deterministic ``operators/hnsw.py`` build,
+        so the sidecar is bit-reproducible — which (with the
+        deterministic prefix-trained cells) is what lets the lifecycle
+        oracle re-derive the whole read path."""
+        cfg = self.meta.get("hnsw")
+        if not cfg:
+            return
+        if not self.has_index() or not os.path.isdir(self._ivf_points):
+            if self.meta.pop("hnsw_built", None):
+                # index dropped (threshold disabled): graphs go too
+                shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
+                self._save_meta()
+            return
+        from .operators.hnsw import hnsw_layout
+
+        full = rewrote or not self._has_hnsw()
+        assigned = spark.read.parquet(self._ivf_points).filter(
+            F.col(vec_col).isNotNull())
+        cells: list[int] | None = None
+        if not full and incoming is not None:
+            from .operators.ann import assign_centroids
+
+            cells = sorted({int(r["c"]) for r in (
+                incoming.filter(F.col(vec_col).isNotNull())
+                .select(assign_centroids(
+                    self._centroids(spark), as_double(F.col(vec_col)),
+                    max_expr_literals=512).alias("c"))
+                .distinct().collect())})
+            if not cells:
+                return
+            assigned = assigned.filter(
+                F.col("centroid_id").isin(cells))
+        lay = hnsw_layout(
+            assigned, seg_col="centroid_id", m=int(cfg["m"]),
+            ef_construct=int(cfg["ef_construct"]), id_col=id_col,
+            vec_col=vec_col, id_type="string",
+            normalize=self.meta.get("metric", "cosine") == "cosine")
+        writer = lay.write.mode("overwrite").partitionBy("segment")
+        if cells is not None:
+            # replace only the touched segment directories
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(self._hnsw_graphs)
+        if not self._has_hnsw():
+            self.meta["hnsw_built"] = True
+            self._save_meta()
+
     def rebuild_index(self, spark: SparkSession, vec_col: str = "embedding",
                       id_col: str = "id") -> None:
         """Explicit full retrain + layout rewrite (the maintenance
         analog of dropping and re-creating Qdrant's index)."""
         self.meta.pop("index_built", None)
+        self.meta.pop("hnsw_built", None)
         self._centroid_cache = None
         self._save_meta()
         self._post_write(spark, None, id_col, vec_col, rewrote=True)
@@ -768,6 +852,10 @@ class Collection:
             # the composed cells-codes layout keys on centroid_id —
             # rebuild it over the new cells (rewrote-upsert policy)
             self._refresh_quant(spark, None, id_col, vec_col, True)
+        if self._has_hnsw():
+            # graphs key on the cell ids too — rebuild (cost ∝ corpus;
+            # a split is a rare maintenance event)
+            self._refresh_hnsw(spark, None, id_col, vec_col, True)
         return self.index_drift()
 
     _UNSET = object()
@@ -1792,6 +1880,7 @@ class Collection:
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
                     id_col: str, vec_col: str, rewrote: bool) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
+        self._refresh_hnsw(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_postings(spark, incoming, id_col, rewrote)
         self._refresh_pca(spark, incoming, id_col, vec_col, rewrote)
@@ -2196,7 +2285,8 @@ class Collection:
                recall_target: float | None = None,
                with_vectors: bool = False,
                with_payload=True,
-               quantization_params: dict | None = None):
+               quantization_params: dict | None = None,
+               hnsw_ef: int | None = None):
         """The engine's ``client.query_points``
         (``with_vdr-2b-multi-v1/query_vdr_2b_multi_v1.py:78-83``):
         top-k by the collection's declared metric/comparator, with the
@@ -2265,7 +2355,8 @@ class Collection:
                 shard_key_selector=shard_key_selector, rescore=rescore,
                 formula=formula, prefetch_limit=prefetch_limit,
                 recall_target=recall_target, with_payload=with_payload,
-                quantization_params=quantization_params)
+                quantization_params=quantization_params,
+                hnsw_ef=hnsw_ef)
             asc = (self._ranks_ascending(using, vec_col)
                    and formula is None)
             return self._attach_query_vectors(
@@ -2282,7 +2373,8 @@ class Collection:
                 shard_key_selector=shard_key_selector, rescore=rescore,
                 formula=formula, prefetch_limit=prefetch_limit,
                 recall_target=recall_target, with_vectors=with_vectors,
-                quantization_params=quantization_params)
+                quantization_params=quantization_params,
+                hnsw_ef=hnsw_ef)
             return self._apply_with_payload(
                 full, with_payload, id_col, vec_col)
 
@@ -2358,7 +2450,8 @@ class Collection:
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
                 oversampling=oversampling,
                 shard_key_selector=shard_key_selector, rescore=rescore,
-                quantization_params=quantization_params)
+                quantization_params=quantization_params,
+                hnsw_ef=hnsw_ef)
             payload = [c for c in pre.columns if c not in (id_col, "score")]
             out = formula_rescore(
                 pre, formula, k=k + offset, id_col=id_col,
@@ -2381,7 +2474,8 @@ class Collection:
                 vec_col=vec_col, nprobe=nprobe, exact=exact, using=using,
                 oversampling=oversampling,
                 shard_key_selector=shard_key_selector, rescore=rescore,
-                quantization_params=quantization_params)
+                quantization_params=quantization_params,
+                hnsw_ef=hnsw_ef)
             from pyspark.sql import Window
 
             cfg0 = self._vector_cfg(using, vec_col)
@@ -2500,6 +2594,9 @@ class Collection:
         if unknown:
             raise ValueError(
                 f"unknown quantization_params key(s) {unknown}")
+        if hnsw_ef is not None and not self.meta.get("hnsw"):
+            raise ValueError(
+                "hnsw_ef needs a collection created with hnsw_config")
         if qp.get("ignore"):
             quantize = None
         if qp.get("oversampling") is not None:
@@ -2578,6 +2675,28 @@ class Collection:
                                           probe_ids=probe_cells(qv))
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif (self._has_hnsw() and not exact and query_filter is None
+                and k is not None and os.path.isdir(self._hnsw_graphs)):
+            # per-segment HNSW graphs over the IVF cells (hnsw_config
+            # — the reference backend's actual index): probe the
+            # nprobe nearest cells, WALK their graphs (partition-
+            # pruned read of the sidecar, beam ef per segment) instead
+            # of scanning them, exact-rescore the bounded candidate
+            # union via literal id IN. Filtered searches skip this
+            # branch (the filter-correctness rule quantization
+            # follows: a selective filter would eat beam slots) and
+            # route index-only below — exact scoring inside probed
+            # cells with the filter pushed to the scan.
+            from .operators.hnsw import hnsw_layout_search
+
+            ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
+            cand = hnsw_layout_search(
+                spark.read.parquet(self._hnsw_graphs), qv, ef=ef,
+                segments=probe_cells(qv), id_type="string",
+                normalize=cfg.get("metric", "cosine") == "cosine",
+            ).collect()
+            corpus = corpus.filter(F.col(id_col).isin(
+                sorted({r["vec_id"] for r in cand})))
         elif self.has_index() and not exact:
             corpus = routed(qv)
         elif quantize and not exact:
@@ -3914,6 +4033,7 @@ class Collection:
         sv = self.meta.get("sparse_vectors") or {}
         return (self.has_index() or bool(self.meta.get("quantization"))
                 or bool(self.meta.get("transform"))
+                or bool(self.meta.get("hnsw"))
                 or any(s.get("quantization") or s.get("transform")
                        for s in named.values())
                 or any(s.get("postings_built")
@@ -4446,7 +4566,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                       pca_dim: int | None = None,
                       drift_auto: str | None = None,
                       pq_blocks: int | None = None,
-                      pq_codes: int = 16) -> Collection:
+                      pq_codes: int = 16,
+                      hnsw_config: dict | None = None) -> Collection:
     """S7: create-if-not-exists DDL
     (``ensure_collection_exists``,
     ``incremental_indexing_colpali_with_qdrant.py:116-141``).
@@ -4483,6 +4604,19 @@ def create_collection(root: str, name: str, dim: int | None = None,
     space (training at first write). Dense float32 spaces only, and
     exclusive with ``quantization`` on the same space.
 
+    ``hnsw_config={"m": M, "ef_construct": EF}`` (Qdrant
+    ``HnswConfigDiff`` — the server's actual index, built per segment
+    past ``indexing_threshold``): once the deferred IVF cells exist,
+    every cell gets a deterministic HNSW graph (operators/hnsw.py)
+    written ``partitionBy(segment)``; dense searches then probe the
+    ``nprobe`` nearest cells and WALK their graphs (beam ``hnsw_ef``,
+    default ``max(4k, 64)``) instead of scanning them, exact-rescoring
+    the bounded candidate union. Point ops rebuild only the touched
+    cells' graphs. Filtered searches route index-only (exact within
+    probed cells) — the quantization filter-correctness rule. Dense
+    single-space cosine/euclid collections; exclusive with
+    quantization/transform.
+
     ``drift_auto`` (the Qdrant-optimizer analog — the server
     re-optimizes segments after writes without being asked): consume
     ``index_drift()``'s action-typed verdict automatically after each
@@ -4505,12 +4639,12 @@ def create_collection(root: str, name: str, dim: int | None = None,
             if dim is not None or indexing_threshold is not None \
                     or quantization is not None or datatype is not None \
                     or transform is not None or pca_dim is not None \
-                    or drift_auto is not None:
+                    or drift_auto is not None or hnsw_config is not None:
                 raise ValueError(
                     "named-vector collections take per-space config in "
                     "`vectors`; top-level dim/indexing_threshold/"
-                    "quantization/datatype/transform/drift_auto don't "
-                    "apply")
+                    "quantization/datatype/transform/drift_auto/"
+                    "hnsw_config don't apply")
             spaces = {}
             for vname, cfg in vectors.items():
                 unknown = sorted(set(cfg) - {"dim", "metric", "multivector",
@@ -4624,6 +4758,42 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 meta["k_centroids"] = int(k_centroids)
                 if train_fraction is not None:
                     meta["train_fraction"] = float(train_fraction)
+            if hnsw_config is not None:
+                # Qdrant HnswConfigDiff (m, ef_construct) — the server
+                # builds one HNSW per segment past indexing_threshold;
+                # here segments = the IVF cells (the routed
+                # composition), so the threshold is required. Dense
+                # single-space cosine/euclid collections; exclusive
+                # with quantization (Qdrant's HNSW-over-quantized is
+                # future work) and transform (the PCA sidecar routes
+                # its own cells).
+                unknown = sorted(set(hnsw_config) - {"m", "ef_construct"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown hnsw_config key(s) {unknown}")
+                hm = int(hnsw_config.get("m", 8))
+                hefc = int(hnsw_config.get("ef_construct", 64))
+                if hm < 2 or hefc < hm:
+                    raise ValueError(
+                        "hnsw_config needs m >= 2 and ef_construct >= m")
+                if indexing_threshold is None:
+                    raise ValueError(
+                        "hnsw_config needs indexing_threshold (graphs "
+                        "are built per IVF cell at the deferred index "
+                        "build, Qdrant's own regime)")
+                if multivector:
+                    raise ValueError(
+                        "hnsw_config supports dense collections (the "
+                        "multivector path routes via the pooled "
+                        "two-stage)")
+                if metric not in ("cosine", "euclid"):
+                    raise ValueError(
+                        "hnsw_config supports cosine/euclid metrics")
+                if quantization is not None or transform is not None:
+                    raise ValueError(
+                        "hnsw_config is exclusive with quantization/"
+                        "transform")
+                meta["hnsw"] = {"m": hm, "ef_construct": hefc}
             if drift_auto is not None:
                 if drift_auto not in ("split", "rebuild"):
                     raise ValueError(

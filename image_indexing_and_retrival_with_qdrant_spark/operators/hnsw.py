@@ -81,14 +81,25 @@ def _splitmix64(x: int) -> int:
     return z ^ (z >> 31)
 
 
-def hnsw_level(node_id: int, m: int) -> int:
+def _id_int(node_id) -> int:
+    """Integer image of a point id for level hashing: ints pass
+    through; string ids (the catalog's uuid/sha256 point ids) hash
+    via md5 — deterministic and platform-independent either way."""
+    if isinstance(node_id, (int, np.integer)):
+        return int(node_id)
+    import hashlib
+
+    return int(hashlib.md5(str(node_id).encode()).hexdigest()[:15], 16)
+
+
+def hnsw_level(node_id, m: int) -> int:
     """HNSW level assignment ``floor(−ln(u)·mL)``, ``mL = 1/ln(m)``,
     with ``u ∈ (0,1)`` derived from a hash of the id instead of an RNG
     stream — the geometric level distribution of the HNSW paper
     (Malkov & Yashunin 2016), but independent of insertion order and
     partitioning, which is what makes a distributed build and its
     driver-side oracle twin agree bit-for-bit."""
-    u = ((_splitmix64(int(node_id)) >> 11) + 0.5) * (2.0 ** -53)
+    u = ((_splitmix64(_id_int(node_id)) >> 11) + 0.5) * (2.0 ** -53)
     return min(int(-math.log(u) / math.log(m)), _LEVEL_CAP)
 
 
@@ -174,23 +185,27 @@ def _select_heuristic(cand, cap, Xn):
     return sorted(sel)
 
 
-def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64):
+def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
+                  normalize: bool = True):
     """Deterministic HNSW construction over one segment.
 
-    ``ids`` must be ascending (the insertion order); ``X`` row-aligned.
-    Returns ``(levels, adj)`` where ``adj[pos][level]`` is the
+    ``ids`` must be ascending (the insertion order — ints or the
+    catalog's string point ids); ``X`` row-aligned. Returns
+    ``(levels, adj)`` where ``adj[pos][level]`` is the
     neighbor-position list. Standard incremental insert: greedy descent
     on layers above the node's level, ef_construct beam on the rest,
     diversity-heuristic neighbor selection (``_select_heuristic``),
     bidirectional links, overflow pruned by the same heuristic to M
     (2M on layer 0) — all ties by (dist, pos).
-    Cosine collections are served by normalizing rows first (Qdrant's
-    own upsert-time normalization, functions/vector.py
-    ``cosine_prenorm``)."""
+    ``normalize=True`` serves cosine collections (Qdrant's own
+    upsert-time normalization — euclid on unit vectors is monotone
+    with cosine); pass False for euclid-metric collections so the
+    graph lives in the metric's own space."""
     ids = list(ids)
     if any(ids[i] >= ids[i + 1] for i in range(len(ids) - 1)):
         raise ValueError("ids must be strictly ascending")
-    Xn = _normalize_rows(X)
+    Xn = (_normalize_rows(X) if normalize
+          else np.asarray(X, dtype=np.float64))
     n = len(ids)
     levels = [hnsw_level(i, m) for i in ids]
     adj: list[list[list[int]]] = [[[] for _ in range(levels[p] + 1)]
@@ -229,15 +244,19 @@ def derive_entry(levels) -> int:
     return min(p for p, lv in enumerate(levels) if lv == top)
 
 
-def hnsw_search_np(levels, adj, Xn, qvec, ef: int):
-    """Beam search over one built segment. Returns candidate POSITIONS
-    ascending by (dist, pos), ≤ef of them. With ``ef >= n`` the result
-    heap never overflows, so results == visited; any shortfall means
-    unvisited components remain and the search restarts from the
-    smallest unvisited position until the segment is covered — the
+def hnsw_search_np(levels, adj, Xn, qvec, ef: int,
+                   normalize: bool = True):
+    """Beam search over one built segment (``Xn`` in the same space
+    the graph was built in). Returns candidate POSITIONS ascending by
+    (dist, pos), ≤ef of them. With ``ef >= n`` the result heap never
+    overflows, so results == visited; any shortfall means unvisited
+    components remain and the search restarts from the smallest
+    unvisited position until the segment is covered — the
     provably-exhaustive mode the static-oracle twin registers."""
     n = len(levels)
-    q = _normalize_rows(np.asarray(qvec, dtype=np.float64)[None, :])[0]
+    q = np.asarray(qvec, dtype=np.float64)
+    if normalize:
+        q = _normalize_rows(q[None, :])[0]
     entry = derive_entry(levels)
     ep = [(float(_dists(Xn, [entry], q)[0]), entry)]
     for lc in range(levels[entry], 0, -1):
@@ -268,7 +287,8 @@ LAYOUT_SCHEMA = ("segment int, vec_id bigint, level int, "
 def hnsw_layout(df: DataFrame, n_segments: int | None = None,
                 seg_col: str | None = None, m: int = 8,
                 ef_construct: int = 64, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", id_type: str = "bigint",
+                normalize: bool = True) -> DataFrame:
     """One-time graph build: ONE ``applyInPandas`` pass over
     ``groupBy(segment)``; each group builds its own graph with
     ``hnsw_build_np`` and emits one row per node carrying its
@@ -284,20 +304,24 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
         base = df.select(
             F.pmod(F.col(id_col), F.lit(n_segments)).cast("int")
             .alias("segment"),
-            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(id_col).cast(id_type).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"))
     else:
         base = df.select(
             F.col(seg_col).cast("int").alias("segment"),
-            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(id_col).cast(id_type).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"))
+    schema = LAYOUT_SCHEMA.replace("vec_id bigint",
+                                   f"vec_id {id_type}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id", kind="stable")
         ids = pdf["vec_id"].tolist()
         X = np.asarray([np.asarray(v, dtype=np.float64)
                         for v in pdf["embedding"]])
-        levels, adj = hnsw_build_np(ids, X, m=m, ef_construct=ef_construct)
+        levels, adj = hnsw_build_np(ids, X, m=m,
+                                    ef_construct=ef_construct,
+                                    normalize=normalize)
         return pd.DataFrame({
             "segment": pdf["segment"].iloc[0],
             "vec_id": ids,
@@ -306,11 +330,13 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
             "embedding": list(pdf["embedding"]),
         })
 
-    return base.groupBy("segment").applyInPandas(build, LAYOUT_SCHEMA)
+    return base.groupBy("segment").applyInPandas(build, schema)
 
 
 def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
-                       segments: list[int] | None = None) -> DataFrame:
+                       segments: list[int] | None = None,
+                       id_type: str = "bigint",
+                       normalize: bool = True) -> DataFrame:
     """Per-segment beam search over a built layout → candidate ids
     (``segment, vec_id``), ≤ef per segment. ``segments`` prunes the
     probe to a literal IN — partition pruning when the layout is
@@ -330,16 +356,18 @@ def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
         # links are POSITIONS in this exact order (see LAYOUT_SCHEMA):
         # the Arrow arrays are the adjacency, no conversion pass
         adj = pdf["links"].tolist()
-        Xn = _normalize_rows(np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]))
-        res = hnsw_search_np(levels, adj, Xn, q, ef=ef)
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        Xn = _normalize_rows(X) if normalize else X
+        res = hnsw_search_np(levels, adj, Xn, q, ef=ef,
+                             normalize=normalize)
         return pd.DataFrame({
             "segment": pdf["segment"].iloc[0],
             "vec_id": [ids[p] for _, p in res],
         })
 
     return layout.groupBy("segment").applyInPandas(
-        search, "segment int, vec_id bigint")
+        search, f"segment int, vec_id {id_type}")
 
 
 def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,

@@ -1746,3 +1746,152 @@ def ingest_opq_composed_search(spark: SparkSession,
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round 9 continuation: hnsw_config as collection config (Qdrant
+# --- HnswConfigDiff — the reference backend's ACTUAL index, one HNSW
+# --- per segment past indexing_threshold; segments = the IVF cells).
+# --- The oracle factory re-derives the whole read path: python-twin
+# --- embeddings, the id-ordered train prefix → kmeans_np cells
+# --- (sequential-fold assignment ≡ the unrolled left-assoc
+# --- expression), per-cell deterministic graphs, the beam-ef
+# --- shortlist, and the exact-cosine rescore in DuckDB.
+
+_HNSW_LC = {"m": 4, "ef_construct": 32, "ef": 8, "k_centroids": 4}
+_HNSW_LC_CACHE: dict = {}
+
+
+def _hnsw_lifecycle_candidates(sf_dir: str) -> list[str]:
+    """Driver-side twin of the collection's graph read path. Every
+    stage mirrors the catalog bit-for-bit: embeddings via the
+    pure-Python md5 formula (the ``_pca_space_params`` twin), ids =
+    sha256(text), train = the first-cap-by-id prefix
+    (``Collection._train_prefix``'s order), cells = ``kmeans_np`` +
+    sequential-fold first-min assignment (≡ the unrolled left-assoc
+    expression ``_refresh_index`` writes the layout with), graphs =
+    ``hnsw_build_np`` per cell over vec_id-ascending members, probe =
+    every cell (default nprobe), beam = ``hnsw_search_np(ef)``."""
+    if sf_dir not in _HNSW_LC_CACHE:
+        import hashlib
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from ..operators.ann import kmeans_np
+        from ..operators.hnsw import (
+            _normalize_rows,
+            hnsw_build_np,
+            hnsw_search_np,
+        )
+        from ..sources.embedder import _HALF, _MOD
+
+        def vec(text: str, prefix: str = "") -> list[float]:
+            out = []
+            for i in range(_E.dim):
+                h = hashlib.md5(
+                    f"{prefix}{text}:{i}".encode()).hexdigest()
+                out.append((int(h[:15], 16) % _MOD - _HALF)
+                           / float(_HALF))
+            return out
+
+        texts = (papq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"]).column("text").to_pylist())
+        rows = sorted((hashlib.sha256(t.encode()).hexdigest(), vec(t))
+                      for t in set(texts))
+        cents = kmeans_np([v for _, v in rows],
+                          _HNSW_LC["k_centroids"], seed=42)
+        cells: dict[int, list[tuple[str, list[float]]]] = {}
+        for pid, v in rows:
+            best_d, best_i = None, 0
+            for cid, c in enumerate(cents):
+                acc = 0.0
+                for x, y in zip(v, c):
+                    acc += (x - y) * (x - y)
+                if best_d is None or acc < best_d:
+                    best_d, best_i = acc, cid
+            cells.setdefault(best_i, []).append((pid, v))
+        qv = np.asarray(vec(_QUERY_TEXT, "query:"), dtype=np.float64)
+        cand: list[str] = []
+        for cid in sorted(cells):
+            members = cells[cid]  # already id-ascending (rows sorted)
+            ids = [pid for pid, _ in members]
+            X = np.asarray([v for _, v in members], dtype=np.float64)
+            levels, adj = hnsw_build_np(
+                ids, X, m=_HNSW_LC["m"],
+                ef_construct=_HNSW_LC["ef_construct"])
+            res = hnsw_search_np(levels, adj, _normalize_rows(X), qv,
+                                 ef=_HNSW_LC["ef"])
+            cand += [ids[p] for _, p in res]
+        _HNSW_LC_CACHE[sf_dir] = sorted(cand)
+    return _HNSW_LC_CACHE[sf_dir]
+
+
+def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5) -> str:
+    """Oracle FACTORY: the beam shortlist re-derived driver-side via
+    the shared deterministic build/search (the ``_np_probe``
+    literal-shortlist discipline), the exact-cosine rescore recomputed
+    independently in DuckDB over re-derived embeddings."""
+    cand = ", ".join(f"'{i}'" for i in _hnsw_lifecycle_candidates(sf_dir))
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, len(d) + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t)
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e
+    WHERE e.id IN ({cand})
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("ingest_hnsw_index_search", _hnsw_lifecycle_oracle)
+def ingest_hnsw_index_search(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """HNSW as collection config (Qdrant ``HnswConfigDiff`` — the
+    reference backend's actual index, built per segment past
+    ``indexing_threshold``,
+    ``incremental_indexing_colpali_with_qdrant.py:132``): ONE upsert
+    builds the IVF cells AND a deterministic HNSW graph per cell
+    (``partitionBy(segment)`` sidecar); ``search(hnsw_ef=8)`` probes
+    the cells, WALKS their graphs (beam ef per segment — genuinely
+    approximate: 8 × 4 cells ≈ 32 candidates of a 10×+ larger
+    corpus), and exact-rescores the bounded union via literal
+    ``id IN``. The oracle re-derives cells, graphs, and beam
+    driver-side and recomputes the rescore in DuckDB — the graph tier
+    is value-checked end-to-end. Point-op graph maintenance
+    (touched-cell rebuilds) is pinned in
+    tests/test_hnsw_collection.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_")
+    try:
+        coll = create_collection(
+            root, "hn", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"],
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw(), \
+            "threshold crossed but graphs not built"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
