@@ -2145,8 +2145,9 @@ class Collection:
                                k: int | None = None,
                                using: str | None = None,
                                vec_col: str = "embedding",
+                               hnsw_ef: int | None = None,
                                ) -> tuple[int | None, bool, float,
-                                          int | None]:
+                                          int | None, int | None]:
         """Overlay recall-target routing (routing.py — the measured
         BASELINE.md curves) onto the caller's knobs. Explicit knobs
         win: an ``exact=True`` / ``nprobe=`` / ``rescore=`` from the
@@ -2171,7 +2172,8 @@ class Collection:
             recall_target, indexed=self.has_index(),
             quantization=q,
             k_centroids=int(self.meta.get("k_centroids") or 16),
-            multivector=bool(cfg.get("multivector")), k=k)
+            multivector=bool(cfg.get("multivector")), k=k,
+            hnsw=self._has_hnsw() and os.path.isdir(self._hnsw_graphs))
         if not exact and nprobe is None:
             if r["exact"]:
                 exact = True
@@ -2180,7 +2182,9 @@ class Collection:
                 oversampling = r["oversampling"]
             if r["rescore"] is not None and rescore is None:
                 rescore = r["rescore"]
-        return nprobe, exact, oversampling, rescore
+            if r.get("hnsw_ef") is not None and hnsw_ef is None:
+                hnsw_ef = r["hnsw_ef"]
+        return nprobe, exact, oversampling, rescore, hnsw_ef
 
     def _pruned_postings(self, spark: SparkSession, name: str,
                          terms, id_col: str) -> DataFrame | None:
@@ -2424,10 +2428,11 @@ class Collection:
             query_filter = excl if qf is None else (qf & excl)
 
         if recall_target is not None:
-            nprobe, exact, oversampling, rescore = \
+            nprobe, exact, oversampling, rescore, hnsw_ef = \
                 self._resolve_recall_target(
                     recall_target, nprobe, exact, oversampling,
-                    rescore=rescore, k=k, using=using, vec_col=vec_col)
+                    rescore=rescore, k=k, using=using, vec_col=vec_col,
+                    hnsw_ef=hnsw_ef)
 
         if formula is not None:
             # Qdrant FormulaQuery: prefetch with the collection's
@@ -2676,7 +2681,12 @@ class Collection:
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
         elif (self._has_hnsw() and not exact and query_filter is None
-                and k is not None and os.path.isdir(self._hnsw_graphs)):
+                and k is not None and os.path.isdir(self._hnsw_graphs)
+                and (recall_target is None or hnsw_ef is not None)):
+            # the recall_target guard: when the router found no
+            # trusted ef at the sub-target it set none — honor that
+            # by taking the index-only path below (exact within
+            # probed cells) instead of walking graphs at a default ef
             # per-segment HNSW graphs over the IVF cells (hnsw_config
             # — the reference backend's actual index): probe the
             # nprobe nearest cells, WALK their graphs (partition-
@@ -2796,7 +2806,11 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 with_vectors=with_vectors)
         if recall_target is not None:
-            nprobe, exact, oversampling, rescore = \
+            # the batch path reads the cells scan, not the graphs
+            # (per-query probe restriction inside one shared pass is
+            # future work), so the routed hnsw_ef is dropped here —
+            # cells-scan recall dominates the graph tier's anyway
+            nprobe, exact, oversampling, rescore, _hef = \
                 self._resolve_recall_target(
                     recall_target, nprobe, exact, oversampling,
                     rescore=rescore, k=k, using=using, vec_col=vec_col)

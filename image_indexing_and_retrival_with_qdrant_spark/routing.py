@@ -100,6 +100,18 @@ _QUANT_OVERSAMPLING: dict[str, list[tuple[float, float]]] = {
     "opq": [(4.0, 0.30), (10.0, 0.42), (16.0, 0.50)],
 }
 
+# (beam ef, recall@10 ceiling it is trusted for) — sharded-HNSW on
+# the bounded-segment clustered sweep (BASELINE.md §hnsw-recall,
+# 1.25k-point segments, diversity-heuristic build: ef16 → 0.98,
+# ef32 → 0.99, ef64 → 1.0 measured); ceilings at-or-below, and the
+# deployment rule that keeps the curve valid is bounded segment
+# size (SCALE.md §hnsw). The router scales ef to cover k.
+_HNSW_EF: list[tuple[int, float]] = [
+    (16, 0.95),
+    (32, 0.98),
+    (64, 0.995),
+]
+
 # (rescore depth, recall@10 ceiling) — multivector two-stage on the
 # pooling-FAITHFUL regime, measured at 20k docs × 8×32
 # (recall_curve.py --maxsim: 50 → 0.847, 100 → 0.947, 200 → 0.98,
@@ -123,24 +135,51 @@ def route_for_recall(recall_target: float, *, indexed: bool,
                      quantization: str | None = None,
                      k_centroids: int = 16,
                      multivector: bool = False,
-                     k: int | None = None) -> dict:
+                     k: int | None = None,
+                     hnsw: bool = False) -> dict:
     """Map a recall target to search knobs for the collection state.
 
     Returns ``{"exact": bool, "nprobe": int | None,
-    "oversampling": float | None, "rescore": int | None}`` — exactly
-    one tier's knobs are set. Callers overlay explicit user knobs on
-    top (an explicit ``nprobe=``/``exact=``/``rescore=`` always wins;
-    the target fills the unset ones). Best-effort from measured
-    curves — see the module docstring; a recall GUARANTEE needs
-    ``exact=True``."""
+    "oversampling": float | None, "rescore": int | None,
+    "hnsw_ef": int | None}`` — exactly one tier's knobs are set.
+    Callers overlay explicit user knobs on top (an explicit
+    ``nprobe=``/``exact=``/``rescore=`` always wins; the target fills
+    the unset ones). Best-effort from measured curves — see the
+    module docstring; a recall GUARANTEE needs ``exact=True``."""
     if not (0.0 < recall_target <= 1.0):
         raise ValueError(
             f"recall_target must be in (0, 1], got {recall_target!r}")
     out: dict = {"exact": False, "nprobe": None, "oversampling": None,
-                 "rescore": None}
+                 "rescore": None, "hnsw_ef": None}
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
+    if indexed and hnsw:
+        # graph tier over probed cells (hnsw_config): either stage can
+        # drop a true neighbor — the cell probe misses boundary
+        # neighbors, the beam misses graph-distant ones — so split the
+        # miss budget like the composed quantized tier (union bound)
+        # and pick each knob at the halved budget. No trusted ef
+        # ceiling at the sub-target → fall through to index-only at
+        # the full target (exact scoring within probed cells, the
+        # conservative default the search path honors by skipping the
+        # graph branch when the router sets no ef).
+        sub = 1.0 - (1.0 - recall_target) / 2.0
+        if sub < _EXACT_CUTOVER:
+            ef = next((e for e, ceiling in _HNSW_EF
+                       if sub <= ceiling), None)
+            if ef is not None:
+                for frac, recall in IVF_NPROBE_FRACTION_RECALL:
+                    if sub <= recall:
+                        nprobe = max(1, math.ceil(frac * k_centroids))
+                        if k_centroids > _IVF_MEASURED_CELLS:
+                            nprobe += math.ceil(math.log2(
+                                k_centroids / _IVF_MEASURED_CELLS))
+                        out["nprobe"] = min(nprobe, k_centroids)
+                        # curves are recall@10 — the beam must at
+                        # least cover a deeper result list
+                        out["hnsw_ef"] = max(ef, k or 10)
+                        return out
     if indexed and quantization:
         # composed tier (IVF cells + quantized prefetch + exact
         # rescore — Qdrant's index-over-quantized-vectors): either

@@ -22,7 +22,7 @@ def test_route_unindexed_is_exact():
     # deferred-index behavior) — any target is satisfied
     r = route_for_recall(0.5, indexed=False)
     assert r == {"exact": True, "nprobe": None, "oversampling": None,
-                 "rescore": None}
+                 "rescore": None, "hnsw_ef": None}
 
 
 def test_route_indexed_nprobe_from_curve():
@@ -211,3 +211,54 @@ def test_search_recall_target_quantized(spark, tmp_path):
     assert len(got) == 3
     exact = coll.search(spark, q, k=3, exact=True).collect()
     assert {r.id for r in got} == {r.id for r in exact}
+
+
+def test_route_hnsw_tier():
+    """hnsw collections split the miss budget across cell probe and
+    beam (the composed union-bound pattern); no trusted ef at the
+    sub-target falls through to index-only."""
+    from image_indexing_and_retrival_with_qdrant_spark.routing import (
+        route_for_recall,
+    )
+
+    r = route_for_recall(0.9, indexed=True, hnsw=True)
+    assert r["hnsw_ef"] == 16 and r["nprobe"] == 2
+    r = route_for_recall(0.97, indexed=True, hnsw=True, k=20)
+    assert r["hnsw_ef"] == 64  # scaled to cover k=20? max(64, 20)=64
+    r = route_for_recall(0.9, indexed=True, hnsw=True, k=50)
+    assert r["hnsw_ef"] == 50  # beam must cover a deeper result list
+    r = route_for_recall(0.998, indexed=True, hnsw=True)
+    assert r["hnsw_ef"] is None and r["nprobe"] == 4  # index-only
+    r = route_for_recall(0.999, indexed=True, hnsw=True)
+    assert r["exact"] and r["hnsw_ef"] is None
+
+
+def test_search_recall_target_hnsw(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = spark.createDataFrame(
+        [(f"id{i:04d}", [float(x) for x in rng.randn(8)])
+         for i in range(300)],
+        "id string, embedding array<double>")
+    coll = create_collection(str(tmp_path), "h_rt", dim=8,
+                             normalize=False, indexing_threshold=1,
+                             k_centroids=4,
+                             hnsw_config={"m": 4, "ef_construct": 32})
+    coll.upsert(spark, pts, mode="merge")
+    qv = [float(x) for x in rng.randn(8)]
+    exact = {r.id for r in coll.search(spark, qv, k=5,
+                                       exact=True).collect()}
+    # routed graph walk hits the exact set on this corpus
+    routed = {r.id for r in coll.search(
+        spark, qv, k=5, recall_target=0.9).collect()}
+    assert len(routed & exact) >= 4
+    # above every ef ceiling: index-only fallback is exact in cells
+    hi = {r.id for r in coll.search(
+        spark, qv, k=5, recall_target=0.998).collect()}
+    assert len(hi) == 5
+    # explicit hnsw_ef beats the routed one
+    explicit = [(r.id, r.score) for r in coll.search(
+        spark, qv, k=5, hnsw_ef=10 ** 6,
+        recall_target=0.9).collect()]
+    assert {i for i, _ in explicit} == exact
