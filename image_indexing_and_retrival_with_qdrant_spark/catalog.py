@@ -2741,7 +2741,8 @@ class Collection:
                      recall_target: float | None = None,
                      with_vectors: bool = False,
                      with_payload=True,
-                     quantization_params: dict | None = None
+                     quantization_params: dict | None = None,
+                     hnsw_ef: int | None = None
                      ) -> DataFrame:
         """Qdrant's ``query_batch_points`` analog (dense collections):
         one result frame keyed by ``query_idx``, ranked per query.
@@ -2763,7 +2764,8 @@ class Collection:
                 vec_col=vec_col, nprobe=nprobe, exact=exact,
                 using=using, oversampling=oversampling, rescore=rescore,
                 recall_target=recall_target, with_payload=with_payload,
-                quantization_params=quantization_params)
+                quantization_params=quantization_params,
+                hnsw_ef=hnsw_ef)
             asc = self._ranks_ascending(using, vec_col)
             return self._attach_query_vectors(
                 spark, base, with_vectors, using, vec_col, id_col,
@@ -2806,14 +2808,11 @@ class Collection:
                 score_threshold=score_threshold, id_col=id_col,
                 with_vectors=with_vectors)
         if recall_target is not None:
-            # the batch path reads the cells scan, not the graphs
-            # (per-query probe restriction inside one shared pass is
-            # future work), so the routed hnsw_ef is dropped here —
-            # cells-scan recall dominates the graph tier's anyway
-            nprobe, exact, oversampling, rescore, _hef = \
+            nprobe, exact, oversampling, rescore, hnsw_ef = \
                 self._resolve_recall_target(
                     recall_target, nprobe, exact, oversampling,
-                    rescore=rescore, k=k, using=using, vec_col=vec_col)
+                    rescore=rescore, k=k, using=using, vec_col=vec_col,
+                    hnsw_ef=hnsw_ef)
         cfg = self._vector_cfg(using, vec_col)
         vec_col = cfg["vec_col"]
         per_query = None
@@ -2880,6 +2879,9 @@ class Collection:
         if unknown:
             raise ValueError(
                 f"unknown quantization_params key(s) {unknown}")
+        if hnsw_ef is not None and not self.meta.get("hnsw"):
+            raise ValueError(
+                "hnsw_ef needs a collection created with hnsw_config")
         if qp.get("ignore"):
             q_ = None
         if qp.get("oversampling") is not None:
@@ -2964,6 +2966,36 @@ class Collection:
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif (self._has_hnsw() and not exact and query_filter is None
+                and per_query is None and k is not None
+                and os.path.isdir(self._hnsw_graphs)
+                and (recall_target is None or hnsw_ef is not None)):
+            # batched graph tier: every query probes ITS OWN nprobe
+            # cells but the whole batch shares one pass over the
+            # probe-union of the graph sidecar (and one deserialize
+            # per segment) — batch ≡ per-query single searches, the
+            # quantized-batch discipline. Each query then rescores
+            # only ITS candidate pairs.
+            from .operators.hnsw import hnsw_layout_search_batch
+
+            cents = self._centroids(spark)
+            np_ = len(cents) if nprobe is None else nprobe
+            qsegs = {
+                i: sorted(range(len(cents)),
+                          key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_]
+                for i, qv in enumerate(qvs)}
+            ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
+            cand = hnsw_layout_search_batch(
+                spark.read.parquet(self._hnsw_graphs),
+                list(enumerate(qvs)), ef=ef, query_segments=qsegs,
+                id_type="string",
+                normalize=cfg.get("metric", "cosine") == "cosine",
+            ).collect()
+            include_pairs = spark.createDataFrame(
+                [(int(r["query_id"]), r["vec_id"]) for r in cand],
+                f"query_idx int, {id_col} string")
+            corpus = corpus.filter(F.col(id_col).isin(
+                sorted({r["vec_id"] for r in cand})))
         elif self.has_index() and not exact:
             corpus = spark.read.parquet(self._ivf_points).filter(
                 F.col("centroid_id").isin(probe_union())

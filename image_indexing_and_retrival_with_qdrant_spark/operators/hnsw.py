@@ -371,39 +371,56 @@ def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
 
 
 def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
-                             segments: list[int] | None = None
-                             ) -> DataFrame:
+                             segments: list[int] | None = None,
+                             query_segments: dict | None = None,
+                             id_type: str = "bigint",
+                             normalize: bool = True) -> DataFrame:
     """Batched per-segment beam search: ``queries`` is a list of
     ``(query_id, vector)``. Every query shares ONE segment
     deserialize + normalize pass (the engine's batch-shares-one-pass
     discipline — sparse/quantized batches do the same), which is the
     dominant per-query cost of the single-query form at scale
     (measured on the 100k stress: the walk is µs, the Arrow
-    deserialize is the read path). Emits ``(segment, query_id,
-    vec_id)`` candidates, ≤ef per (query, segment)."""
+    deserialize is the read path). ``query_segments`` (query_id →
+    iterable of segment ids) restricts each query to ITS OWN probed
+    cells — the scan prunes to the union, each query walks only its
+    probe set, so batch ≡ per-query single searches exactly. Emits
+    ``(segment, query_id, vec_id)`` candidates, ≤ef per (query,
+    segment)."""
+    if query_segments is not None and segments is None:
+        segments = sorted({int(s) for ss in query_segments.values()
+                           for s in ss})
     if segments is not None:
         layout = layout.filter(F.col("segment").isin([int(s) for s
                                                       in segments]))
     qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
+    qsegs = (None if query_segments is None else
+             {int(q): {int(s) for s in ss}
+              for q, ss in query_segments.items()})
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id", kind="stable")
+        seg = int(pdf["segment"].iloc[0])
         ids = pdf["vec_id"].tolist()
         levels = pdf["level"].tolist()
         adj = pdf["links"].tolist()
-        Xn = _normalize_rows(np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]))
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        Xn = _normalize_rows(X) if normalize else X
         out_q: list[int] = []
         out_v: list[int] = []
         for qid, qv in qlist:
-            res = hnsw_search_np(levels, adj, Xn, qv, ef=ef)
+            if qsegs is not None and seg not in qsegs.get(qid, ()):
+                continue
+            res = hnsw_search_np(levels, adj, Xn, qv, ef=ef,
+                                 normalize=normalize)
             out_q += [qid] * len(res)
             out_v += [ids[p] for _, p in res]
         return pd.DataFrame({
-            "segment": pdf["segment"].iloc[0],
+            "segment": seg,
             "query_id": out_q,
             "vec_id": out_v,
         })
 
     return layout.groupBy("segment").applyInPandas(
-        search, "segment int, query_id bigint, vec_id bigint")
+        search, f"segment int, query_id bigint, vec_id {id_type}")

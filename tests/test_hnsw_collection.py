@@ -154,3 +154,35 @@ def test_rebuild_index_rebuilds_graphs(spark, coll):
 def test_lifecycle_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_hnsw_index_search"], sf_smoke,
             "ingest_hnsw_index_search")
+
+
+def test_batch_graph_search_equals_single(spark, coll):
+    """search_batch walks each query's OWN probed cells' graphs in one
+    shared pass — per-query results ≡ the single-query search."""
+    rng = np.random.RandomState(21)
+    qvs = [[float(x) for x in rng.randn(8)] for _ in range(3)]
+    batch = coll.search_batch(spark, qvs, k=5, nprobe=2,
+                              hnsw_ef=16).collect()
+    for i, qv in enumerate(qvs):
+        single = [(r.id, r.score) for r in
+                  coll.search(spark, qv, k=5, nprobe=2,
+                              hnsw_ef=16).collect()]
+        got = [(r.id, r.score) for r in
+               sorted((r for r in batch if r.query_idx == i),
+                      key=lambda r: r.rank)]
+        assert got == single
+
+
+def test_batch_recall_target_graph(spark, coll):
+    """recall_target routes the batch onto the graph tier with the
+    SAME knobs as single-query search — batch ≡ single is the
+    contract (absolute recall on the random fixture is the documented
+    floor, measured on the clustered sweep instead)."""
+    qvs = [[float(x) for x in np.random.RandomState(22).randn(8)]]
+    got = [(r.id, r.score) for r in
+           coll.search_batch(spark, qvs, k=5,
+                             recall_target=0.9).collect()]
+    single = [(r.id, r.score) for r in
+              coll.search(spark, qvs[0], k=5,
+                          recall_target=0.9).collect()]
+    assert [g for g in got] == single
