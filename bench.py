@@ -194,6 +194,10 @@ HEADLINE = [
     # components split shows cells+graphs build vs the graph-walk
     # read path
     "ingest_hnsw_index_search",
+    # the reference's OWN configuration: multivector points behind
+    # the server index — pooled-graph beam stage 1, exact MaxSim
+    # rescore of the bounded candidates
+    "ingest_hnsw_multivector_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

@@ -726,11 +726,27 @@ class Collection:
                 shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
                 self._save_meta()
             return
+        from .functions.vector import mean_pool_flat
         from .operators.hnsw import hnsw_layout
 
         full = rewrote or not self._has_hnsw()
         assigned = spark.read.parquet(self._ivf_points).filter(
             F.col(vec_col).isNotNull())
+
+        def routing_col(df: DataFrame) -> Column:
+            # multivector collections route on the pooled vector —
+            # the same coarse stage the IVF cells were carved over
+            # (_refresh_index's routing_vec); dense ones on the
+            # vector itself
+            if self.meta.get("multivector"):
+                if vec_col + "__pooled" in df.columns:
+                    return F.col(vec_col + "__pooled").cast(
+                        "array<double>")
+                return mean_pool_flat(
+                    F.col(vec_col).cast("array<double>"),
+                    int(self.meta["dim"]))
+            return as_double(F.col(vec_col))
+
         cells: list[int] | None = None
         if not full and incoming is not None:
             from .operators.ann import assign_centroids
@@ -738,17 +754,22 @@ class Collection:
             cells = sorted({int(r["c"]) for r in (
                 incoming.filter(F.col(vec_col).isNotNull())
                 .select(assign_centroids(
-                    self._centroids(spark), as_double(F.col(vec_col)),
+                    self._centroids(spark), routing_col(incoming),
                     max_expr_literals=512).alias("c"))
                 .distinct().collect())})
             if not cells:
                 return
             assigned = assigned.filter(
                 F.col("centroid_id").isin(cells))
+        # graphs live over the ROUTING vector; the id keeps the
+        # table's own type so the rescore's literal-IN compares
+        # like-for-like (string ids stay strings, longs stay longs)
+        assigned = assigned.withColumn("__routing", routing_col(assigned))
+        id_type = assigned.schema[id_col].dataType.simpleString()
         lay = hnsw_layout(
             assigned, seg_col="centroid_id", m=int(cfg["m"]),
             ef_construct=int(cfg["ef_construct"]), id_col=id_col,
-            vec_col=vec_col, id_type="string",
+            vec_col="__routing", id_type=id_type,
             normalize=self.meta.get("metric", "cosine") == "cosine")
         writer = lay.write.mode("overwrite").partitionBy("segment")
         if cells is not None:
@@ -2530,6 +2551,9 @@ class Collection:
                     [int(i) for i in probe_cells(routing_qv)])
             ).drop("centroid_id")
 
+        if hnsw_ef is not None and not self.meta.get("hnsw"):
+            raise ValueError(
+                "hnsw_ef needs a collection created with hnsw_config")
         if cfg.get("multivector"):
             if quantization_params:
                 raise ValueError(
@@ -2551,7 +2575,33 @@ class Collection:
                 )
             pooled_q = [sum(v[j] for v in qv) / len(qv)
                         for j in range(len(qv[0]))]
-            if self.has_index() and not exact:
+            graphed = False
+            if (self._has_hnsw() and not exact and query_filter is None
+                    and k is not None
+                    and os.path.isdir(self._hnsw_graphs)
+                    and (recall_target is None or hnsw_ef is not None)):
+                # the reference's ACTUAL configuration — multivector
+                # points behind the server's HNSW: graphs were built
+                # over the pooled routing vectors (the coarse stage of
+                # the PLAID-style index), so the beam IS stage 1 —
+                # its ≤ef×nprobe candidates go straight to exact
+                # MaxSim, replacing both the probed-cells scan and
+                # the pooled top-m prune
+                from .operators.hnsw import hnsw_layout_search
+
+                ef = (int(hnsw_ef) if hnsw_ef is not None
+                      else max(rescore or 0, 4 * k, 64))
+                cand = hnsw_layout_search(
+                    spark.read.parquet(self._hnsw_graphs), pooled_q,
+                    ef=ef, segments=probe_cells(pooled_q),
+                    id_type=corpus.schema[id_col].dataType
+                    .simpleString(),
+                    normalize=cfg.get("metric", "cosine") == "cosine",
+                ).collect()
+                corpus = corpus.filter(F.col(id_col).isin(
+                    sorted({r["vec_id"] for r in cand})))
+                graphed = True
+            elif self.has_index() and not exact:
                 # coarse stage routes on the mean-pooled query (cells
                 # were carved over mean-pooled doc vectors); exact
                 # MaxSim scores the probed cells
@@ -2561,7 +2611,8 @@ class Collection:
                 # the filtered slice (and Catalyst pushes it to scan)
                 corpus = corpus.filter(query_filter)
                 query_filter = None
-            if rescore is not None and not exact and k is not None:
+            if (rescore is not None and not exact and k is not None
+                    and not graphed):
                 corpus = self._maxsim_stage1(
                     corpus, pooled_q, max(k, rescore), id_col, vec_col, dim)
             # query captured in the scorer closure (never joined on as
@@ -2599,9 +2650,6 @@ class Collection:
         if unknown:
             raise ValueError(
                 f"unknown quantization_params key(s) {unknown}")
-        if hnsw_ef is not None and not self.meta.get("hnsw"):
-            raise ValueError(
-                "hnsw_ef needs a collection created with hnsw_config")
         if qp.get("ignore"):
             quantize = None
         if qp.get("oversampling") is not None:
@@ -2702,7 +2750,8 @@ class Collection:
             ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
             cand = hnsw_layout_search(
                 spark.read.parquet(self._hnsw_graphs), qv, ef=ef,
-                segments=probe_cells(qv), id_type="string",
+                segments=probe_cells(qv),
+                id_type=corpus.schema[id_col].dataType.simpleString(),
                 normalize=cfg.get("metric", "cosine") == "cosine",
             ).collect()
             corpus = corpus.filter(F.col(id_col).isin(
@@ -2985,15 +3034,16 @@ class Collection:
                           key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_]
                 for i, qv in enumerate(qvs)}
             ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
+            id_type = corpus.schema[id_col].dataType.simpleString()
             cand = hnsw_layout_search_batch(
                 spark.read.parquet(self._hnsw_graphs),
                 list(enumerate(qvs)), ef=ef, query_segments=qsegs,
-                id_type="string",
+                id_type=id_type,
                 normalize=cfg.get("metric", "cosine") == "cosine",
             ).collect()
             include_pairs = spark.createDataFrame(
                 [(int(r["query_id"]), r["vec_id"]) for r in cand],
-                f"query_idx int, {id_col} string")
+                f"query_idx int, {id_col} {id_type}")
             corpus = corpus.filter(F.col(id_col).isin(
                 sorted({r["vec_id"] for r in cand})))
         elif self.has_index() and not exact:
@@ -4827,11 +4877,6 @@ def create_collection(root: str, name: str, dim: int | None = None,
                         "hnsw_config needs indexing_threshold (graphs "
                         "are built per IVF cell at the deferred index "
                         "build, Qdrant's own regime)")
-                if multivector:
-                    raise ValueError(
-                        "hnsw_config supports dense collections (the "
-                        "multivector path routes via the pooled "
-                        "two-stage)")
                 if metric not in ("cosine", "euclid"):
                     raise ValueError(
                         "hnsw_config supports cosine/euclid metrics")

@@ -364,3 +364,160 @@ def maxsim_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round 9 continuation: the reference's ACTUAL configuration ---
+# multivector points behind the server's HNSW (hnsw_config on a
+# multivector collection): graphs over the pooled routing vectors,
+# beam = stage 1, exact MaxSim rescore of the bounded candidates.
+
+_HNSW_MV = {"m": 4, "ef_construct": 32, "ef": 16, "k_centroids": 4}
+_HNSW_MV_CACHE: dict = {}
+
+
+def _np_hnsw_mv_candidates(sf_dir: str) -> list[int]:
+    """Driver-side twin of the multivector graph read path, every
+    stage bit-equal to the catalog: pooled vectors via the
+    mean_pool_flat fold (left-to-right over subvectors, / n), cells =
+    kmeans_np over the id-ordered pooled prefix (`_train_prefix`) +
+    sequential-fold first-min assignment, per-cell deterministic
+    graphs over the pooled vectors, default probe = every cell, beam
+    ef over each."""
+    if sf_dir not in _HNSW_MV_CACHE:
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from ..operators.ann import kmeans_np
+        from ..operators.hnsw import (
+            _normalize_rows,
+            hnsw_build_np,
+            hnsw_search_np,
+        )
+
+        t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+        raw_ids = np.asarray(t.column("vec_id"))
+        order = np.argsort(raw_ids, kind="stable")
+        vecs = t.column("embedding").to_pylist()
+        ids = [int(raw_ids[i]) for i in order]
+        flat = [[float(x) for x in vecs[i]] for i in order]
+
+        def pool(v: list[float]) -> list[float]:
+            out = []
+            for j in range(_DIM):
+                acc = 0.0
+                for i in range(_N):
+                    acc += v[i * _DIM + j]
+                out.append(acc / _N)
+            return out
+
+        pooled = [pool(v) for v in flat]
+        cents = kmeans_np(pooled, _HNSW_MV["k_centroids"], seed=42)
+        cells: dict[int, list[int]] = {}
+        for p, v in enumerate(pooled):
+            best_d, best_i = None, 0
+            for cid, c in enumerate(cents):
+                acc = 0.0
+                for x, y in zip(v, c):
+                    acc += (x - y) * (x - y)
+                if best_d is None or acc < best_d:
+                    best_d, best_i = acc, cid
+            cells.setdefault(best_i, []).append(p)
+        q = flat[ids.index(0)]
+        qp = [sum(q[i * _DIM + j] for i in range(_N)) / _N
+              for j in range(_DIM)]
+        # NOTE the catalog pools the QUERY as sum-over-subvectors per
+        # dim (search()'s pooled_q) — same left-to-right order as the
+        # generator sum here
+        cand: list[int] = []
+        for cid in sorted(cells):
+            rows = cells[cid]
+            seg_ids = [ids[p] for p in rows]
+            X = np.asarray([pooled[p] for p in rows], dtype=np.float64)
+            levels, adj = hnsw_build_np(
+                seg_ids, X, m=_HNSW_MV["m"],
+                ef_construct=_HNSW_MV["ef_construct"])
+            res = hnsw_search_np(levels, adj, _normalize_rows(X),
+                                 np.asarray(qp, dtype=np.float64),
+                                 ef=_HNSW_MV["ef"])
+            cand += [seg_ids[p] for _, p in res]
+        _HNSW_MV_CACHE[sf_dir] = sorted(cand)
+    return _HNSW_MV_CACHE[sf_dir]
+
+
+def _hnsw_mv_oracle(sf_dir: str, k: int = 5) -> str:
+    """Oracle FACTORY: the pooled-graph beam shortlist re-derived
+    driver-side (literal IN), the exact MaxSim over those candidates
+    recomputed independently in DuckDB (slice pairs → per-query-vector
+    MAX → SUM, round 6 — the `_MAXSIM_ORACLE` shape)."""
+    cand = ", ".join(str(i) for i in _np_hnsw_mv_candidates(sf_dir))
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT e.vec_id, qi.i, dj.j,
+             list_dot_product(
+               (CAST(e.embedding AS DOUBLE[]))
+                 [(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+               q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+             ) AS dp
+      FROM embeddings e
+      CROSS JOIN q
+      CROSS JOIN generate_series(1, {_N}) AS qi(i)
+      CROSS JOIN generate_series(1, {_N}) AS dj(j)
+      WHERE e.vec_id IN ({cand})
+    ),
+    mx AS (SELECT vec_id, i, MAX(dp) AS m FROM pairs GROUP BY vec_id, i),
+    sc AS (SELECT vec_id, ROUND(SUM(m), 6) AS score
+           FROM mx GROUP BY vec_id)
+    SELECT vec_id AS id, score FROM sc
+    ORDER BY score DESC, id LIMIT {k}
+    """
+
+
+@register("ingest_hnsw_multivector_search", _hnsw_mv_oracle)
+def ingest_hnsw_multivector_search(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The reference's OWN configuration end-to-end: a MULTIVECTOR
+    collection behind the server index (``hnsw_config`` +
+    ``indexing_threshold`` — ColPali pages behind Qdrant HNSW,
+    ``incremental_indexing_colpali_with_qdrant.py:116-141``). One
+    upsert pools every point, carves cells over the pooled vectors,
+    and builds a graph per cell; ``search(hnsw_ef=16)`` beams the
+    pooled graphs (stage 1 — genuinely approximate: ≤16×4 candidates
+    of a 10×+ larger corpus) and exact-MaxSim-rescores the bounded
+    union. Cells, graphs, and beam are re-derived by the oracle
+    factory; the MaxSim rescore is recomputed in DuckDB."""
+    import shutil
+    import tempfile
+
+    from ..bench_phases import phase
+    from ..catalog import create_collection
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_multivector(F.col("embedding"), _DIM, _N).alias("embedding"),
+    )
+    qv = [list(v) for v in
+          pts.filter(F.col("id") == 0).collect()[0].embedding]
+    root = tempfile.mkdtemp(prefix="qd_mv_hnsw_")
+    try:
+        coll = create_collection(
+            root, "mvh", dim=_DIM, multivector=True, normalize=False,
+            indexing_threshold=1,
+            k_centroids=_HNSW_MV["k_centroids"],
+            hnsw_config={"m": _HNSW_MV["m"],
+                         "ef_construct": _HNSW_MV["ef_construct"]})
+        coll.upsert(spark, pts, mode="append")
+        assert coll.has_index() and coll._has_hnsw()
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_MV["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

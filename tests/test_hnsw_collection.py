@@ -59,10 +59,12 @@ def test_creation_validation(root):
         create_collection(root, "v5", dim=8, metric="manhattan",
                           indexing_threshold=1,
                           hnsw_config={"m": 4, "ef_construct": 32})
-    with pytest.raises(ValueError, match="dense"):
-        create_collection(root, "v6", dim=8, multivector=True,
+    # multivector collections ARE allowed (the reference's own
+    # configuration): graphs build over the pooled routing vector
+    c = create_collection(root, "v6", dim=8, multivector=True,
                           indexing_threshold=1,
                           hnsw_config={"m": 4, "ef_construct": 32})
+    assert c.meta["hnsw"] == {"m": 4, "ef_construct": 32}
 
 
 def test_build_at_threshold(spark, coll):
@@ -154,6 +156,42 @@ def test_rebuild_index_rebuilds_graphs(spark, coll):
 def test_lifecycle_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_hnsw_index_search"], sf_smoke,
             "ingest_hnsw_index_search")
+
+
+def test_multivector_graph_search(spark, root):
+    """hnsw_config on a MULTIVECTOR collection (the reference's own
+    configuration): graphs over the pooled routing vectors; ef >= n
+    degenerates to the exact MaxSim scan; appended points reachable."""
+    rng = np.random.RandomState(31)
+    pts = spark.createDataFrame(
+        [(i, [[float(x) for x in rng.randn(8)] for _ in range(4)])
+         for i in range(200)],
+        "id long, embedding array<array<double>>")
+    c = create_collection(root, "mv_h", dim=8, multivector=True,
+                          normalize=False, indexing_threshold=1,
+                          k_centroids=4,
+                          hnsw_config={"m": 4, "ef_construct": 32})
+    c.upsert(spark, pts, mode="append")
+    assert c._has_hnsw()
+    qv = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    approx = [(r.id, r.score) for r in
+              c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    assert approx == exact
+    new = spark.createDataFrame(
+        [(999, [[float(x) for x in rng.randn(8)] for _ in range(4)])],
+        "id long, embedding array<array<double>>")
+    c.upsert(spark, new, mode="append")
+    r0 = new.collect()[0]
+    top = c.search(spark, [list(v) for v in r0.embedding], k=1,
+                   hnsw_ef=64).collect()
+    assert top[0].id == 999
+
+
+def test_multivector_lifecycle_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_hnsw_multivector_search"],
+            sf_smoke, "ingest_hnsw_multivector_search")
 
 
 def test_batch_graph_search_equals_single(spark, coll):
