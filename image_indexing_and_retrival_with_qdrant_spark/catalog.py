@@ -888,7 +888,8 @@ class Collection:
                           vec_col: str = "embedding",
                           vectors: dict | None = None,
                           sparse_vectors: dict | None = None,
-                          drift_auto=_UNSET) -> None:
+                          drift_auto=_UNSET,
+                          hnsw_config=_UNSET) -> None:
         """Qdrant's ``update_collection`` (post-create config changes):
 
         - ``quantization``: switch to ``"sq"``/``"bq"`` (the code
@@ -913,6 +914,12 @@ class Collection:
           ``create_collection``). Enabling it applies the policy to
           the CURRENT layout immediately (Qdrant re-optimizes on
           optimizer-config changes too).
+        - ``hnsw_config``: set/replace ``{"m", "ef_construct"}``
+          (graphs rebuild over the current cells on the spot —
+          Qdrant rebuilds HNSW on hnsw-config diffs too) or ``None``
+          (graph sidecar dropped; searches take the cells-scan path).
+          Same rules as create: needs ``indexing_threshold``,
+          cosine/euclid, exclusive with quantization/transform.
 
         Omitted arguments stay unchanged."""
         if sparse_vectors is not None:
@@ -957,7 +964,8 @@ class Collection:
         if self.meta.get("vectors") is not None and (
                 quantization is not self._UNSET
                 or indexing_threshold is not self._UNSET
-                or drift_auto is not self._UNSET):
+                or drift_auto is not self._UNSET
+                or hnsw_config is not self._UNSET):
             raise ValueError(
                 "config updates apply to single-space collections "
                 "(use vectors={name: {...}} for named spaces)")
@@ -1032,9 +1040,12 @@ class Collection:
                 # search kept routing through it — silently dropping
                 # new points from every non-exact search
                 self.meta.pop("index_built", None)
+                self.meta.pop("hnsw_built", None)
                 self._centroid_cache = None
                 shutil.rmtree(self._ivf_points, ignore_errors=True)
                 shutil.rmtree(self._ivf_centroids, ignore_errors=True)
+                # graphs shard on the cells — they go with the layout
+                shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
             self._save_meta()
             if (indexing_threshold is not None and self._has_data(spark)
                     and not self.has_index()
@@ -1064,6 +1075,43 @@ class Collection:
                 # on the spot (Qdrant re-optimizes on optimizer-config
                 # changes too)
                 self._auto_drift(spark, id_col, vec_col)
+        if hnsw_config is not self._UNSET:
+            if hnsw_config is None:
+                had = self.meta.pop("hnsw", None)
+                self.meta.pop("hnsw_built", None)
+                self._save_meta()
+                if had:
+                    shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
+            else:
+                unknown = sorted(set(hnsw_config) - {"m", "ef_construct"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown hnsw_config key(s) {unknown}")
+                hm = int(hnsw_config.get("m", 8))
+                hefc = int(hnsw_config.get("ef_construct", 64))
+                if hm < 2 or hefc < hm:
+                    raise ValueError(
+                        "hnsw_config needs m >= 2 and ef_construct >= m")
+                if self.meta.get("indexing_threshold") is None:
+                    raise ValueError(
+                        "hnsw_config needs indexing_threshold (graphs "
+                        "are built per IVF cell)")
+                if self.meta.get("metric", "cosine") not in (
+                        "cosine", "euclid"):
+                    raise ValueError(
+                        "hnsw_config supports cosine/euclid metrics")
+                if self.meta.get("quantization") \
+                        or self.meta.get("transform"):
+                    raise ValueError(
+                        "hnsw_config is exclusive with quantization/"
+                        "transform")
+                self.meta["hnsw"] = {"m": hm, "ef_construct": hefc}
+                # an m/ef_construct change means NEW graphs
+                self.meta.pop("hnsw_built", None)
+                self._save_meta()
+                if self._has_data(spark) and self.has_index():
+                    self._refresh_hnsw(spark, None, id_col, vec_col,
+                                       rewrote=True)
 
     # -- named vector spaces (Qdrant vectors_config={name: ...}) ----------
 
@@ -2576,8 +2624,8 @@ class Collection:
             pooled_q = [sum(v[j] for v in qv) / len(qv)
                         for j in range(len(qv[0]))]
             graphed = False
-            if (self._has_hnsw() and not exact and query_filter is None
-                    and k is not None
+            if (self._has_hnsw() and self.has_index() and not exact
+                    and query_filter is None and k is not None
                     and os.path.isdir(self._hnsw_graphs)
                     and (recall_target is None or hnsw_ef is not None)):
                 # the reference's ACTUAL configuration — multivector
@@ -2728,7 +2776,8 @@ class Collection:
                                           probe_ids=probe_cells(qv))
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
-        elif (self._has_hnsw() and not exact and query_filter is None
+        elif (self._has_hnsw() and self.has_index() and not exact
+                and query_filter is None
                 and k is not None and os.path.isdir(self._hnsw_graphs)
                 and (recall_target is None or hnsw_ef is not None)):
             # the recall_target guard: when the router found no
@@ -3015,7 +3064,8 @@ class Collection:
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
-        elif (self._has_hnsw() and not exact and query_filter is None
+        elif (self._has_hnsw() and self.has_index() and not exact
+                and query_filter is None
                 and per_query is None and k is not None
                 and os.path.isdir(self._hnsw_graphs)
                 and (recall_target is None or hnsw_ef is not None)):

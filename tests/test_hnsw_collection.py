@@ -224,3 +224,36 @@ def test_batch_recall_target_graph(spark, coll):
               coll.search(spark, qvs[0], k=5,
                           recall_target=0.9).collect()]
     assert [g for g in got] == single
+
+
+def test_update_collection_hnsw(spark, root):
+    """update_collection(hnsw_config=): enable on an existing indexed
+    collection (graphs build on the spot), m-change rebuilds, None
+    drops the sidecar; disabling indexing_threshold takes the graphs
+    with the layout."""
+    c = create_collection(root, "upd", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=4)
+    c.upsert(spark, _points(spark, n=120, seed=9, prefix="u"),
+             mode="merge")
+    assert c.has_index() and not c._has_hnsw()
+    c.update_collection(spark, hnsw_config={"m": 4, "ef_construct": 16})
+    assert c._has_hnsw() and os.path.isdir(c._hnsw_graphs)
+    qv = [float(x) for x in np.random.RandomState(41).randn(8)]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert [(r.id, r.score) for r in
+            c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()] == exact
+    # m-change rebuilds (meta reflects the new config)
+    c.update_collection(spark, hnsw_config={"m": 6, "ef_construct": 24})
+    assert c.meta["hnsw"] == {"m": 6, "ef_construct": 24}
+    assert c._has_hnsw()
+    # disable: sidecar dropped, searches fall back to the cells scan
+    c.update_collection(spark, hnsw_config=None)
+    assert not c._has_hnsw() and not os.path.isdir(c._hnsw_graphs)
+    assert len(c.search(spark, qv, k=5).collect()) == 5
+    # graphs go with the layout when the threshold is disabled
+    c.update_collection(spark, hnsw_config={"m": 4, "ef_construct": 16})
+    assert c._has_hnsw()
+    c.update_collection(spark, indexing_threshold=None)
+    assert not c.has_index() and not os.path.isdir(c._hnsw_graphs)
+    assert len(c.search(spark, qv, k=5).collect()) == 5  # exact scan
