@@ -107,12 +107,12 @@ def test_routed_composed_knobs():
     # fraction (2/16), SQ oversampling at its 0.95 ceiling (2x)
     r = route_for_recall(0.9, indexed=True, quantization="sq")
     assert r == {"exact": False, "nprobe": 2, "oversampling": 2.0,
-                 "rescore": None}
+                 "rescore": None, "hnsw_ef": None}
     # BQ has no trusted ceiling at any composed sub-target => index-
     # only fallback at the full target
     r = route_for_recall(0.9, indexed=True, quantization="bq")
     assert r == {"exact": False, "nprobe": 2, "oversampling": None,
-                 "rescore": None}
+                 "rescore": None, "hnsw_ef": None}
     # exactness still routes exact
     r = route_for_recall(1.0, indexed=True, quantization="sq")
     assert r["exact"] is True
