@@ -198,6 +198,9 @@ HEADLINE = [
     # the server index — pooled-graph beam stage 1, exact MaxSim
     # rescore of the bounded candidates
     "ingest_hnsw_multivector_search",
+    # max_segment_size: the bounded-segment rule as config (chunked
+    # per-cell graphs, footer-expanded probes)
+    "ingest_hnsw_segmented_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")

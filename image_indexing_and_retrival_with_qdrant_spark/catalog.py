@@ -694,9 +694,29 @@ class Collection:
 
     # -- per-segment HNSW graphs (hnsw_config parity) ---------------------
 
+    # chunked layouts (max_segment_size) encode segment = cell ×
+    # stride + chunk; 4096 chunks/cell bounds a cell at 4096 × mss
+    # points before ids collide (far beyond any cell the drift policy
+    # would leave unsplit)
+    _HNSW_SEG_STRIDE = 4096
+
     @property
     def _hnsw_graphs(self) -> str:
         return self.path + ".hnsw"
+
+    def _hnsw_segments(self, probe: list[int]) -> list[int]:
+        """Probed CELLS → graph-sidecar SEGMENT ids. Plain layouts are
+        1:1; chunked layouts (``max_segment_size``) expand each probed
+        cell to its chunk segments, discovered from the sidecar's
+        partition footers — a driver-side directory walk, no scan
+        (the fast-count cost model)."""
+        if not (self.meta.get("hnsw") or {}).get("max_segment_size"):
+            return probe
+        counts = self._partition_footer_counts(self._hnsw_graphs,
+                                               "segment")
+        cells = set(probe)
+        return sorted(s for s in counts
+                      if s // self._HNSW_SEG_STRIDE in cells)
 
     def _has_hnsw(self) -> bool:
         return bool(self.meta.get("hnsw_built"))
@@ -766,8 +786,30 @@ class Collection:
         # like-for-like (string ids stay strings, longs stay longs)
         assigned = assigned.withColumn("__routing", routing_col(assigned))
         id_type = assigned.schema[id_col].dataType.simpleString()
+        mss = cfg.get("max_segment_size")
+        seg_col = "centroid_id"
+        if mss:
+            # the bounded-segment rule as config (Qdrant's own
+            # max_segment_size regime, measured at the 1M stress:
+            # recall at fixed ef is a function of SEGMENT size, so
+            # capping it keeps a measured (ef → recall) point valid
+            # as cells grow): each cell splits into id-ordered chunks
+            # of ≤ mss points, segment id = cell·_HNSW_SEG_STRIDE +
+            # chunk. Chunk membership shifts as the cell's point set
+            # changes — exactly the touched-cell full-rebuild this
+            # method already does.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("centroid_id").orderBy(
+                F.col(id_col).asc())
+            assigned = assigned.withColumn(
+                "__seg",
+                (F.col("centroid_id") * self._HNSW_SEG_STRIDE
+                 + F.floor((F.row_number().over(w) - 1) / int(mss)))
+                .cast("int"))
+            seg_col = "__seg"
         lay = hnsw_layout(
-            assigned, seg_col="centroid_id", m=int(cfg["m"]),
+            assigned, seg_col=seg_col, m=int(cfg["m"]),
             ef_construct=int(cfg["ef_construct"]), id_col=id_col,
             vec_col="__routing", id_type=id_type,
             normalize=self.meta.get("metric", "cosine") == "cosine")
@@ -1083,7 +1125,9 @@ class Collection:
                 if had:
                     shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
             else:
-                unknown = sorted(set(hnsw_config) - {"m", "ef_construct"})
+                unknown = sorted(set(hnsw_config)
+                                 - {"m", "ef_construct",
+                                    "max_segment_size"})
                 if unknown:
                     raise ValueError(
                         f"unknown hnsw_config key(s) {unknown}")
@@ -1092,6 +1136,11 @@ class Collection:
                 if hm < 2 or hefc < hm:
                     raise ValueError(
                         "hnsw_config needs m >= 2 and ef_construct >= m")
+                mss = hnsw_config.get("max_segment_size")
+                if mss is not None and int(mss) < 2 * hm:
+                    raise ValueError(
+                        "max_segment_size must be >= 2*m (a segment "
+                        "smaller than the degree cap is all links)")
                 if self.meta.get("indexing_threshold") is None:
                     raise ValueError(
                         "hnsw_config needs indexing_threshold (graphs "
@@ -1106,6 +1155,8 @@ class Collection:
                         "hnsw_config is exclusive with quantization/"
                         "transform")
                 self.meta["hnsw"] = {"m": hm, "ef_construct": hefc}
+                if mss is not None:
+                    self.meta["hnsw"]["max_segment_size"] = int(mss)
                 # an m/ef_construct change means NEW graphs
                 self.meta.pop("hnsw_built", None)
                 self._save_meta()
@@ -2641,7 +2692,8 @@ class Collection:
                       else max(rescore or 0, 4 * k, 64))
                 cand = hnsw_layout_search(
                     spark.read.parquet(self._hnsw_graphs), pooled_q,
-                    ef=ef, segments=probe_cells(pooled_q),
+                    ef=ef,
+                    segments=self._hnsw_segments(probe_cells(pooled_q)),
                     id_type=corpus.schema[id_col].dataType
                     .simpleString(),
                     normalize=cfg.get("metric", "cosine") == "cosine",
@@ -2799,7 +2851,7 @@ class Collection:
             ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
             cand = hnsw_layout_search(
                 spark.read.parquet(self._hnsw_graphs), qv, ef=ef,
-                segments=probe_cells(qv),
+                segments=self._hnsw_segments(probe_cells(qv)),
                 id_type=corpus.schema[id_col].dataType.simpleString(),
                 normalize=cfg.get("metric", "cosine") == "cosine",
             ).collect()
@@ -3080,8 +3132,9 @@ class Collection:
             cents = self._centroids(spark)
             np_ = len(cents) if nprobe is None else nprobe
             qsegs = {
-                i: sorted(range(len(cents)),
-                          key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_]
+                i: self._hnsw_segments(sorted(
+                    range(len(cents)),
+                    key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_])
                 for i, qv in enumerate(qvs)}
             ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
             id_type = corpus.schema[id_col].dataType.simpleString()
@@ -4913,7 +4966,9 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 # with quantization (Qdrant's HNSW-over-quantized is
                 # future work) and transform (the PCA sidecar routes
                 # its own cells).
-                unknown = sorted(set(hnsw_config) - {"m", "ef_construct"})
+                unknown = sorted(set(hnsw_config)
+                                 - {"m", "ef_construct",
+                                    "max_segment_size"})
                 if unknown:
                     raise ValueError(
                         f"unknown hnsw_config key(s) {unknown}")
@@ -4922,6 +4977,11 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 if hm < 2 or hefc < hm:
                     raise ValueError(
                         "hnsw_config needs m >= 2 and ef_construct >= m")
+                mss = hnsw_config.get("max_segment_size")
+                if mss is not None and int(mss) < 2 * hm:
+                    raise ValueError(
+                        "max_segment_size must be >= 2*m (a segment "
+                        "smaller than the degree cap is all links)")
                 if indexing_threshold is None:
                     raise ValueError(
                         "hnsw_config needs indexing_threshold (graphs "
@@ -4935,6 +4995,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                         "hnsw_config is exclusive with quantization/"
                         "transform")
                 meta["hnsw"] = {"m": hm, "ef_construct": hefc}
+                if mss is not None:
+                    meta["hnsw"]["max_segment_size"] = int(mss)
             if drift_auto is not None:
                 if drift_auto not in ("split", "rebuild"):
                     raise ValueError(

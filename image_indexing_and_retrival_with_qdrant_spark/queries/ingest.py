@@ -1761,7 +1761,8 @@ _HNSW_LC = {"m": 4, "ef_construct": 32, "ef": 8, "k_centroids": 4}
 _HNSW_LC_CACHE: dict = {}
 
 
-def _hnsw_lifecycle_candidates(sf_dir: str) -> list[str]:
+def _hnsw_lifecycle_candidates(sf_dir: str,
+                               mss: int | None = None) -> list[str]:
     """Driver-side twin of the collection's graph read path. Every
     stage mirrors the catalog bit-for-bit: embeddings via the
     pure-Python md5 formula (the ``_pca_space_params`` twin), ids =
@@ -1770,8 +1771,11 @@ def _hnsw_lifecycle_candidates(sf_dir: str) -> list[str]:
     sequential-fold first-min assignment (≡ the unrolled left-assoc
     expression ``_refresh_index`` writes the layout with), graphs =
     ``hnsw_build_np`` per cell over vec_id-ascending members, probe =
-    every cell (default nprobe), beam = ``hnsw_search_np(ef)``."""
-    if sf_dir not in _HNSW_LC_CACHE:
+    every cell (default nprobe), beam = ``hnsw_search_np(ef)``.
+    ``mss`` mirrors ``max_segment_size``: each cell's id-ascending
+    members chunk into ≤mss-point sub-segments, one graph each (the
+    catalog's row_number window over the same order)."""
+    if (sf_dir, mss) not in _HNSW_LC_CACHE:
         import hashlib
         import os
 
@@ -1816,16 +1820,20 @@ def _hnsw_lifecycle_candidates(sf_dir: str) -> list[str]:
         cand: list[str] = []
         for cid in sorted(cells):
             members = cells[cid]  # already id-ascending (rows sorted)
-            ids = [pid for pid, _ in members]
-            X = np.asarray([v for _, v in members], dtype=np.float64)
-            levels, adj = hnsw_build_np(
-                ids, X, m=_HNSW_LC["m"],
-                ef_construct=_HNSW_LC["ef_construct"])
-            res = hnsw_search_np(levels, adj, _normalize_rows(X), qv,
-                                 ef=_HNSW_LC["ef"])
-            cand += [ids[p] for _, p in res]
-        _HNSW_LC_CACHE[sf_dir] = sorted(cand)
-    return _HNSW_LC_CACHE[sf_dir]
+            chunks = ([members] if not mss else
+                      [members[i:i + mss]
+                       for i in range(0, len(members), mss)])
+            for chunk in chunks:
+                ids = [pid for pid, _ in chunk]
+                X = np.asarray([v for _, v in chunk], dtype=np.float64)
+                levels, adj = hnsw_build_np(
+                    ids, X, m=_HNSW_LC["m"],
+                    ef_construct=_HNSW_LC["ef_construct"])
+                res = hnsw_search_np(levels, adj, _normalize_rows(X),
+                                     qv, ef=_HNSW_LC["ef"])
+                cand += [ids[p] for _, p in res]
+        _HNSW_LC_CACHE[(sf_dir, mss)] = sorted(cand)
+    return _HNSW_LC_CACHE[(sf_dir, mss)]
 
 
 def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5) -> str:
@@ -1887,6 +1895,74 @@ def ingest_hnsw_index_search(spark: SparkSession,
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index() and coll._has_hnsw(), \
             "threshold crossed but graphs not built"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_HNSW_MSS = 48
+
+
+def _hnsw_seg_oracle(sf_dir: str, k: int = 5) -> str:
+    """Chunked-layout twin: same read path as ``_hnsw_lifecycle_
+    oracle`` but each cell's id-ascending members split into ≤ mss
+    sub-segments with a graph each (`max_segment_size`)."""
+    cand = ", ".join(
+        f"'{i}'" for i in _hnsw_lifecycle_candidates(sf_dir,
+                                                     mss=_HNSW_MSS))
+    d = _embed_dims_sql("t.text", "passage")
+    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
+    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, len(d) + 1))
+    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t)
+    SELECT e.id,
+           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
+    FROM e
+    WHERE e.id IN ({cand})
+    ORDER BY score DESC, e.id
+    LIMIT {k}
+    """
+
+
+@register("ingest_hnsw_segmented_search", _hnsw_seg_oracle)
+def ingest_hnsw_segmented_search(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``max_segment_size`` as collection config — the bounded-segment
+    rule operationalized (BASELINE.md §hnsw-stress proved recall at
+    fixed ef is a function of SEGMENT size; Qdrant's own
+    max_segment_size regime): each cell's graph splits into
+    id-ordered ≤48-point sub-segments, probes expand to the probed
+    cells' chunk segments via partition footers (no scan), and every
+    chunk is beam-searched independently. The oracle re-derives the
+    chunking, per-chunk graphs, and beam; the rescore is recomputed
+    in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_seg_")
+    try:
+        coll = create_collection(
+            root, "hs", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"],
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"],
+                         "max_segment_size": _HNSW_MSS})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw()
         with phase("search"):
             res = coll.search(spark, qv, k=5,
                               hnsw_ef=_HNSW_LC["ef"]) \

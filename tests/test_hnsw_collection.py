@@ -257,3 +257,38 @@ def test_update_collection_hnsw(spark, root):
     c.update_collection(spark, indexing_threshold=None)
     assert not c.has_index() and not os.path.isdir(c._hnsw_graphs)
     assert len(c.search(spark, qv, k=5).collect()) == 5  # exact scan
+
+
+def test_max_segment_size_chunks(spark, root):
+    """max_segment_size splits each cell's graph into id-ordered
+    <=N-point sub-segments (the bounded-segment rule as config);
+    probes expand to chunk segments via footers; exhaustive ef stays
+    provably exact; appends keep the cap."""
+    c = create_collection(root, "chunked", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=4,
+                          hnsw_config={"m": 4, "ef_construct": 32,
+                                       "max_segment_size": 40})
+    c.upsert(spark, _points(spark, n=300, seed=3, prefix="c"),
+             mode="merge")
+    counts = c._partition_footer_counts(c._hnsw_graphs, "segment")
+    assert max(counts.values()) <= 40
+    assert sum(counts.values()) == 300
+    assert any(s >= c._HNSW_SEG_STRIDE for s in counts)  # chunk ids
+    qv = [float(x) for x in np.random.RandomState(51).randn(8)]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert [(r.id, r.score) for r in
+            c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()] == exact
+    c.upsert(spark, _points(spark, n=15, seed=61, prefix="cn"),
+             mode="merge")
+    counts = c._partition_footer_counts(c._hnsw_graphs, "segment")
+    assert max(counts.values()) <= 40 and sum(counts.values()) == 315
+    with pytest.raises(ValueError, match="max_segment_size"):
+        create_collection(root, "badmss", dim=8, indexing_threshold=1,
+                          hnsw_config={"m": 8, "ef_construct": 16,
+                                       "max_segment_size": 4})
+
+
+def test_segmented_lifecycle_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_hnsw_segmented_search"], sf_smoke,
+            "ingest_hnsw_segmented_search")
