@@ -100,16 +100,25 @@ _QUANT_OVERSAMPLING: dict[str, list[tuple[float, float]]] = {
     "opq": [(4.0, 0.30), (10.0, 0.42), (16.0, 0.50)],
 }
 
-# (beam ef, recall@10 ceiling it is trusted for) — sharded-HNSW on
-# the bounded-segment clustered sweep (BASELINE.md §hnsw-recall,
-# 1.25k-point segments, diversity-heuristic build: ef16 → 0.98,
-# ef32 → 0.99, ef64 → 1.0 measured); ceilings at-or-below, and the
-# deployment rule that keeps the curve valid is bounded segment
-# size (SCALE.md §hnsw). The router scales ef to cover k.
-_HNSW_EF: list[tuple[int, float]] = [
-    (16, 0.95),
-    (32, 0.98),
-    (64, 0.995),
+# ((nprobe fraction of k_centroids, beam ef), recall@10 ceiling) —
+# the COMPOSED graph tier measured through the real Collection.search
+# (recall_curve.py --hnswindex, 20k clustered rows × 16 cells:
+# (2/16, 16) → 0.815, (2/16, 32) → 0.89, (4/16, 32) → 0.94,
+# (4/16, 64) → 0.975, (16/16, 64) → 0.985); ceilings at-or-below.
+# Measured COMPOSED on purpose: the first cut split the miss budget
+# across the per-stage curves (the quantizer pattern), but the beam
+# curve was measured on id-mod segments and does NOT transfer to
+# cluster-COHERENT cells (within a dense cell every point looks
+# alike and the walk misses more — delivered 0.815 at a 0.9 target).
+# Stage curves compose only when the stages are independent; these
+# aren't, so the router trusts the joint measurement. The router
+# scales ef to cover k; ascending so the first fit is the cheapest.
+_HNSW_COMPOSED: list[tuple[tuple[float, int], float]] = [
+    ((2 / 16, 16), 0.80),
+    ((2 / 16, 32), 0.85),
+    ((4 / 16, 32), 0.90),
+    ((4 / 16, 64), 0.95),
+    ((1.0, 64), 0.97),
 ]
 
 # (rescore depth, recall@10 ceiling) — multivector two-stage on the
@@ -155,31 +164,24 @@ def route_for_recall(recall_target: float, *, indexed: bool,
         out["exact"] = True
         return out
     if indexed and hnsw:
-        # graph tier over probed cells (hnsw_config): either stage can
-        # drop a true neighbor — the cell probe misses boundary
-        # neighbors, the beam misses graph-distant ones — so split the
-        # miss budget like the composed quantized tier (union bound)
-        # and pick each knob at the halved budget. No trusted ef
-        # ceiling at the sub-target → fall through to index-only at
-        # the full target (exact scoring within probed cells, the
-        # conservative default the search path honors by skipping the
-        # graph branch when the router sets no ef).
-        sub = 1.0 - (1.0 - recall_target) / 2.0
-        if sub < _EXACT_CUTOVER:
-            ef = next((e for e, ceiling in _HNSW_EF
-                       if sub <= ceiling), None)
-            if ef is not None:
-                for frac, recall in IVF_NPROBE_FRACTION_RECALL:
-                    if sub <= recall:
-                        nprobe = max(1, math.ceil(frac * k_centroids))
-                        if k_centroids > _IVF_MEASURED_CELLS:
-                            nprobe += math.ceil(math.log2(
-                                k_centroids / _IVF_MEASURED_CELLS))
-                        out["nprobe"] = min(nprobe, k_centroids)
-                        # curves are recall@10 — the beam must at
-                        # least cover a deeper result list
-                        out["hnsw_ef"] = max(ef, k or 10)
-                        return out
+        # graph tier over probed cells (hnsw_config): knobs come from
+        # the JOINT measured curve (_HNSW_COMPOSED — see its comment
+        # for why the stages don't compose independently here). Above
+        # every trusted ceiling → fall through to index-only at the
+        # full target (exact scoring within probed cells — the search
+        # path honors the fallback by skipping the graph branch when
+        # the router sets no ef).
+        for (frac, ef), ceiling in _HNSW_COMPOSED:
+            if recall_target <= ceiling:
+                nprobe = max(1, math.ceil(frac * k_centroids))
+                if k_centroids > _IVF_MEASURED_CELLS:
+                    nprobe += math.ceil(math.log2(
+                        k_centroids / _IVF_MEASURED_CELLS))
+                out["nprobe"] = min(nprobe, k_centroids)
+                # curves are recall@10 — the beam must at least
+                # cover a deeper result list
+                out["hnsw_ef"] = max(ef, k or 10)
+                return out
     if indexed and quantization:
         # composed tier (IVF cells + quantized prefetch + exact
         # rescore — Qdrant's index-over-quantized-vectors): either

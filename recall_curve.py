@@ -262,6 +262,66 @@ def quantindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
 
 
 
+def hnswindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
+                    out: dict) -> None:
+    """hnsw_config recall through the REAL `Collection.search` path: a
+    cosine collection with per-cell graphs (16 cells), swept across
+    (nprobe, hnsw_ef) grid points AND the router's picks for
+    `recall_target` ∈ {0.8, 0.9, 0.95} — measuring whether the
+    cell-probe × beam union-bound split (`routing._HNSW_EF`) DELIVERS
+    its targets when both lossy stages are live at once. A chunked
+    twin (`max_segment_size`) pins that bounding segments does not
+    change the answer quality at equal ef."""
+    import shutil
+    import tempfile
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.routing import (
+        route_for_recall,
+    )
+
+    root = tempfile.mkdtemp(prefix="recall_hnswindex_")
+    try:
+        coll = create_collection(
+            root, "hi", dim=DIM, metric="cosine", normalize=True,
+            indexing_threshold=1, k_centroids=16,
+            hnsw_config={"m": 8, "ef_construct": 64})
+        coll.upsert(spark, corpus.select(
+            F.col("vec_id").alias("id"), "embedding"))
+        assert coll.has_index() and coll._has_hnsw()
+
+        def run(coll_, tag, **kw):
+            r = [recall({x.id for x in
+                         coll_.search(spark, qvecs[q], k=k,
+                                      **kw).collect()},
+                        exact[q]) for q in qids]
+            out[tag] = round(float(np.mean(r)), 3)
+
+        for nprobe, ef in ((2, 16), (2, 32), (4, 32), (4, 64),
+                           (16, 64)):
+            run(coll, f"hnsw_recall@10_nprobe{nprobe}_ef{ef}",
+                nprobe=nprobe, hnsw_ef=ef)
+        for t in (0.8, 0.9, 0.95):
+            knobs = route_for_recall(t, indexed=True, hnsw=True,
+                                     k_centroids=16, k=k)
+            run(coll, f"hnsw_recall@10_routed_t{t:g}_nprobe"
+                f"{knobs['nprobe']}_ef{knobs['hnsw_ef']}",
+                recall_target=t)
+        chunked = create_collection(
+            root, "hic", dim=DIM, metric="cosine", normalize=True,
+            indexing_threshold=1, k_centroids=16,
+            hnsw_config={"m": 8, "ef_construct": 64,
+                         "max_segment_size": 256})
+        chunked.upsert(spark, corpus.select(
+            F.col("vec_id").alias("id"), "embedding"))
+        run(chunked, "hnsw_recall@10_chunked256_nprobe4_ef32",
+            nprobe=4, hnsw_ef=32)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def pca_sweep(spark, corpus, qids, qvecs, exact, k: int, out: dict) -> None:
     """PCA→IVF routing recall vs raw-space IVF at equal k_centroids
     (16): coarse cells trained and probed in the 8-d COMPRESSED space
@@ -498,6 +558,7 @@ def main() -> None:
     quantindex_only = "--quantindex" in sys.argv
     pca_only = "--pca" in sys.argv
     hnsw_only = "--hnsw" in sys.argv
+    hnswindex_only = "--hnswindex" in sys.argv
     argv = [a for a in sys.argv if not a.startswith("--")]
     n = int(argv[1]) if len(argv) > 1 else 5000
     n_q = int(argv[2]) if len(argv) > 2 else 20
@@ -548,6 +609,12 @@ def main() -> None:
         return
     if hnsw_only:
         hnsw_sweep(spark, corpus, qids, qvecs, exact, k, out)
+        out["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(out))
+        spark.stop()
+        return
+    if hnswindex_only:
+        hnswindex_sweep(spark, corpus, qids, qvecs, exact, k, out)
         out["wall_sec"] = round(time.time() - t0, 1)
         print(json.dumps(out))
         spark.stop()

@@ -214,21 +214,26 @@ def test_search_recall_target_quantized(spark, tmp_path):
 
 
 def test_route_hnsw_tier():
-    """hnsw collections split the miss budget across cell probe and
-    beam (the composed union-bound pattern); no trusted ef at the
-    sub-target falls through to index-only."""
+    """hnsw collections pick (nprobe, ef) from the JOINT measured
+    composed curve (the per-stage union-bound split measured
+    under-delivering on cluster-coherent cells — routing.py comment);
+    targets above every ceiling fall through to index-only."""
     from image_indexing_and_retrival_with_qdrant_spark.routing import (
         route_for_recall,
     )
 
+    r = route_for_recall(0.8, indexed=True, hnsw=True)
+    assert (r["nprobe"], r["hnsw_ef"]) == (2, 16)
     r = route_for_recall(0.9, indexed=True, hnsw=True)
-    assert r["hnsw_ef"] == 16 and r["nprobe"] == 2
+    assert (r["nprobe"], r["hnsw_ef"]) == (4, 32)
+    r = route_for_recall(0.95, indexed=True, hnsw=True)
+    assert (r["nprobe"], r["hnsw_ef"]) == (4, 64)
     r = route_for_recall(0.97, indexed=True, hnsw=True, k=20)
-    assert r["hnsw_ef"] == 64  # scaled to cover k=20? max(64, 20)=64
+    assert (r["nprobe"], r["hnsw_ef"]) == (16, 64)
     r = route_for_recall(0.9, indexed=True, hnsw=True, k=50)
     assert r["hnsw_ef"] == 50  # beam must cover a deeper result list
-    r = route_for_recall(0.998, indexed=True, hnsw=True)
-    assert r["hnsw_ef"] is None and r["nprobe"] == 4  # index-only
+    r = route_for_recall(0.98, indexed=True, hnsw=True)
+    assert r["hnsw_ef"] is None and r["nprobe"] == 2  # index-only
     r = route_for_recall(0.999, indexed=True, hnsw=True)
     assert r["exact"] and r["hnsw_ef"] is None
 
