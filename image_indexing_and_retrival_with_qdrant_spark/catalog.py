@@ -1136,8 +1136,14 @@ class Collection:
                 if hm < 2 or hefc < hm:
                     raise ValueError(
                         "hnsw_config needs m >= 2 and ef_construct >= m")
-                mss = hnsw_config.get("max_segment_size")
-                if mss is not None and int(mss) < 2 * hm:
+                # default 20k: Qdrant ships a max_segment_size
+                # default too, and the measured composed curve says
+                # bounded segments IMPROVE recall at equal ef
+                # (BASELINE.md §hnsw-composed); at fixture scale
+                # cells are smaller than the cap, so the default is
+                # a no-op there (single chunk per cell)
+                mss = hnsw_config.get("max_segment_size", 20_000)
+                if int(mss) < 2 * hm:
                     raise ValueError(
                         "max_segment_size must be >= 2*m (a segment "
                         "smaller than the degree cap is all links)")
@@ -1154,9 +1160,8 @@ class Collection:
                     raise ValueError(
                         "hnsw_config is exclusive with quantization/"
                         "transform")
-                self.meta["hnsw"] = {"m": hm, "ef_construct": hefc}
-                if mss is not None:
-                    self.meta["hnsw"]["max_segment_size"] = int(mss)
+                self.meta["hnsw"] = {"m": hm, "ef_construct": hefc,
+                                     "max_segment_size": int(mss)}
                 # an m/ef_construct change means NEW graphs
                 self.meta.pop("hnsw_built", None)
                 self._save_meta()
@@ -4977,8 +4982,14 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 if hm < 2 or hefc < hm:
                     raise ValueError(
                         "hnsw_config needs m >= 2 and ef_construct >= m")
-                mss = hnsw_config.get("max_segment_size")
-                if mss is not None and int(mss) < 2 * hm:
+                # default 20k: Qdrant ships a max_segment_size
+                # default too, and the measured composed curve says
+                # bounded segments IMPROVE recall at equal ef
+                # (BASELINE.md §hnsw-composed); at fixture scale
+                # cells are smaller than the cap, so the default is
+                # a no-op there (single chunk per cell)
+                mss = hnsw_config.get("max_segment_size", 20_000)
+                if int(mss) < 2 * hm:
                     raise ValueError(
                         "max_segment_size must be >= 2*m (a segment "
                         "smaller than the degree cap is all links)")
@@ -4994,9 +5005,8 @@ def create_collection(root: str, name: str, dim: int | None = None,
                     raise ValueError(
                         "hnsw_config is exclusive with quantization/"
                         "transform")
-                meta["hnsw"] = {"m": hm, "ef_construct": hefc}
-                if mss is not None:
-                    meta["hnsw"]["max_segment_size"] = int(mss)
+                meta["hnsw"] = {"m": hm, "ef_construct": hefc,
+                                "max_segment_size": int(mss)}
             if drift_auto is not None:
                 if drift_auto not in ("split", "rebuild"):
                     raise ValueError(

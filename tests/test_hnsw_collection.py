@@ -64,7 +64,8 @@ def test_creation_validation(root):
     c = create_collection(root, "v6", dim=8, multivector=True,
                           indexing_threshold=1,
                           hnsw_config={"m": 4, "ef_construct": 32})
-    assert c.meta["hnsw"] == {"m": 4, "ef_construct": 32}
+    assert c.meta["hnsw"] == {"m": 4, "ef_construct": 32,
+                              "max_segment_size": 20_000}
 
 
 def test_build_at_threshold(spark, coll):
@@ -72,10 +73,12 @@ def test_build_at_threshold(spark, coll):
     assert os.path.isdir(coll._hnsw_graphs)
     info = coll.info(spark)
     assert info["status"] == "green" and info["hnsw_built"]
-    # one graph partition per IVF cell
+    # one graph partition per IVF cell (cells are under the default
+    # 20k max_segment_size, so exactly one chunk each)
     segs = {d for d in os.listdir(coll._hnsw_graphs)
             if d.startswith("segment=")}
     assert len(segs) == 4
+    assert coll.meta["hnsw"]["max_segment_size"] == 20_000
 
 
 def test_exhaustive_ef_equals_exact(spark, coll):
@@ -245,7 +248,8 @@ def test_update_collection_hnsw(spark, root):
             c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()] == exact
     # m-change rebuilds (meta reflects the new config)
     c.update_collection(spark, hnsw_config={"m": 6, "ef_construct": 24})
-    assert c.meta["hnsw"] == {"m": 6, "ef_construct": 24}
+    assert c.meta["hnsw"] == {"m": 6, "ef_construct": 24,
+                              "max_segment_size": 20_000}
     assert c._has_hnsw()
     # disable: sidecar dropped, searches fall back to the cells scan
     c.update_collection(spark, hnsw_config=None)
