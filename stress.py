@@ -1142,6 +1142,90 @@ def hnsw_stress(n: int = 1_000_000, dim: int = 64,
     spark.stop()
 
 
+def hnsw_catalog_stress(n: int = 1_000_000, dim: int = 64,
+                        k_centroids: int = 64,
+                        mss: int = 4096, n_q: int = 5) -> None:
+    """hnsw_config through the REAL catalog at 1M: ONE upsert builds
+    cells AND chunked per-cell graphs (max_segment_size), searches
+    walk footer-expanded chunk segments, recall_target routes over
+    the joint measured curve. The production claim in one line: the
+    deferred index build + graph sidecar + routed read path all hold
+    at 1M rows with honest timings."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    spark = get_spark("stress-hnsw-catalog",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"metric": "stress_hnsw_catalog", "rows": n,
+                 "dim": dim, "k_centroids": k_centroids, "mss": mss}
+    cluster = F.col("id") % 10
+    dims = [
+        ((F.xxhash64(cluster, F.lit(i)) % 2000001 - 1000000)
+         / F.lit(1000000.0))
+        + 0.15 * ((F.xxhash64(F.col("id"), F.lit(1000 + i))
+                   % 2000001 - 1000000) / F.lit(1000000.0))
+        for i in range(dim)
+    ]
+    pts_dir = tempfile.mkdtemp(prefix="stress_hnswcat_pts_")
+    root = tempfile.mkdtemp(prefix="stress_hnswcat_")
+    try:
+        (spark.range(n).select(
+            F.col("id").cast("string").alias("id"),
+            F.array(*dims).alias("embedding"))
+         .write.mode("overwrite").parquet(pts_dir))
+        points = spark.read.parquet(pts_dir)
+        qrows = points.filter(
+            F.col("id").isin([str(12345 + 1000 * i)
+                              for i in range(n_q)])).collect()
+        t0 = time.perf_counter()
+        c = create_collection(root, "hc", dim=dim, metric="cosine",
+                              normalize=False, indexing_threshold=1,
+                              k_centroids=k_centroids,
+                              hnsw_config={"m": 8, "ef_construct": 64,
+                                           "max_segment_size": mss})
+        c.upsert(spark, points, mode="append")
+        out["build_sec"] = round(time.perf_counter() - t0, 2)
+        assert c.has_index() and c._has_hnsw()
+        counts = c._partition_footer_counts(c._hnsw_graphs, "segment")
+        out["graph_segments"] = len(counts)
+        out["max_segment_rows"] = max(counts.values())
+
+        def median3(fn):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().collect()
+                ts.append(time.perf_counter() - t0)
+            return round(sorted(ts)[1], 2)
+
+        q = list(qrows[0].embedding)
+        out["exact_sec"] = median3(
+            lambda: c.search(spark, q, k=10, exact=True))
+        out["graph_np8_sec"] = median3(
+            lambda: c.search(spark, q, k=10, nprobe=8, hnsw_ef=32))
+        out["routed_t9_sec"] = median3(
+            lambda: c.search(spark, q, k=10, recall_target=0.9))
+        # recall of the routed pick vs exact, over n_q queries
+        rs = []
+        for r in qrows:
+            qv = list(r.embedding)
+            exact_ids = {x.id for x in c.search(
+                spark, qv, k=10, exact=True).collect()}
+            got = {x.id for x in c.search(
+                spark, qv, k=10, recall_target=0.9).collect()}
+            rs.append(len(got & exact_ids) / 10)
+        out["routed_t9_recall@10"] = round(float(np.mean(rs)), 3)
+        out["graph_speedup_vs_exact"] = round(
+            out["exact_sec"] / out["graph_np8_sec"], 2)
+    finally:
+        shutil.rmtree(pts_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def defrag_stress(n: int = 10_000_000, n_tenants: int = 50) -> None:
     """Tenant defragmentation at scale: the same filtered queries on a
     shuffled-tenant layout vs after ``compact(cluster_by=['tenant'])``.
@@ -1403,6 +1487,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "hnsw":
         args = [int(a) for a in sys.argv[2:]]
         hnsw_stress(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "hnswcat":
+        args = [int(a) for a in sys.argv[2:]]
+        hnsw_catalog_stress(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "defrag":
         args = [int(a) for a in sys.argv[2:]]
