@@ -636,6 +636,13 @@ class Collection:
                 # (LIMIT without ORDER returns rows in scan order,
                 # which moves with parquet row-group layout; measured
                 # as run-to-run centroid swings at the hnsw stress).
+                # Known tradeoff: when ids correlate with the data
+                # distribution (time-ordered ingest), the prefix
+                # trains on early data only — the drift meter
+                # (`index_drift` growth vs the build baseline) is the
+                # designed catch for exactly that skew, and a caller
+                # who wants a spread train set opts into
+                # `train_fraction` (the sampled path above).
                 # The two-step fetch keeps the driver transfer at
                 # cap×d doubles whatever the table width.
                 rt = table.select(F.col(id_col),
@@ -707,23 +714,31 @@ class Collection:
     def _hnsw_segments(self, probe: list[int]) -> list[int]:
         """Probed CELLS → graph-sidecar SEGMENT ids. Plain layouts are
         1:1; chunked layouts (``max_segment_size``) expand each probed
-        cell to its chunk segments, discovered from the sidecar's
-        partition footers — a driver-side directory walk, no scan
-        (the fast-count cost model)."""
+        cell to its chunk segments from the partition DIRECTORY NAMES
+        — one listdir, no footer reads, no scan (the hot read path
+        runs this per search; batch once per query)."""
         if not (self.meta.get("hnsw") or {}).get("max_segment_size"):
             return probe
-        counts = self._partition_footer_counts(self._hnsw_graphs,
-                                               "segment")
         cells = set(probe)
-        return sorted(s for s in counts
-                      if s // self._HNSW_SEG_STRIDE in cells)
+        segs = []
+        try:
+            names = os.listdir(self._hnsw_graphs)
+        except OSError:
+            return probe
+        for d in names:
+            if d.startswith("segment="):
+                s = int(d.split("=", 1)[1])
+                if s // self._HNSW_SEG_STRIDE in cells:
+                    segs.append(s)
+        return sorted(segs)
 
     def _has_hnsw(self) -> bool:
         return bool(self.meta.get("hnsw_built"))
 
     def _refresh_hnsw(self, spark: SparkSession,
                       incoming: DataFrame | None, id_col: str,
-                      vec_col: str, rewrote: bool) -> None:
+                      vec_col: str, rewrote: bool,
+                      vectors_changed: bool = True) -> None:
         """Maintain the per-cell HNSW graph sidecar after a write
         (``hnsw_config`` collections — Qdrant builds one HNSW per
         segment past ``indexing_threshold``; here segment = IVF cell,
@@ -739,6 +754,14 @@ class Collection:
         oracle re-derive the whole read path."""
         cfg = self.meta.get("hnsw")
         if not cfg:
+            return
+        if not vectors_changed and self._has_hnsw():
+            # payload-only rewrite (set/overwrite/delete_payload,
+            # payload-index create/drop): the point SET and vectors
+            # are untouched, so the graphs stay bit-valid — skipping
+            # the rebuild turns a metadata edit back into a metadata
+            # cost (a full per-cell Python rebuild is the most
+            # expensive thing this collection can do)
             return
         if not self.has_index() or not os.path.isdir(self._ivf_points):
             if self.meta.pop("hnsw_built", None):
@@ -804,9 +827,10 @@ class Collection:
                 F.col(id_col).asc())
             assigned = assigned.withColumn(
                 "__seg",
-                (F.col("centroid_id") * self._HNSW_SEG_STRIDE
+                (F.col("centroid_id").cast("bigint")
+                 * self._HNSW_SEG_STRIDE
                  + F.floor((F.row_number().over(w) - 1) / int(mss)))
-                .cast("int"))
+                .cast("bigint"))
             seg_col = "__seg"
         lay = hnsw_layout(
             assigned, seg_col=seg_col, m=int(cfg["m"]),
@@ -1125,43 +1149,11 @@ class Collection:
                 if had:
                     shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
             else:
-                unknown = sorted(set(hnsw_config)
-                                 - {"m", "ef_construct",
-                                    "max_segment_size"})
-                if unknown:
-                    raise ValueError(
-                        f"unknown hnsw_config key(s) {unknown}")
-                hm = int(hnsw_config.get("m", 8))
-                hefc = int(hnsw_config.get("ef_construct", 64))
-                if hm < 2 or hefc < hm:
-                    raise ValueError(
-                        "hnsw_config needs m >= 2 and ef_construct >= m")
-                # default 20k: Qdrant ships a max_segment_size
-                # default too, and the measured composed curve says
-                # bounded segments IMPROVE recall at equal ef
-                # (BASELINE.md §hnsw-composed); at fixture scale
-                # cells are smaller than the cap, so the default is
-                # a no-op there (single chunk per cell)
-                mss = hnsw_config.get("max_segment_size", 20_000)
-                if int(mss) < 2 * hm:
-                    raise ValueError(
-                        "max_segment_size must be >= 2*m (a segment "
-                        "smaller than the degree cap is all links)")
-                if self.meta.get("indexing_threshold") is None:
-                    raise ValueError(
-                        "hnsw_config needs indexing_threshold (graphs "
-                        "are built per IVF cell)")
-                if self.meta.get("metric", "cosine") not in (
-                        "cosine", "euclid"):
-                    raise ValueError(
-                        "hnsw_config supports cosine/euclid metrics")
-                if self.meta.get("quantization") \
-                        or self.meta.get("transform"):
-                    raise ValueError(
-                        "hnsw_config is exclusive with quantization/"
-                        "transform")
-                self.meta["hnsw"] = {"m": hm, "ef_construct": hefc,
-                                     "max_segment_size": int(mss)}
+                self.meta["hnsw"] = _hnsw_validate(
+                    hnsw_config, self.meta.get("indexing_threshold"),
+                    self.meta.get("metric"),
+                    self.meta.get("quantization"),
+                    self.meta.get("transform"))
                 # an m/ef_construct change means NEW graphs
                 self.meta.pop("hnsw_built", None)
                 self._save_meta()
@@ -2003,9 +1995,11 @@ class Collection:
         return corpus.filter(F.col(id_col).isin(ids))
 
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
-                    id_col: str, vec_col: str, rewrote: bool) -> None:
+                    id_col: str, vec_col: str, rewrote: bool,
+                    vectors_changed: bool = True) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
-        self._refresh_hnsw(spark, incoming, id_col, vec_col, rewrote)
+        self._refresh_hnsw(spark, incoming, id_col, vec_col, rewrote,
+                           vectors_changed=vectors_changed)
         self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_postings(spark, incoming, id_col, rewrote)
         self._refresh_pca(spark, incoming, id_col, vec_col, rewrote)
@@ -2224,7 +2218,8 @@ class Collection:
         idx.append(field)
         self._save_meta()
         if table is not None:
-            self._rewrite(spark, table, id_col, vec_col)
+            self._rewrite(spark, table, id_col, vec_col,
+                          vectors_changed=False)
 
     def drop_payload_index(self, spark: SparkSession, field: str,
                            id_col: str = "id",
@@ -2238,7 +2233,8 @@ class Collection:
         idx.remove(field)
         self._save_meta()
         if self._has_data(spark):
-            self._rewrite(spark, self.read(spark), id_col, vec_col)
+            self._rewrite(spark, self.read(spark), id_col, vec_col,
+                          vectors_changed=False)
 
     def _has_data(self, spark: SparkSession) -> bool:
         try:
@@ -4246,7 +4242,8 @@ class Collection:
 
     def _rewrite(self, spark: SparkSession, table: DataFrame,
                  id_col: str, vec_col: str,
-                 post_write: bool = True) -> None:
+                 post_write: bool = True,
+                 vectors_changed: bool = True) -> None:
         """Full staged swap + index refresh. Since round 5 only the
         operations whose effect is inherently table-wide use this —
         payload-index create/drop (a layout change), payload ops that
@@ -4260,7 +4257,8 @@ class Collection:
         shutil.rmtree(self.path)
         os.rename(staging, self.path)
         if post_write and self._has_derived_layouts():
-            self._post_write(spark, None, id_col, vec_col, rewrote=True)
+            self._post_write(spark, None, id_col, vec_col, rewrote=True,
+                             vectors_changed=vectors_changed)
 
     def _data_file_count(self) -> int:
         """Number of parquet data files on disk — a driver-side
@@ -4274,7 +4272,8 @@ class Collection:
                         transform, id_col: str, vec_col: str,
                         post_write: bool = True,
                         full_fraction: float = 0.8,
-                        max_files: int = 10_000) -> int:
+                        max_files: int = 10_000,
+                        vectors_changed: bool = True) -> int:
         """File-scoped staged rewrite for the point ops (merge upsert /
         set_payload / overwrite_payload / delete_payload /
         update_vectors / delete_vectors / delete): only the data files
@@ -4318,14 +4317,16 @@ class Collection:
         if (len(files) > max_files
                 or len(files) >= full_fraction * self._data_file_count()):
             self._rewrite(spark, transform(self.read(spark)),
-                          id_col, vec_col, post_write=post_write)
+                          id_col, vec_col, post_write=post_write,
+                          vectors_changed=vectors_changed)
             return n
         subset = tagged.filter(F.col("__file").isin(files)).drop("__file")
         staging = self.path + ".__rewrite__"
         self._write_main(transform(subset), "overwrite", staging)
         self._swap_staged_files(staging, files)
         if post_write and self._has_derived_layouts():
-            self._post_write(spark, None, id_col, vec_col, rewrote=True)
+            self._post_write(spark, None, id_col, vec_col, rewrote=True,
+                             vectors_changed=vectors_changed)
         return n
 
     def set_payload(self, spark: SparkSession, payload: dict, selector,
@@ -4354,7 +4355,8 @@ class Collection:
                 base = F.col(col) if col in table.columns else F.lit(None)
                 table = table.withColumn(
                     col, F.when(pred, F.lit(val)).otherwise(base))
-            self._rewrite(spark, table, id_col, vec_col)
+            self._rewrite(spark, table, id_col, vec_col,
+                          vectors_changed=False)
             return n
 
         def transform(subset: DataFrame) -> DataFrame:
@@ -4363,7 +4365,8 @@ class Collection:
                     col, F.when(pred, F.lit(val)).otherwise(F.col(col)))
             return subset
 
-        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col,
+                                    vectors_changed=False)
 
     def overwrite_payload(self, spark: SparkSession, payload: dict,
                           selector, id_col: str = "id",
@@ -4402,9 +4405,11 @@ class Collection:
         if any(col not in table.columns for col in payload):
             # new payload key → schema change → table-wide rewrite
             n = table.filter(pred).count()
-            self._rewrite(spark, transform(table), id_col, vec_col)
+            self._rewrite(spark, transform(table), id_col, vec_col,
+                          vectors_changed=False)
             return n
-        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col,
+                                    vectors_changed=False)
 
     def delete_payload(self, spark: SparkSession, keys: list, selector,
                        id_col: str = "id",
@@ -4431,7 +4436,8 @@ class Collection:
                         .otherwise(F.col(col)))
             return subset
 
-        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col)
+        return self._scoped_rewrite(spark, pred, transform, id_col, vec_col,
+                                    vectors_changed=False)
 
     def clear_payload(self, spark: SparkSession, selector,
                       id_col: str = "id",
@@ -4754,6 +4760,41 @@ def _pq_validate(dim: int, q: str, blocks=None, codes=16) -> tuple[int, int]:
     return blocks, codes
 
 
+def _hnsw_validate(hnsw_config: dict, indexing_threshold,
+                   metric, quantization, transform) -> dict:
+    """Shared create/update validation for ``hnsw_config`` — one rule
+    set so the two entry points can never drift. Returns the meta dict
+    (m, ef_construct, max_segment_size with its 20k default — Qdrant
+    ships a max_segment_size default too, and the measured composed
+    curve says bounded segments IMPROVE recall at equal ef, BASELINE.md
+    §hnsw-composed; fixture-scale cells sit under the cap, so the
+    default is a no-op there)."""
+    unknown = sorted(set(hnsw_config)
+                     - {"m", "ef_construct", "max_segment_size"})
+    if unknown:
+        raise ValueError(f"unknown hnsw_config key(s) {unknown}")
+    hm = int(hnsw_config.get("m", 8))
+    hefc = int(hnsw_config.get("ef_construct", 64))
+    if hm < 2 or hefc < hm:
+        raise ValueError("hnsw_config needs m >= 2 and ef_construct >= m")
+    mss = int(hnsw_config.get("max_segment_size", 20_000))
+    if mss < 2 * hm:
+        raise ValueError(
+            "max_segment_size must be >= 2*m (a segment smaller than "
+            "the degree cap is all links)")
+    if indexing_threshold is None:
+        raise ValueError(
+            "hnsw_config needs indexing_threshold (graphs are built "
+            "per IVF cell at the deferred index build, Qdrant's own "
+            "regime)")
+    if (metric or "cosine") not in ("cosine", "euclid"):
+        raise ValueError("hnsw_config supports cosine/euclid metrics")
+    if quantization is not None or transform is not None:
+        raise ValueError(
+            "hnsw_config is exclusive with quantization/transform")
+    return {"m": hm, "ef_construct": hefc, "max_segment_size": mss}
+
+
 def create_collection(root: str, name: str, dim: int | None = None,
                       metric: str = "cosine", multivector: bool = False,
                       comparator: str | None = None,
@@ -4963,50 +5004,18 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 if train_fraction is not None:
                     meta["train_fraction"] = float(train_fraction)
             if hnsw_config is not None:
-                # Qdrant HnswConfigDiff (m, ef_construct) — the server
-                # builds one HNSW per segment past indexing_threshold;
-                # here segments = the IVF cells (the routed
-                # composition), so the threshold is required. Dense
+                # Qdrant HnswConfigDiff (m, ef_construct,
+                # max_segment_size) — the server builds one HNSW per
+                # segment past indexing_threshold; here segments =
+                # the IVF cells, chunked to max_segment_size (the
+                # routed composition). Dense or multivector
                 # single-space cosine/euclid collections; exclusive
-                # with quantization (Qdrant's HNSW-over-quantized is
-                # future work) and transform (the PCA sidecar routes
-                # its own cells).
-                unknown = sorted(set(hnsw_config)
-                                 - {"m", "ef_construct",
-                                    "max_segment_size"})
-                if unknown:
-                    raise ValueError(
-                        f"unknown hnsw_config key(s) {unknown}")
-                hm = int(hnsw_config.get("m", 8))
-                hefc = int(hnsw_config.get("ef_construct", 64))
-                if hm < 2 or hefc < hm:
-                    raise ValueError(
-                        "hnsw_config needs m >= 2 and ef_construct >= m")
-                # default 20k: Qdrant ships a max_segment_size
-                # default too, and the measured composed curve says
-                # bounded segments IMPROVE recall at equal ef
-                # (BASELINE.md §hnsw-composed); at fixture scale
-                # cells are smaller than the cap, so the default is
-                # a no-op there (single chunk per cell)
-                mss = hnsw_config.get("max_segment_size", 20_000)
-                if int(mss) < 2 * hm:
-                    raise ValueError(
-                        "max_segment_size must be >= 2*m (a segment "
-                        "smaller than the degree cap is all links)")
-                if indexing_threshold is None:
-                    raise ValueError(
-                        "hnsw_config needs indexing_threshold (graphs "
-                        "are built per IVF cell at the deferred index "
-                        "build, Qdrant's own regime)")
-                if metric not in ("cosine", "euclid"):
-                    raise ValueError(
-                        "hnsw_config supports cosine/euclid metrics")
-                if quantization is not None or transform is not None:
-                    raise ValueError(
-                        "hnsw_config is exclusive with quantization/"
-                        "transform")
-                meta["hnsw"] = {"m": hm, "ef_construct": hefc,
-                                "max_segment_size": int(mss)}
+                # with quantization (HNSW-over-quantized is future
+                # work) and transform (the PCA sidecar routes its own
+                # cells).
+                meta["hnsw"] = _hnsw_validate(
+                    hnsw_config, indexing_threshold, metric,
+                    quantization, transform)
             if drift_auto is not None:
                 if drift_auto not in ("split", "rebuild"):
                     raise ValueError(

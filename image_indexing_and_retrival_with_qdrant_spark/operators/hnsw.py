@@ -200,10 +200,16 @@ def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
     ``normalize=True`` serves cosine collections (Qdrant's own
     upsert-time normalization — euclid on unit vectors is monotone
     with cosine); pass False for euclid-metric collections so the
-    graph lives in the metric's own space."""
+    graph lives in the metric's own space.
+
+    Equal ids are ALLOWED (the catalog's append mode reproduces the
+    reference's duplicate-on-reindex semantics, so a cell can hold
+    one id twice): duplicates get the same level and insert in their
+    given order — a failed build here would strand the collection
+    mid-upsert with the main table written and the graphs stale."""
     ids = list(ids)
-    if any(ids[i] >= ids[i + 1] for i in range(len(ids) - 1)):
-        raise ValueError("ids must be strictly ascending")
+    if any(ids[i] > ids[i + 1] for i in range(len(ids) - 1)):
+        raise ValueError("ids must be ascending")
     Xn = (_normalize_rows(X) if normalize
           else np.asarray(X, dtype=np.float64))
     n = len(ids)
@@ -274,7 +280,7 @@ def hnsw_search_np(levels, adj, Xn, qvec, ef: int,
 
 # --- Spark layout build + per-segment search ------------------------------
 
-LAYOUT_SCHEMA = ("segment int, vec_id bigint, level int, "
+LAYOUT_SCHEMA = ("segment bigint, vec_id bigint, level int, "
                  "links array<array<bigint>>, embedding array<double>")
 # ``links[level]`` holds neighbor POSITIONS in the segment's
 # vec_id-ascending row order (not ids): the searcher restores that
@@ -302,13 +308,13 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
         raise ValueError("exactly one of n_segments / seg_col")
     if seg_col is None:
         base = df.select(
-            F.pmod(F.col(id_col), F.lit(n_segments)).cast("int")
+            F.pmod(F.col(id_col), F.lit(n_segments)).cast("bigint")
             .alias("segment"),
             F.col(id_col).cast(id_type).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"))
     else:
         base = df.select(
-            F.col(seg_col).cast("int").alias("segment"),
+            F.col(seg_col).cast("bigint").alias("segment"),
             F.col(id_col).cast(id_type).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"))
     schema = LAYOUT_SCHEMA.replace("vec_id bigint",
@@ -367,7 +373,7 @@ def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
         })
 
     return layout.groupBy("segment").applyInPandas(
-        search, f"segment int, vec_id {id_type}")
+        search, f"segment bigint, vec_id {id_type}")
 
 
 def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
@@ -423,4 +429,4 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
         })
 
     return layout.groupBy("segment").applyInPandas(
-        search, f"segment int, query_id bigint, vec_id {id_type}")
+        search, f"segment bigint, query_id bigint, vec_id {id_type}")

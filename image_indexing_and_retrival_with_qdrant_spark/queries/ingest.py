@@ -1836,12 +1836,16 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
     return _HNSW_LC_CACHE[(sf_dir, mss)]
 
 
-def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5) -> str:
+def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5,
+                           mss: int | None = None) -> str:
     """Oracle FACTORY: the beam shortlist re-derived driver-side via
     the shared deterministic build/search (the ``_np_probe``
     literal-shortlist discipline), the exact-cosine rescore recomputed
-    independently in DuckDB over re-derived embeddings."""
-    cand = ", ".join(f"'{i}'" for i in _hnsw_lifecycle_candidates(sf_dir))
+    independently in DuckDB over re-derived embeddings. ``mss``
+    selects the chunked-layout twin (one SQL body for both registered
+    queries — a fix applied here can't drift between them)."""
+    cand = ", ".join(f"'{i}'" for i in
+                     _hnsw_lifecycle_candidates(sf_dir, mss=mss))
     d = _embed_dims_sql("t.text", "passage")
     q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
     dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
@@ -1909,28 +1913,7 @@ _HNSW_MSS = 48
 
 
 def _hnsw_seg_oracle(sf_dir: str, k: int = 5) -> str:
-    """Chunked-layout twin: same read path as ``_hnsw_lifecycle_
-    oracle`` but each cell's id-ascending members split into ≤ mss
-    sub-segments with a graph each (`max_segment_size`)."""
-    cand = ", ".join(
-        f"'{i}'" for i in _hnsw_lifecycle_candidates(sf_dir,
-                                                     mss=_HNSW_MSS))
-    d = _embed_dims_sql("t.text", "passage")
-    q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
-    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
-    dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
-    dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, len(d) + 1))
-    qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
-    return f"""
-    WITH t AS (SELECT DISTINCT text FROM documents),
-    e AS (SELECT sha256(t.text) AS id, {dims} FROM t)
-    SELECT e.id,
-           ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
-    FROM e
-    WHERE e.id IN ({cand})
-    ORDER BY score DESC, e.id
-    LIMIT {k}
-    """
+    return _hnsw_lifecycle_oracle(sf_dir, k, mss=_HNSW_MSS)
 
 
 @register("ingest_hnsw_segmented_search", _hnsw_seg_oracle)

@@ -163,14 +163,20 @@ def route_for_recall(recall_target: float, *, indexed: bool,
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
-    if indexed and hnsw:
+    if indexed and hnsw and not multivector:
         # graph tier over probed cells (hnsw_config): knobs come from
         # the JOINT measured curve (_HNSW_COMPOSED — see its comment
         # for why the stages don't compose independently here). Above
         # every trusted ceiling → fall through to index-only at the
         # full target (exact scoring within probed cells — the search
         # path honors the fallback by skipping the graph branch when
-        # the router sets no ef).
+        # the router sets no ef). MULTIVECTOR collections are excluded
+        # on purpose: _HNSW_COMPOSED was measured on dense vectors,
+        # and the pooled-graph stage inherits the pooled-prefilter
+        # regime whose recall decays on confusable corpora (the
+        # topic10 failure mode) — no multivector graph curve has been
+        # measured, so a target routes those index-only (exact MaxSim
+        # within probed cells), never onto an unmeasured tier.
         for (frac, ef), ceiling in _HNSW_COMPOSED:
             if recall_target <= ceiling:
                 nprobe = max(1, math.ceil(frac * k_centroids))

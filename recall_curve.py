@@ -268,8 +268,8 @@ def hnswindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
     cosine collection with per-cell graphs (16 cells), swept across
     (nprobe, hnsw_ef) grid points AND the router's picks for
     `recall_target` ∈ {0.8, 0.9, 0.95} — measuring whether the
-    cell-probe × beam union-bound split (`routing._HNSW_EF`) DELIVERS
-    its targets when both lossy stages are live at once. A chunked
+    router's joint-curve picks (`routing._HNSW_COMPOSED`) DELIVER
+    their targets when both lossy stages are live at once. A chunked
     twin (`max_segment_size`) pins that bounding segments does not
     change the answer quality at equal ef."""
     import shutil

@@ -296,3 +296,53 @@ def test_max_segment_size_chunks(spark, root):
 def test_segmented_lifecycle_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_hnsw_segmented_search"], sf_smoke,
             "ingest_hnsw_segmented_search")
+
+
+def test_append_duplicate_id_does_not_break_build(spark, root):
+    """Append mode reproduces the reference's duplicate-on-reindex
+    semantics: a repeated id must not fail the graph build mid-upsert
+    (review finding — a strict-ascending check stranded the
+    collection with the table written and the graphs stale)."""
+    c = create_collection(root, "dup", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          hnsw_config={"m": 4, "ef_construct": 16})
+    c.upsert(spark, _points(spark, n=60, seed=8, prefix="d"),
+             mode="append")
+    # re-append the same batch: every id now exists twice
+    c.upsert(spark, _points(spark, n=60, seed=8, prefix="d"),
+             mode="append")
+    qv = [float(x) for x in np.random.RandomState(71).randn(8)]
+    rows = c.search(spark, qv, k=200, hnsw_ef=10 ** 6).collect()
+    assert len(rows) == 120  # both copies searchable through graphs
+
+
+def test_payload_ops_keep_graphs_without_rebuild(spark, root):
+    """set_payload touches no vector, so the graph sidecar is reused
+    byte-for-byte instead of rebuilt (review finding: a metadata edit
+    was the most expensive operation on the collection)."""
+    c = create_collection(root, "pay", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          hnsw_config={"m": 4, "ef_construct": 16})
+    c.upsert(spark, _points(spark, n=80, seed=10, prefix="y"),
+             mode="merge")
+
+    def mtimes():
+        out = {}
+        for r, _, fs in os.walk(c._hnsw_graphs):
+            for f in fs:
+                p = os.path.join(r, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = mtimes()
+    c.set_payload(spark, {"tag": "x"}, F.col("id") == "y0001")
+    assert mtimes() == before  # untouched sidecar
+    # and the graphs still serve the (unchanged) point set exactly
+    qv = [float(x) for x in np.random.RandomState(72).randn(8)]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert [(r.id, r.score) for r in
+            c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()] == exact
+    # a vector-touching op still rebuilds
+    c.delete(spark, F.col("id") == "y0002")
+    assert mtimes() != before
