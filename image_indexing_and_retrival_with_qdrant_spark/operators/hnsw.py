@@ -121,12 +121,22 @@ def _dists(Xn: np.ndarray, rows: list[int], q: np.ndarray) -> np.ndarray:
     return (D * D).sum(axis=1)
 
 
-def _search_layer(q, entries, ef, level, adj, Xn):
+def _search_layer(q, entries, ef, level, adj, Xn, visited=None):
     """Beam search on one layer. ``entries``: list of (dist, pos)
     seeds. Returns (results, visited): results ascending by (dist,
     pos), ≤ef of them; ties in the frontier and the result heap break
-    on pos via tuple order, so traversal is fully deterministic."""
-    visited = {p for _, p in entries}
+    on pos via tuple order, so traversal is fully deterministic.
+
+    ``visited`` is a bool MASK (len n), not a set — the membership
+    test was the hot loop of the build (a Python set op per edge);
+    the mask form filters a whole neighbor list in one vectorized
+    index (same candidates in the same order, so traversal is
+    unchanged). Callers may pass a shared mask to continue a prior
+    walk (the exhaustive restart), or None for a fresh one."""
+    if visited is None:
+        visited = np.zeros(len(Xn), dtype=bool)
+    for _, p in entries:
+        visited[p] = True
     cand = list(entries)
     heapq.heapify(cand)
     # result max-heap: (-dist, -pos) so the farthest (then largest id)
@@ -140,18 +150,21 @@ def _search_layer(q, entries, ef, level, adj, Xn):
         if len(res) >= ef and d > -res[0][0]:
             break
         nbrs = adj[p][level] if level < len(adj[p]) else []
-        new = [nb for nb in nbrs if nb not in visited]
-        if not new:
+        if len(nbrs) == 0:
             continue
-        visited.update(new)
-        dd = _dists(Xn, new, q)
-        for nb, nd in zip(new, dd):
+        nb = np.asarray(nbrs, dtype=np.int64)
+        fresh = nb[~visited[nb]]
+        if fresh.size == 0:
+            continue
+        visited[fresh] = True
+        dd = _dists(Xn, fresh, q)
+        for nb_, nd in zip(fresh.tolist(), dd):
             if len(res) < ef:
-                heapq.heappush(res, (-nd, -nb))
-                heapq.heappush(cand, (nd, nb))
+                heapq.heappush(res, (-nd, -nb_))
+                heapq.heappush(cand, (nd, nb_))
             elif nd < -res[0][0]:
-                heapq.heapreplace(res, (-nd, -nb))
-                heapq.heappush(cand, (nd, nb))
+                heapq.heapreplace(res, (-nd, -nb_))
+                heapq.heappush(cand, (nd, nb_))
     return sorted((-d, -p) for d, p in res), visited
 
 
@@ -269,12 +282,16 @@ def hnsw_search_np(levels, adj, Xn, qvec, ef: int,
         ep = [_search_layer(q, ep, 1, lc, adj, Xn)[0][0]]
     res, visited = _search_layer(q, ep, ef, 0, adj, Xn)
     if ef >= n:
-        while len(visited) < n:
-            seed = min(p for p in range(n) if p not in visited)
+        while not visited.all():
+            seed = int(np.flatnonzero(~visited)[0])
             sd = float(_dists(Xn, [seed], q)[0])
-            more, seen = _search_layer(q, [(sd, seed)], ef, 0, adj, Xn)
+            # continue on the SHARED mask: the restart explores only
+            # still-unvisited territory, and with ef >= n its result
+            # heap never overflows, so every newly visited node lands
+            # in `more` — the union still covers the segment exactly
+            more, visited = _search_layer(q, [(sd, seed)], ef, 0,
+                                          adj, Xn, visited=visited)
             res = sorted(set(res) | set(more))
-            visited |= seen
     return res
 
 
