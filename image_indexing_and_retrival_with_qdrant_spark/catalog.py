@@ -711,20 +711,30 @@ class Collection:
     def _hnsw_graphs(self) -> str:
         return self.path + ".hnsw"
 
-    def _hnsw_segments(self, probe: list[int]) -> list[int]:
+    def _hnsw_segments(self, probe: list[int],
+                       names: list[str] | None = None) -> list[int]:
         """Probed CELLS → graph-sidecar SEGMENT ids. Plain layouts are
         1:1; chunked layouts (``max_segment_size``) expand each probed
         cell to its chunk segments from the partition DIRECTORY NAMES
-        — one listdir, no footer reads, no scan (the hot read path
-        runs this per search; batch once per query)."""
+        — one listdir, no footer reads, no scan. ``names`` lets batch
+        callers list the sidecar ONCE and expand every query against
+        the cached listing. A missing/unlistable sidecar raises: for a
+        chunked layout the real segment ids are cell·stride+chunk, so
+        returning raw cell ids would match nothing and silently return
+        empty results instead of surfacing the broken sidecar."""
         if not (self.meta.get("hnsw") or {}).get("max_segment_size"):
             return probe
         cells = set(probe)
         segs = []
-        try:
-            names = os.listdir(self._hnsw_graphs)
-        except OSError:
-            return probe
+        if names is None:
+            try:
+                names = os.listdir(self._hnsw_graphs)
+            except OSError as e:
+                raise FileNotFoundError(
+                    f"hnsw graph sidecar unlistable at "
+                    f"{self._hnsw_graphs!r} (chunked layout needs the "
+                    f"segment directories to resolve probes): {e}"
+                ) from e
         for d in names:
             if d.startswith("segment="):
                 s = int(d.split("=", 1)[1])
@@ -734,6 +744,66 @@ class Collection:
 
     def _has_hnsw(self) -> bool:
         return bool(self.meta.get("hnsw_built"))
+
+    def _hnsw_quant_parts(self):
+        """The quantized-graph trio ``(data_cols, data_schema,
+        decode)`` for hnsw_config × quantization collections — the
+        graph sidecar stores the quantizer's CODE column(s) instead of
+        full-width doubles (4-32× smaller; Qdrant's documented
+        large-corpus posture is exactly this walk-compressed +
+        rescore-exact composition), and ``decode`` reconstructs the
+        float64 walk space from them. Build and search call THIS
+        method for their decode, so the walk always happens in the
+        space the graph was built in. Returns None when the
+        collection is unquantized or the quantizer is untrained
+        (graphs stay full-vector / deferred respectively)."""
+        qz = self.meta.get("quantization")
+        if not qz:
+            return None
+        if qz == "sq":
+            if "sq_mins" not in self.meta:
+                return None
+            from .operators.sq import sq_decode_np
+
+            mins = [float(x) for x in self.meta["sq_mins"]]
+            steps = [float(x) for x in self.meta["sq_steps"]]
+
+            def decode(pdf):
+                import numpy as np
+
+                return sq_decode_np(
+                    np.asarray([np.asarray(c) for c in pdf["codes"]],
+                               dtype=np.int64), mins, steps)
+
+            return ["codes"], "codes array<int>", decode
+        if qz == "bq":
+            from .operators.bq import bq_decode_np
+
+            dim = int(self.meta["dim"])
+
+            def decode(pdf):
+                import numpy as np
+
+                return bq_decode_np(
+                    np.asarray([np.asarray(w) for w in pdf["bits"]],
+                               dtype=np.int64), dim)
+
+            return ["bits"], "bits array<bigint>", decode
+        if "pq_codebooks" not in self.meta:
+            return None
+        from .operators.pq import pq_decode_np
+
+        cbs = self.meta["pq_codebooks"]
+        cols = [f"code{b}" for b in range(len(cbs))]
+
+        def decode(pdf):
+            import numpy as np
+
+            return pq_decode_np(
+                np.stack([pdf[c].to_numpy() for c in cols], axis=1),
+                cbs)
+
+        return cols, ", ".join(f"{c} int" for c in cols), decode
 
     def _refresh_hnsw(self, spark: SparkSession,
                       incoming: DataFrame | None, id_col: str,
@@ -772,9 +842,33 @@ class Collection:
         from .functions.vector import mean_pool_flat
         from .operators.hnsw import hnsw_layout
 
+        quant = self._hnsw_quant_parts()
+        if self.meta.get("quantization") and quant is None:
+            # quantizer configured but untrained (below pq_codes train
+            # rows): graphs stay DEFERRED until it trains — building
+            # full-vector graphs now would orphan them the moment the
+            # codes sidecar appears, and searches below the trained
+            # point take the exact scan anyway
+            return
+        if quant is not None and (
+                self.meta.get("codes_layout") != "cells"
+                or not os.path.isdir(self._codes_path)):
+            # no composed codes layout to graph over yet (the
+            # quant refresh runs first in _post_write, so this only
+            # happens pre-index or on a flat legacy sidecar)
+            return
         full = rewrote or not self._has_hnsw()
-        assigned = spark.read.parquet(self._ivf_points).filter(
-            F.col(vec_col).isNotNull())
+        if quant is not None:
+            # hnsw_config × quantization: the graph lives over the
+            # CODES sidecar (cells-partitioned by _refresh_quant) —
+            # the sidecar stores codes + links only, and the walk
+            # decodes per segment (_hnsw_quant_parts)
+            data_cols, data_schema, decode = quant
+            assigned = spark.read.parquet(self._codes_path).filter(
+                F.col(data_cols[0]).isNotNull())
+        else:
+            assigned = spark.read.parquet(self._ivf_points).filter(
+                F.col(vec_col).isNotNull())
 
         def routing_col(df: DataFrame) -> Column:
             # multivector collections route on the pooled vector —
@@ -804,10 +898,22 @@ class Collection:
                 return
             assigned = assigned.filter(
                 F.col("centroid_id").isin(cells))
-        # graphs live over the ROUTING vector; the id keeps the
-        # table's own type so the rescore's literal-IN compares
-        # like-for-like (string ids stay strings, longs stay longs)
-        assigned = assigned.withColumn("__routing", routing_col(assigned))
+        # graphs live over the ROUTING vector (or its codes); the id
+        # keeps the table's own type so the rescore's literal-IN
+        # compares like-for-like (string ids stay strings, longs
+        # stay longs)
+        if quant is None:
+            assigned = assigned.withColumn("__routing",
+                                           routing_col(assigned))
+        # duplicate ids are ALLOWED (append mode) — a content hash of
+        # the routing vector (or code columns) breaks their ties
+        # deterministically, so chunk membership AND in-segment build
+        # order are bit-reproducible run-to-run (not row-arrival-
+        # ordered)
+        assigned = assigned.withColumn(
+            "__tie",
+            F.xxhash64(F.col("__routing")) if quant is None
+            else F.xxhash64(*[F.col(c) for c in data_cols]))
         id_type = assigned.schema[id_col].dataType.simpleString()
         mss = cfg.get("max_segment_size")
         seg_col = "centroid_id"
@@ -824,7 +930,7 @@ class Collection:
             from pyspark.sql import Window
 
             w = Window.partitionBy("centroid_id").orderBy(
-                F.col(id_col).asc())
+                F.col(id_col).asc(), F.col("__tie").asc())
             assigned = assigned.withColumn(
                 "__seg",
                 (F.col("centroid_id").cast("bigint")
@@ -832,11 +938,20 @@ class Collection:
                  + F.floor((F.row_number().over(w) - 1) / int(mss)))
                 .cast("bigint"))
             seg_col = "__seg"
-        lay = hnsw_layout(
-            assigned, seg_col=seg_col, m=int(cfg["m"]),
-            ef_construct=int(cfg["ef_construct"]), id_col=id_col,
-            vec_col="__routing", id_type=id_type,
-            normalize=self.meta.get("metric", "cosine") == "cosine")
+        if quant is None:
+            lay = hnsw_layout(
+                assigned, seg_col=seg_col, m=int(cfg["m"]),
+                ef_construct=int(cfg["ef_construct"]), id_col=id_col,
+                vec_col="__routing", id_type=id_type,
+                normalize=self.meta.get("metric", "cosine") == "cosine",
+                tie_col="__tie")
+        else:
+            lay = hnsw_layout(
+                assigned, seg_col=seg_col, m=int(cfg["m"]),
+                ef_construct=int(cfg["ef_construct"]), id_col=id_col,
+                id_type=id_type, normalize=True, tie_col="__tie",
+                data_cols=data_cols, data_schema=data_schema,
+                decode=decode)
         writer = lay.write.mode("overwrite").partitionBy("segment")
         if cells is not None:
             # replace only the touched segment directories
@@ -985,7 +1100,11 @@ class Collection:
           Qdrant rebuilds HNSW on hnsw-config diffs too) or ``None``
           (graph sidecar dropped; searches take the cells-scan path).
           Same rules as create: needs ``indexing_threshold``,
-          cosine/euclid, exclusive with quantization/transform.
+          cosine/euclid, exclusive with transform; over a quantized
+          collection (cosine only) the graphs build on the CODES
+          sidecar and searches walk the decoded space. Setting
+          ``quantization`` on an hnsw collection rebuilds the graphs
+          over the new codes (or back over full vectors on None).
 
         Omitted arguments stay unchanged."""
         if sparse_vectors is not None:
@@ -1080,6 +1199,16 @@ class Collection:
             if quantization is not None and self.meta.get("multivector"):
                 # same invariant create_collection enforces
                 raise ValueError("quantization supports dense collections")
+            if quantization is not None and self.meta.get("hnsw") \
+                    and self.meta.get("metric", "cosine") != "cosine":
+                # same rule _hnsw_validate enforces at create
+                raise ValueError(
+                    "hnsw_config over a quantized collection supports "
+                    "the cosine metric")
+            if quantization is not None and self.meta.get("transform"):
+                raise ValueError(
+                    "transform and quantization are exclusive (the "
+                    "PCA sidecar IS the compressed layout)")
             self.meta["quantization"] = quantization
             # frozen train params belong to the OLD config
             for k in ("sq_mins", "sq_steps", "codes_layout",
@@ -1091,12 +1220,22 @@ class Collection:
                     int(self.meta["dim"]), quantization)
                 self.meta["pq_blocks"] = blocks
                 self.meta["pq_codes"] = codes
+            if self.meta.get("hnsw") and self._has_hnsw():
+                # the graphs were built over the OLD quantizer's codes
+                # (or over full vectors if quantization was None) —
+                # they rebuild below over the new geometry
+                self.meta.pop("hnsw_built", None)
+                shutil.rmtree(self._hnsw_graphs, ignore_errors=True)
             self._save_meta()
             if quantization is None:
                 shutil.rmtree(self._codes_path, ignore_errors=True)
             elif self._has_data(spark):
                 self._refresh_quant(spark, None, id_col, vec_col,
                                     rewrote=True)
+            if self.meta.get("hnsw") and self._has_data(spark) \
+                    and self.has_index():
+                self._refresh_hnsw(spark, None, id_col, vec_col,
+                                   rewrote=True)
         if indexing_threshold is not self._UNSET:
             self.meta["indexing_threshold"] = indexing_threshold
             if indexing_threshold is None and self.has_index():
@@ -1998,9 +2137,11 @@ class Collection:
                     id_col: str, vec_col: str, rewrote: bool,
                     vectors_changed: bool = True) -> None:
         self._refresh_index(spark, incoming, id_col, vec_col, rewrote)
+        # quant BEFORE hnsw: quantized collections build their graphs
+        # over the codes sidecar, so the codes must be current first
+        self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_hnsw(spark, incoming, id_col, vec_col, rewrote,
                            vectors_changed=vectors_changed)
-        self._refresh_quant(spark, incoming, id_col, vec_col, rewrote)
         self._refresh_postings(spark, incoming, id_col, rewrote)
         self._refresh_pca(spark, incoming, id_col, vec_col, rewrote)
         self._auto_drift(spark, id_col, vec_col)
@@ -2813,6 +2954,50 @@ class Collection:
                                         nprobe=nprobe)
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif (self._has_hnsw() and self.has_index() and not exact
+                and query_filter is None
+                and k is not None and os.path.isdir(self._hnsw_graphs)
+                and (recall_target is None or hnsw_ef is not None)
+                and (self.meta.get("quantization") is None or quantize)):
+            # the recall_target guard: when the router found no
+            # trusted ef at the sub-target it set none — honor that
+            # by taking the index-only path below (exact within
+            # probed cells) instead of walking graphs at a default ef
+            # per-segment HNSW graphs over the IVF cells (hnsw_config
+            # — the reference backend's actual index): probe the
+            # nprobe nearest cells, WALK their graphs (partition-
+            # pruned read of the sidecar, beam ef per segment) instead
+            # of scanning them, exact-rescore the bounded candidate
+            # union via literal id IN. Filtered searches skip this
+            # branch (the filter-correctness rule quantization
+            # follows: a selective filter would eat beam slots) and
+            # route index-only below — exact scoring inside probed
+            # cells with the filter pushed to the scan. QUANTIZED
+            # collections walk graphs built over the CODES sidecar
+            # (decode per segment, _hnsw_quant_parts; the sidecar is
+            # 4-32× smaller), still exact-rescoring at full width —
+            # unless quantization_params ignore=True asked for
+            # original-vector search, which routes index-only below
+            # (the walk's geometry IS the quantized one).
+            from .operators.hnsw import hnsw_layout_search
+
+            gq = self._hnsw_quant_parts()
+            ef = (int(hnsw_ef) if hnsw_ef is not None
+                  else max(4 * k, 64,
+                           int(math.ceil(k * oversampling))
+                           if gq is not None else 0))
+            cand = hnsw_layout_search(
+                spark.read.parquet(self._hnsw_graphs),
+                qv if gq is None else self._pq_query_vec(cfg, qv),
+                ef=ef,
+                segments=self._hnsw_segments(probe_cells(qv)),
+                id_type=corpus.schema[id_col].dataType.simpleString(),
+                normalize=(cfg.get("metric", "cosine") == "cosine"
+                           if gq is None else True),
+                decode=None if gq is None else gq[2],
+            ).collect()
+            corpus = corpus.filter(F.col(id_col).isin(
+                sorted({r["vec_id"] for r in cand})))
         elif (self.has_index() and not exact
                 and quantize
                 and cfg.get("codes_layout") == "cells"):
@@ -2829,35 +3014,6 @@ class Collection:
                                           probe_ids=probe_cells(qv))
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
-        elif (self._has_hnsw() and self.has_index() and not exact
-                and query_filter is None
-                and k is not None and os.path.isdir(self._hnsw_graphs)
-                and (recall_target is None or hnsw_ef is not None)):
-            # the recall_target guard: when the router found no
-            # trusted ef at the sub-target it set none — honor that
-            # by taking the index-only path below (exact within
-            # probed cells) instead of walking graphs at a default ef
-            # per-segment HNSW graphs over the IVF cells (hnsw_config
-            # — the reference backend's actual index): probe the
-            # nprobe nearest cells, WALK their graphs (partition-
-            # pruned read of the sidecar, beam ef per segment) instead
-            # of scanning them, exact-rescore the bounded candidate
-            # union via literal id IN. Filtered searches skip this
-            # branch (the filter-correctness rule quantization
-            # follows: a selective filter would eat beam slots) and
-            # route index-only below — exact scoring inside probed
-            # cells with the filter pushed to the scan.
-            from .operators.hnsw import hnsw_layout_search
-
-            ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
-            cand = hnsw_layout_search(
-                spark.read.parquet(self._hnsw_graphs), qv, ef=ef,
-                segments=self._hnsw_segments(probe_cells(qv)),
-                id_type=corpus.schema[id_col].dataType.simpleString(),
-                normalize=cfg.get("metric", "cosine") == "cosine",
-            ).collect()
-            corpus = corpus.filter(F.col(id_col).isin(
-                sorted({r["vec_id"] for r in cand})))
         elif self.has_index() and not exact:
             corpus = routed(qv)
         elif quantize and not exact:
@@ -3099,6 +3255,56 @@ class Collection:
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
+        elif (self._has_hnsw() and self.has_index() and not exact
+                and query_filter is None
+                and per_query is None and k is not None
+                and os.path.isdir(self._hnsw_graphs)
+                and (recall_target is None or hnsw_ef is not None)
+                and (self.meta.get("quantization") is None or q_)):
+            # batched graph tier: every query probes ITS OWN nprobe
+            # cells but the whole batch shares one pass over the
+            # probe-union of the graph sidecar (and one deserialize
+            # per segment) — batch ≡ per-query single searches, the
+            # quantized-batch discipline. Each query then rescores
+            # only ITS candidate pairs. Quantized collections walk
+            # code graphs (decode per segment) exactly like single
+            # search; ignore=True skips this branch (q_ is None).
+            from .operators.hnsw import hnsw_layout_search_batch
+
+            gq = self._hnsw_quant_parts()
+            cents = self._centroids(spark)
+            np_ = len(cents) if nprobe is None else nprobe
+            # list the segment directory ONCE for the whole batch —
+            # per-query listdir would scan O(batch × segments) entries
+            seg_names = (os.listdir(self._hnsw_graphs)
+                         if (self.meta.get("hnsw") or {})
+                         .get("max_segment_size") else None)
+            qsegs = {
+                i: self._hnsw_segments(sorted(
+                    range(len(cents)),
+                    key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_],
+                    names=seg_names)
+                for i, qv in enumerate(qvs)}
+            ef = (int(hnsw_ef) if hnsw_ef is not None
+                  else max(4 * k, 64,
+                           int(math.ceil(k * oversampling))
+                           if gq is not None else 0))
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            walk_qs = (qvs if gq is None
+                       else [self._pq_query_vec(cfg, v) for v in qvs])
+            cand = hnsw_layout_search_batch(
+                spark.read.parquet(self._hnsw_graphs),
+                list(enumerate(walk_qs)), ef=ef, query_segments=qsegs,
+                id_type=id_type,
+                normalize=(cfg.get("metric", "cosine") == "cosine"
+                           if gq is None else True),
+                decode=None if gq is None else gq[2],
+            ).collect()
+            include_pairs = spark.createDataFrame(
+                [(int(r["query_id"]), r["vec_id"]) for r in cand],
+                f"query_idx int, {id_col} {id_type}")
+            corpus = corpus.filter(F.col(id_col).isin(
+                sorted({r["vec_id"] for r in cand})))
         elif not exact and q_ and (composed or not self.has_index()):
             # batched quantized prefetch + exact rescore: ONE pass
             # over the codes sidecar ranks every query's shortlist
@@ -3106,7 +3312,8 @@ class Collection:
             # each query rescores only ITS pairs. The distinct-id
             # keep-list (≤ |batch|·m, driver-side literal) row-group-
             # prunes the full-precision fetch — the _maxsim_stage1
-            # pattern, batch-shaped.
+            # pattern, batch-shaped. Reached on quantized collections
+            # whose graphs are absent (or hnsw_config unset).
             m = max(k or 1, int(math.ceil((k or 1) * oversampling)))
             include_pairs = self._quant_shortlist_batch(
                 spark, qvs, m, id_col,
@@ -3117,39 +3324,6 @@ class Collection:
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
-        elif (self._has_hnsw() and self.has_index() and not exact
-                and query_filter is None
-                and per_query is None and k is not None
-                and os.path.isdir(self._hnsw_graphs)
-                and (recall_target is None or hnsw_ef is not None)):
-            # batched graph tier: every query probes ITS OWN nprobe
-            # cells but the whole batch shares one pass over the
-            # probe-union of the graph sidecar (and one deserialize
-            # per segment) — batch ≡ per-query single searches, the
-            # quantized-batch discipline. Each query then rescores
-            # only ITS candidate pairs.
-            from .operators.hnsw import hnsw_layout_search_batch
-
-            cents = self._centroids(spark)
-            np_ = len(cents) if nprobe is None else nprobe
-            qsegs = {
-                i: self._hnsw_segments(sorted(
-                    range(len(cents)),
-                    key=lambda c: (_sq_dist(qv, cents[c]), c))[:np_])
-                for i, qv in enumerate(qvs)}
-            ef = int(hnsw_ef) if hnsw_ef is not None else max(4 * k, 64)
-            id_type = corpus.schema[id_col].dataType.simpleString()
-            cand = hnsw_layout_search_batch(
-                spark.read.parquet(self._hnsw_graphs),
-                list(enumerate(qvs)), ef=ef, query_segments=qsegs,
-                id_type=id_type,
-                normalize=cfg.get("metric", "cosine") == "cosine",
-            ).collect()
-            include_pairs = spark.createDataFrame(
-                [(int(r["query_id"]), r["vec_id"]) for r in cand],
-                f"query_idx int, {id_col} {id_type}")
-            corpus = corpus.filter(F.col(id_col).isin(
-                sorted({r["vec_id"] for r in cand})))
         elif self.has_index() and not exact:
             corpus = spark.read.parquet(self._ivf_points).filter(
                 F.col("centroid_id").isin(probe_union())
@@ -4789,9 +4963,17 @@ def _hnsw_validate(hnsw_config: dict, indexing_threshold,
             "regime)")
     if (metric or "cosine") not in ("cosine", "euclid"):
         raise ValueError("hnsw_config supports cosine/euclid metrics")
-    if quantization is not None or transform is not None:
+    if transform is not None:
         raise ValueError(
-            "hnsw_config is exclusive with quantization/transform")
+            "hnsw_config is exclusive with transform (the PCA sidecar "
+            "routes its own compressed-space cells)")
+    if quantization is not None and (metric or "cosine") != "cosine":
+        # the quantized walk decodes to the quantizer's dot-ranked
+        # space (the _quant_shortlist geometry) — sound for cosine
+        # collections, where normalize-then-euclid is monotone with it
+        raise ValueError(
+            "hnsw_config over a quantized collection supports the "
+            "cosine metric")
     return {"m": hm, "ef_construct": hefc, "max_segment_size": mss}
 
 
@@ -4859,8 +5041,14 @@ def create_collection(root: str, name: str, dim: int | None = None,
     the bounded candidate union. Point ops rebuild only the touched
     cells' graphs. Filtered searches route index-only (exact within
     probed cells) — the quantization filter-correctness rule. Dense
-    single-space cosine/euclid collections; exclusive with
-    quantization/transform.
+    single-space cosine/euclid collections; exclusive with transform.
+    COMPOSED with ``quantization`` (cosine collections), the graphs
+    build over the CODES sidecar instead — the graph sidecar stores
+    codes + links only (4-32× smaller; Qdrant's documented
+    large-corpus posture: walk compressed, rescore exact at full
+    width) and searches decode per segment;
+    ``quantization_params={"ignore": True}`` skips the code walk and
+    routes index-only over original vectors.
 
     ``drift_auto`` (the Qdrant-optimizer analog — the server
     re-optimizes segments after writes without being asked): consume
@@ -5009,10 +5197,10 @@ def create_collection(root: str, name: str, dim: int | None = None,
                 # segment past indexing_threshold; here segments =
                 # the IVF cells, chunked to max_segment_size (the
                 # routed composition). Dense or multivector
-                # single-space cosine/euclid collections; exclusive
-                # with quantization (HNSW-over-quantized is future
-                # work) and transform (the PCA sidecar routes its own
-                # cells).
+                # single-space cosine/euclid collections; composable
+                # with quantization (cosine: graphs build over the
+                # codes sidecar); exclusive with transform (the PCA
+                # sidecar routes its own cells).
                 meta["hnsw"] = _hnsw_validate(
                     hnsw_config, indexing_threshold, metric,
                     quantization, transform)

@@ -29,9 +29,27 @@ from pyspark.sql import functions as F
 
 from .topk import global_topk
 
-__all__ = ["bq_encode", "bq_query_words", "bq_hamming", "bq_search"]
+__all__ = ["bq_encode", "bq_query_words", "bq_hamming", "bq_search",
+           "bq_decode_np"]
 
 _WORD = 32  # bits per packed word
+
+
+def bq_decode_np(words, dim: int):
+    """Unpack (n × n_words) BIGINT sign words to ±1.0 float64 rows —
+    the binarized-space geometry. A graph walk over this decode with
+    a FULL-PRECISION query is the asymmetric form (the SQ pattern:
+    docs compressed, query exact — at least as informative as
+    symmetric Hamming, which binarizes the query too). Used by the
+    quantized HNSW layouts; build and search share this function."""
+    import numpy as np
+
+    W = np.asarray(words, dtype=np.int64)
+    X = np.empty((W.shape[0], dim), dtype=np.float64)
+    for j in range(dim):
+        X[:, j] = np.where((W[:, j // _WORD] >> (j % _WORD)) & 1,
+                           1.0, -1.0)
+    return X
 
 
 def _word_expr(vec: Column, word: int, nbits: int) -> Column:

@@ -297,21 +297,46 @@ def hnsw_search_np(levels, adj, Xn, qvec, ef: int,
 
 # --- Spark layout build + per-segment search ------------------------------
 
-LAYOUT_SCHEMA = ("segment bigint, vec_id bigint, level int, "
+LAYOUT_SCHEMA = ("segment bigint, vec_id bigint, pos int, level int, "
                  "links array<array<bigint>>, embedding array<double>")
-# ``links[level]`` holds neighbor POSITIONS in the segment's
-# vec_id-ascending row order (not ids): the searcher restores that
-# order with one sort and then uses the Arrow-delivered arrays
+# ``links[level]`` holds neighbor POSITIONS in the segment's BUILD
+# order (not ids): the searcher restores that order by sorting on the
+# persisted ``pos`` column and then uses the Arrow-delivered arrays
 # directly — no per-query id→position conversion over every node,
 # which dominated the read path (100k stress, same box: 10.4 s →
-# 1.4 s per query). Ids stay recoverable as ``sorted_vec_ids[pos]``.
+# 1.4 s per query). ``pos`` is explicit (not re-derived from a
+# vec_id sort) so duplicate ids — allowed by append mode — can never
+# bind adjacency to the wrong rows if a multi-file partition read
+# reorders equal-id rows. Ids stay recoverable as ``vec_id[pos]``.
+#
+# QUANTIZED layouts (hnsw_config × quantization — Qdrant's documented
+# large-corpus posture: graph walk over compressed codes + exact
+# full-width rescore) replace the ``embedding array<double>`` column
+# with the quantizer's code column(s) (``data_cols``/``data_schema``)
+# and decode them back to float64 rows with a ``decode`` callable —
+# the SAME callable at build and search time, so the walk happens in
+# exactly the space the graph was built in. The sidecar then stores
+# codes + links only: 4-32× smaller than a full-vector graph sidecar,
+# which is the entire point at 100 TB (the full-width vectors are
+# touched only by the bounded literal-IN rescore).
+
+
+def _default_decode(pdf: pd.DataFrame) -> np.ndarray:
+    """Stack the plain ``embedding`` column to float64 rows — the
+    unquantized layouts' decode."""
+    return np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in pdf["embedding"]])
 
 
 def hnsw_layout(df: DataFrame, n_segments: int | None = None,
                 seg_col: str | None = None, m: int = 8,
                 ef_construct: int = 64, id_col: str = "vec_id",
                 vec_col: str = "embedding", id_type: str = "bigint",
-                normalize: bool = True) -> DataFrame:
+                normalize: bool = True,
+                tie_col: str | None = None,
+                data_cols: list[str] | None = None,
+                data_schema: str | None = None,
+                decode=None) -> DataFrame:
     """One-time graph build: ONE ``applyInPandas`` pass over
     ``groupBy(segment)``; each group builds its own graph with
     ``hnsw_build_np`` and emits one row per node carrying its
@@ -320,38 +345,58 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
     sidecar IS the index, probed partition-pruned ever after. Segment
     rule: ``id % n_segments`` (uniform for assigned ids), or an
     existing ``seg_col`` (the routed composition passes the IVF cell
-    id)."""
+    id). ``tie_col`` (optional, bigint) pins the insertion order of
+    DUPLICATE ids (sort key becomes ``(vec_id, tie)``) so the build
+    is bit-reproducible run-to-run even when append mode has stored
+    one id twice; without it equal-id order follows row arrival.
+    ``data_cols``/``data_schema``/``decode`` select the QUANTIZED
+    layout form (module comment above): the named code columns ride
+    through in place of ``embedding`` and ``decode(pdf) -> float64
+    rows`` reconstructs the space the graph is built in."""
     if (n_segments is None) == (seg_col is None):
         raise ValueError("exactly one of n_segments / seg_col")
-    if seg_col is None:
-        base = df.select(
-            F.pmod(F.col(id_col), F.lit(n_segments)).cast("bigint")
-            .alias("segment"),
-            F.col(id_col).cast(id_type).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("embedding"))
+    if (decode is None) != (data_cols is None) or \
+            (decode is None) != (data_schema is None):
+        raise ValueError(
+            "data_cols, data_schema and decode come as a trio")
+    seg = (F.pmod(F.col(id_col), F.lit(n_segments)).cast("bigint")
+           if seg_col is None else F.col(seg_col).cast("bigint"))
+    cols = [seg.alias("segment"),
+            F.col(id_col).cast(id_type).alias("vec_id")]
+    if decode is None:
+        data_cols = ["embedding"]
+        data_schema = "embedding array<double>"
+        decode = _default_decode
+        cols.append(F.col(vec_col).cast("array<double>")
+                    .alias("embedding"))
     else:
-        base = df.select(
-            F.col(seg_col).cast("bigint").alias("segment"),
-            F.col(id_col).cast(id_type).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("embedding"))
-    schema = LAYOUT_SCHEMA.replace("vec_id bigint",
-                                   f"vec_id {id_type}")
+        cols.extend(F.col(c) for c in data_cols)
+    if tie_col is not None:
+        cols.append(F.col(tie_col).cast("bigint").alias("__tie"))
+    base = df.select(*cols)
+    schema = (f"segment bigint, vec_id {id_type}, pos int, level int, "
+              f"links array<array<bigint>>, {data_schema}")
+    sort_keys = (["vec_id"] if tie_col is None
+                 else ["vec_id", "__tie"])
+    dcols = list(data_cols)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id", kind="stable")
+        pdf = pdf.sort_values(sort_keys, kind="stable")
         ids = pdf["vec_id"].tolist()
-        X = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in pdf["embedding"]])
+        X = decode(pdf)
         levels, adj = hnsw_build_np(ids, X, m=m,
                                     ef_construct=ef_construct,
                                     normalize=normalize)
-        return pd.DataFrame({
+        out = {
             "segment": pdf["segment"].iloc[0],
             "vec_id": ids,
+            "pos": list(range(len(ids))),
             "level": levels,
-            "links": adj,  # positions in vec_id-ascending order
-            "embedding": list(pdf["embedding"]),
-        })
+            "links": adj,  # positions in build (pos) order
+        }
+        for c in dcols:
+            out[c] = list(pdf[c])
+        return pd.DataFrame(out)
 
     return base.groupBy("segment").applyInPandas(build, schema)
 
@@ -359,28 +404,31 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
 def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
                        segments: list[int] | None = None,
                        id_type: str = "bigint",
-                       normalize: bool = True) -> DataFrame:
+                       normalize: bool = True,
+                       decode=None) -> DataFrame:
     """Per-segment beam search over a built layout → candidate ids
     (``segment, vec_id``), ≤ef per segment. ``segments`` prunes the
     probe to a literal IN — partition pruning when the layout is
     written ``partitionBy(segment)`` (the routed composition passes
     the nprobe nearest cells). The caller rescores the bounded union
     with the engine's exact cosine (literal-IN pruned scan + global
-    top-k)."""
+    top-k). ``decode`` must be the SAME callable the layout was built
+    with (quantized layouts — module comment above); None reads the
+    plain ``embedding`` column."""
     if segments is not None:
         layout = layout.filter(F.col("segment").isin([int(s) for s
                                                       in segments]))
     q = [float(x) for x in qvec]
+    decode = _default_decode if decode is None else decode
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id", kind="stable")
+        pdf = pdf.sort_values("pos", kind="stable")
         ids = pdf["vec_id"].tolist()
         levels = pdf["level"].tolist()
-        # links are POSITIONS in this exact order (see LAYOUT_SCHEMA):
+        # links are POSITIONS in build (pos) order (see LAYOUT_SCHEMA):
         # the Arrow arrays are the adjacency, no conversion pass
         adj = pdf["links"].tolist()
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        X = decode(pdf)
         Xn = _normalize_rows(X) if normalize else X
         res = hnsw_search_np(levels, adj, Xn, q, ef=ef,
                              normalize=normalize)
@@ -397,7 +445,8 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
                              segments: list[int] | None = None,
                              query_segments: dict | None = None,
                              id_type: str = "bigint",
-                             normalize: bool = True) -> DataFrame:
+                             normalize: bool = True,
+                             decode=None) -> DataFrame:
     """Batched per-segment beam search: ``queries`` is a list of
     ``(query_id, vector)``. Every query shares ONE segment
     deserialize + normalize pass (the engine's batch-shares-one-pass
@@ -420,15 +469,15 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
     qsegs = (None if query_segments is None else
              {int(q): {int(s) for s in ss}
               for q, ss in query_segments.items()})
+    decode = _default_decode if decode is None else decode
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id", kind="stable")
+        pdf = pdf.sort_values("pos", kind="stable")
         seg = int(pdf["segment"].iloc[0])
         ids = pdf["vec_id"].tolist()
         levels = pdf["level"].tolist()
         adj = pdf["links"].tolist()
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        X = decode(pdf)
         Xn = _normalize_rows(X) if normalize else X
         out_q: list[int] = []
         out_v: list[int] = []

@@ -29,7 +29,23 @@ from pyspark.sql import functions as F
 from .ann import assign_centroids
 from .topk import global_topk
 
-__all__ = ["pq_build", "pq_encode_udf", "pq_search", "ivfpq_search"]
+__all__ = ["pq_build", "pq_encode_udf", "pq_search", "ivfpq_search",
+           "pq_decode_np"]
+
+
+def pq_decode_np(codes, codebooks: list):
+    """Reconstruct float64 rows from an (n × n_blocks) code matrix by
+    codebook lookup: row = concat(codebooks[b][code_b]). For OPQ codes
+    the reconstruction lives in the ROTATED space (the codebooks were
+    trained there) — callers rotate the query to match. Used by the
+    quantized HNSW layouts (build and search share this function, so
+    the walk happens in the space the graph was built in)."""
+    import numpy as np
+
+    C = np.asarray(codes, dtype=np.int64)
+    return np.concatenate(
+        [np.asarray(codebooks[b], dtype=np.float64)[C[:, b]]
+         for b in range(len(codebooks))], axis=1)
 
 
 def pq_encode_udf(codebooks: list, vec_col: Column) -> Column:

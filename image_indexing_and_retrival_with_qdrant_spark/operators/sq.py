@@ -31,7 +31,21 @@ from pyspark.sql import functions as F
 from ..functions.vector import _UNROLL_MAX_DIM, _lit_array_sql
 from .topk import global_topk
 
-__all__ = ["sq_train", "sq_encode", "sq_search"]
+__all__ = ["sq_train", "sq_encode", "sq_search", "sq_decode_np"]
+
+
+def sq_decode_np(codes, mins: list[float], steps: list[float]):
+    """Dequantize an (n × dim) int code matrix to float64 bucket
+    centers: ``min_j + (code_j + 0.5)·step_j`` — the same arithmetic
+    ``sq_search`` evaluates in-expression, as one vectorized numpy op
+    (used by the quantized HNSW layouts, whose build AND search decode
+    through this exact function so the graph and the walk live in the
+    same space). A zero-width dimension (step 0) decodes to min."""
+    import numpy as np
+
+    C = np.asarray(codes, dtype=np.float64)
+    return np.asarray(mins, dtype=np.float64) + \
+        (C + 0.5) * np.asarray(steps, dtype=np.float64)
 
 
 def sq_train(corpus: DataFrame, dim: int,

@@ -1762,7 +1762,8 @@ _HNSW_LC_CACHE: dict = {}
 
 
 def _hnsw_lifecycle_candidates(sf_dir: str,
-                               mss: int | None = None) -> list[str]:
+                               mss: int | None = None,
+                               quant: str | None = None) -> list[str]:
     """Driver-side twin of the collection's graph read path. Every
     stage mirrors the catalog bit-for-bit: embeddings via the
     pure-Python md5 formula (the ``_pca_space_params`` twin), ids =
@@ -1774,8 +1775,13 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
     every cell (default nprobe), beam = ``hnsw_search_np(ef)``.
     ``mss`` mirrors ``max_segment_size``: each cell's id-ascending
     members chunk into ≤mss-point sub-segments, one graph each (the
-    catalog's row_number window over the same order)."""
-    if (sf_dir, mss) not in _HNSW_LC_CACHE:
+    catalog's row_number window over the same order). ``quant="sq"``
+    mirrors hnsw_config × quantization: per-dim (min, step) trained
+    over the whole deduped corpus (``sq_train``'s order-independent
+    agg), int8 encode with the frozen params, and graphs built/walked
+    over the ``sq_decode_np`` bucket centers — the code-graph read
+    path re-derived end to end."""
+    if (sf_dir, mss, quant) not in _HNSW_LC_CACHE:
         import hashlib
         import os
 
@@ -1817,6 +1823,38 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                     best_d, best_i = acc, cid
             cells.setdefault(best_i, []).append((pid, v))
         qv = np.asarray(vec(_QUERY_TEXT, "query:"), dtype=np.float64)
+        decode = None
+        if quant == "sq":
+            # the engine's sq_train is a min/max agg over the whole
+            # table (order-independent → exactly reproducible here);
+            # encode is clamp(floor((x − mn)/st)) in double math, the
+            # same IEEE ops Catalyst's sq_encode runs; the walk space
+            # is sq_decode_np's bucket centers — shared with the
+            # engine's build AND search, the whole point of the twin
+            import math as _math
+
+            from ..operators.sq import sq_decode_np
+
+            allv = np.asarray([v for _, v in rows], dtype=np.float64)
+            mins = allv.min(axis=0)
+            steps = (allv.max(axis=0) - mins) / 256.0
+
+            def encode(v):
+                out = []
+                for j, (mn, st) in enumerate(zip(mins, steps)):
+                    if st == 0.0:
+                        out.append(0)
+                        continue
+                    c = _math.floor((v[j] - mn) / st)
+                    out.append(min(255, max(0, c)))
+                return out
+
+            def decode(chunk):
+                C = np.asarray([encode(v) for _, v in chunk],
+                               dtype=np.int64)
+                return sq_decode_np(C, list(mins), list(steps))
+        elif quant is not None:
+            raise ValueError(f"unknown twin quantizer {quant!r}")
         cand: list[str] = []
         for cid in sorted(cells):
             members = cells[cid]  # already id-ascending (rows sorted)
@@ -1825,27 +1863,33 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                        for i in range(0, len(members), mss)])
             for chunk in chunks:
                 ids = [pid for pid, _ in chunk]
-                X = np.asarray([v for _, v in chunk], dtype=np.float64)
+                X = (np.asarray([v for _, v in chunk], dtype=np.float64)
+                     if decode is None else decode(chunk))
                 levels, adj = hnsw_build_np(
                     ids, X, m=_HNSW_LC["m"],
                     ef_construct=_HNSW_LC["ef_construct"])
                 res = hnsw_search_np(levels, adj, _normalize_rows(X),
                                      qv, ef=_HNSW_LC["ef"])
                 cand += [ids[p] for _, p in res]
-        _HNSW_LC_CACHE[(sf_dir, mss)] = sorted(cand)
-    return _HNSW_LC_CACHE[(sf_dir, mss)]
+        _HNSW_LC_CACHE[(sf_dir, mss, quant)] = sorted(cand)
+    return _HNSW_LC_CACHE[(sf_dir, mss, quant)]
 
 
 def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5,
-                           mss: int | None = None) -> str:
+                           mss: int | None = None,
+                           quant: str | None = None) -> str:
     """Oracle FACTORY: the beam shortlist re-derived driver-side via
     the shared deterministic build/search (the ``_np_probe``
     literal-shortlist discipline), the exact-cosine rescore recomputed
     independently in DuckDB over re-derived embeddings. ``mss``
-    selects the chunked-layout twin (one SQL body for both registered
-    queries — a fix applied here can't drift between them)."""
+    selects the chunked-layout twin, ``quant`` the code-graph twin
+    (one SQL body for all registered queries — a fix applied here
+    can't drift between them); the rescore is always FULL-WIDTH exact
+    cosine, which is precisely the quantized composition's contract
+    (walk compressed, rescore exact)."""
     cand = ", ".join(f"'{i}'" for i in
-                     _hnsw_lifecycle_candidates(sf_dir, mss=mss))
+                     _hnsw_lifecycle_candidates(sf_dir, mss=mss,
+                                                quant=quant))
     d = _embed_dims_sql("t.text", "passage")
     q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
     dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
@@ -1946,6 +1990,63 @@ def ingest_hnsw_segmented_search(spark: SparkSession,
                          "max_segment_size": _HNSW_MSS})
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index() and coll._has_hnsw()
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _hnsw_quant_oracle(sf_dir: str, k: int = 5) -> str:
+    return _hnsw_lifecycle_oracle(sf_dir, k, quant="sq")
+
+
+@register("ingest_hnsw_quantized_search", _hnsw_quant_oracle)
+def ingest_hnsw_quantized_search(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """hnsw_config × quantization — Qdrant's documented large-corpus
+    posture (HNSW over quantized vectors + exact rescore,
+    ``quantization_config`` alongside ``HnswConfigDiff``): ONE upsert
+    trains the scalar quantizer, writes the cells-partitioned int8
+    codes sidecar, AND builds the per-cell graphs OVER THE CODES —
+    the graph sidecar stores codes + links only (4× smaller here,
+    32× for BQ), so at 100 TB the walkable index is a fraction of the
+    corpus. ``search(hnsw_ef=8)`` walks the graphs in the decoded
+    bucket-center space (`sq_decode_np`, shared by build and walk)
+    and exact-rescores the bounded union at full width via literal
+    ``id IN``. The oracle re-derives the trained (min, step), every
+    row's codes, the decoded-space graphs and beam driver-side, and
+    recomputes the full-width rescore in DuckDB — a graph built or
+    walked in the wrong space hash-mismatches. Tier interplay
+    (ignore=True → index-only, rescore=False → codes ranking,
+    quantizer retrain → graph rebuild) is pinned in
+    tests/test_hnsw_collection.py."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_q_")
+    try:
+        coll = create_collection(
+            root, "hq", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"], quantization="sq",
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw(), \
+            "threshold crossed but code graphs not built"
+        assert coll.meta.get("codes_layout") == "cells", \
+            "codes sidecar must share the IVF cells"
+        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        assert "codes" in lay_cols and "embedding" not in lay_cols, \
+            f"graph sidecar must store codes, not vectors: {lay_cols}"
         with phase("search"):
             res = coll.search(spark, qv, k=5,
                               hnsw_ef=_HNSW_LC["ef"]) \

@@ -163,7 +163,14 @@ def route_for_recall(recall_target: float, *, indexed: bool,
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
-    if indexed and hnsw and not multivector:
+    if indexed and hnsw and not multivector and quantization is None:
+        # QUANTIZED collections' graphs walk the decoded-code space
+        # (hnsw_config × quantization) — a different geometry than
+        # the full-vector graphs _HNSW_COMPOSED was measured on, so a
+        # target routes them onto the measured composed-quantizer
+        # curve below instead of an unmeasured graph tier (the
+        # multivector-exclusion discipline). An explicit hnsw_ef=
+        # still walks the code graphs.
         # graph tier over probed cells (hnsw_config): knobs come from
         # the JOINT measured curve (_HNSW_COMPOSED — see its comment
         # for why the stages don't compose independently here). Above

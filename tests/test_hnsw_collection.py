@@ -53,7 +53,14 @@ def test_creation_validation(root):
                           hnsw_config={"m": 8, "ef_construct": 4})
     with pytest.raises(ValueError, match="exclusive"):
         create_collection(root, "v4", dim=8, indexing_threshold=1,
-                          quantization="sq",
+                          transform="pca", pca_dim=4,
+                          hnsw_config={"m": 4, "ef_construct": 32})
+    # quantization COMPOSES with hnsw_config (graphs over the codes
+    # sidecar) — but only on cosine collections: the walk's decoded
+    # geometry is the dot-ranked quantizer space
+    with pytest.raises(ValueError, match="cosine"):
+        create_collection(root, "v4e", dim=8, metric="euclid",
+                          indexing_threshold=1, quantization="sq",
                           hnsw_config={"m": 4, "ef_construct": 32})
     with pytest.raises(ValueError, match="cosine/euclid"):
         create_collection(root, "v5", dim=8, metric="manhattan",
@@ -346,3 +353,149 @@ def test_payload_ops_keep_graphs_without_rebuild(spark, root):
     # a vector-touching op still rebuilds
     c.delete(spark, F.col("id") == "y0002")
     assert mtimes() != before
+
+
+# --- hnsw_config × quantization (round 10): graphs over the codes
+# --- sidecar, decoded walk, exact full-width rescore ------------------
+
+
+@pytest.fixture(scope="module")
+def qcoll(spark, root):
+    c = create_collection(root, "hq", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=4,
+                          quantization="sq",
+                          hnsw_config={"m": 4, "ef_construct": 32})
+    c.upsert(spark, _points(spark, seed=21, prefix="q"), mode="merge")
+    return c
+
+
+def test_quantized_graphs_store_codes_not_vectors(spark, qcoll):
+    assert qcoll._has_hnsw() and qcoll.meta["codes_layout"] == "cells"
+    lay = spark.read.parquet(qcoll._hnsw_graphs)
+    assert "codes" in lay.columns and "embedding" not in lay.columns
+    # one graph row per point, links present
+    assert lay.count() == 300
+
+
+def test_quantized_graph_search_rescores_exact(spark, qcoll):
+    """The walk is approximate (quantized geometry) but every returned
+    score must be the EXACT full-width cosine — the rescore contract."""
+    qv = [float(x) for x in np.random.RandomState(5).randn(8)]
+    got = qcoll.search(spark, qv, k=5, hnsw_ef=64).collect()
+    exact = {r.id: r.score for r in
+             qcoll.search(spark, qv, k=5, exact=True).collect()}
+    assert len(got) == 5
+    for r in got:
+        if r.id in exact:
+            assert r.score == exact[r.id]
+
+
+def test_quantized_graph_exhaustive_beam_equals_exact(spark, qcoll):
+    """ef >= n degenerates the walk to covering every node, so the
+    full-width rescore must equal the exact scan bit-for-bit even
+    though the walk ran in the decoded-code space."""
+    qv = [float(x) for x in np.random.RandomState(6).randn(8)]
+    graph = [(r.id, r.score) for r in
+             qcoll.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    exact = [(r.id, r.score) for r in
+             qcoll.search(spark, qv, k=5, exact=True).collect()]
+    assert graph == exact
+
+
+def test_quantized_graph_batch_equals_single(spark, qcoll):
+    qvs = [[float(x) for x in np.random.RandomState(s).randn(8)]
+           for s in (7, 8)]
+    singles = [[(r.id, r.score) for r in
+                qcoll.search(spark, v, k=3, hnsw_ef=32).collect()]
+               for v in qvs]
+    batch = qcoll.search_batch(spark, qvs, k=3, hnsw_ef=32).collect()
+    for i, want in enumerate(singles):
+        assert [(r.id, r.score) for r in batch
+                if r.query_idx == i] == want
+
+
+def test_quantized_graph_ignore_routes_index_only(spark, qcoll):
+    """quantization_params ignore=True asks for original-vector search
+    — the code walk's geometry is the quantized one, so the engine
+    must route index-only (exact within probed cells) instead."""
+    qv = [float(x) for x in np.random.RandomState(9).randn(8)]
+    ig = [(r.id, r.score) for r in
+          qcoll.search(spark, qv, k=5,
+                       quantization_params={"ignore": True}).collect()]
+    exact = [(r.id, r.score) for r in
+             qcoll.search(spark, qv, k=5, exact=True).collect()]
+    assert ig == exact  # default probe is exhaustive at 4 cells
+
+
+def test_quantized_graph_noscore_still_codes_ranking(spark, qcoll):
+    """rescore=False bypasses the graph branch (it returns QUANTIZED
+    ranking scores from the codes sidecar, no rescore stage)."""
+    qv = [float(x) for x in np.random.RandomState(10).randn(8)]
+    rows = qcoll.search(spark, qv, k=5,
+                        quantization_params={"rescore": False}).collect()
+    assert len(rows) == 5
+    exact = {r.id: r.score for r in
+             qcoll.search(spark, qv, k=200, exact=True).collect()}
+    # quantized scores differ from exact cosine (they're dequantize-dot
+    # values) — equality here would mean a silent rescore
+    assert any(abs(r.score - exact[r.id]) > 1e-9 for r in rows)
+
+
+def test_quantized_graph_append_maintains(spark, qcoll):
+    before = spark.read.parquet(qcoll._hnsw_graphs).count()
+    qcoll.upsert(spark, _points(spark, n=40, seed=22, prefix="r"),
+                 mode="merge")
+    after = spark.read.parquet(qcoll._hnsw_graphs).count()
+    assert after == before + 40
+    qv = [float(x) for x in np.random.RandomState(11).randn(8)]
+    graph = [(r.id, r.score) for r in
+             qcoll.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    exact = [(r.id, r.score) for r in
+             qcoll.search(spark, qv, k=5, exact=True).collect()]
+    assert graph == exact
+
+
+def test_quantizer_retrain_rebuilds_graphs(spark, root):
+    c = create_collection(root, "hqr", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          quantization="sq",
+                          hnsw_config={"m": 4, "ef_construct": 16})
+    c.upsert(spark, _points(spark, n=80, seed=23, prefix="t"),
+             mode="merge")
+    assert "codes" in spark.read.parquet(c._hnsw_graphs).columns
+    # switch quantizer: graphs must rebuild over the NEW codes
+    c.update_collection(spark, quantization="pq")
+    assert c._has_hnsw()
+    cols = spark.read.parquet(c._hnsw_graphs).columns
+    assert "code0" in cols and "codes" not in cols
+    # and back to None: graphs rebuild over full vectors
+    c.update_collection(spark, quantization=None)
+    assert "embedding" in spark.read.parquet(c._hnsw_graphs).columns
+    qv = [float(x) for x in np.random.RandomState(12).randn(8)]
+    graph = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert graph == exact
+
+
+def test_quantized_recall_target_routes_composed(spark, qcoll):
+    """No quantized-graph recall curve is measured yet, so a
+    recall_target on a quantized hnsw collection must route onto the
+    measured composed-quantizer tier (codes scan + oversampled exact
+    rescore), not the graph walk."""
+    from image_indexing_and_retrival_with_qdrant_spark.routing import (
+        route_for_recall,
+    )
+
+    r = route_for_recall(0.9, indexed=True, quantization="sq",
+                         k_centroids=4, hnsw=True)
+    assert r["hnsw_ef"] is None and r["oversampling"] is not None
+    qv = [float(x) for x in np.random.RandomState(13).randn(8)]
+    rows = qcoll.search(spark, qv, k=5, recall_target=0.9).collect()
+    assert len(rows) == 5
+
+
+def test_quantized_lifecycle_oracle(spark, sf_smoke):
+    compare(spark, REGISTRY["ingest_hnsw_quantized_search"], sf_smoke,
+            name="ingest_hnsw_quantized_search")
