@@ -805,6 +805,121 @@ class Collection:
 
         return cols, ", ".join(f"{c} int" for c in cols), decode
 
+    def _hnsw_old_stats(self, spark: SparkSession, cells: list[int],
+                        cfg: dict) -> dict:
+        """Per-cell ``(point_count, max_id)`` from the graph sidecar —
+        a partition-pruned, column-pruned agg over only the touched
+        cells' segment directories (the append path's routing input:
+        count gives the insert positions, max id the strictly-above
+        precondition)."""
+        segs = self._hnsw_segments(sorted(cells))
+        df = spark.read.parquet(self._hnsw_graphs).filter(
+            F.col("segment").isin([int(s) for s in segs]))
+        cell = (F.floor(F.col("segment") / self._HNSW_SEG_STRIDE)
+                if cfg.get("max_segment_size") else F.col("segment"))
+        rows = df.groupBy(cell.cast("bigint").alias("c")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("vec_id").alias("mx")).collect()
+        return {int(r["c"]): (int(r["n"]), r["mx"]) for r in rows}
+
+    def _hnsw_insert_append(self, spark: SparkSession, inc: DataFrame,
+                            id_col: str, vec_col: str, cfg: dict,
+                            quant, base: dict) -> None:
+        """Incremental graph insert for append-only batches (every new
+        id strictly above the cell's existing ids — the caller's
+        split): new rows take positions ``old_count + rank`` in their
+        cell's (id, tie) order, which lands them in the cell's partial
+        last chunk and/or fresh chunks; ONLY those segments are read
+        (partition-pruned), resumed via ``hnsw_layout_insert`` (
+        bit-identical to a from-scratch build on the union —
+        operators/hnsw.py resume contract), and rewritten via dynamic
+        partition overwrite. Append cost ∝ batch + one ≤
+        max_segment_size chunk per touched cell, instead of the full
+        touched-cell rebuild."""
+        from .functions.vector import mean_pool_flat
+        from .operators.hnsw import hnsw_layout_insert
+
+        mss = cfg.get("max_segment_size")
+        stride = self._HNSW_SEG_STRIDE
+
+        def routing_col(df: DataFrame) -> Column:
+            if self.meta.get("multivector"):
+                if vec_col + "__pooled" in df.columns:
+                    return F.col(vec_col + "__pooled").cast(
+                        "array<double>")
+                return mean_pool_flat(
+                    F.col(vec_col).cast("array<double>"),
+                    int(self.meta["dim"]))
+            return as_double(F.col(vec_col))
+
+        if quant is None:
+            data_cols = ["embedding"]
+            data_schema = None
+            decode = None
+            new = inc.select(
+                F.col("centroid_id"),
+                F.col(id_col).alias("vec_id"),
+                routing_col(inc).cast("array<double>")
+                .alias("embedding"))
+            tie = F.xxhash64(F.col("embedding"))
+        else:
+            data_cols, data_schema, decode = quant
+            new = self._encode_codes(
+                inc, self.meta, vec_col, id_col,
+                carry=("centroid_id",)).withColumnRenamed(
+                    id_col, "vec_id")
+            tie = F.xxhash64(*[F.col(c) for c in data_cols])
+        new = new.withColumn("__tie", tie)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("centroid_id").orderBy(
+            F.col("vec_id").asc(), F.col("__tie").asc())
+        base_map = F.create_map(*[
+            F.lit(x).cast("bigint") for c, n in sorted(base.items())
+            for x in (int(c), int(n))])
+        rn = (F.element_at(base_map,
+                           F.col("centroid_id").cast("bigint"))
+              + F.row_number().over(w) - 1)  # 0-based global position
+        seg = (F.col("centroid_id").cast("bigint") * stride
+               + F.floor(rn / int(mss)) if mss
+               else F.col("centroid_id").cast("bigint"))
+        new = new.withColumn("segment", seg.cast("bigint")) \
+            .withColumn("pos", F.lit(None).cast("int")) \
+            .withColumn("level", F.lit(None).cast("int")) \
+            .withColumn("links",
+                        F.lit(None).cast("array<array<bigint>>")) \
+            .drop("centroid_id")
+        # the partial last chunk of each cell (if any) resumes its
+        # build; full chunks are never touched
+        old_segs = []
+        for c, n in base.items():
+            if n <= 0:
+                continue
+            if mss:
+                if n % int(mss) != 0:
+                    old_segs.append(int(c) * stride
+                                    + (n - 1) // int(mss))
+            else:
+                old_segs.append(int(c))
+        union = new
+        if old_segs:
+            old = spark.read.parquet(self._hnsw_graphs).filter(
+                F.col("segment").isin(old_segs)).withColumn(
+                    "__tie", F.lit(None).cast("bigint"))
+            union = old.unionByName(new.select(*old.columns))
+        id_type = inc.schema[id_col].dataType.simpleString()
+        lay = hnsw_layout_insert(
+            union, m=int(cfg["m"]),
+            ef_construct=int(cfg["ef_construct"]), id_type=id_type,
+            normalize=(self.meta.get("metric", "cosine") == "cosine"
+                       if quant is None else True),
+            tie_col="__tie",
+            data_cols=data_cols if quant is not None else None,
+            data_schema=data_schema, decode=decode)
+        (lay.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("segment").parquet(self._hnsw_graphs))
+
     def _refresh_hnsw(self, spark: SparkSession,
                       incoming: DataFrame | None, id_col: str,
                       vec_col: str, rewrote: bool,
@@ -888,14 +1003,42 @@ class Collection:
         if not full and incoming is not None:
             from .operators.ann import assign_centroids
 
-            cells = sorted({int(r["c"]) for r in (
-                incoming.filter(F.col(vec_col).isNotNull())
-                .select(assign_centroids(
-                    self._centroids(spark), routing_col(incoming),
-                    max_expr_literals=512).alias("c"))
-                .distinct().collect())})
-            if not cells:
+            inc = incoming.filter(F.col(vec_col).isNotNull())
+            inc = inc.withColumn(
+                "centroid_id",
+                assign_centroids(self._centroids(spark),
+                                 routing_col(inc),
+                                 max_expr_literals=512))
+            inc_min = {int(r["centroid_id"]): r["mn"] for r in
+                       inc.groupBy("centroid_id").agg(
+                           F.min(F.col(id_col)).alias("mn")).collect()}
+            if not inc_min:
                 return
+            # split touched cells: a batch whose ids all sort STRICTLY
+            # above a cell's existing ids INSERTS into that cell's
+            # live graph (cost ∝ batch + one bounded chunk — the
+            # hot-tenant append pattern, Qdrant's own incremental
+            # upsert); anything else (id interleave, equal-id
+            # re-append) rebuilds the cell from scratch — the only
+            # order the deterministic build (and its oracle twin)
+            # defines
+            old_stats = self._hnsw_old_stats(spark, sorted(inc_min),
+                                             cfg)
+            inc_cells = sorted(
+                c for c, mn in inc_min.items()
+                if old_stats.get(c, (0, None))[0] == 0
+                or mn > old_stats[c][1])
+            rb_cells = sorted(set(inc_min) - set(inc_cells))
+            if inc_cells:
+                self._hnsw_insert_append(
+                    spark,
+                    inc.filter(F.col("centroid_id").isin(inc_cells)),
+                    id_col, vec_col, cfg, quant,
+                    {c: old_stats.get(c, (0, None))[0]
+                     for c in inc_cells})
+            if not rb_cells:
+                return
+            cells = rb_cells
             assigned = assigned.filter(
                 F.col("centroid_id").isin(cells))
         # graphs live over the ROUTING vector (or its codes); the id
@@ -1606,8 +1749,7 @@ class Collection:
         itself for single-space collections, the space's sub-dict for
         named ones — both persist through ``_save_meta``)."""
         q = cfg.get("quantization")
-        from .operators.bq import bq_encode
-        from .operators.sq import sq_encode, sq_train
+        from .operators.sq import sq_train
 
         if q == "sq" and "sq_mins" not in cfg:
             mins, steps = sq_train(self.read(spark), int(cfg["dim"]),
@@ -1686,25 +1828,9 @@ class Collection:
                 assign_centroids(self._centroids(spark),
                                  as_double(F.col(vec_col))))
             carry = ("centroid_id",)
-        if q == "sq":
-            codes = sq_encode(source, cfg["sq_mins"],
-                              cfg["sq_steps"], vec_col=vec_col,
-                              id_col=id_col, carry_cols=carry)
-        elif q == "bq":
-            codes = bq_encode(source, int(cfg["dim"]),
-                              vec_col=vec_col, id_col=id_col,
-                              carry_cols=carry)
-        elif q in ("pq", "opq"):
-            if "pq_codebooks" not in cfg:
-                return  # untrained (below pq_codes rows): no sidecar
-            from .operators.pq import pq_encode_frame
-
-            codes = pq_encode_frame(
-                source, cfg["pq_codebooks"], vec_col=vec_col,
-                id_col=id_col, carry_cols=carry,
-                rotation=cfg.get("opq_rotation"))
-        else:
-            raise ValueError(f"unknown quantization {q!r}")
+        if q in ("pq", "opq") and "pq_codebooks" not in cfg:
+            return  # untrained (below pq_codes rows): no sidecar
+        codes = self._encode_codes(source, cfg, vec_col, id_col, carry)
         mode = "overwrite" if rewrote else "append"
         w = codes.write.mode(mode)
         if cells:
@@ -1714,6 +1840,34 @@ class Collection:
         if cfg.get("codes_layout") != layout:
             cfg["codes_layout"] = layout
             self._save_meta()
+
+    @staticmethod
+    def _encode_codes(source: DataFrame, cfg: dict, vec_col: str,
+                      id_col: str, carry: tuple = ()) -> DataFrame:
+        """Encode ``source`` with the FROZEN train params in ``cfg`` —
+        the one dispatch both the sidecar writer (_refresh_quant_one)
+        and the incremental graph insert (_refresh_hnsw's append path,
+        which encodes just the incoming batch) share, so the two can
+        never produce different codes for the same row."""
+        from .operators.bq import bq_encode
+        from .operators.sq import sq_encode
+
+        q = cfg.get("quantization")
+        if q == "sq":
+            return sq_encode(source, cfg["sq_mins"], cfg["sq_steps"],
+                             vec_col=vec_col, id_col=id_col,
+                             carry_cols=carry)
+        if q == "bq":
+            return bq_encode(source, int(cfg["dim"]), vec_col=vec_col,
+                             id_col=id_col, carry_cols=carry)
+        if q in ("pq", "opq"):
+            from .operators.pq import pq_encode_frame
+
+            return pq_encode_frame(
+                source, cfg["pq_codebooks"], vec_col=vec_col,
+                id_col=id_col, carry_cols=carry,
+                rotation=cfg.get("opq_rotation"))
+        raise ValueError(f"unknown quantization {q!r}")
 
     def _quant_shortlist(self, spark: SparkSession, qv: list[float],
                          m: int, id_col: str,

@@ -66,7 +66,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hnsw_level", "hnsw_build_np", "hnsw_search_np",
-           "hnsw_layout", "hnsw_layout_search",
+           "hnsw_layout", "hnsw_layout_insert", "hnsw_layout_search",
            "hnsw_layout_search_batch", "LAYOUT_SCHEMA"]
 
 _LEVEL_CAP = 16  # < 1e-7 odds at m=8; bounds sidecar width
@@ -199,7 +199,7 @@ def _select_heuristic(cand, cap, Xn):
 
 
 def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
-                  normalize: bool = True):
+                  normalize: bool = True, resume=None):
     """Deterministic HNSW construction over one segment.
 
     ``ids`` must be ascending (the insertion order — ints or the
@@ -215,6 +215,19 @@ def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
     with cosine); pass False for euclid-metric collections so the
     graph lives in the metric's own space.
 
+    ``resume=(levels0, adj0)`` CONTINUES a prior build: the first
+    ``len(levels0)`` rows of ``ids``/``X`` are the already-built
+    segment in its build order (levels/adjacency as returned then),
+    and only the remaining rows insert. Because insertion is a pure
+    left-to-right fold over (levels, adj) and the running entry point
+    is derivable from the prefix alone (``derive_entry`` — insertion
+    only ever raises it), resume-from-state is BIT-IDENTICAL to
+    building the union from scratch — provided every resumed id sorts
+    after (``>``) every built id, which is the caller's append-only
+    precondition (tests/test_hnsw.py pins the parity). Qdrant inserts
+    into live graphs the same way; this is that operation with the
+    determinism kept.
+
     Equal ids are ALLOWED (the catalog's append mode reproduces the
     reference's duplicate-on-reindex semantics, so a cell can hold
     one id twice): duplicates get the same level and insert in their
@@ -227,10 +240,25 @@ def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
           else np.asarray(X, dtype=np.float64))
     n = len(ids)
     levels = [hnsw_level(i, m) for i in ids]
-    adj: list[list[list[int]]] = [[[] for _ in range(levels[p] + 1)]
-                                  for p in range(n)]
+    if resume is None:
+        adj: list[list[list[int]]] = [[[] for _ in range(levels[p] + 1)]
+                                      for p in range(n)]
+        start = 0
+    else:
+        levels0, adj0 = resume
+        start = len(levels0)
+        if start > n:
+            raise ValueError("resume state larger than the segment")
+        # stored levels are the same deterministic id hash — trust but
+        # keep the recomputed list (one source of truth for new rows)
+        adj = [[list(nb) for nb in row] for row in adj0]
+        adj += [[[] for _ in range(levels[p] + 1)]
+                for p in range(start, n)]
     entry, entry_level = -1, -1
-    for p in range(n):
+    if start > 0:
+        entry = derive_entry(levels[:start])
+        entry_level = levels[entry]
+    for p in range(start, n):
         lv = levels[p]
         if entry < 0:
             entry, entry_level = p, lv
@@ -399,6 +427,72 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
         return pd.DataFrame(out)
 
     return base.groupBy("segment").applyInPandas(build, schema)
+
+
+def hnsw_layout_insert(df: DataFrame, m: int = 8,
+                       ef_construct: int = 64,
+                       id_type: str = "bigint",
+                       normalize: bool = True,
+                       tie_col: str | None = None,
+                       data_cols: list[str] | None = None,
+                       data_schema: str | None = None,
+                       decode=None) -> DataFrame:
+    """Incremental insert into existing segment graphs — the append
+    path's alternative to a full touched-cell rebuild (append cost ∝
+    batch, not cell). ``df`` unions the segment's EXISTING layout rows
+    (``pos``/``level``/``links`` set) with the NEW points (those three
+    null); each group resumes its build via ``hnsw_build_np(resume=)``
+    and emits the complete refreshed segment (existing rows rewrite
+    too: inserts add bidirectional links into them). Bit-identical to
+    building the union from scratch — the caller guarantees every new
+    id sorts strictly after every existing id in the segment (checked
+    again per group; a violation raises rather than silently shipping
+    a graph that differs from its oracle twin)."""
+    if (decode is None) != (data_cols is None) or \
+            (decode is None) != (data_schema is None):
+        raise ValueError(
+            "data_cols, data_schema and decode come as a trio")
+    if decode is None:
+        data_cols = ["embedding"]
+        data_schema = "embedding array<double>"
+        decode = _default_decode
+    schema = (f"segment bigint, vec_id {id_type}, pos int, level int, "
+              f"links array<array<bigint>>, {data_schema}")
+    sort_new = (["vec_id"] if tie_col is None else ["vec_id", tie_col])
+    dcols = list(data_cols)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        old = pdf[pdf["pos"].notna()].sort_values("pos", kind="stable")
+        new = pdf[pdf["pos"].isna()].sort_values(sort_new,
+                                                 kind="stable")
+        if len(old) and len(new) and \
+                not old["vec_id"].iloc[-1] < new["vec_id"].iloc[0]:
+            raise ValueError(
+                "hnsw insert requires new ids strictly above the "
+                "segment's existing ids (caller routes overlaps to "
+                "the full rebuild)")
+        both = pd.concat([old, new], ignore_index=True)
+        ids = both["vec_id"].tolist()
+        X = decode(both)
+        levels0 = [int(x) for x in old["level"]]
+        adj0 = [[[int(x) for x in nb] for nb in row]
+                for row in old["links"]]
+        levels, adj = hnsw_build_np(ids, X, m=m,
+                                    ef_construct=ef_construct,
+                                    normalize=normalize,
+                                    resume=(levels0, adj0))
+        out = {
+            "segment": both["segment"].iloc[0],
+            "vec_id": ids,
+            "pos": list(range(len(ids))),
+            "level": levels,
+            "links": adj,
+        }
+        for c in dcols:
+            out[c] = list(both[c])
+        return pd.DataFrame(out)
+
+    return df.groupBy("segment").applyInPandas(build, schema)
 
 
 def hnsw_layout_search(layout: DataFrame, qvec, ef: int,

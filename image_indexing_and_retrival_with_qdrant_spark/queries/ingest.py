@@ -1708,6 +1708,77 @@ def ingest_quantized_noscore_search(spark: SparkSession,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _quant_noscore_batch_oracle(k: int = 5) -> str:
+    """Batch twin of ``_quant_noscore_oracle``: each request's result
+    scores ARE its quantized ranking (one UNION ALL branch per query
+    text, same trained (min, step) CTE), no exact stage anywhere."""
+    d = _embed_dims_sql("t.text", "passage")
+    n = len(d)
+    dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
+    mm = ", ".join(f"min(e{j}) AS mn{j}, max(e{j}) AS mx{j}"
+                   for j in range(1, n + 1))
+    branches = []
+    for idx, text in enumerate(_BATCH_TEXTS):
+        q = _embed_dims_sql(f"'{text}'", "query")
+        deq_terms = []
+        for j, qj in enumerate(q, start=1):
+            st = f"((s.mx{j} - s.mn{j}) / 256.0)"
+            code = (f"LEAST(255, GREATEST(0, FLOOR((e.e{j} - s.mn{j})"
+                    f" / {st})))")
+            deq_terms.append(f"(s.mn{j} + ({code} + 0.5) * {st}) * ({qj})")
+        qscore = " + ".join(deq_terms)
+        branches.append(f"""
+        SELECT {idx} AS query_idx, e.id, ROUND({qscore}, 6) AS score
+        FROM e CROSS JOIN s
+        ORDER BY score DESC, e.id LIMIT {k}""")
+    u = " UNION ALL ".join(f"({b})" for b in branches)
+    return f"""
+    WITH t AS (SELECT DISTINCT text FROM documents),
+    e AS (SELECT sha256(t.text) AS id, {dims} FROM t),
+    s AS (SELECT {mm} FROM e)
+    {u}
+    """
+
+
+@register("ingest_quantized_noscore_batch_search",
+          _quant_noscore_batch_oracle())
+def ingest_quantized_noscore_batch_search(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """``search_batch(quantization_params={"rescore": False})`` —
+    QuantizationSearchParams' batch form: every request's quantized
+    ranking scores come from ONE pass over the codes sidecar (the
+    broadcast-LUT/dequantize batch scorer), no full-vector stage for
+    any of them. batch ≡ single is pinned in tests/test_pq_quantized
+    .py; this oracle value-checks the batch path end to end (train,
+    codes, per-query dequantize-dot, per-query top-k) so a batch
+    formulation that silently rescored or shared the wrong ranking
+    across requests would hash-mismatch."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qvs = [list(r.embedding) for r in _E.embed(
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
+                              "text string"),
+        text_col="text", mode="query",
+    ).collect()]
+    root = tempfile.mkdtemp(prefix="qd_noscore_b_")
+    try:
+        coll = create_collection(root, "cnb", dim=8, normalize=False,
+                                 quantization="sq")
+        coll.upsert(spark, points, mode="merge")
+        with phase("search"):
+            res = coll.search_batch(
+                spark, qvs, k=5,
+                quantization_params={"rescore": False}) \
+                .select("query_idx", "id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("ingest_opq_composed_search", _opq_lifecycle_oracle)
 def ingest_opq_composed_search(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

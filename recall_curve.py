@@ -284,14 +284,6 @@ def hnswindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
 
     root = tempfile.mkdtemp(prefix="recall_hnswindex_")
     try:
-        coll = create_collection(
-            root, "hi", dim=DIM, metric="cosine", normalize=True,
-            indexing_threshold=1, k_centroids=16,
-            hnsw_config={"m": 8, "ef_construct": 64})
-        coll.upsert(spark, corpus.select(
-            F.col("vec_id").alias("id"), "embedding"))
-        assert coll.has_index() and coll._has_hnsw()
-
         def run(coll_, tag, **kw):
             r = [recall({x.id for x in
                          coll_.search(spark, qvecs[q], k=k,
@@ -299,16 +291,30 @@ def hnswindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
                         exact[q]) for q in qids]
             out[tag] = round(float(np.mean(r)), 3)
 
-        for nprobe, ef in ((2, 16), (2, 32), (4, 32), (4, 64),
-                           (16, 64)):
-            run(coll, f"hnsw_recall@10_nprobe{nprobe}_ef{ef}",
-                nprobe=nprobe, hnsw_ef=ef)
-        for t in (0.8, 0.9, 0.95):
-            knobs = route_for_recall(t, indexed=True, hnsw=True,
-                                     k_centroids=16, k=k)
-            run(coll, f"hnsw_recall@10_routed_t{t:g}_nprobe"
-                f"{knobs['nprobe']}_ef{knobs['hnsw_ef']}",
-                recall_target=t)
+        # joint (nprobe-fraction, ef) grid ACROSS CELL COUNTS — the
+        # r9 router encoded the 16-cell joint curve and under-
+        # delivered at 64 cells (1M stress: 0.88 at a 0.9 target);
+        # routing._HNSW_COMPOSED is re-pinned from THESE rows with
+        # per-cell-count fractions (BASELINE.md §hnsw-cells)
+        for kc in (16, 64, 256):
+            coll = create_collection(
+                root, f"hi{kc}", dim=DIM, metric="cosine",
+                normalize=True, indexing_threshold=1, k_centroids=kc,
+                hnsw_config={"m": 8, "ef_construct": 64})
+            coll.upsert(spark, corpus.select(
+                F.col("vec_id").alias("id"), "embedding"))
+            assert coll.has_index() and coll._has_hnsw()
+            for frac16, ef in ((2, 16), (2, 32), (4, 32), (4, 64),
+                               (6, 64), (8, 64), (16, 64)):
+                nprobe = max(1, (frac16 * kc) // 16)
+                run(coll, f"hnsw_recall@10_kc{kc}_nprobe{nprobe}"
+                    f"_ef{ef}", nprobe=nprobe, hnsw_ef=ef)
+            for t in (0.8, 0.9, 0.95):
+                knobs = route_for_recall(t, indexed=True, hnsw=True,
+                                         k_centroids=kc, k=k)
+                run(coll, f"hnsw_recall@10_kc{kc}_routed_t{t:g}_nprobe"
+                    f"{knobs['nprobe']}_ef{knobs['hnsw_ef']}",
+                    recall_target=t)
         chunked = create_collection(
             root, "hic", dim=DIM, metric="cosine", normalize=True,
             indexing_threshold=1, k_centroids=16,
@@ -318,6 +324,18 @@ def hnswindex_sweep(spark, corpus, qids, qvecs, exact, k: int,
             F.col("vec_id").alias("id"), "embedding"))
         run(chunked, "hnsw_recall@10_chunked256_nprobe4_ef32",
             nprobe=4, hnsw_ef=32)
+        # the quantized graph walk vs the unquantized one at equal ef
+        # (hnsw_config × quantization — VERDICT r9 "done" criterion)
+        qcoll = create_collection(
+            root, "hiq", dim=DIM, metric="cosine", normalize=True,
+            indexing_threshold=1, k_centroids=16, quantization="sq",
+            hnsw_config={"m": 8, "ef_construct": 64})
+        qcoll.upsert(spark, corpus.select(
+            F.col("vec_id").alias("id"), "embedding"))
+        run(qcoll, "hnsw_recall@10_sqgraph_nprobe4_ef32",
+            nprobe=4, hnsw_ef=32)
+        run(qcoll, "hnsw_recall@10_sqgraph_nprobe4_ef64",
+            nprobe=4, hnsw_ef=64)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -1219,6 +1219,28 @@ def hnsw_catalog_stress(n: int = 1_000_000, dim: int = 64,
         out["routed_t9_recall@10"] = round(float(np.mean(rs)), 3)
         out["graph_speedup_vs_exact"] = round(
             out["exact_sec"] / out["graph_np8_sec"], 2)
+        # append cost ∝ batch, not cell (round 10): ids "z..." sort
+        # strictly above every existing "0"-"9" id, so every touched
+        # cell takes the INSERT path — only partial last chunks and
+        # fresh chunks are read/rewritten. Before the insert path this
+        # append re-built every touched cell's graphs from scratch
+        # (≈ build_sec again when the batch touches all cells).
+        n_app = 5000
+        app = (spark.range(n_app).select(
+            F.format_string("z%07d", F.col("id")).alias("id"),
+            F.array(*dims).alias("embedding")))
+        t0 = time.perf_counter()
+        c.upsert(spark, app, mode="append")
+        out["append_rows"] = n_app
+        out["append_sec"] = round(time.perf_counter() - t0, 2)
+        out["append_vs_build"] = round(
+            out["append_sec"] / out["build_sec"], 3)
+        # the appended points are immediately reachable via graphs
+        zq = list(app.filter(F.col("id") == "z0000042")
+                  .collect()[0].embedding)
+        got = {x.id for x in c.search(
+            spark, zq, k=10, nprobe=8, hnsw_ef=32).collect()}
+        out["append_reachable"] = "z0000042" in got
     finally:
         shutil.rmtree(pts_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)

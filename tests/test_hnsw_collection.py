@@ -499,3 +499,101 @@ def test_quantized_recall_target_routes_composed(spark, qcoll):
 def test_quantized_lifecycle_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_hnsw_quantized_search"], sf_smoke,
             name="ingest_hnsw_quantized_search")
+
+
+# --- incremental graph insert on append (round 10) --------------------
+
+
+def _sidecar_rows(spark, c):
+    rows = spark.read.parquet(c._hnsw_graphs).collect()
+    return sorted(
+        (r.segment, r.pos, r.vec_id, r.level,
+         tuple(tuple(nb) for nb in r.links)) for r in rows)
+
+
+def test_append_inserts_bit_identical_to_rebuild(spark, root):
+    """Ascending-id appends INSERT into the live cell graphs
+    (hnsw_layout_insert resume) — and the resulting sidecar must be
+    BIT-IDENTICAL to rebuilding every graph from scratch over the
+    same cells (the resume contract; the lifecycle oracle's twin
+    builds from scratch, so anything else would hash-mismatch)."""
+    c = create_collection(root, "inc", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          hnsw_config={"m": 4, "ef_construct": 16,
+                                       "max_segment_size": 40})
+    c.upsert(spark, _points(spark, n=150, seed=31, prefix="a"),
+             mode="merge")
+    # full chunks' directories must not be rewritten by the append
+    before = {}
+    for d in os.listdir(c._hnsw_graphs):
+        if d.startswith("segment="):
+            p = os.path.join(c._hnsw_graphs, d)
+            before[d] = max(os.stat(os.path.join(p, f)).st_mtime_ns
+                            for f in os.listdir(p))
+    # ids "b..." sort strictly above "a..." → pure insert in each cell
+    c.upsert(spark, _points(spark, n=60, seed=32, prefix="b"),
+             mode="merge")
+    inserted = _sidecar_rows(spark, c)
+    untouched = [d for d in before
+                 if os.path.isdir(os.path.join(c._hnsw_graphs, d))]
+    kept = 0
+    for d in untouched:
+        p = os.path.join(c._hnsw_graphs, d)
+        mt = max(os.stat(os.path.join(p, f)).st_mtime_ns
+                 for f in os.listdir(p))
+        kept += int(mt == before[d])
+    assert kept > 0, "append rewrote every chunk (no insert happened)"
+    # force a from-scratch rebuild over the SAME cells
+    c.meta.pop("hnsw_built", None)
+    c._refresh_hnsw(spark, None, "id", "embedding", rewrote=True)
+    assert _sidecar_rows(spark, c) == inserted
+
+
+def test_append_interleaved_ids_falls_back_to_rebuild(spark, root):
+    """A batch whose ids interleave with a cell's existing ids can't
+    resume (insertion order is id-ascending over the union) — the
+    cell rebuilds from scratch, and the result still matches."""
+    c = create_collection(root, "inc2", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          hnsw_config={"m": 4, "ef_construct": 16})
+    # first batch: SPARSE ids (every other)
+    import numpy as np
+    rng = np.random.RandomState(33)
+    a = spark.createDataFrame(
+        [(f"x{2 * i:04d}", [float(v) for v in rng.randn(8)])
+         for i in range(80)], "id string, embedding array<double>")
+    c.upsert(spark, a, mode="merge")
+    b = spark.createDataFrame(
+        [(f"x{2 * i + 1:04d}", [float(v) for v in rng.randn(8)])
+         for i in range(40)], "id string, embedding array<double>")
+    c.upsert(spark, b, mode="merge")
+    after = _sidecar_rows(spark, c)
+    c.meta.pop("hnsw_built", None)
+    c._refresh_hnsw(spark, None, "id", "embedding", rewrote=True)
+    assert _sidecar_rows(spark, c) == after
+    # and the graphs serve the union exactly at exhaustive ef
+    qv = [float(v) for v in rng.randn(8)]
+    graph = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert graph == exact
+
+
+def test_quantized_append_insert_parity(spark, root):
+    """The insert path over CODE graphs (hnsw_config × quantization):
+    same bit-parity contract, codes encoded from the batch with the
+    frozen params (_encode_codes, shared with the sidecar writer)."""
+    c = create_collection(root, "incq", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          quantization="sq",
+                          hnsw_config={"m": 4, "ef_construct": 16,
+                                       "max_segment_size": 50})
+    c.upsert(spark, _points(spark, n=120, seed=34, prefix="a"),
+             mode="merge")
+    c.upsert(spark, _points(spark, n=40, seed=35, prefix="b"),
+             mode="merge")
+    inserted = _sidecar_rows(spark, c)
+    c.meta.pop("hnsw_built", None)
+    c._refresh_hnsw(spark, None, "id", "embedding", rewrote=True)
+    assert _sidecar_rows(spark, c) == inserted
