@@ -201,6 +201,11 @@ HEADLINE = [
     # max_segment_size: the bounded-segment rule as config (chunked
     # per-cell graphs, footer-expanded probes)
     "ingest_hnsw_segmented_search",
+    # round 10: HNSW over quantized vectors — graphs over the int8
+    # codes sidecar, decoded walk, exact full-width rescore (the
+    # components split keeps the one-time build out of the tracked
+    # SEARCH number, per the r9 verdict's lifecycle-domination note)
+    "ingest_hnsw_quantized_search",
 ]
 
 SMALL_RESULT = re.compile(r"top\d*|_top|lifecycle|candidates|near_pairs")
