@@ -1208,15 +1208,32 @@ def hnsw_catalog_stress(n: int = 1_000_000, dim: int = 64,
         out["routed_t9_sec"] = median3(
             lambda: c.search(spark, q, k=10, recall_target=0.9))
         # recall of the routed pick vs exact, over n_q queries
+        exact_ids = {}
+        for r in qrows:
+            exact_ids[r.id] = {x.id for x in c.search(
+                spark, list(r.embedding), k=10, exact=True).collect()}
         rs = []
         for r in qrows:
-            qv = list(r.embedding)
-            exact_ids = {x.id for x in c.search(
-                spark, qv, k=10, exact=True).collect()}
             got = {x.id for x in c.search(
-                spark, qv, k=10, recall_target=0.9).collect()}
-            rs.append(len(got & exact_ids) / 10)
+                spark, list(r.embedding), k=10,
+                recall_target=0.9).collect()}
+            rs.append(len(got & exact_ids[r.id]) / 10)
         out["routed_t9_recall@10"] = round(float(np.mean(rs)), 3)
+        # calibration grid AT THIS SHAPE (the 20k sweep's constant-
+        # fraction rows over-deliver here is exactly the transfer gap
+        # routing._HNSW_COMPOSED's margin has to cover): recall across
+        # (nprobe, ef) so the router's kc>16 margin is pinned against
+        # the shape that exposed the 0.88-at-t0.9 miss
+        for np_, ef in ((18, 32), (18, 64), (24, 32), (24, 64),
+                        (32, 32), (32, 64), (48, 64)):
+            rs = []
+            for r in qrows:
+                got = {x.id for x in c.search(
+                    spark, list(r.embedding), k=10, nprobe=np_,
+                    hnsw_ef=ef).collect()}
+                rs.append(len(got & exact_ids[r.id]) / 10)
+            out[f"grid_np{np_}_ef{ef}_recall@10"] = round(
+                float(np.mean(rs)), 3)
         out["graph_speedup_vs_exact"] = round(
             out["exact_sec"] / out["graph_np8_sec"], 2)
         # append cost ∝ batch, not cell (round 10): ids "z..." sort
