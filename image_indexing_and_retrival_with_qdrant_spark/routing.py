@@ -190,6 +190,19 @@ def route_for_recall(recall_target: float, *, indexed: bool,
                 if k_centroids > _IVF_MEASURED_CELLS:
                     nprobe += math.ceil(math.log2(
                         k_centroids / _IVF_MEASURED_CELLS))
+                    # beyond the measured 16 cells the binding miss is
+                    # the BEAM, not the probe set: the 1M/64-cell
+                    # calibration grid (BASELINE.md
+                    # §hnsw-catalog-stress) measured recall FLAT in
+                    # nprobe (0.88 at np 18/24/32, ef32) and moved by
+                    # ef alone (0.96 at ef64, every nprobe) — chunked
+                    # cells spread a cell's neighbor mass over
+                    # max_segment_size sub-graphs and the per-segment
+                    # beam is what covers it. Double ef as the
+                    # fragmentation margin (the measured direction;
+                    # the 20k kc-sweep shows the probe fractions
+                    # already over-deliver at small cells, §hnsw-cells)
+                    ef = min(2 * ef, 256)
                 out["nprobe"] = min(nprobe, k_centroids)
                 # curves are recall@10 — the beam must at least
                 # cover a deeper result list

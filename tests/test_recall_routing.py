@@ -236,6 +236,18 @@ def test_route_hnsw_tier():
     assert r["hnsw_ef"] is None and r["nprobe"] == 2  # index-only
     r = route_for_recall(0.999, indexed=True, hnsw=True)
     assert r["exact"] and r["hnsw_ef"] is None
+    # beyond the measured 16 cells the margin raises EF (the measured
+    # ef-bound direction, BASELINE.md §hnsw-catalog-stress grid:
+    # recall flat in nprobe, moved by ef) on top of the probe bump
+    r = route_for_recall(0.9, indexed=True, hnsw=True, k_centroids=64)
+    assert (r["nprobe"], r["hnsw_ef"]) == (18, 64)
+    r = route_for_recall(0.8, indexed=True, hnsw=True, k_centroids=64)
+    assert (r["nprobe"], r["hnsw_ef"]) == (10, 32)
+    # QUANTIZED graph collections never route onto the (unmeasured)
+    # quantized walk — the composed quantizer curve takes over
+    r = route_for_recall(0.9, indexed=True, hnsw=True,
+                         quantization="sq")
+    assert r["hnsw_ef"] is None and r["oversampling"] is not None
 
 
 def test_search_recall_target_hnsw(spark, tmp_path):
