@@ -1924,6 +1924,37 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                 C = np.asarray([encode(v) for _, v in chunk],
                                dtype=np.int64)
                 return sq_decode_np(C, list(mins), list(steps))
+        elif quant == "pq":
+            # frozen codebooks re-derived exactly as the collection
+            # trains them (_pq_lifecycle_train: id-ordered prefix,
+            # kmeans_np seeds 42+b); encode = left-to-right (x−c)²
+            # fold + FIRST-min argmin — the same float shapes as
+            # pq_code_sql's aggregate fold + array_position; the walk
+            # space is pq_decode_np's reconstruction, shared with the
+            # engine's build and search
+            from ..operators.pq import pq_decode_np
+
+            cbs, _, _ = _pq_lifecycle_train(sf_dir, opq=False)
+            subdim = len(cbs[0][0])
+
+            def encode(v):
+                out = []
+                for cb_i, cb in enumerate(cbs):
+                    sub = v[cb_i * subdim:(cb_i + 1) * subdim]
+                    best, besti = None, 0
+                    for ci, cw in enumerate(cb):
+                        acc = 0.0
+                        for x, c in zip(sub, cw):
+                            acc += (x - c) * (x - c)
+                        if best is None or acc < best:
+                            best, besti = acc, ci
+                    out.append(besti)
+                return out
+
+            def decode(chunk):
+                C = np.asarray([encode(v) for _, v in chunk],
+                               dtype=np.int64)
+                return pq_decode_np(C, cbs)
         elif quant is not None:
             raise ValueError(f"unknown twin quantizer {quant!r}")
         cand: list[str] = []
@@ -2073,6 +2104,54 @@ def ingest_hnsw_segmented_search(spark: SparkSession,
 
 def _hnsw_quant_oracle(sf_dir: str, k: int = 5) -> str:
     return _hnsw_lifecycle_oracle(sf_dir, k, quant="sq")
+
+
+def _hnsw_pq_oracle(sf_dir: str, k: int = 5) -> str:
+    return _hnsw_lifecycle_oracle(sf_dir, k, quant="pq")
+
+
+@register("ingest_hnsw_pq_search", _hnsw_pq_oracle)
+def ingest_hnsw_pq_search(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """hnsw_config × quantization="pq" — the graph walks PRODUCT-
+    quantized reconstructions (codebook lookup per block,
+    `pq_decode_np`, shared by build and walk), the strongest
+    compression the code graphs support (the sidecar stores
+    ``pq_blocks`` one-byte codes + links per node). The oracle
+    re-derives the frozen codebooks (id-ordered prefix, kmeans_np),
+    every row's first-min block codes, the reconstructed-space graphs
+    and beam driver-side, and recomputes the full-width exact rescore
+    in DuckDB — wrong codebooks, a wrong argmin tie-break, or a walk
+    in un-reconstructed space all hash-mismatch."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_pq_")
+    try:
+        coll = create_collection(
+            root, "hp", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"], quantization="pq",
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw(), \
+            "threshold crossed but code graphs not built"
+        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        assert "code0" in lay_cols and "embedding" not in lay_cols, \
+            f"graph sidecar must store PQ codes: {lay_cols}"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register("ingest_hnsw_quantized_search", _hnsw_quant_oracle)
