@@ -1924,20 +1924,30 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                 C = np.asarray([encode(v) for _, v in chunk],
                                dtype=np.int64)
                 return sq_decode_np(C, list(mins), list(steps))
-        elif quant == "pq":
+        elif quant in ("pq", "opq"):
             # frozen codebooks re-derived exactly as the collection
             # trains them (_pq_lifecycle_train: id-ordered prefix,
-            # kmeans_np seeds 42+b); encode = left-to-right (x−c)²
-            # fold + FIRST-min argmin — the same float shapes as
-            # pq_code_sql's aggregate fold + array_position; the walk
-            # space is pq_decode_np's reconstruction, shared with the
+            # kmeans_np seeds 42+b; OPQ additionally the Procrustes
+            # rotation); rows rotate through the proven
+            # pca_project_py pairing of the fold-shape expression;
+            # encode = left-to-right (x−c)² fold + FIRST-min argmin —
+            # the same float shapes as pq_code_sql's aggregate fold +
+            # array_position; the walk space is pq_decode_np's
+            # reconstruction (the ROTATED space for OPQ — the walk
+            # query rotates too, in the caller), shared with the
             # engine's build and search
+            from ..operators.pca import pca_project_py
             from ..operators.pq import pq_decode_np
 
-            cbs, _, _ = _pq_lifecycle_train(sf_dir, opq=False)
+            cbs, R, _ = _pq_lifecycle_train(sf_dir, opq=quant == "opq")
             subdim = len(cbs[0][0])
+            if R is not None:
+                d_ = len(R)
+                w = [[R[i][j] for i in range(d_)] for j in range(d_)]
 
             def encode(v):
+                if R is not None:
+                    v = pca_project_py([0.0] * d_, w, list(v))
                 out = []
                 for cb_i, cb in enumerate(cbs):
                     sub = v[cb_i * subdim:(cb_i + 1) * subdim]
@@ -1955,6 +1965,21 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                 C = np.asarray([encode(v) for _, v in chunk],
                                dtype=np.int64)
                 return pq_decode_np(C, cbs)
+
+            if quant == "opq":
+                qv = np.asarray(
+                    pca_project_py([0.0] * d_, w,
+                                   [float(x) for x in qv]),
+                    dtype=np.float64)
+        elif quant == "bq":
+            # trainless sign bits: bit j = x_j > 0; the walk space is
+            # bq_decode_np's ±1 rows (the engine decodes its packed
+            # words to the same matrix — the twin skips the packing
+            # round-trip, which is exact by construction)
+            def decode(chunk):
+                return np.where(
+                    np.asarray([v for _, v in chunk],
+                               dtype=np.float64) > 0.0, 1.0, -1.0)
         elif quant is not None:
             raise ValueError(f"unknown twin quantizer {quant!r}")
         cand: list[str] = []
@@ -2108,6 +2133,93 @@ def _hnsw_quant_oracle(sf_dir: str, k: int = 5) -> str:
 
 def _hnsw_pq_oracle(sf_dir: str, k: int = 5) -> str:
     return _hnsw_lifecycle_oracle(sf_dir, k, quant="pq")
+
+
+def _hnsw_opq_oracle(sf_dir: str, k: int = 5) -> str:
+    return _hnsw_lifecycle_oracle(sf_dir, k, quant="opq")
+
+
+def _hnsw_bq_oracle(sf_dir: str, k: int = 5) -> str:
+    return _hnsw_lifecycle_oracle(sf_dir, k, quant="bq")
+
+
+@register("ingest_hnsw_opq_search", _hnsw_opq_oracle)
+def ingest_hnsw_opq_search(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """hnsw_config × quantization="opq" — the graph walks PRODUCT-
+    quantized reconstructions in the LEARNED ROTATED space (rows
+    rotate through the fold-shape expression at encode; the walk
+    query rotates driver-side — rotation preserves norms, so the
+    cosine normalization is unchanged). The oracle re-derives the
+    Procrustes rotation + codebooks, the rotated first-min codes, the
+    rotated-space graphs and beam, and the full-width exact rescore —
+    completing the quantizer × graph matrix's rotated corner."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_opq_")
+    try:
+        coll = create_collection(
+            root, "ho", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"], quantization="opq",
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw()
+        assert "opq_rotation" in coll.meta, "rotation must be frozen"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("ingest_hnsw_bq_search", _hnsw_bq_oracle)
+def ingest_hnsw_bq_search(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """hnsw_config × quantization="bq" — the graph walks ±1 sign rows
+    (32× compression: the sidecar stores packed BIGINT words + links)
+    with the FULL-PRECISION query, the asymmetric form (at least as
+    informative as symmetric Hamming), then exact-rescores at full
+    width. The oracle re-derives the sign decode, graphs, and beam
+    driver-side; BQ is trainless, so this corner has no frozen-train
+    stage — the decode/normalize/walk machinery is what's checked."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnsw_bq_")
+    try:
+        coll = create_collection(
+            root, "hb", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"], quantization="bq",
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw()
+        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        assert "bits" in lay_cols and "embedding" not in lay_cols, \
+            f"graph sidecar must store sign words: {lay_cols}"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register("ingest_hnsw_pq_search", _hnsw_pq_oracle)
