@@ -121,6 +121,25 @@ _HNSW_COMPOSED: list[tuple[tuple[float, int], float]] = [
     ((1.0, 64), 0.97),
 ]
 
+# ((nprobe fraction, beam ef), recall@10 ceiling) — the SQ-quantized
+# graph tier (hnsw_config × quantization="sq"): the code-graph walk
+# measured THROUGH Collection.search on the 20k/16-cell clustered
+# corpus over TWO independent 20-query draws (seeds 13/101 — a single
+# draw swings ±0.05, which bit the first pin of this table at 0.88
+# vs a 0.9 ceiling): np4/ef32 → 0.91/0.88, np4/ef64 → 0.96/0.945,
+# np8/ef128 → 0.975/0.975 (np8 ≡ np16 at every ef — the residual is
+# beam/quantization-bound, the §hnsw-catalog-stress finding again).
+# Ceilings sit at-or-below the MIN across draws with margin. SQ ONLY:
+# pq/opq/bq decode geometries are coarse and unmeasured — those route
+# composed/index-only. Above these ceilings the sq collection falls
+# through to the composed codes-scan tier (trusted to 0.998 via
+# oversampling).
+_HNSW_SQ_COMPOSED: list[tuple[tuple[float, int], float]] = [
+    ((4 / 16, 32), 0.85),
+    ((4 / 16, 64), 0.90),
+    ((8 / 16, 128), 0.95),
+]
+
 # (rescore depth, recall@10 ceiling) — multivector two-stage on the
 # pooling-FAITHFUL regime, measured at 20k docs × 8×32
 # (recall_curve.py --maxsim: 50 → 0.847, 100 → 0.947, 200 → 0.98,
@@ -163,14 +182,16 @@ def route_for_recall(recall_target: float, *, indexed: bool,
     if recall_target >= _EXACT_CUTOVER:
         out["exact"] = True
         return out
-    if indexed and hnsw and not multivector and quantization is None:
+    if indexed and hnsw and not multivector \
+            and quantization in (None, "sq"):
         # QUANTIZED collections' graphs walk the decoded-code space
-        # (hnsw_config × quantization) — a different geometry than
-        # the full-vector graphs _HNSW_COMPOSED was measured on, so a
-        # target routes them onto the measured composed-quantizer
-        # curve below instead of an unmeasured graph tier (the
-        # multivector-exclusion discipline). An explicit hnsw_ef=
-        # still walks the code graphs.
+        # (hnsw_config × quantization). The SQ walk is MEASURED
+        # (_HNSW_SQ_COMPOSED — within 0.005 of the full-vector graph
+        # at equal knobs) and routes onto its own trusted grid;
+        # pq/opq/bq decode geometries are coarse and unmeasured, so
+        # targets route those onto the measured composed-quantizer
+        # curve below instead (the multivector-exclusion discipline).
+        # An explicit hnsw_ef= still walks any code graph.
         # graph tier over probed cells (hnsw_config): knobs come from
         # the JOINT measured curve (_HNSW_COMPOSED — see its comment
         # for why the stages don't compose independently here). Above
@@ -184,7 +205,9 @@ def route_for_recall(recall_target: float, *, indexed: bool,
         # topic10 failure mode) — no multivector graph curve has been
         # measured, so a target routes those index-only (exact MaxSim
         # within probed cells), never onto an unmeasured tier.
-        for (frac, ef), ceiling in _HNSW_COMPOSED:
+        grid = (_HNSW_COMPOSED if quantization is None
+                else _HNSW_SQ_COMPOSED)
+        for (frac, ef), ceiling in grid:
             if recall_target <= ceiling:
                 nprobe = max(1, math.ceil(frac * k_centroids))
                 if k_centroids > _IVF_MEASURED_CELLS:

@@ -243,11 +243,31 @@ def test_route_hnsw_tier():
     assert (r["nprobe"], r["hnsw_ef"]) == (18, 64)
     r = route_for_recall(0.8, indexed=True, hnsw=True, k_centroids=64)
     assert (r["nprobe"], r["hnsw_ef"]) == (10, 32)
-    # QUANTIZED graph collections never route onto the (unmeasured)
-    # quantized walk — the composed quantizer curve takes over
+    # the SQ code-graph walk is MEASURED (within 0.005 of the
+    # full-vector graph) and routes onto its own trusted grid
+    r = route_for_recall(0.85, indexed=True, hnsw=True,
+                         quantization="sq")
+    assert (r["nprobe"], r["hnsw_ef"]) == (4, 32)
     r = route_for_recall(0.9, indexed=True, hnsw=True,
                          quantization="sq")
+    assert (r["nprobe"], r["hnsw_ef"]) == (4, 64)
+    r = route_for_recall(0.95, indexed=True, hnsw=True,
+                         quantization="sq")
+    assert (r["nprobe"], r["hnsw_ef"]) == (8, 128)
+    r = route_for_recall(0.9, indexed=True, hnsw=True,
+                         quantization="sq", k_centroids=64)
+    assert (r["nprobe"], r["hnsw_ef"]) == (18, 128)  # kc margin too
+    # above the graph-trusted ceilings: the composed codes-scan tier
+    # (sq oversampling trusted to 0.998) takes over
+    r = route_for_recall(0.97, indexed=True, hnsw=True,
+                         quantization="sq")
     assert r["hnsw_ef"] is None and r["oversampling"] is not None
+    # unmeasured decode geometries (pq/opq/bq) never route onto the
+    # quantized walk — composed/index-only (PQ's trusted ceilings sit
+    # below any halved miss budget, so this lands index-only)
+    r = route_for_recall(0.45, indexed=True, hnsw=True,
+                         quantization="pq")
+    assert r["hnsw_ef"] is None and r["nprobe"] is not None
 
 
 def test_search_recall_target_hnsw(spark, tmp_path):
