@@ -597,3 +597,76 @@ def test_quantized_append_insert_parity(spark, root):
     c.meta.pop("hnsw_built", None)
     c._refresh_hnsw(spark, None, "id", "embedding", rewrote=True)
     assert _sidecar_rows(spark, c) == inserted
+
+
+def test_pq_opq_bq_graph_lifecycle_oracles(spark, sf_smoke):
+    """The full quantizer × graph matrix stays hash-checked in CI —
+    codebook-reconstruction (pq), rotated-space (opq), and sign-row
+    (bq) walks, each against its factory oracle."""
+    for name in ("ingest_hnsw_pq_search", "ingest_hnsw_opq_search",
+                 "ingest_hnsw_bq_search"):
+        compare(spark, REGISTRY[name], sf_smoke, name=name)
+
+
+def test_multivector_append_insert_parity(spark, root):
+    """The insert path on a MULTIVECTOR graph collection (pooled
+    routing vectors): ascending-id appends must leave a sidecar
+    bit-identical to the from-scratch rebuild."""
+    import numpy as np
+    rng = np.random.RandomState(41)
+
+    def mv_points(n, prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}{i:04d}",
+              [[float(x) for x in rng.randn(8)] for _ in range(3)])
+             for i in range(n)],
+            "id string, embedding array<array<double>>")
+
+    c = create_collection(root, "mvi", dim=8, multivector=True,
+                          indexing_threshold=1, k_centroids=2,
+                          hnsw_config={"m": 4, "ef_construct": 16})
+    c.upsert(spark, mv_points(60, "a"), mode="merge")
+    c.upsert(spark, mv_points(20, "b"), mode="merge")
+    inserted = _sidecar_rows(spark, c)
+    c.meta.pop("hnsw_built", None)
+    c._refresh_hnsw(spark, None, "id", "embedding", rewrote=True)
+    assert _sidecar_rows(spark, c) == inserted
+
+
+def test_update_hnsw_config_on_quantized_collection(spark, root):
+    """update_collection(hnsw_config=...) on an already-quantized
+    collection builds the graphs over the EXISTING codes sidecar."""
+    c = create_collection(root, "uq", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=2,
+                          quantization="sq")
+    c.upsert(spark, _points(spark, n=80, seed=51, prefix="u"),
+             mode="merge")
+    assert not c._has_hnsw()
+    c.update_collection(spark, hnsw_config={"m": 4,
+                                            "ef_construct": 16})
+    assert c._has_hnsw()
+    cols = spark.read.parquet(c._hnsw_graphs).columns
+    assert "codes" in cols and "embedding" not in cols
+    import numpy as np
+    qv = [float(x) for x in np.random.RandomState(52).randn(8)]
+    graph = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, hnsw_ef=10 ** 6).collect()]
+    exact = [(r.id, r.score) for r in
+             c.search(spark, qv, k=5, exact=True).collect()]
+    assert graph == exact
+
+
+def test_batch_recall_target_sq_graph(spark, qcoll):
+    """search_batch under a recall_target on an sq+hnsw collection
+    routes onto the SQ code-graph grid and stays batch ≡ single."""
+    qvs = [[float(x) for x in np.random.RandomState(s).randn(8)]
+           for s in (61, 62)]
+    singles = [[(r.id, r.score) for r in
+                qcoll.search(spark, v, k=3,
+                             recall_target=0.9).collect()]
+               for v in qvs]
+    batch = qcoll.search_batch(spark, qvs, k=3,
+                               recall_target=0.9).collect()
+    for i, want in enumerate(singles):
+        assert [(r.id, r.score) for r in batch
+                if r.query_idx == i] == want
