@@ -479,18 +479,24 @@ def test_quantizer_retrain_rebuilds_graphs(spark, root):
     assert graph == exact
 
 
-def test_quantized_recall_target_routes_composed(spark, qcoll):
-    """No quantized-graph recall curve is measured yet, so a
-    recall_target on a quantized hnsw collection must route onto the
-    measured composed-quantizer tier (codes scan + oversampled exact
-    rescore), not the graph walk."""
+def test_quantized_recall_target_routing(spark, qcoll):
+    """recall_target on an sq+hnsw collection routes onto the
+    two-draw-measured SQ code-graph grid (_HNSW_SQ_COMPOSED); above
+    its ceilings the composed codes-scan tier takes over; pq stays
+    off the (unmeasured) walk."""
     from image_indexing_and_retrival_with_qdrant_spark.routing import (
         route_for_recall,
     )
 
     r = route_for_recall(0.9, indexed=True, quantization="sq",
                          k_centroids=4, hnsw=True)
+    assert r["hnsw_ef"] is not None and r["oversampling"] is None
+    r = route_for_recall(0.97, indexed=True, quantization="sq",
+                         k_centroids=4, hnsw=True)
     assert r["hnsw_ef"] is None and r["oversampling"] is not None
+    r = route_for_recall(0.9, indexed=True, quantization="pq",
+                         k_centroids=4, hnsw=True)
+    assert r["hnsw_ef"] is None
     qv = [float(x) for x in np.random.RandomState(13).randn(8)]
     rows = qcoll.search(spark, qv, k=5, recall_target=0.9).collect()
     assert len(rows) == 5
