@@ -23,30 +23,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["knn_dense_top5"].builder(spark, "/root/testdata/sf0.001")
 
 
-def _stamped() -> set[str]:
-    """Names already hash-checked by a prior driver round (the
-    recorded CORRECTNESS_r*.json files) — self-maintaining input to
-    the ordering below."""
-    out: set[str] = set()
+def _last_passed_round() -> dict[str, int]:
+    """For each query name, the most recent driver round whose
+    recorded CORRECTNESS_r*.json shows a full hash_match pass.
+    Failed or errored rows do NOT count as stamped, so a query that
+    regressed in a prior round rotates back to the front of the
+    sample rather than being permanently back-ordered."""
+    out: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        base = os.path.basename(f)
         try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
             with open(f) as fh:
-                out.update(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                out[name] = max(out.get(name, -1), rnd)
     return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The full registry, never-driver-stamped entries FIRST (each in
-    stable declaration order): the driver checks a prefix-sized
-    sample per round, so this ordering steers fresh coverage toward
-    queries no recorded round has hash-checked yet — every entry is
+    """The full registry, least-recently-driver-passed entries FIRST
+    (never-passed before everything, then oldest pass round first,
+    declaration order as the tiebreak): the driver checks a
+    prefix-sized sample per round, so this rotation steers coverage
+    toward queries whose last hash-check is stalest — including ones
+    that FAILED a prior round — instead of permanently excluding
+    already-stamped queries from re-checks. Every entry is
     oracle-backed either way; which subset gets checked remains the
     driver's decision."""
-    seen = _stamped()
-    names = sorted(REGISTRY, key=lambda n: (n in seen,
+    last = _last_passed_round()
+    names = sorted(REGISTRY, key=lambda n: (last.get(n, -1),
                                             list(REGISTRY).index(n)))
     return {name: REGISTRY[name].builder for name in names}
 

@@ -745,6 +745,40 @@ class Collection:
     def _has_hnsw(self) -> bool:
         return bool(self.meta.get("hnsw_built"))
 
+    # Filter-aware graph routing (Qdrant walks its HNSW under filters;
+    # the engine routes on MEASURED selectivity instead): a filter
+    # matching at least this fraction of the corpus keeps the graph
+    # walk — beam widened by 1/fraction, candidates post-filtered at
+    # the exact rescore; anything more selective routes index-only
+    # (exact scoring within probed cells, filter pushed to the scan).
+    # Pinned by the measured crossover sweep (SCALE.md §hnsw-filtered):
+    # at 100k×64-d the widened walk beats the probed-cell scan down to
+    # ~0.2 match fraction; below that the widening (∝ 1/frac) erodes
+    # the walk's advantage while the exact path's cost SHRINKS with
+    # selectivity (the filter prunes its scan), so selective filters
+    # take the path whose cost tracks the match count.
+    _HNSW_FILTER_CROSSOVER = 0.25
+
+    def _hnsw_filter_stats(self, corpus: DataFrame,
+                           query_filter) -> tuple[int, int] | None:
+        """``(n_match, n_total)`` for a query_filter over the
+        searchable corpus, or None when the filter is too selective
+        for the widened-beam graph path (match fraction below
+        ``_HNSW_FILTER_CROSSOVER``, or empty). ONE column-pruned agg
+        job — Catalyst prunes the scan to the filter's own columns,
+        so the estimate costs a metadata-light pass, not a scoring
+        scan; integer counts (not a sampled estimate) so the widened
+        ``ef = ceil(ef·n/m)`` is bit-reproducible by the oracle
+        twin."""
+        row = corpus.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(query_filter, F.lit(1))).alias("m")
+        ).collect()[0]
+        n, m = int(row["n"]), int(row["m"])
+        if n <= 0 or m <= 0 or m < n * self._HNSW_FILTER_CROSSOVER:
+            return None
+        return m, n
+
     def _hnsw_quant_parts(self):
         """The quantized-graph trio ``(data_cols, data_schema,
         decode)`` for hnsw_config × quantization collections — the
@@ -874,11 +908,18 @@ class Collection:
 
         w = Window.partitionBy("centroid_id").orderBy(
             F.col("vec_id").asc(), F.col("__tie").asc())
-        base_map = F.create_map(*[
-            F.lit(x).cast("bigint") for c, n in sorted(base.items())
-            for x in (int(c), int(n))])
-        rn = (F.element_at(base_map,
-                           F.col("centroid_id").cast("bigint"))
+        # per-cell existing counts as a broadcast-joined side table,
+        # not a create_map literal — an append touching thousands of
+        # cells (large k_centroids) would otherwise inflate a single
+        # Catalyst expression (the assign_centroids
+        # max_expr_literals=512 discipline, join form)
+        base_df = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in sorted(base.items())],
+            "__cell bigint, __base bigint")
+        new = new.withColumn(
+            "__cell", F.col("centroid_id").cast("bigint")).join(
+                F.broadcast(base_df), "__cell")
+        rn = (F.col("__base")
               + F.row_number().over(w) - 1)  # 0-based global position
         seg = (F.col("centroid_id").cast("bigint") * stride
                + F.floor(rn / int(mss)) if mss
@@ -888,7 +929,7 @@ class Collection:
             .withColumn("level", F.lit(None).cast("int")) \
             .withColumn("links",
                         F.lit(None).cast("array<array<bigint>>")) \
-            .drop("centroid_id")
+            .drop("centroid_id", "__cell", "__base")
         # the partial last chunk of each cell (if any) resumes its
         # build; full chunks are never touched
         old_segs = []
@@ -2971,10 +3012,22 @@ class Collection:
             pooled_q = [sum(v[j] for v in qv) / len(qv)
                         for j in range(len(qv[0]))]
             graphed = False
-            if (self._has_hnsw() and self.has_index() and not exact
-                    and query_filter is None and k is not None
-                    and os.path.isdir(self._hnsw_graphs)
-                    and (recall_target is None or hnsw_ef is not None)):
+            graph_able = (self._has_hnsw() and self.has_index()
+                          and not exact and k is not None
+                          and os.path.isdir(self._hnsw_graphs)
+                          and (recall_target is None
+                               or hnsw_ef is not None))
+            gstats = None
+            if graph_able and query_filter is not None:
+                # filter-aware graph routing (_hnsw_filter_stats): a
+                # non-selective filter keeps the walk — beam widened
+                # by 1/match-fraction, candidates post-filtered at the
+                # exact-MaxSim rescore (the filter applies below,
+                # before scoring); a selective one returns None and
+                # routes index-only
+                gstats = self._hnsw_filter_stats(corpus, query_filter)
+            if graph_able and (query_filter is None
+                               or gstats is not None):
                 # the reference's ACTUAL configuration — multivector
                 # points behind the server's HNSW: graphs were built
                 # over the pooled routing vectors (the coarse stage of
@@ -2986,6 +3039,9 @@ class Collection:
 
                 ef = (int(hnsw_ef) if hnsw_ef is not None
                       else max(rescore or 0, 4 * k, 64))
+                if gstats is not None:
+                    m_, n_ = gstats
+                    ef = -(-ef * n_ // m_)  # ceil(ef / match frac)
                 cand = hnsw_layout_search(
                     spark.read.parquet(self._hnsw_graphs), pooled_q,
                     ef=ef,
@@ -3025,15 +3081,35 @@ class Collection:
         if cfg.get("normalize"):
             qv = _unit(qv)
         space = cfg["vec_col"] if self.meta.get("vectors") else None
+        # Filter-aware graph routing, dense side: an hnsw collection
+        # under a NON-selective filter keeps its graph walk (beam
+        # widened by 1/match-fraction below, candidates post-filtered
+        # at the exact rescore); rescore=False and ignore=True opt out
+        # (the noscore path returns codes-sidecar rows a filter can't
+        # restrict; ignore asked for original-vector search).
+        gstats = None
+        qp0 = dict(quantization_params or {})
+        if (query_filter is not None and self._has_hnsw()
+                and self.has_index() and not exact and k is not None
+                and os.path.isdir(self._hnsw_graphs)
+                and (recall_target is None or hnsw_ef is not None)
+                and not qp0.get("ignore")
+                and qp0.get("rescore", True) is not False):
+            gstats = self._hnsw_filter_stats(corpus, query_filter)
         # The quantized shortlist ranks the CODES sidecar, which has
         # no payload columns — a query_filter can't restrict it, so a
         # selective filter would eat shortlist slots and under-fill
         # the results (k matches existing but fewer returned). With a
-        # filter present, route filter-correct instead: index-only
-        # within probed cells (exact scoring, filter pushed to the
-        # cells scan) or the exact scan — Qdrant's filtered search
-        # likewise never drops matches to quantization.
-        quantize = cfg.get("quantization") if query_filter is None else None
+        # filter present, route filter-correct instead: the widened
+        # graph walk when the filter is non-selective (gstats above —
+        # the code-graph's candidates still exact-rescore at full
+        # width WITH the filter), else index-only within probed cells
+        # (exact scoring, filter pushed to the cells scan) or the
+        # exact scan — Qdrant's filtered search likewise never drops
+        # matches to quantization.
+        quantize = (cfg.get("quantization")
+                    if query_filter is None or gstats is not None
+                    else None)
         if quantize in ("pq", "opq") and "pq_codebooks" not in cfg:
             quantize = None  # untrained (< pq_codes rows): exact scan
         # Qdrant SearchParams.quantization (QuantizationSearchParams):
@@ -3109,7 +3185,7 @@ class Collection:
             ids = [r[id_col] for r in short.collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
         elif (self._has_hnsw() and self.has_index() and not exact
-                and query_filter is None
+                and (query_filter is None or gstats is not None)
                 and k is not None and os.path.isdir(self._hnsw_graphs)
                 and (recall_target is None or hnsw_ef is not None)
                 and (self.meta.get("quantization") is None or quantize)):
@@ -3122,11 +3198,14 @@ class Collection:
             # nprobe nearest cells, WALK their graphs (partition-
             # pruned read of the sidecar, beam ef per segment) instead
             # of scanning them, exact-rescore the bounded candidate
-            # union via literal id IN. Filtered searches skip this
-            # branch (the filter-correctness rule quantization
-            # follows: a selective filter would eat beam slots) and
-            # route index-only below — exact scoring inside probed
-            # cells with the filter pushed to the scan. QUANTIZED
+            # union via literal id IN. SELECTIVE filtered searches
+            # skip this branch (gstats None — a selective filter
+            # would eat beam slots faster than widening can repay)
+            # and route index-only below — exact scoring inside
+            # probed cells with the filter pushed to the scan;
+            # non-selective ones stay here with the beam widened by
+            # 1/match-fraction and the filter applied at the rescore
+            # (_hnsw_filter_stats' crossover rule). QUANTIZED
             # collections walk graphs built over the CODES sidecar
             # (decode per segment, _hnsw_quant_parts; the sidecar is
             # 4-32× smaller), still exact-rescoring at full width —
@@ -3140,6 +3219,13 @@ class Collection:
                   else max(4 * k, 64,
                            int(math.ceil(k * oversampling))
                            if gq is not None else 0))
+            if gstats is not None:
+                # widened beam for the post-filtered walk: the filter
+                # keeps m of n corpus rows, so ceil(ef·n/m) candidates
+                # leave ~ef AFTER filtering — integer ceiling so the
+                # oracle twin re-derives the same ef exactly
+                m_, n_ = gstats
+                ef = -(-ef * n_ // m_)
             cand = hnsw_layout_search(
                 spark.read.parquet(self._hnsw_graphs),
                 qv if gq is None else self._pq_query_vec(cfg, qv),
@@ -5193,8 +5279,15 @@ def create_collection(root: str, name: str, dim: int | None = None,
     ``nprobe`` nearest cells and WALK their graphs (beam ``hnsw_ef``,
     default ``max(4k, 64)``) instead of scanning them, exact-rescoring
     the bounded candidate union. Point ops rebuild only the touched
-    cells' graphs. Filtered searches route index-only (exact within
-    probed cells) — the quantization filter-correctness rule. Dense
+    cells' graphs. Filtered searches route on MEASURED selectivity
+    (``_hnsw_filter_stats``): a filter keeping at least
+    ``_HNSW_FILTER_CROSSOVER`` of the corpus stays on the graph walk
+    with the beam widened by 1/match-fraction and the filter applied
+    at the exact rescore (Qdrant walks its graph under filters; this
+    is that posture with the widening made deterministic); a more
+    selective one routes index-only (exact within probed cells,
+    filter pushed to the scan) — the quantization
+    filter-correctness rule. Dense
     single-space cosine/euclid collections; exclusive with transform.
     COMPOSED with ``quantization`` (cosine collections), the graphs
     build over the CODES sidecar instead — the graph sidecar stores

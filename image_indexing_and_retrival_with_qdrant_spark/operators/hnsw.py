@@ -197,23 +197,28 @@ def _select_heuristic(cand, cap, Xn):
     Deterministic: ascending tuple order in, sorted tuples out.
 
     Vectorized per KEPT member, not per candidate: when member j is
-    kept, its distances to ALL candidates land in one ``_dists`` call
-    (one row per candidate — identical per-row bits to the old
-    per-candidate calls, which re-evaluated every kept distance for
-    every candidate: |cand| calls became ≤cap). The min test then
-    reads precomputed columns. 2.1 s → 0.3 s of a 5.7 s 2k×64 build."""
+    kept at index i, its distances to the REMAINING candidates
+    ``rows[i+1:]`` land in one ``_dists`` call (per-row bits identical
+    to per-candidate calls by _dists' batch invariance; earlier
+    candidates never read the column, so the tail suffices — half the
+    work of the full-row form). The min test then reads precomputed
+    columns. 2.1 s → 0.3 s of a 5.7 s 2k×64 build."""
     sel: list = []
     rejected = []
     rows = np.fromiter((p for _, p in cand), dtype=np.int64,
                        count=len(cand))
-    cols: list[np.ndarray] = []  # cols[j][i] = dist(cand[i], sel[j])
+    # cols[j] = (off, col) with col[i - off] = dist(cand[i], sel[j]),
+    # computed only over candidates after the index where sel[j] was
+    # kept (off = that index + 1)
+    cols: list[tuple[int, list]] = []
     for i, (d, p) in enumerate(cand):
         if len(sel) == cap:
             break
         if sel:
-            best = cols[0][i]
-            for col in cols[1:]:
-                v = col[i]
+            off0, col0 = cols[0]
+            best = col0[i - off0]
+            for off, col in cols[1:]:
+                v = col[i - off]
                 if v < best:
                     best = v
             if not d < best:
@@ -221,7 +226,8 @@ def _select_heuristic(cand, cap, Xn):
                 continue
         sel.append((d, p))
         if len(sel) < cap and i + 1 < len(cand):
-            cols.append(_dists(Xn, rows, Xn[p]).tolist())
+            cols.append((i + 1,
+                         _dists(Xn, rows[i + 1:], Xn[p]).tolist()))
     for d, p in rejected:
         if len(sel) == cap:
             break
@@ -500,6 +506,11 @@ def hnsw_layout_insert(df: DataFrame, m: int = 8,
             (decode is None) != (data_schema is None):
         raise ValueError(
             "data_cols, data_schema and decode come as a trio")
+    if "pos" not in df.columns:
+        raise ValueError(
+            "hnsw incremental insert requires a pos-bearing layout "
+            "sidecar; this one predates the pos column — rebuild the "
+            "graph (full hnsw_layout) before appending")
     if decode is None:
         data_cols = ["embedding"]
         data_schema = "embedding array<double>"
@@ -562,9 +573,13 @@ def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
                                                       in segments]))
     q = [float(x) for x in qvec]
     decode = _default_decode if decode is None else decode
+    # sidecars persisted before the pos column existed restore build
+    # order by vec_id (their ids were unique by construction — append
+    # mode only ever writes pos-bearing layouts)
+    sort_col = "pos" if "pos" in layout.columns else "vec_id"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos", kind="stable")
+        pdf = pdf.sort_values(sort_col, kind="stable")
         ids = pdf["vec_id"].tolist()
         levels = pdf["level"].tolist()
         # links are POSITIONS in build (pos) order (see LAYOUT_SCHEMA):
@@ -612,9 +627,10 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
              {int(q): {int(s) for s in ss}
               for q, ss in query_segments.items()})
     decode = _default_decode if decode is None else decode
+    sort_col = "pos" if "pos" in layout.columns else "vec_id"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos", kind="stable")
+        pdf = pdf.sort_values(sort_col, kind="stable")
         seg = int(pdf["segment"].iloc[0])
         ids = pdf["vec_id"].tolist()
         levels = pdf["level"].tolist()
