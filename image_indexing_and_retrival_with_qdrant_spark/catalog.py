@@ -751,12 +751,14 @@ class Collection:
     # walk — beam widened by 1/fraction, candidates post-filtered at
     # the exact rescore; anything more selective routes index-only
     # (exact scoring within probed cells, filter pushed to the scan).
-    # Pinned by the measured crossover sweep (SCALE.md §hnsw-filtered):
-    # at 100k×64-d the widened walk beats the probed-cell scan down to
-    # ~0.2 match fraction; below that the widening (∝ 1/frac) erodes
-    # the walk's advantage while the exact path's cost SHRINKS with
-    # selectivity (the filter prunes its scan), so selective filters
-    # take the path whose cost tracks the match count.
+    # Pinned by the measured sweep (SCALE.md §hnsw-filtered, 200k
+    # ×64-d): the walk's cost grows ∝ 1/fraction (2.1 s at 75% →
+    # 10.0 s at 5%) while the exact path's SHRINKS with selectivity
+    # (the filter prunes its scoring scan). Widening therefore
+    # divides whatever advantage made the graph the routed choice by
+    # 1/frac; the quantized sidecar's conservative ~4× byte edge is
+    # cancelled at frac = 0.25, so below it the path whose cost
+    # tracks the match count wins regardless of deployment shape.
     _HNSW_FILTER_CROSSOVER = 0.25
 
     def _hnsw_filter_stats(self, corpus: DataFrame,

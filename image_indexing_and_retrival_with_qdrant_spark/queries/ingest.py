@@ -1834,7 +1834,8 @@ _HNSW_LC_CACHE: dict = {}
 
 def _hnsw_lifecycle_candidates(sf_dir: str,
                                mss: int | None = None,
-                               quant: str | None = None) -> list[str]:
+                               quant: str | None = None,
+                               ef: int | None = None) -> list[str]:
     """Driver-side twin of the collection's graph read path. Every
     stage mirrors the catalog bit-for-bit: embeddings via the
     pure-Python md5 formula (the ``_pca_space_params`` twin), ids =
@@ -1851,8 +1852,11 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
     over the whole deduped corpus (``sq_train``'s order-independent
     agg), int8 encode with the frozen params, and graphs built/walked
     over the ``sq_decode_np`` bucket centers — the code-graph read
-    path re-derived end to end."""
-    if (sf_dir, mss, quant) not in _HNSW_LC_CACHE:
+    path re-derived end to end. ``ef`` overrides the beam width (the
+    filtered twin passes the widened ``ceil(ef·n/m)``)."""
+    if ef is None:
+        ef = _HNSW_LC["ef"]
+    if (sf_dir, mss, quant, ef) not in _HNSW_LC_CACHE:
         import hashlib
         import os
 
@@ -1996,15 +2000,17 @@ def _hnsw_lifecycle_candidates(sf_dir: str,
                     ids, X, m=_HNSW_LC["m"],
                     ef_construct=_HNSW_LC["ef_construct"])
                 res = hnsw_search_np(levels, adj, _normalize_rows(X),
-                                     qv, ef=_HNSW_LC["ef"])
+                                     qv, ef=ef)
                 cand += [ids[p] for _, p in res]
-        _HNSW_LC_CACHE[(sf_dir, mss, quant)] = sorted(cand)
-    return _HNSW_LC_CACHE[(sf_dir, mss, quant)]
+        _HNSW_LC_CACHE[(sf_dir, mss, quant, ef)] = sorted(cand)
+    return _HNSW_LC_CACHE[(sf_dir, mss, quant, ef)]
 
 
 def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5,
                            mss: int | None = None,
-                           quant: str | None = None) -> str:
+                           quant: str | None = None,
+                           ef: int | None = None,
+                           extra_pred: str | None = None) -> str:
     """Oracle FACTORY: the beam shortlist re-derived driver-side via
     the shared deterministic build/search (the ``_np_probe``
     literal-shortlist discipline), the exact-cosine rescore recomputed
@@ -2013,23 +2019,28 @@ def _hnsw_lifecycle_oracle(sf_dir: str, k: int = 5,
     (one SQL body for all registered queries — a fix applied here
     can't drift between them); the rescore is always FULL-WIDTH exact
     cosine, which is precisely the quantized composition's contract
-    (walk compressed, rescore exact)."""
+    (walk compressed, rescore exact). ``ef``/``extra_pred`` select the
+    FILTERED twin: widened beam, then the payload predicate applied
+    ON TOP of the candidate list (the engine's post-filter-at-rescore
+    order) — ``extra_pred`` may reference ``e.tl`` (text length)."""
     cand = ", ".join(f"'{i}'" for i in
                      _hnsw_lifecycle_candidates(sf_dir, mss=mss,
-                                                quant=quant))
+                                                quant=quant, ef=ef))
     d = _embed_dims_sql("t.text", "passage")
     q = _embed_dims_sql(f"'{_QUERY_TEXT}'", "query")
     dims = ", ".join(f"({di}) AS e{j}" for j, di in enumerate(d, start=1))
     dot = " + ".join(f"({qj}) * (e.e{j})" for j, qj in enumerate(q, start=1))
     dnorm = " + ".join(f"(e.e{j}) * (e.e{j})" for j in range(1, len(d) + 1))
     qnorm = " + ".join(f"({qj}) * ({qj})" for qj in q)
+    tl = ", length(t.text) AS tl" if extra_pred else ""
+    pred = f" AND ({extra_pred})" if extra_pred else ""
     return f"""
     WITH t AS (SELECT DISTINCT text FROM documents),
-    e AS (SELECT sha256(t.text) AS id, {dims} FROM t)
+    e AS (SELECT sha256(t.text) AS id{tl}, {dims} FROM t)
     SELECT e.id,
            ROUND(({dot}) / (sqrt({dnorm}) * sqrt({qnorm})), 6) AS score
     FROM e
-    WHERE e.id IN ({cand})
+    WHERE e.id IN ({cand}){pred}
     ORDER BY score DESC, e.id
     LIMIT {k}
     """
@@ -2073,6 +2084,74 @@ def ingest_hnsw_index_search(spark: SparkSession,
         with phase("search"):
             res = coll.search(spark, qv, k=5,
                               hnsw_ef=_HNSW_LC["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _hnsw_filtered_ef(sf_dir: str) -> int:
+    """The engine's widened beam re-derived: ``ceil(ef·n/m)`` over
+    the distinct-text corpus, with m = texts matching the grp≠0
+    filter (``length(text) % 4 != 0``) — the same integer ceiling
+    ``Collection._hnsw_filter_stats``-routed searches apply."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    texts = set(papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text"]).column("text").to_pylist())
+    n = len(texts)
+    m = sum(1 for t in texts if len(t) % 4 != 0)
+    return -(-_HNSW_LC["ef"] * n // m)
+
+
+def _hnsw_filtered_oracle(sf_dir: str, k: int = 5) -> str:
+    return _hnsw_lifecycle_oracle(
+        sf_dir, k, ef=_hnsw_filtered_ef(sf_dir),
+        extra_pred="(e.tl % 4) <> 0")
+
+
+@register("ingest_hnsw_filtered_search", _hnsw_filtered_oracle)
+def ingest_hnsw_filtered_search(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Filter-aware graph search (the selectivity-routed tier): a
+    ``query_filter`` matching ~75% of the corpus (``grp != 0`` over
+    ``grp = length(text) % 4``) stays on the HNSW walk — the engine
+    measures the match fraction (one column-pruned count), widens the
+    beam to ``ceil(ef·n/m)``, walks the probed cells' graphs, and
+    applies the filter at the exact rescore (Qdrant's
+    filtered-HNSW posture; a filter below the measured crossover
+    routes index-only instead — pinned in
+    tests/test_hnsw_collection.py). The oracle re-derives cells,
+    graphs, the WIDENED beam, and the post-filter + rescore in
+    DuckDB — the routed filtered path is value-checked end to
+    end."""
+    docs = load(spark, sf_dir, "documents")
+    points = build_points(
+        _E.embed(docs, text_col="text"), id_key=F.col("text"),
+        payload={"grp": (F.length("text") % 4).cast("int")},
+        with_timestamp=False,
+    ).dropDuplicates(["id"]).select("id", "embedding", "grp")
+    qv = list(_E.embed(
+        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        text_col="text", mode="query").collect()[0].embedding)
+    root = tempfile.mkdtemp(prefix="qd_hnswf_")
+    try:
+        coll = create_collection(
+            root, "hf", dim=8, normalize=False, indexing_threshold=1,
+            k_centroids=_HNSW_LC["k_centroids"],
+            hnsw_config={"m": _HNSW_LC["m"],
+                         "ef_construct": _HNSW_LC["ef_construct"]})
+        coll.upsert(spark, points, mode="merge")
+        assert coll.has_index() and coll._has_hnsw(), \
+            "threshold crossed but graphs not built"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_LC["ef"],
+                              query_filter=F.col("grp") != 0) \
                 .select("id", "score")
             rows = res.collect()
         return spark.createDataFrame(rows, res.schema)

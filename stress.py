@@ -1265,6 +1265,102 @@ def hnsw_catalog_stress(n: int = 1_000_000, dim: int = 64,
     spark.stop()
 
 
+def hnsw_filtered_stress(n: int = 200_000, dim: int = 64,
+                         k_centroids: int = 32, mss: int = 4096,
+                         nprobe: int = 8, n_q: int = 5) -> None:
+    """Filtered-search crossover measurement: the same query_filter at
+    several match fractions, each run through BOTH routes — the
+    widened-beam graph walk (crossover forced to 0) and the
+    index-only exact path (crossover forced above 1) — timing and
+    recall@10 against the exact filtered scan. The fraction where the
+    two curves cross pins ``Collection._HNSW_FILTER_CROSSOVER``
+    (SCALE.md §hnsw-filtered). The payload column is a uniform
+    ``pct = xxhash64(id) % 100``, so ``pct < f`` matches f% with zero
+    correlation to the vector geometry — the adversarial-neutral
+    shape for a beam that must survive post-filtering."""
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    spark = get_spark("stress-hnsw-filtered",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"metric": "stress_hnsw_filtered", "rows": n,
+                 "dim": dim, "k_centroids": k_centroids,
+                 "nprobe": nprobe}
+    cluster = F.col("id") % 10
+    dims = [
+        ((F.xxhash64(cluster, F.lit(i)) % 2000001 - 1000000)
+         / F.lit(1000000.0))
+        + 0.15 * ((F.xxhash64(F.col("id"), F.lit(1000 + i))
+                   % 2000001 - 1000000) / F.lit(1000000.0))
+        for i in range(dim)
+    ]
+    pts_dir = tempfile.mkdtemp(prefix="stress_hnswflt_pts_")
+    root = tempfile.mkdtemp(prefix="stress_hnswflt_")
+    try:
+        (spark.range(n).select(
+            F.col("id").cast("string").alias("id"),
+            F.array(*dims).alias("embedding"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(100))
+            .cast("int").alias("pct"))
+         .write.mode("overwrite").parquet(pts_dir))
+        points = spark.read.parquet(pts_dir)
+        qrows = points.filter(
+            F.col("id").isin([str(12345 + 1000 * i)
+                              for i in range(n_q)])).collect()
+        t0 = time.perf_counter()
+        c = create_collection(root, "hf", dim=dim, metric="cosine",
+                              normalize=False, indexing_threshold=1,
+                              k_centroids=k_centroids,
+                              hnsw_config={"m": 8, "ef_construct": 64,
+                                           "max_segment_size": mss})
+        c.upsert(spark, points, mode="append")
+        out["build_sec"] = round(time.perf_counter() - t0, 2)
+        assert c._has_hnsw()
+
+        def median3(fn):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return round(sorted(ts)[1], 2)
+
+        q = list(qrows[0].embedding)
+        for f in (90, 75, 50, 25, 10, 5):
+            pred = F.col("pct") < f
+            # exact-filtered truth per query (recall denominator)
+            truth = {r.id: {x.id for x in c.search(
+                spark, list(r.embedding), k=10, exact=True,
+                query_filter=F.col("pct") < f).collect()}
+                for r in qrows}
+            c._HNSW_FILTER_CROSSOVER = 0.0  # force the graph route
+            out[f"f{f}_graph_sec"] = median3(
+                lambda: c.search(spark, q, k=10, nprobe=nprobe,
+                                 hnsw_ef=32,
+                                 query_filter=pred).collect())
+            rs = []
+            for r in qrows:
+                got = {x.id for x in c.search(
+                    spark, list(r.embedding), k=10, nprobe=nprobe,
+                    hnsw_ef=32, query_filter=pred).collect()}
+                rs.append(len(got & truth[r.id])
+                          / max(1, len(truth[r.id])))
+            out[f"f{f}_graph_recall@10"] = round(float(np.mean(rs)), 3)
+            c._HNSW_FILTER_CROSSOVER = 1.1  # force index-only
+            out[f"f{f}_index_sec"] = median3(
+                lambda: c.search(spark, q, k=10, nprobe=nprobe,
+                                 hnsw_ef=32,
+                                 query_filter=pred).collect())
+            del c._HNSW_FILTER_CROSSOVER  # back to the class pin
+    finally:
+        shutil.rmtree(pts_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def defrag_stress(n: int = 10_000_000, n_tenants: int = 50) -> None:
     """Tenant defragmentation at scale: the same filtered queries on a
     shuffled-tenant layout vs after ``compact(cluster_by=['tenant'])``.
@@ -1530,6 +1626,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "hnswcat":
         args = [int(a) for a in sys.argv[2:]]
         hnsw_catalog_stress(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "hnswfilter":
+        args = [int(a) for a in sys.argv[2:]]
+        hnsw_filtered_stress(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "defrag":
         args = [int(a) for a in sys.argv[2:]]

@@ -676,3 +676,134 @@ def test_batch_recall_target_sq_graph(spark, qcoll):
     for i, want in enumerate(singles):
         assert [(r.id, r.score) for r in batch
                 if r.query_idx == i] == want
+
+
+# --- filter-aware graph routing (round 11) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def fcoll(spark, root):
+    """hnsw collection with a payload column for filter routing:
+    grp cycles 0..3, so grp != 0 matches 75% (non-selective) and
+    grp == 0 AND a tight id range matches ~6% (selective)."""
+    rng = np.random.RandomState(17)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)], int(i % 4))
+         for i in range(400)],
+        "id bigint, embedding array<double>, grp int")
+    c = create_collection(root, "flt", dim=8, normalize=False,
+                          indexing_threshold=1, k_centroids=4,
+                          hnsw_config={"m": 4, "ef_construct": 32})
+    c.upsert(spark, df, mode="merge")
+    return c
+
+
+def _spy_graph_calls(monkeypatch):
+    import image_indexing_and_retrival_with_qdrant_spark.operators.hnsw as H
+
+    calls = {"n": 0, "ef": None}
+    orig = H.hnsw_layout_search
+
+    def spy(layout, qvec, ef, **kw):
+        calls["n"] += 1
+        calls["ef"] = ef
+        return orig(layout, qvec, ef, **kw)
+
+    monkeypatch.setattr(H, "hnsw_layout_search", spy)
+    return calls
+
+
+def test_filtered_nonselective_routes_graph(spark, fcoll, monkeypatch):
+    """A 75%-match filter keeps the graph walk, with the beam widened
+    to ceil(ef*n/m), and every result satisfies the filter."""
+    calls = _spy_graph_calls(monkeypatch)
+    rng = np.random.RandomState(18)
+    qv = [float(x) for x in rng.randn(8)]
+    rows = fcoll.search(spark, qv, k=5, hnsw_ef=8,
+                        query_filter=F.col("grp") != 0).collect()
+    assert calls["n"] == 1
+    assert calls["ef"] == -(-8 * 400 // 300)  # ceil(8/0.75) = 11
+    assert len(rows) == 5
+    assert all(r["grp"] != 0 for r in rows)
+
+
+def test_filtered_selective_routes_index_only(spark, fcoll,
+                                              monkeypatch):
+    """A ~6%-match filter skips the graph (below the crossover) and
+    scores exactly within probed cells — results equal the exact scan
+    under the same filter."""
+    calls = _spy_graph_calls(monkeypatch)
+    rng = np.random.RandomState(19)
+    qv = [float(x) for x in rng.randn(8)]
+    pred = (F.col("grp") == 0) & (F.col("id") < 100)
+    rows = fcoll.search(spark, qv, k=5, hnsw_ef=8,
+                        query_filter=pred).collect()
+    assert calls["n"] == 0
+    exact = fcoll.search(spark, qv, k=5, exact=True,
+                         query_filter=pred).collect()
+    assert [(r.id, r.score) for r in rows] == \
+        [(r.id, r.score) for r in exact]
+
+
+def test_filtered_graph_vs_exact_recall(spark, fcoll):
+    """The widened post-filtered beam recovers the exact filtered
+    top-k (recall row for the routed filtered path at this shape)."""
+    hits = 0
+    for s in (20, 21, 22, 23, 24):
+        rng = np.random.RandomState(s)
+        qv = [float(x) for x in rng.randn(8)]
+        g = fcoll.search(spark, qv, k=5, hnsw_ef=16,
+                         query_filter=F.col("grp") != 0).collect()
+        e = fcoll.search(spark, qv, k=5, exact=True,
+                         query_filter=F.col("grp") != 0).collect()
+        hits += len({r.id for r in g} & {r.id for r in e})
+    assert hits >= 23  # >= 0.92 recall@5 over 5 queries
+
+
+def test_filtered_zero_match_routes_index_only(spark, fcoll,
+                                               monkeypatch):
+    calls = _spy_graph_calls(monkeypatch)
+    rows = fcoll.search(spark, [0.0] * 8, k=5, hnsw_ef=8,
+                        query_filter=F.col("grp") == 99).collect()
+    assert calls["n"] == 0 and rows == []
+
+
+def test_ingest_hnsw_filtered_search_oracle(spark):
+    compare(spark, REGISTRY["ingest_hnsw_filtered_search"],
+            "/root/testdata/sf0.001", "ingest_hnsw_filtered_search")
+
+
+def test_filtered_multivector_routes_graph(spark, root, monkeypatch):
+    """The multivector (MaxSim) graph branch takes the same
+    selectivity routing: non-selective filter walks the pooled-vector
+    graphs with a widened beam, then post-filters before the exact
+    MaxSim rescore."""
+    rng = np.random.RandomState(23)
+    df = spark.createDataFrame(
+        [(i, [[float(x) for x in rng.randn(8)] for _ in range(3)],
+          int(i % 4))
+         for i in range(200)],
+        "id bigint, embedding array<array<double>>, grp int")
+    c = create_collection(root, "fmv", dim=8, multivector=True,
+                          indexing_threshold=1, k_centroids=4,
+                          hnsw_config={"m": 4, "ef_construct": 32})
+    c.upsert(spark, df, mode="merge")
+    assert c._has_hnsw()
+    calls = _spy_graph_calls(monkeypatch)
+    qv = [[float(x) for x in np.random.RandomState(24).randn(8)]
+          for _ in range(2)]
+    rows = c.search(spark, qv, k=5, hnsw_ef=8,
+                    query_filter=F.col("grp") != 0).collect()
+    assert calls["n"] == 1
+    assert calls["ef"] == -(-8 * 200 // 150)
+    assert len(rows) == 5 and all(r["grp"] != 0 for r in rows)
+    # selective: graph skipped, exact-filtered parity
+    calls["n"] = 0
+    pred = (F.col("grp") == 0) & (F.col("id") < 40)
+    got = c.search(spark, qv, k=5, hnsw_ef=8,
+                   query_filter=pred).collect()
+    assert calls["n"] == 0
+    exact = c.search(spark, qv, k=5, exact=True,
+                     query_filter=pred).collect()
+    assert [(r.id, r.score) for r in got] == \
+        [(r.id, r.score) for r in exact]
