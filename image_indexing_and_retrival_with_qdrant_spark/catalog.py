@@ -796,6 +796,13 @@ class Collection:
         qz = self.meta.get("quantization")
         if not qz:
             return None
+        if self.meta.get("multivector"):
+            # multivector × quantization: the codes sidecar compresses
+            # the FLAT MaxSim vectors, but graphs live over the POOLED
+            # routing vectors (dim floats/row — already the small
+            # column); walking codes of a different space would be
+            # meaningless, so the graph tier stays full-pooled
+            return None
         if qz == "sq":
             if "sq_mins" not in self.meta:
                 return None
@@ -1001,7 +1008,8 @@ class Collection:
         from .operators.hnsw import hnsw_layout
 
         quant = self._hnsw_quant_parts()
-        if self.meta.get("quantization") and quant is None:
+        if self.meta.get("quantization") and quant is None \
+                and not self.meta.get("multivector"):
             # quantizer configured but untrained (below pq_codes train
             # rows): graphs stay DEFERRED until it trains — building
             # full-vector graphs now would orphan them the moment the
@@ -1360,8 +1368,11 @@ class Collection:
                 scfg = named[sname]
                 if qz not in (None, "sq", "bq", "pq", "opq"):
                     raise ValueError(f"unknown quantization {qz!r}")
-                if qz is not None and scfg.get("multivector"):
-                    raise ValueError("quantization supports dense spaces")
+                if qz is not None and scfg.get("multivector") \
+                        and qz != "sq":
+                    raise ValueError(
+                        "multivector spaces support quantization="
+                        "'sq' (scalar int8 per subvector)")
                 scfg["quantization"] = qz
                 # frozen train params belong to the OLD config
                 for key in ("sq_mins", "sq_steps", "codes_layout",
@@ -1382,9 +1393,12 @@ class Collection:
         if quantization is not self._UNSET:
             if quantization not in (None, "sq", "bq", "pq", "opq"):
                 raise ValueError(f"unknown quantization {quantization!r}")
-            if quantization is not None and self.meta.get("multivector"):
+            if quantization is not None and self.meta.get("multivector") \
+                    and quantization != "sq":
                 # same invariant create_collection enforces
-                raise ValueError("quantization supports dense collections")
+                raise ValueError(
+                    "multivector collections support quantization="
+                    "'sq' (scalar int8 per subvector)")
             if quantization is not None and self.meta.get("hnsw") \
                     and self.meta.get("metric", "cosine") != "cosine":
                 # same rule _hnsw_validate enforces at create
@@ -1792,11 +1806,20 @@ class Collection:
         itself for single-space collections, the space's sub-dict for
         named ones — both persist through ``_save_meta``)."""
         q = cfg.get("quantization")
-        from .operators.sq import sq_train
+        from .operators.sq import sq_train, sq_train_flat
 
         if q == "sq" and "sq_mins" not in cfg:
-            mins, steps = sq_train(self.read(spark), int(cfg["dim"]),
-                                   vec_col=vec_col)
+            if cfg.get("multivector"):
+                # flat-multivector space: per-dim params pool over
+                # every SUBVECTOR (Qdrant's int8 on multivector
+                # compresses subvectors); fp16 storage decodes first
+                # so codes quantize the stored values
+                mins, steps = sq_train_flat(
+                    self._float_mv(self.read(spark), vec_col),
+                    int(cfg["dim"]), vec_col=vec_col)
+            else:
+                mins, steps = sq_train(self.read(spark),
+                                       int(cfg["dim"]), vec_col=vec_col)
             cfg["sq_mins"] = mins
             cfg["sq_steps"] = steps
             self._save_meta()
@@ -1840,8 +1863,9 @@ class Collection:
             cfg["pq_codebooks"] = cbs
             self._save_meta()
             incoming, rewrote = None, True  # encode the whole table once
-        # When the IVF layout exists (dense collections only — quant is
-        # rejected for multivector), the codes sidecar shares it:
+        # When the IVF layout exists, the codes sidecar shares it
+        # (multivector collections route on the POOLED vector — the
+        # same coarse space the cells were carved over):
         # partitionBy(centroid_id) so the quantized prefetch inside
         # probed cells is statically partition-pruned — the composed
         # read path scans (nprobe/kc) × the 4-32×-smaller codes, not
@@ -1850,8 +1874,7 @@ class Collection:
         # sidecar left from before the index crossed its threshold is
         # re-encoded whole (one scan, same cost shape as the index
         # build that just happened).
-        cells = (space is None and self.has_index()
-                 and not cfg.get("multivector"))
+        cells = (space is None and self.has_index())
         if cells != (cfg.get("codes_layout") == "cells"):
             # layout transition (index just built, or just dropped):
             # re-encode the whole table so the sidecar is uniformly
@@ -1862,14 +1885,26 @@ class Collection:
                   else incoming)
         if vec_col not in source.columns:
             return
+        if cfg.get("multivector"):
+            source = self._float_mv(source, vec_col)
         carry: tuple = ()
         if cells:
             from .operators.ann import assign_centroids
 
+            if cfg.get("multivector"):
+                from .functions.vector import mean_pool_flat
+
+                route = (F.col(vec_col + "__pooled")
+                         .cast("array<double>")
+                         if vec_col + "__pooled" in source.columns
+                         else mean_pool_flat(
+                             F.col(vec_col).cast("array<double>"),
+                             int(cfg["dim"])))
+            else:
+                route = as_double(F.col(vec_col))
             source = source.withColumn(
                 "centroid_id",
-                assign_centroids(self._centroids(spark),
-                                 as_double(F.col(vec_col))))
+                assign_centroids(self._centroids(spark), route))
             carry = ("centroid_id",)
         if q in ("pq", "opq") and "pq_codebooks" not in cfg:
             return  # untrained (below pq_codes rows): no sidecar
@@ -1885,6 +1920,20 @@ class Collection:
             self._save_meta()
 
     @staticmethod
+    def _float_mv(df: DataFrame, vec_col: str) -> DataFrame:
+        """Ensure a multivector column is float-valued for sidecar
+        maintenance: fp16 ``binary`` storage (``datatype='float16'``)
+        decodes back to ``array<double>`` — codes then quantize the
+        STORED (fp16-rounded) values, the honest composition."""
+        if vec_col in df.columns and isinstance(
+                df.schema[vec_col].dataType, BinaryType):
+            from .operators.maxsim import halfvec_decode_udf
+
+            return df.withColumn(vec_col,
+                                 halfvec_decode_udf(F.col(vec_col)))
+        return df
+
+    @staticmethod
     def _encode_codes(source: DataFrame, cfg: dict, vec_col: str,
                       id_col: str, carry: tuple = ()) -> DataFrame:
         """Encode ``source`` with the FROZEN train params in ``cfg`` —
@@ -1893,10 +1942,15 @@ class Collection:
         which encodes just the incoming batch) share, so the two can
         never produce different codes for the same row."""
         from .operators.bq import bq_encode
-        from .operators.sq import sq_encode
+        from .operators.sq import sq_encode, sq_encode_flat
 
         q = cfg.get("quantization")
         if q == "sq":
+            if cfg.get("multivector"):
+                return sq_encode_flat(
+                    source, int(cfg["dim"]), cfg["sq_mins"],
+                    cfg["sq_steps"], vec_col=vec_col, id_col=id_col,
+                    carry_cols=carry)
             return sq_encode(source, cfg["sq_mins"], cfg["sq_steps"],
                              vec_col=vec_col, id_col=id_col,
                              carry_cols=carry)
@@ -2329,6 +2383,69 @@ class Collection:
         ids = [r[id_col] for r in
                keep.select(id_col).distinct().collect()]  # ≤ Q·m rows
         return corpus.filter(F.col(id_col).isin(ids))
+
+    def _mv_quant_shortlist(self, spark: SparkSession,
+                            query_flat: list[float], m: int,
+                            id_col: str, cfg: dict,
+                            space: str | None,
+                            ids: list | None = None,
+                            probe: list[int] | None = None) -> list:
+        """Quantized-tier shortlist for MULTIVECTOR spaces: rank the
+        SQ codes sidecar by approximate MaxSim (decode to bucket
+        centers inside the Arrow-batched scorer — the codes never
+        inflate to floats JVM-side), keep the top ``m``, return their
+        ids for the exact full-width rescore's literal ``IN``. The
+        sidecar read is restricted first: to the graph beam's ``ids``
+        (hnsw_config collections), or to the probed ``probe`` cells
+        (statically partition-pruned on the shared IVF layout), else
+        the flat codes scan — in every case the bytes are 1/4 of the
+        fp32 flat column (1/2 of fp16). Scores round to 6 before
+        ranking (ties by id), the shortlist-determinism discipline
+        every oracle-twinned tier uses (registry.py docstring)."""
+        from .operators.maxsim import maxsim_score_codes_const_udf
+        from .operators.topk import global_topk
+
+        codes = spark.read.parquet(self._codes_path_for(space))
+        if probe is not None and "centroid_id" in codes.columns:
+            codes = codes.filter(
+                F.col("centroid_id").isin([int(i) for i in probe]))
+        if ids is not None:
+            codes = codes.filter(F.col(id_col).isin(ids))
+        score = maxsim_score_codes_const_udf(
+            int(cfg["dim"]), [float(x) for x in cfg["sq_mins"]],
+            [float(x) for x in cfg["sq_steps"]], query_flat,
+        )(F.col("codes"))
+        scored = codes.select(F.col(id_col),
+                              F.round(score, 6).alias("score"))
+        keep = global_topk(scored, [("score", False), (id_col, True)],
+                           m).select(id_col)
+        return [r[id_col] for r in keep.collect()]
+
+    def _mv_quant_shortlist_batch(self, spark: SparkSession,
+                                  queries_flat: list[list[float]],
+                                  m: int, id_col: str, cfg: dict,
+                                  space: str | None) -> list:
+        """Batched twin of ``_mv_quant_shortlist``: every query scores
+        the codes sidecar in ONE Arrow pass (the multi-query capture
+        scorer), per-query top-m with map-side pruning, union of the
+        shortlists back as ids for the exact batch rescore."""
+        from .operators.maxsim import maxsim_score_codes_multi_udf
+        from .operators.topk import grouped_topk
+
+        codes = spark.read.parquet(self._codes_path_for(space))
+        arr = maxsim_score_codes_multi_udf(
+            int(cfg["dim"]), [float(x) for x in cfg["sq_mins"]],
+            [float(x) for x in cfg["sq_steps"]], queries_flat,
+        )(F.col("codes"))
+        scored = codes.select(
+            F.col(id_col), F.posexplode(arr).alias("query_idx", "__s"),
+        ).select(id_col, "query_idx",
+                 F.round(F.col("__s"), 6).alias("score"))
+        keep = grouped_topk(scored, ["query_idx"],
+                            [("score", False), (id_col, True)], m,
+                            rank_col=None, local_prune=True)
+        return [r[id_col] for r in
+                keep.select(id_col).distinct().collect()]
 
     def _post_write(self, spark: SparkSession, incoming: DataFrame | None,
                     id_col: str, vec_col: str, rewrote: bool,
@@ -2993,14 +3110,25 @@ class Collection:
             raise ValueError(
                 "hnsw_ef needs a collection created with hnsw_config")
         if cfg.get("multivector"):
-            if quantization_params:
+            qp = dict(quantization_params or {})
+            unknown = sorted(set(qp)
+                             - {"ignore", "rescore", "oversampling"})
+            if unknown:
                 raise ValueError(
-                    "quantization_params apply to quantized dense "
-                    "spaces (multivector collections are never "
-                    "quantized)")
+                    f"unknown quantization_params key(s) {unknown}")
+            if qp and not cfg.get("quantization"):
+                raise ValueError(
+                    "quantization_params need a quantized space")
+            if qp.get("rescore", True) is False:
+                raise ValueError(
+                    "multivector quantized search always rescores "
+                    "(approximate MaxSim ranks are not returned)")
+            if qp.get("oversampling") is not None:
+                oversampling = float(qp["oversampling"])
             qv = [[float(x) for x in v] for v in query_vector]
             if cfg.get("normalize"):
                 qv = [_unit(v) for v in qv]
+            had_filter = query_filter is not None
             payload = [c for c in corpus.columns if c not in not_payload]
             if _is_nested(corpus, vec_col):  # compatibility reader
                 qdf = spark.createDataFrame(
@@ -3013,7 +3141,7 @@ class Collection:
                 )
             pooled_q = [sum(v[j] for v in qv) / len(qv)
                         for j in range(len(qv[0]))]
-            graphed = False
+            graphed, cand_ids = False, None
             graph_able = (self._has_hnsw() and self.has_index()
                           and not exact and k is not None
                           and os.path.isdir(self._hnsw_graphs)
@@ -3052,8 +3180,8 @@ class Collection:
                     .simpleString(),
                     normalize=cfg.get("metric", "cosine") == "cosine",
                 ).collect()
-                corpus = corpus.filter(F.col(id_col).isin(
-                    sorted({r["vec_id"] for r in cand})))
+                cand_ids = sorted({r["vec_id"] for r in cand})
+                corpus = corpus.filter(F.col(id_col).isin(cand_ids))
                 graphed = True
             elif self.has_index() and not exact:
                 # coarse stage routes on the mean-pooled query (cells
@@ -3065,6 +3193,34 @@ class Collection:
                 # the filtered slice (and Catalyst pushes it to scan)
                 corpus = corpus.filter(query_filter)
                 query_filter = None
+            if (not had_filter and cfg.get("quantization") == "sq"
+                    and "sq_mins" in cfg and not exact
+                    and k is not None and recall_target is None
+                    and not qp.get("ignore")):
+                # quantized tier (multivector × sq): rank the int8
+                # codes sidecar — restricted to the graph beam's
+                # candidates, or the probed cells (partition-pruned),
+                # or the flat codes scan — with approximate MaxSim
+                # over decoded bucket centers, keep max(k, rescore |
+                # ceil(k·oversampling)), and let the exact MaxSim
+                # below rescore ONLY those at full width. Cuts the
+                # heavy flat-vector read to the shortlist (the dense
+                # _quant_shortlist posture at ColPali byte shape).
+                # Filter-correct rule: any query_filter skips this
+                # tier (codes carry no payload); recall_target routes
+                # stay on the measured pooled two-stage curve.
+                m = (max(k, rescore) if rescore is not None
+                     else max(k, int(math.ceil(k * oversampling))))
+                probe = None
+                if not graphed and self.has_index() \
+                        and cfg.get("codes_layout") == "cells":
+                    probe = probe_cells(pooled_q)
+                short = self._mv_quant_shortlist(
+                    spark, [x for v in qv for x in v], m, id_col,
+                    cfg, cfg["vec_col"] if self.meta.get("vectors")
+                    else None, ids=cand_ids, probe=probe)
+                corpus = corpus.filter(F.col(id_col).isin(short))
+                rescore = None  # the codes tier IS the shortlist stage
             if (rescore is not None and not exact and k is not None
                     and not graphed):
                 corpus = self._maxsim_stage1(
@@ -3393,7 +3549,9 @@ class Collection:
             return self._search_batch_maxsim(
                 spark, query_vectors, cfg, k=k, query_filter=query_filter,
                 score_threshold=score_threshold, id_col=id_col,
-                rescore=None if exact else rescore)
+                rescore=None if exact else rescore, exact=exact,
+                oversampling=oversampling,
+                quantization_params=quantization_params)
         qvs = [[float(x) for x in v] for v in query_vectors]
         if cfg.get("normalize"):
             qvs = [_unit(v) for v in qvs]
@@ -4543,7 +4701,11 @@ class Collection:
     def _search_batch_maxsim(self, spark: SparkSession, query_vectors,
                              cfg: dict, k: int, query_filter,
                              score_threshold, id_col: str,
-                             rescore: int | None = None) -> DataFrame:
+                             rescore: int | None = None,
+                             exact: bool = False,
+                             oversampling: float = 4.0,
+                             quantization_params: dict | None = None
+                             ) -> DataFrame:
         """Batched MaxSim: every query's subvectors normalize/flatten
         like the single-query path, then one corpus pass scores all
         (doc x query) pairs (operators.maxsim.maxsim_knn_batch).
@@ -4556,6 +4718,19 @@ class Collection:
         exact scans, and not even one."""
         from .operators.maxsim import maxsim_knn_batch
 
+        qp = dict(quantization_params or {})
+        unknown = sorted(set(qp) - {"ignore", "rescore", "oversampling"})
+        if unknown:
+            raise ValueError(
+                f"unknown quantization_params key(s) {unknown}")
+        if qp and not cfg.get("quantization"):
+            raise ValueError("quantization_params need a quantized space")
+        if qp.get("rescore", True) is False:
+            raise ValueError(
+                "multivector quantized search always rescores "
+                "(approximate MaxSim ranks are not returned)")
+        if qp.get("oversampling") is not None:
+            oversampling = float(qp["oversampling"])
         vec_col = cfg["vec_col"]
         corpus = self.read(spark).filter(F.col(vec_col).isNotNull())
         if _is_nested(corpus, vec_col):
@@ -4570,6 +4745,23 @@ class Collection:
             flats.append([x for v in qv for x in v])
             pooled_qs.append([sum(v[j] for v in qv) / len(qv)
                               for j in range(len(qv[0]))])
+        if (query_filter is None and cfg.get("quantization") == "sq"
+                and "sq_mins" in cfg and not exact and k is not None
+                and not qp.get("ignore")):
+            # batched quantized tier (multivector × sq): ONE pass over
+            # the int8 codes sidecar scores every query (codes cross
+            # Arrow once — no Q-way duplication), per-query top-m, and
+            # the UNION of shortlists feeds the exact batch rescore —
+            # each query ranks the union, a superset of its own
+            # shortlist. Same filter-correct rule as the single-query
+            # tier: any filter skips the codes (no payload there).
+            m = (max(k, rescore) if rescore is not None
+                 else max(k, int(math.ceil(k * oversampling))))
+            ids = self._mv_quant_shortlist_batch(
+                spark, flats, m, id_col, cfg,
+                cfg["vec_col"] if self.meta.get("vectors") else None)
+            corpus = corpus.filter(F.col(id_col).isin(ids))
+            rescore = None  # the codes tier IS the shortlist stage
         if query_filter is not None and rescore is not None:
             # before stage 1, like the single-query path: the prune
             # depth is spent inside the filtered slice
@@ -5478,16 +5670,21 @@ def create_collection(root: str, name: str, dim: int | None = None,
             if quantization is not None:
                 # Qdrant quantization_config: scalar(int8), binary,
                 # or product (ProductQuantization — "pq"; "opq" adds
-                # the learned FAISS-style rotation before it). Dense
-                # single-space collections only for sq/bq (the
-                # MaxSim quantized path is future work).
+                # the learned FAISS-style rotation before it).
+                # Multivector spaces take scalar only — int8 per
+                # SUBVECTOR dim (Qdrant quantizes multivector
+                # subvectors the same way); searches rank a
+                # codes-sidecar approximate MaxSim and always
+                # exact-rescore the survivors at full width.
                 if quantization not in ("sq", "bq", "pq", "opq"):
                     raise ValueError(
                         "quantization must be 'sq', 'bq', 'pq' or "
                         "'opq'")
-                if multivector:
+                if multivector and quantization != "sq":
                     raise ValueError(
-                        "quantization supports dense collections")
+                        "multivector collections support "
+                        "quantization='sq' (scalar int8 per "
+                        "subvector)")
                 meta["quantization"] = quantization
                 if quantization in ("pq", "opq"):
                     blocks, codes = _pq_validate(

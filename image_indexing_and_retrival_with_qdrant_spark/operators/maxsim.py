@@ -38,6 +38,8 @@ from .topk import global_topk
 
 __all__ = ["maxsim_score_udf", "maxsim_score_flat_const_udf",
            "maxsim_score_flat_multi_udf", "halfvec_encode_udf",
+           "halfvec_decode_udf", "maxsim_score_codes_const_udf",
+           "maxsim_score_codes_multi_udf",
            "maxsim_knn", "maxsim_knn_batch",
            "maxsim_knn_exact", "as_multivector"]
 
@@ -63,6 +65,102 @@ def halfvec_encode_udf(vec_col: Column) -> Column:
         ])
 
     return _enc(vec_col)
+
+
+def halfvec_decode_udf(vec_col: Column) -> Column:
+    """Decode an fp16-bytes ``binary`` multivector cell back to
+    ``array<double>`` — the write-path inverse of
+    ``halfvec_encode_udf``, used where a maintenance pass (e.g. the
+    SQ codes-sidecar refresh on an fp16 multivector collection) needs
+    the stored float values as a column rather than inside a
+    scorer."""
+
+    @F.pandas_udf("array<double>")
+    def _dec(v: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if x is None
+            else np.frombuffer(x, dtype=np.float16).astype(
+                np.float64).tolist()
+            for x in v
+        ])
+
+    return _dec(vec_col)
+
+
+def maxsim_score_codes_const_udf(dim: int, mins: Sequence[float],
+                                 steps: Sequence[float],
+                                 query_flat: Sequence[float]):
+    """MaxSim scorer over SQ CODES of a flat multivector (the
+    quantized tier of a MaxSim collection): each ``array<int>`` codes
+    cell dequantizes to bucket centers ``min_j + (c + 0.5)·step_j``
+    (dim j = position mod dim — per-subvector params) and scores with
+    the same stacked matmul as ``maxsim_score_flat_const_udf``. Arrow
+    carries int codes (half the float64 bytes), the parquet scan
+    carries 1 byte/element; the full-width column is only read by the
+    exact rescore of the survivors — the dense `_quant_shortlist`
+    posture applied to MaxSim."""
+    Q = np.asarray(list(query_flat), dtype=np.float64).reshape(-1, dim)
+    mn = np.asarray(list(mins), dtype=np.float64)
+    st = np.asarray(list(steps), dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _score(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        if codes.map(len).nunique() == 1:
+            C = np.asarray(np.stack(codes.to_numpy()),
+                           dtype=np.float64).reshape(len(codes), -1, dim)
+            D = mn + (C + 0.5) * st                      # (B, n, dim)
+            sims = np.matmul(Q[None], D.transpose(0, 2, 1))
+            return pd.Series(sims.max(axis=2).sum(axis=1))
+        out = np.empty(len(codes), dtype=np.float64)
+        for i, c in enumerate(codes):
+            C = np.asarray(c, dtype=np.float64).reshape(-1, dim)
+            out[i] = (Q @ (mn + (C + 0.5) * st).T).max(axis=1).sum()
+        return pd.Series(out)
+
+    return _score
+
+
+def maxsim_score_codes_multi_udf(dim: int, mins: Sequence[float],
+                                 steps: Sequence[float],
+                                 queries_flat: Sequence[Sequence[float]]):
+    """Multi-query twin of ``maxsim_score_codes_const_udf`` (the
+    batched quantized tier): codes cross Arrow once, every query
+    scores against the decoded bucket centers in the same
+    concatenated-matmul shape as ``maxsim_score_flat_multi_udf``;
+    returns ``array<double>`` of per-query approximate scores."""
+    Qs = [np.asarray(list(q), dtype=np.float64).reshape(-1, dim)
+          for q in queries_flat]
+    Qall = np.concatenate(Qs, axis=0)
+    splits = np.cumsum([q.shape[0] for q in Qs])[:-1]
+    mn = np.asarray(list(mins), dtype=np.float64)
+    st = np.asarray(list(steps), dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _score(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        if codes.map(len).nunique() == 1:
+            C = np.asarray(np.stack(codes.to_numpy()),
+                           dtype=np.float64).reshape(len(codes), -1, dim)
+            D = mn + (C + 0.5) * st
+            sims = np.matmul(Qall[None], D.transpose(0, 2, 1))
+            per_vec = sims.max(axis=2)
+            scores = np.stack(
+                [seg.sum(axis=1)
+                 for seg in np.split(per_vec, splits, axis=1)],
+                axis=1)
+            return pd.Series(list(scores))
+        out = []
+        for c in codes:
+            C = np.asarray(c, dtype=np.float64).reshape(-1, dim)
+            D = mn + (C + 0.5) * st
+            out.append(np.array(
+                [(Q @ D.T).max(axis=1).sum() for Q in Qs]))
+        return pd.Series(out)
+
+    return _score
 
 
 def _flat_batch(doc_flat: pd.Series, dim: int):

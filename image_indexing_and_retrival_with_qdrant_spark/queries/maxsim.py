@@ -477,6 +477,145 @@ def _hnsw_mv_oracle(sf_dir: str, k: int = 5) -> str:
     """
 
 
+_MV_SQ_CACHE: dict = {}
+
+
+def _mv_sq_params(sf_dir: str) -> tuple[list[float], list[float]]:
+    """Driver-side twin of `sq_train_flat` on the multivector fixture:
+    per-dim (min, step) pooled over every SUBVECTOR of every row —
+    min/max are order-exact, step = (mx − mn)/256.0 in the same Python
+    float op the catalog freezes, so the factory's literals are
+    bit-identical to the collection's frozen params."""
+    if sf_dir not in _MV_SQ_CACHE:
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])
+        X = np.asarray(t.column("embedding").to_pylist(),
+                       dtype=np.float64).reshape(-1, _N, _DIM)
+        mins = [float(x) for x in X.min(axis=(0, 1))]
+        maxs = [float(x) for x in X.max(axis=(0, 1))]
+        steps = [(mx - mn) / 256.0 for mn, mx in zip(mins, maxs)]
+        _MV_SQ_CACHE[sf_dir] = (mins, steps)
+    return _MV_SQ_CACHE[sf_dir]
+
+
+def _hnsw_mv_quant_oracle(sf_dir: str, k: int = 5, m: int = 20) -> str:
+    """Oracle FACTORY for the quantized multivector graph search,
+    every tier re-derived: the pooled-graph beam candidates driver-side
+    (same cells/graphs/beam as `_np_hnsw_mv_candidates` — quantization
+    never touches the pooled routing space), the SQ params via
+    `_mv_sq_params`, then IN SQL: encode→decode each candidate's
+    subvectors to bucket centers (clamped floor, the `sq_encode_flat` /
+    `sq_decode_np` arithmetic), approximate MaxSim ROUND(6) top-m
+    (ties by id — `_mv_quant_shortlist`'s discipline), and the exact
+    full-width MaxSim over ONLY those m survivors for the final
+    top-k."""
+    cand = ", ".join(str(i) for i in _np_hnsw_mv_candidates(sf_dir))
+    mins, steps = _mv_sq_params(sf_dir)
+
+    def dq(d: int) -> str:
+        mn, st = mins[d - 1], steps[d - 1]
+        x = f"e.emb[(dj.j - 1) * {_DIM} + {d}]"
+        if st == 0.0:
+            dec = f"{mn!r}"
+        else:
+            dec = (f"({mn!r} + (CAST(LEAST(255, GREATEST(0, "
+                   f"CAST(floor(({x} - {mn!r}) / {st!r}) AS INTEGER)"
+                   f")) AS DOUBLE) + 0.5) * {st!r})")
+        return f"(({dec}) * q.qe[(qi.i - 1) * {_DIM} + {d}])"
+
+    qdp = " + ".join(dq(d) for d in range(1, _DIM + 1))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id IN ({cand})),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    qpairs AS (
+      SELECT e.vec_id, qi.i, dj.j, {qdp} AS dp
+      FROM e CROSS JOIN q
+      CROSS JOIN generate_series(1, {_N}) AS qi(i)
+      CROSS JOIN generate_series(1, {_N}) AS dj(j)
+    ),
+    qmx AS (SELECT vec_id, i, MAX(dp) AS mx
+            FROM qpairs GROUP BY vec_id, i),
+    qsc AS (SELECT vec_id, ROUND(SUM(mx), 6) AS ascore
+            FROM qmx GROUP BY vec_id),
+    short AS (SELECT vec_id FROM qsc
+              ORDER BY ascore DESC, vec_id LIMIT {m}),
+    pairs AS (
+      SELECT e.vec_id, qi.i, dj.j,
+             list_dot_product(
+               e.emb[(dj.j - 1) * {_DIM} + 1 : dj.j * {_DIM}],
+               q.qe[(qi.i - 1) * {_DIM} + 1 : qi.i * {_DIM}]
+             ) AS dp
+      FROM e JOIN short USING (vec_id)
+      CROSS JOIN q
+      CROSS JOIN generate_series(1, {_N}) AS qi(i)
+      CROSS JOIN generate_series(1, {_N}) AS dj(j)
+    ),
+    mx AS (SELECT vec_id, i, MAX(dp) AS m FROM pairs
+           GROUP BY vec_id, i),
+    sc AS (SELECT vec_id, ROUND(SUM(m), 6) AS score
+           FROM mx GROUP BY vec_id)
+    SELECT vec_id AS id, score FROM sc
+    ORDER BY score DESC, id LIMIT {k}
+    """
+
+
+@register("ingest_hnsw_multivector_quantized_search",
+          _hnsw_mv_quant_oracle)
+def ingest_hnsw_multivector_quantized_search(spark: SparkSession,
+                                             sf_dir: str) -> DataFrame:
+    """The ColPali-at-100-TB byte story end-to-end (round 11): a
+    MULTIVECTOR collection with ``quantization='sq'`` behind
+    ``hnsw_config`` — int8 codes per SUBVECTOR dim in a sidecar (4×
+    under fp32), pooled-vector graphs for routing. ``search`` then
+    composes three tiers: the pooled-graph beam (stage 1), the
+    approximate-MaxSim rank of the candidates' CODES (the quantized
+    tier — the full-width column is never read here), and the exact
+    full-width MaxSim rescore of only max(k, ⌈k·oversampling⌉)
+    survivors. The oracle factory re-derives cells, graphs, beam, SQ
+    params, the decoded approximate rank, and the exact rescore —
+    the full composed read path is value-checked, not just its
+    pieces."""
+    import shutil
+    import tempfile
+
+    from ..bench_phases import phase
+    from ..catalog import create_collection
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_multivector(F.col("embedding"), _DIM, _N).alias("embedding"),
+    )
+    qv = [list(v) for v in
+          pts.filter(F.col("id") == 0).collect()[0].embedding]
+    root = tempfile.mkdtemp(prefix="qd_mv_hnswq_")
+    try:
+        coll = create_collection(
+            root, "mvhq", dim=_DIM, multivector=True, normalize=False,
+            quantization="sq", indexing_threshold=1,
+            k_centroids=_HNSW_MV["k_centroids"],
+            hnsw_config={"m": _HNSW_MV["m"],
+                         "ef_construct": _HNSW_MV["ef_construct"]})
+        coll.upsert(spark, pts, mode="append")
+        assert coll.has_index() and coll._has_hnsw()
+        assert coll.meta.get("codes_layout") == "cells"
+        with phase("search"):
+            res = coll.search(spark, qv, k=5,
+                              hnsw_ef=_HNSW_MV["ef"]) \
+                .select("id", "score")
+            rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("ingest_hnsw_multivector_search", _hnsw_mv_oracle)
 def ingest_hnsw_multivector_search(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

@@ -58,9 +58,11 @@ def test_delete_refreshes_codes(spark, tmp_path):
 def test_quantization_validation(tmp_path):
     with pytest.raises(ValueError, match="quantization must be"):
         create_collection(str(tmp_path), "bad", dim=4, quantization="pq9")
-    with pytest.raises(ValueError, match="dense collections"):
+    with pytest.raises(ValueError, match="multivector collections support"):
+        # sq is ALLOWED on multivector (round 11); the vector
+        # quantizers whose codes aren't per-dim are not
         create_collection(str(tmp_path), "bad2", dim=4, multivector=True,
-                          quantization="sq")
+                          quantization="pq")
     with pytest.raises(ValueError, match="don't apply"):
         create_collection(str(tmp_path), "bad3",
                           vectors={"a": {"dim": 4}}, quantization="sq")
