@@ -87,6 +87,26 @@ def halfvec_decode_udf(vec_col: Column) -> Column:
     return _dec(vec_col)
 
 
+def _codes_batch(codes: pd.Series, dim: int):
+    """(B, n, dim) float64 code tensor from a uniform-width Arrow
+    batch — packed uint8 ``binary`` cells (the write format) or int
+    arrays (compatibility) alike."""
+    first = codes.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        C = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes])
+        return np.asarray(C, dtype=np.float64).reshape(len(codes), -1,
+                                                       dim)
+    return np.asarray(np.stack(codes.to_numpy()),
+                      dtype=np.float64).reshape(len(codes), -1, dim)
+
+
+def _codes_row(c, dim: int):
+    if isinstance(c, (bytes, bytearray)):
+        return np.frombuffer(c, dtype=np.uint8).astype(
+            np.float64).reshape(-1, dim)
+    return np.asarray(c, dtype=np.float64).reshape(-1, dim)
+
+
 def maxsim_score_codes_const_udf(dim: int, mins: Sequence[float],
                                  steps: Sequence[float],
                                  query_flat: Sequence[float]):
@@ -108,14 +128,13 @@ def maxsim_score_codes_const_udf(dim: int, mins: Sequence[float],
         if len(codes) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
         if codes.map(len).nunique() == 1:
-            C = np.asarray(np.stack(codes.to_numpy()),
-                           dtype=np.float64).reshape(len(codes), -1, dim)
+            C = _codes_batch(codes, dim)
             D = mn + (C + 0.5) * st                      # (B, n, dim)
             sims = np.matmul(Q[None], D.transpose(0, 2, 1))
             return pd.Series(sims.max(axis=2).sum(axis=1))
         out = np.empty(len(codes), dtype=np.float64)
         for i, c in enumerate(codes):
-            C = np.asarray(c, dtype=np.float64).reshape(-1, dim)
+            C = _codes_row(c, dim)
             out[i] = (Q @ (mn + (C + 0.5) * st).T).max(axis=1).sum()
         return pd.Series(out)
 
@@ -142,8 +161,7 @@ def maxsim_score_codes_multi_udf(dim: int, mins: Sequence[float],
         if len(codes) == 0:
             return pd.Series([], dtype=object)
         if codes.map(len).nunique() == 1:
-            C = np.asarray(np.stack(codes.to_numpy()),
-                           dtype=np.float64).reshape(len(codes), -1, dim)
+            C = _codes_batch(codes, dim)
             D = mn + (C + 0.5) * st
             sims = np.matmul(Qall[None], D.transpose(0, 2, 1))
             per_vec = sims.max(axis=2)
@@ -154,7 +172,7 @@ def maxsim_score_codes_multi_udf(dim: int, mins: Sequence[float],
             return pd.Series(list(scores))
         out = []
         for c in codes:
-            C = np.asarray(c, dtype=np.float64).reshape(-1, dim)
+            C = _codes_row(c, dim)
             D = mn + (C + 0.5) * st
             out.append(np.array(
                 [(Q @ D.T).max(axis=1).sum() for Q in Qs]))

@@ -25,6 +25,7 @@ exactly like the IVF assignment pass.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -99,22 +100,39 @@ def sq_encode_flat(corpus: DataFrame, dim: int, mins: list[float],
                    steps: list[float], vec_col: str = "embedding",
                    id_col: str = "vec_id", code_col: str = "codes",
                    carry_cols: tuple = ()) -> DataFrame:
-    """Encode a flat multivector column to ``array<int>`` 8-bit codes
-    (same length, 1 byte/element on disk — 4× under fp32, 2× under
-    fp16): flat position i quantizes with dim (i mod dim)'s frozen
-    params. One JVM ``transform`` over the scan, no Python; zero-width
-    dims encode 0 like ``sq_encode``."""
-    code = (
-        f"transform(`{vec_col}`, (x, i) -> CASE WHEN "
-        f"element_at({_lit_array_sql(steps)}, (i % {dim}) + 1) = 0.0D "
-        f"THEN 0 ELSE least(255, greatest(0, CAST(floor("
-        f"(CAST(x AS DOUBLE) "
-        f"- element_at({_lit_array_sql(mins)}, (i % {dim}) + 1)) "
-        f"/ element_at({_lit_array_sql(steps)}, (i % {dim}) + 1)) "
-        f"AS INT))) END)")
+    """Encode a flat multivector column to PACKED uint8 ``binary``
+    codes — 1 byte/element on disk AND in every Arrow hop (4× under
+    fp32, 2× under fp16; the halfvec-codec posture applied to codes):
+    flat position i quantizes with dim (i mod dim)'s frozen params.
+    An ``array<int>`` column would byte-pack on disk but cross Arrow
+    as int32 — at ColPali width that hop is the quantized tier's
+    dominant byte stream, so the codes pack at write. The clamp/floor
+    arithmetic is the same float64 ops as ``sq_encode`` (np.floor ≡
+    SQL floor on identical doubles), so the codes — and every
+    DuckDB-twin re-derivation — are bit-identical to the Catalyst
+    form. Zero-width dims encode 0."""
+    import numpy as np
+
+    mn = np.asarray([float(x) for x in mins], dtype=np.float64)
+    st = np.asarray([float(x) for x in steps], dtype=np.float64)
+    safe = np.where(st == 0.0, 1.0, st)
+
+    @F.pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            if x is None:
+                out.append(None)
+                continue
+            X = np.asarray(x, dtype=np.float64).reshape(-1, dim)
+            C = np.clip(np.floor((X - mn) / safe), 0, 255)
+            C = np.where(st == 0.0, 0.0, C)
+            out.append(C.astype(np.uint8).tobytes())
+        return pd.Series(out)
+
     return corpus.select(F.col(id_col),
                          *[F.col(c) for c in carry_cols],
-                         F.expr(code).alias(code_col))
+                         _enc(F.col(vec_col)).alias(code_col))
 
 
 def sq_encode(corpus: DataFrame, mins: list[float], steps: list[float],

@@ -56,8 +56,8 @@ def test_mv_sq_search_matches_exact(spark, tmp_path):
     coll.upsert(spark, _pts(spark, range(40)))
     assert os.path.exists(coll._codes_path)
     codes = spark.read.parquet(coll._codes_path)
-    # flat codes: one int per flat element, n_vecs×dim of them
-    assert codes.select(F.size("codes")).distinct().collect()[0][0] \
+    # packed uint8 binary codes: ONE byte per flat element
+    assert codes.select(F.length("codes")).distinct().collect()[0][0] \
         == _DIM * _N
     # generous oversampling => the codes shortlist covers the true top-k
     approx = coll.search(spark, _QV, k=5, oversampling=8.0).collect()
