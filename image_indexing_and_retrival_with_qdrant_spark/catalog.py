@@ -1885,8 +1885,6 @@ class Collection:
                   else incoming)
         if vec_col not in source.columns:
             return
-        if cfg.get("multivector"):
-            source = self._float_mv(source, vec_col)
         carry: tuple = ()
         if cells:
             from .operators.ann import assign_centroids
@@ -1894,6 +1892,11 @@ class Collection:
             if cfg.get("multivector"):
                 from .functions.vector import mean_pool_flat
 
+                if vec_col + "__pooled" not in source.columns:
+                    # legacy pre-pooled-sidecar rows only; the normal
+                    # path routes on the float pooled column (fp16
+                    # flat cells decode inside sq_encode_flat itself)
+                    source = self._float_mv(source, vec_col)
                 route = (F.col(vec_col + "__pooled")
                          .cast("array<double>")
                          if vec_col + "__pooled" in source.columns

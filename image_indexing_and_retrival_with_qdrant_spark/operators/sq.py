@@ -124,7 +124,14 @@ def sq_encode_flat(corpus: DataFrame, dim: int, mins: list[float],
             if x is None:
                 out.append(None)
                 continue
-            X = np.asarray(x, dtype=np.float64).reshape(-1, dim)
+            if isinstance(x, (bytes, bytearray)):
+                # fp16 halfvec storage: decode INSIDE the encoder —
+                # one Arrow hop carries the 2-byte cells, not a
+                # separate 8-byte float64 decode pass
+                X = np.frombuffer(x, dtype=np.float16).astype(
+                    np.float64).reshape(-1, dim)
+            else:
+                X = np.asarray(x, dtype=np.float64).reshape(-1, dim)
             C = np.clip(np.floor((X - mn) / safe), 0, 255)
             C = np.where(st == 0.0, 0.0, C)
             out.append(C.astype(np.uint8).tobytes())

@@ -2396,3 +2396,131 @@ def ingest_hnsw_quantized_search(spark: SparkSession,
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round 11: the reference's entry-point-1 dataflow as ONE query ---
+# (SURVEY §3.1 — PDF scan → rasterize pages → ColPali multivector
+# embed → point build → collection upsert → MaxSim query; previously
+# covered piecewise by the ingest_* family.)
+
+_IPE_DOCS = 24     # bounded source set (content still varies per sf)
+_IPE_PAGE = 48     # chars per stub "page"
+_IPE_MAXP = 3      # page cap (reference rasterizes every page; capped
+#                    here so the fixture stays bounded)
+_IPE_NSUB = 4      # subvectors per page (ColPali patch-token stub)
+
+
+def _ipe_oracle() -> str:
+    """STATIC full value oracle for the end-to-end image pipeline —
+    no factory needed: every stage (file naming, page split, per-page
+    multivector stub embedding, MaxSim, ids) is closed-form SQL. The
+    page text's hash-embedding subvector s and the query's subvector s
+    reuse `HashEmbedder.oracle_dim_sql` with the `#p<s>` suffix
+    inlined as a correlated expression, so one pairs CTE covers every
+    (page × query-subvector × doc-subvector) dot."""
+    d_txt = "(p.ptext || '#p' || CAST(dj.j AS VARCHAR))"
+    q_txt = f"('{_QUERY_TEXT}#p' || CAST(qi.i AS VARCHAR))"
+    dot = " + ".join(
+        f"({_E.oracle_dim_sql(i, d_txt)}) * "
+        f"({_E.oracle_dim_sql(i, q_txt, 'query')})"
+        for i in range(_E.dim))
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM {_DOCS_DEDUP}
+               WHERE doc_id < {_IPE_DOCS}),
+    files AS (SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                     || '.pdf' AS filename, text FROM d),
+    p AS (
+      SELECT f.filename, pg.page,
+             substr(f.text, (pg.page - 1) * {_IPE_PAGE} + 1,
+                    {_IPE_PAGE}) AS ptext
+      FROM files f CROSS JOIN generate_series(1, {_IPE_MAXP}) AS pg(page)
+      WHERE pg.page <= GREATEST(1, LEAST({_IPE_MAXP},
+            CAST(ceil(length(f.text) / {_IPE_PAGE}.0) AS INTEGER)))
+    ),
+    pairs AS (
+      SELECT p.filename, p.page, qi.i, dj.j, ({dot}) AS dp
+      FROM p
+      CROSS JOIN generate_series(0, {_IPE_NSUB - 1}) AS qi(i)
+      CROSS JOIN generate_series(0, {_IPE_NSUB - 1}) AS dj(j)
+    ),
+    mx AS (SELECT filename, page, i, MAX(dp) AS m
+           FROM pairs GROUP BY filename, page, i),
+    sc AS (SELECT filename, page, ROUND(SUM(m), 6) AS score
+           FROM mx GROUP BY filename, page)
+    SELECT sha256(filename || ':' || CAST(page AS VARCHAR)) AS id,
+           filename, CAST(page AS INTEGER) AS page, score
+    FROM sc ORDER BY score DESC, id LIMIT 5
+    """
+
+
+@register("ingest_image_pipeline_e2e", _ipe_oracle())
+def ingest_image_pipeline_e2e(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Entry point 1 END-TO-END (SURVEY §3.1,
+    ``incremental_indexing_colpali_with_qdrant.py`` whole-file): write
+    a bounded set of stub "PDF" files (bytes = document text, names
+    ``doc_<id>.pdf``), `scan_pdfs` them back through the REAL
+    binaryFile source (S1), decompose paths (P2), stub-rasterize into
+    ≤3 deterministic pages per file (S2's page semantics — substring
+    windows standing in for pdf2image, which is dep-gated), embed each
+    page as a 4×8 multivector with the deterministic ColPali stand-in
+    (E1: subvector s hashes ``page#p<s>``), build payload-carrying
+    points with content-hash ids (P1/P4/P5), upsert into a MULTIVECTOR
+    collection (S7/S8), and MaxSim-query it in query mode (Q2/Q4/E6)
+    — one registry entry covering the reference's whole first
+    dataflow, value-checked stage-for-stage by a STATIC SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import create_collection
+    from ..sources.files import scan_pdfs, with_path_parts
+
+    docs = _dedupe_docs(load(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < _IPE_DOCS)
+    src = tempfile.mkdtemp(prefix="qd_ipe_src_")
+    root = tempfile.mkdtemp(prefix="qd_ipe_coll_")
+    try:
+        for r in docs.select("doc_id", "text").collect():  # ≤24 rows
+            with open(os.path.join(src, f"doc_{int(r.doc_id):05d}.pdf"),
+                      "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        pdfs = with_path_parts(scan_pdfs(spark, src), src)
+        pages = (pdfs
+                 .withColumn("text", F.decode(F.col("content"), "UTF-8"))
+                 .withColumn("__np", F.greatest(
+                     F.lit(1), F.least(
+                         F.lit(_IPE_MAXP),
+                         F.ceil(F.length("text") / float(_IPE_PAGE))
+                         .cast("int"))))
+                 .select("filename", "text",
+                         F.explode(F.sequence(F.lit(1), F.col("__np")))
+                         .alias("page"))
+                 .withColumn("ptext", F.expr(
+                     f"substr(text, (page - 1) * {_IPE_PAGE} + 1, "
+                     f"{_IPE_PAGE})")))
+        mv = F.array(*[
+            _E.expr(F.concat(F.col("ptext"), F.lit(f"#p{s}")), "passage")
+            for s in range(_IPE_NSUB)])
+        points = build_points(
+            pages.withColumn("embedding", mv),
+            id_key=F.concat(F.col("filename"), F.lit(":"),
+                            F.col("page").cast("string")),
+            payload={"filename": F.col("filename"),
+                     "page": F.col("page")},
+            source_tag="document", with_timestamp=False)
+        qv = [list(spark.createDataFrame(
+            [(f"{_QUERY_TEXT}#p{s}",)], "text string")
+            .select(_E.expr(F.col("text"), "query").alias("e"))
+            .collect()[0].e) for s in range(_IPE_NSUB)]
+        coll = create_collection(root, "ipe", dim=8, multivector=True,
+                                 normalize=False)
+        coll.upsert(spark, points.select("id", "embedding", "filename",
+                                         "page"), mode="append")
+        res = coll.search(spark, qv, k=5) \
+            .select("id", "filename", "page", "score")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)

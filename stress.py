@@ -316,6 +316,146 @@ def maxsim_at_shape(n: int = 1_000_000, n_vecs: int = 64, dim: int = 128,
         spark.stop()
 
 
+def mv_quant_at_shape(n: int = 100_000, n_vecs: int = 1030,
+                      dim: int = 128, n_qvecs: int = 16,
+                      m: int = 200) -> None:
+    """Quantized MULTIVECTOR tier at the reference's real payload
+    shape (ColPali 1030×128, README.md:91) on the fp16 corpus the
+    §fp16 record uses: train per-subvector SQ params, write the packed
+    uint8 codes sidecar (¼ of fp32, ½ of fp16 bytes), then measure
+
+    - the codes-tier search: approximate MaxSim over the FULL codes
+      sidecar (no pooled prune — the faithful-proxy path) top-m +
+      exact full-width rescore of the m survivors, recall@10 vs exact;
+    - the pooled two-stage at the same depth, same box, for the
+      honest pairing with BASELINE.md §fp16's 7.3 s record.
+
+    Results → BASELINE.md §mv-quant-at-shape."""
+    import numpy as _np
+
+    from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+        maxsim_knn,
+        maxsim_score_codes_const_udf,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.knn import dense_knn
+    from image_indexing_and_retrival_with_qdrant_spark.operators.sq import (
+        sq_encode_flat,
+        sq_train_flat,
+    )
+    from image_indexing_and_retrival_with_qdrant_spark.operators.topk import global_topk
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    extra = {
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "32g",
+        "spark.sql.columnVector.offheap.enabled": "true",
+    }
+    spark = get_spark("stress-mvquant",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                      extra_conf=extra)
+    row_bytes = n_vecs * dim * 2          # fp16 storage
+    code_bytes = n_vecs * dim             # 1 byte/element
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+                   str(min(256, max(16, (32 << 20) // row_bytes))))
+    corpus_dir = tempfile.mkdtemp(prefix="stress_mvq_c_")
+    codes_dir = tempfile.mkdtemp(prefix="stress_mvq_k_")
+    timings: dict = {}
+    try:
+        t0 = time.perf_counter()
+        synth_multivector_corpus(n, n_vecs, dim, corpus_dir, dtype="f16")
+        timings["generate_write"] = round(time.perf_counter() - t0, 2)
+        corpus = spark.read.parquet(corpus_dir)
+
+        # --- one-time quantizer build: train + encode sidecar ---
+        from image_indexing_and_retrival_with_qdrant_spark.operators.maxsim import (
+            halfvec_decode_udf,
+        )
+
+        t0 = time.perf_counter()
+        mins, steps = sq_train_flat(
+            corpus.select(halfvec_decode_udf(F.col("flat")).alias("flat")),
+            dim, vec_col="flat")
+        timings["sq_train"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        sq_encode_flat(corpus, dim, mins, steps, vec_col="flat",
+                       id_col="vec_id").write.mode("overwrite") \
+            .option("parquet.block.size", str(64 << 20)) \
+            .parquet(codes_dir)
+        timings["sq_encode_write"] = round(time.perf_counter() - t0, 2)
+        codes = spark.read.parquet(codes_dir)
+        sz = sum(f.stat().st_size for f in os.scandir(codes_dir)
+                 if f.name.endswith(".parquet"))
+        timings["codes_gb_on_disk"] = round(sz / 2**30, 2)
+
+        qid = min(12345, n - 1)
+        qrow = corpus.filter(F.col("vec_id") == qid).collect()[0]
+        qflat = [float(x) for x in
+                 _np.frombuffer(bytes(qrow.flat), dtype=_np.float16)
+                 [:n_qvecs * dim]]
+
+        # --- exact fp16 scan (ground truth + the §fp16 76.5 s row) ---
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(max(16, (32 << 20) // row_bytes)))
+        t0 = time.perf_counter()
+        exact = maxsim_knn(corpus, None, k=10, id_col="vec_id",
+                           mv_col="flat", flat_dim=dim,
+                           query_flat=qflat).collect()
+        timings["exact_scan_f16"] = round(time.perf_counter() - t0, 2)
+        exact_ids = {r.vec_id for r in exact}
+
+        # --- quantized tier: codes approx top-m + exact rescore ---
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(max(16, (32 << 20) // code_bytes)))
+        t0 = time.perf_counter()
+        score = maxsim_score_codes_const_udf(dim, mins, steps, qflat)(
+            F.col("codes"))
+        short = global_topk(
+            codes.select("vec_id", F.round(score, 6).alias("score")),
+            [("score", False), ("vec_id", True)], m)
+        ids = [r.vec_id for r in short.collect()]
+        t1 = time.perf_counter()
+        timings[f"codes_stage_top{m}"] = round(t1 - t0, 2)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(max(16, (32 << 20) // row_bytes)))
+        quant = maxsim_knn(
+            corpus.filter(F.col("vec_id").isin(ids)), None, k=10,
+            id_col="vec_id", mv_col="flat", flat_dim=dim,
+            query_flat=qflat).collect()
+        timings[f"quant_total_rescore{m}"] = round(
+            time.perf_counter() - t0, 2)
+        quant_recall = len({r.vec_id for r in quant} & exact_ids) / 10
+
+        # --- pooled two-stage at the same depth (the §fp16 record) ---
+        t0 = time.perf_counter()
+        pshort = dense_knn(
+            corpus.select("vec_id", F.col("pooled").alias("embedding")),
+            spark.createDataFrame(
+                [([float(x) for x in qrow.pooled],)],
+                "query_vec array<double>"),
+            k=m, dim=dim).select("vec_id")
+        pids = [r.vec_id for r in pshort.collect()]
+        two = maxsim_knn(
+            corpus.filter(F.col("vec_id").isin(pids)), None, k=10,
+            id_col="vec_id", mv_col="flat", flat_dim=dim,
+            query_flat=qflat).collect()
+        timings[f"two_stage_rescore{m}"] = round(
+            time.perf_counter() - t0, 2)
+        two_recall = len({r.vec_id for r in two} & exact_ids) / 10
+
+        print(json.dumps({
+            "metric": "stress_mv_quant", "rows": n, "n_vecs": n_vecs,
+            "dim": dim, "n_qvecs": n_qvecs, "m": m,
+            "f16_gb": round(n * row_bytes / 2**30, 1),
+            "timings_sec": timings,
+            "quant_recall@10": quant_recall,
+            "two_stage_recall@10": two_recall,
+        }))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(codes_dir, ignore_errors=True)
+        spark.stop()
+
+
 def ivf_skew_stress(n: int = 10_000_000) -> None:
     """IVF cell-balance under deliberate skew (VERDICT r5 item 6 —
     SCALE.md §ANN: bucket skew is the known failure mode).
@@ -1614,6 +1754,10 @@ def main() -> None:
             dtype = rest[-1]
             rest = rest[:-1]
         maxsim_at_shape(*[int(a) for a in rest], dtype=dtype)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "mvquant":
+        args = [int(a) for a in sys.argv[2:]]
+        mv_quant_at_shape(*args)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         ivf_skew_stress(int(sys.argv[2]) if len(sys.argv) > 2

@@ -204,6 +204,14 @@ def test_multivector_lifecycle_oracle(spark, sf_smoke):
             sf_smoke, "ingest_hnsw_multivector_search")
 
 
+def test_multivector_quantized_lifecycle_oracle(spark, sf_smoke):
+    """Round-11 composition: graphs + SQ codes tier + exact rescore,
+    against the full factory oracle (cells, beam, SQ params, decoded
+    approximate rank, and rescore all re-derived)."""
+    compare(spark, REGISTRY["ingest_hnsw_multivector_quantized_search"],
+            sf_smoke, "ingest_hnsw_multivector_quantized_search")
+
+
 def test_batch_graph_search_equals_single(spark, coll):
     """search_batch walks each query's OWN probed cells' graphs in one
     shared pass — per-query results ≡ the single-query search."""

@@ -30,6 +30,7 @@ INGEST = [
     "ingest_merge_overwrite",
     "ingest_tenant_defrag",
     "ingest_query_by_id",
+    "ingest_image_pipeline_e2e",
 ]
 
 # 1x1 valid PNG + JPEG magic bytes (plumbing test; decode is stubbed)
