@@ -295,8 +295,10 @@ def test_update_collection_vectors_rejections(spark, tmp_path):
                           "normalize": False}})
     with pytest.raises(ValueError, match="unknown vector name"):
         c.update_collection(spark, vectors={"nope": {"quantization": "sq"}})
-    with pytest.raises(ValueError, match="dense spaces"):
-        c.update_collection(spark, vectors={"late": {"quantization": "sq"}})
+    # multivector spaces accept quantization='sq' only (the int8
+    # subvector codes tier); every other quantizer still rejects
+    with pytest.raises(ValueError, match="quantization='sq'"):
+        c.update_collection(spark, vectors={"late": {"quantization": "bq"}})
     with pytest.raises(ValueError, match="unknown key"):
         c.update_collection(spark, vectors={"late": {"hnsw_ef": 7}})
     flat = create_collection(str(tmp_path), "fl", dim=2, normalize=False)

@@ -445,8 +445,11 @@ def test_update_collection_rejects_multivector_quantization(spark, tmp_path):
 
     coll = create_collection(str(tmp_path), "mvq", dim=2,
                              multivector=True)
-    with _pytest.raises(ValueError, match="dense"):
-        coll.update_collection(spark, quantization="sq")
+    # multivector collections accept quantization='sq' only (the int8
+    # subvector codes tier, tests/test_mv_quantized.py); every other
+    # quantizer still rejects
+    with _pytest.raises(ValueError, match="quantization='sq'"):
+        coll.update_collection(spark, quantization="bq")
 
 
 def test_point_ops_rewrite_is_file_scoped(spark, tmp_path):
