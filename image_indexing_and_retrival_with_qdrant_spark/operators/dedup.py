@@ -284,6 +284,18 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
         id_col, "block",
         F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
     )
+    # Explicit-N repartition on the join key (guide §2.5): the pair
+    # join's INPUT is a few MB, so AQE's advisory-size coalescing
+    # collapses the exchange to ONE partition — but the join's OUTPUT
+    # is quadratic per block, and that single task then evaluates
+    # every candidate pair serially (measured at sf0.1: 501k pairs in
+    # one 10-16 s task; 0.9 s spread). An explicit numPartitions pins
+    # the exchange (AQE does not coalesce user-specified repartition),
+    # the self-join reuses it on both sides (no extra shuffle), and
+    # the count is derived from the cluster's parallelism, not a
+    # constant.
+    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
+                      "block")
     a, b = v.alias("a"), v.alias("b")
     av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
     cos = F.round(
@@ -353,6 +365,11 @@ def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
     ).withColumn("block", F.explode("cells"))
     if materialize_memberships:
         v = v.localCheckpoint(eager=True)
+    # pin the pair join's parallelism (see embedding_near_pairs: AQE
+    # coalesces the MB-sized exchange to 1 task, serializing the
+    # quadratic per-block pair work)
+    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
+                      "block")
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
     out_cols = [

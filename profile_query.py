@@ -62,8 +62,10 @@ def main() -> None:
     logs = []
     for root, _dirs, files in os.walk(evdir):
         for f in files:
-            if not f.startswith(".") and "appstatus" not in f:
-                logs.append(os.path.join(root, f))
+            p = os.path.join(root, f)
+            if (not f.startswith(".") and "appstatus" not in f
+                    and os.path.isfile(p)):
+                logs.append(p)
     jobs = {}
     stages = {}
     for lf in logs:
