@@ -719,8 +719,16 @@ def cell_local_components(nodes: DataFrame, edges: DataFrame,
         return pd.DataFrame({id_col: ids,
                              "cluster_id": [find(x) for x in ids]})
 
-    return (nodes.select(cell_col, id_col).groupBy(cell_col)
-            .cogroup(edges.select(cell_col, src, dst).groupBy(cell_col))
+    from .skew import pin_group_parallelism
+
+    # pin both cogroup inputs (see pin_group_parallelism: AQE
+    # coalesces the tiny exchanges to one task and the per-cell
+    # union-finds run serially)
+    return (pin_group_parallelism(nodes.select(cell_col, id_col),
+                                  cell_col).groupBy(cell_col)
+            .cogroup(pin_group_parallelism(
+                edges.select(cell_col, src, dst), cell_col)
+                .groupBy(cell_col))
             .applyInPandas(resolve,
                            schema=f"{id_col} long, cluster_id long"))
 

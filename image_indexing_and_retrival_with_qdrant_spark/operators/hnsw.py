@@ -480,7 +480,12 @@ def hnsw_layout(df: DataFrame, n_segments: int | None = None,
             out[c] = list(pdf[c])
         return pd.DataFrame(out)
 
-    return base.groupBy("segment").applyInPandas(build, schema)
+    from .skew import pin_group_parallelism
+
+    # per-segment builds are heavy Python work over a small shuffle —
+    # pin the exchange so AQE cannot serialize them into one task
+    return pin_group_parallelism(base, "segment").groupBy(
+        "segment").applyInPandas(build, schema)
 
 
 def hnsw_layout_insert(df: DataFrame, m: int = 8,
@@ -551,7 +556,10 @@ def hnsw_layout_insert(df: DataFrame, m: int = 8,
             out[c] = list(both[c])
         return pd.DataFrame(out)
 
-    return df.groupBy("segment").applyInPandas(build, schema)
+    from .skew import pin_group_parallelism
+
+    return pin_group_parallelism(df, "segment").groupBy(
+        "segment").applyInPandas(build, schema)
 
 
 def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
@@ -594,7 +602,10 @@ def hnsw_layout_search(layout: DataFrame, qvec, ef: int,
             "vec_id": [ids[p] for _, p in res],
         })
 
-    return layout.groupBy("segment").applyInPandas(
+    from .skew import pin_group_parallelism
+
+    return pin_group_parallelism(layout, "segment").groupBy(
+        "segment").applyInPandas(
         search, f"segment bigint, vec_id {id_type}")
 
 
@@ -652,5 +663,8 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
             "vec_id": out_v,
         })
 
-    return layout.groupBy("segment").applyInPandas(
+    from .skew import pin_group_parallelism
+
+    return pin_group_parallelism(layout, "segment").groupBy(
+        "segment").applyInPandas(
         search, f"segment bigint, query_id bigint, vec_id {id_type}")

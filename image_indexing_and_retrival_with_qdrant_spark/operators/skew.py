@@ -20,7 +20,26 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "pin_group_parallelism"]
+
+
+def pin_group_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition ``df`` by ``keys`` with an EXPLICIT partition count
+    (the cluster's ``defaultParallelism``) so a following
+    ``groupBy(keys)`` pass keeps its parallelism.
+
+    Why: AQE's advisory-size coalescing shrinks any exchange whose
+    shuffle BYTES are small — but ``applyInPandas``/pair-join passes
+    whose per-group WORK is heavy (a Python graph build per segment, a
+    quadratic pair join per cell) then run every group serially in one
+    task (measured: the sf0.1 per-cell HNSW build collapsed to one
+    5.5 s single-task job; 16 cells spread rebuild in ~0.9 s). An
+    explicit numPartitions is exempt from AQE coalescing, and the
+    downstream group/join reuses the exchange (same key, no extra
+    shuffle). The count derives from the cluster, not a constant, so
+    the same plan scales from local[2] to a real cluster."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
 
 # (partial aggregate, merge aggregate) pairs per supported op
 _MERGES = {

@@ -830,7 +830,11 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("lp"),
         )
     )
-    agg = lp.groupBy("doc_id").agg(
+    from ..operators.skew import pin_group_parallelism
+
+    # the per-doc sort+fold is CPU-heavy HOF work over a small
+    # shuffle — pin the exchange so AQE cannot serialize it
+    agg = pin_group_parallelism(lp, "doc_id").groupBy("doc_id").agg(
         F.array_sort(F.collect_list("lp")).alias("lps"),
         F.count(F.lit(1)).alias("n_feats"),
     )
