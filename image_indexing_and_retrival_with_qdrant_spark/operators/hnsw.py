@@ -70,6 +70,13 @@ __all__ = ["hnsw_level", "hnsw_build_np", "hnsw_search_np",
            "hnsw_layout_search_batch", "LAYOUT_SCHEMA"]
 
 _LEVEL_CAP = 16  # < 1e-7 odds at m=8; bounds sidecar width
+# elementwise-op budget for _select_heuristic's one-block pairwise
+# fast path (n_c² · d): covers the overflow-prune lists (≤ 2m+1, the
+# dominant call count) at any fixture dim while keeping the big
+# ef_construct-sized beam selections on the lazy tail path — there
+# the block's full-matrix tolist costs more than the ≤m lazy columns
+# (measured: 3k×8-d build 4.0 → 4.3 s with the block at 64²·8)
+_PAIR_BLOCK_BUDGET = 20_000
 
 
 def _splitmix64(x: int) -> int:
@@ -158,6 +165,7 @@ def _search_layer(q, entries, ef, level, adj, Xn, visited=None,
     heapq.heapify(res)
     while len(res) > ef:
         heapq.heappop(res)
+    ditem = None if dall is None else dall.item
     while cand:
         d, p = heapq.heappop(cand)
         if len(res) >= ef and d > -res[0][0]:
@@ -165,17 +173,33 @@ def _search_layer(q, entries, ef, level, adj, Xn, visited=None,
         nbrs = adj[p][level] if level < len(adj[p]) else []
         if len(nbrs) == 0:
             continue
-        nb = np.asarray(nbrs, dtype=np.int64)
-        fresh = nb[~visited[nb]]
-        if fresh.size == 0:
-            continue
-        visited[fresh] = True
-        # .tolist() keeps the exact float64 values but hands the heap
-        # loop PYTHON floats — np.float64 tuple comparisons inside
-        # heappush/heapreplace were a measured chunk of the build
-        dd = (_dists(Xn, fresh, q) if dall is None
-              else dall[fresh]).tolist()
-        for nb_, nd in zip(fresh.tolist(), dd):
+        if ditem is not None:
+            # pure-Python per-pop path when the distance row is
+            # precomputed: the numpy round-trip (asarray + two fancy
+            # indexes + tolist) cost ~10 µs per pop for ~10-element
+            # neighbor lists — list comprehension + scalar .item()
+            # reads the SAME float64 bits in ~1/3 the time. The fresh
+            # list is computed BEFORE marking (identical duplicate
+            # semantics to the mask-filter form), in nbrs order.
+            fresh = [x for x in nbrs if not visited[x]]
+            if not fresh:
+                continue
+            for x in fresh:
+                visited[x] = True
+            dd = [ditem(x) for x in fresh]
+        else:
+            nb = np.asarray(nbrs, dtype=np.int64)
+            fr = nb[~visited[nb]]
+            if fr.size == 0:
+                continue
+            visited[fr] = True
+            # .tolist() keeps the exact float64 values but hands the
+            # heap loop PYTHON floats — np.float64 tuple comparisons
+            # inside heappush/heapreplace were a measured chunk of
+            # the build
+            dd = _dists(Xn, fr, q).tolist()
+            fresh = fr.tolist()
+        for nb_, nd in zip(fresh, dd):
             if len(res) < ef:
                 heapq.heappush(res, (-nd, -nb_))
                 heapq.heappush(cand, (nd, nb_))
@@ -202,11 +226,44 @@ def _select_heuristic(cand, cap, Xn):
     to per-candidate calls by _dists' batch invariance; earlier
     candidates never read the column, so the tail suffices — half the
     work of the full-row form). The min test then reads precomputed
-    columns. 2.1 s → 0.3 s of a 5.7 s 2k×64 build."""
+    columns. 2.1 s → 0.3 s of a 5.7 s 2k×64 build.
+
+    SMALL candidate lists (the overflow-prune path: ≤ 2m+1 entries,
+    the dominant call count of the whole build) instead compute ONE
+    pairwise (n_c × n_c × d) block — elementwise diff² +
+    ``np.add.reduce`` along the contiguous last axis produces the
+    SAME bits per entry as the per-row ``_dists`` columns (verified
+    exactly), replacing up to cap tiny calls with one; the budget
+    keeps the big beam-selection calls on the lazy tail-column path
+    where the block would overshoot."""
     sel: list = []
     rejected = []
     rows = np.fromiter((p for _, p in cand), dtype=np.int64,
                        count=len(cand))
+    n_c = len(cand)
+    if 1 < n_c and n_c * n_c * Xn.shape[1] <= _PAIR_BLOCK_BUDGET:
+        R = Xn[rows]
+        D = R[:, None, :] - R[None, :, :]
+        D *= D
+        M = np.add.reduce(D, axis=2).tolist()
+        kept: list[int] = []
+        for i, (d, p) in enumerate(cand):
+            if len(sel) == cap:
+                break
+            if kept:
+                # first-minimum semantics identical to the column
+                # walk: min() keeps the earliest minimal value
+                best = min(M[j][i] for j in kept)
+                if not d < best:
+                    rejected.append((d, p))
+                    continue
+            sel.append((d, p))
+            kept.append(i)
+        for d, p in rejected:
+            if len(sel) == cap:
+                break
+            sel.append((d, p))
+        return sorted(sel)
     # cols[j] = (off, col) with col[i - off] = dist(cand[i], sel[j]),
     # computed only over candidates after the index where sel[j] was
     # kept (off = that index + 1)
