@@ -284,19 +284,20 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
         id_col, "block",
         F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
     )
-    # Explicit-N repartition on the join key (guide §2.5): the pair
-    # join's INPUT is a few MB, so AQE's advisory-size coalescing
-    # collapses the exchange to ONE partition — but the join's OUTPUT
-    # is quadratic per block, and that single task then evaluates
-    # every candidate pair serially (measured at sf0.1: 501k pairs in
-    # one 10-16 s task; 0.9 s spread). An explicit numPartitions pins
-    # the exchange (AQE does not coalesce user-specified repartition),
-    # the self-join reuses it on both sides (no extra shuffle), and
-    # the count is derived from the cluster's parallelism, not a
-    # constant.
-    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
-                      "block")
-    a, b = v.alias("a"), v.alias("b")
+    # Explicit-N repartition of the PROBE side on the join key (guide
+    # §2.5): the membership frame is a few MB, so the planner
+    # broadcasts one side — and the probe side then carries its
+    # source partitioning (often 1 partition: a single parquet file
+    # or an eager checkpoint), serializing the quadratic per-block
+    # pair work into one task (measured at sf0.1: 501k pairs in one
+    # 10-16 s task; ~1 s spread). An explicit numPartitions is exempt
+    # from AQE coalescing and derives from the cluster's parallelism,
+    # not a constant; the build/broadcast side stays un-repartitioned
+    # (at scale, past the broadcast threshold, the join inserts its
+    # own exchange there — same shape either way).
+    a = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
+                      "block").alias("a")
+    b = v.alias("b")
     av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
     cos = F.round(
         dot_unrolled(av, bv, dim) if dim is not None else dot(av, bv), 6
@@ -365,12 +366,12 @@ def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
     ).withColumn("block", F.explode("cells"))
     if materialize_memberships:
         v = v.localCheckpoint(eager=True)
-    # pin the pair join's parallelism (see embedding_near_pairs: AQE
-    # coalesces the MB-sized exchange to 1 task, serializing the
-    # quadratic per-block pair work)
-    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
-                      "block")
-    a, b = v.alias("a"), v.alias("b")
+    # pin the PROBE side's parallelism (see embedding_near_pairs: the
+    # broadcast join otherwise runs the quadratic per-block pair work
+    # on the probe side's single source partition)
+    a = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
+                      "block").alias("a")
+    b = v.alias("b")
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
     out_cols = [
         F.col(f"a.{id_col}").alias("id_a"),
