@@ -596,6 +596,21 @@ class Collection:
                 return mean_pool_flat(F.col(vec_col), int(self.meta["dim"]))
             return as_double(F.col(vec_col))
 
+        def routing_operand(df: DataFrame) -> Column | str:
+            """`routing_vec` for assign_centroids call sites: the
+            column NAME when the routing vector is a plain column —
+            the name path renders the whole assignment as one
+            loop-shaped JVM-parsed SQL string (~ms plan build,
+            codegen-proof at any codebook size — operators/ann.py),
+            vs ~k·d·5 py4j round trips for the Column build. The SQL
+            form carries the same CAST(... AS ARRAY<DOUBLE>) the
+            Column forms applied — value-identical."""
+            if self.meta.get("multivector"):
+                if vec_col + "__pooled" in df.columns:
+                    return vec_col + "__pooled"
+                return routing_vec(df)
+            return vec_col
+
         if not self.has_index():
             n = self.count(spark)
             if n < thr:
@@ -665,7 +680,7 @@ class Collection:
             # then sees a plain int column.
             assigned = table.withColumn(
                 "centroid_id",
-                assign_centroids(cents, routing_vec(table),
+                assign_centroids(cents, routing_operand(table),
                                  max_expr_literals=512))
             assigned.write.mode("overwrite").partitionBy(
                 "centroid_id").parquet(self._ivf_points)
@@ -692,7 +707,7 @@ class Collection:
             return
         assigned = source.withColumn(
             "centroid_id",
-            assign_centroids(self._centroids(spark), routing_vec(source),
+            assign_centroids(self._centroids(spark), routing_operand(source),
                              max_expr_literals=512),
         )
         mode = "overwrite" if rewrote else "append"
@@ -1055,10 +1070,18 @@ class Collection:
             from .operators.ann import assign_centroids
 
             inc = incoming.filter(F.col(vec_col).isNotNull())
+            # plain/pooled routing vectors go by column NAME → the
+            # loop-SQL assignment (ms plan build, codegen-proof);
+            # only the in-plan mean-pool needs the Column form
+            if not self.meta.get("multivector"):
+                route_op: Column | str = vec_col
+            elif vec_col + "__pooled" in inc.columns:
+                route_op = vec_col + "__pooled"
+            else:
+                route_op = routing_col(inc)
             inc = inc.withColumn(
                 "centroid_id",
-                assign_centroids(self._centroids(spark),
-                                 routing_col(inc),
+                assign_centroids(self._centroids(spark), route_op,
                                  max_expr_literals=512))
             inc_min = {int(r["centroid_id"]): r["mn"] for r in
                        inc.groupBy("centroid_id").agg(
@@ -1897,14 +1920,16 @@ class Collection:
                     # path routes on the float pooled column (fp16
                     # flat cells decode inside sq_encode_flat itself)
                     source = self._float_mv(source, vec_col)
-                route = (F.col(vec_col + "__pooled")
-                         .cast("array<double>")
+                # column NAME when plain → assign_centroids' loop-SQL
+                # path (see routing_vec); the SQL form carries the
+                # same CAST(... AS ARRAY<DOUBLE>)
+                route = (vec_col + "__pooled"
                          if vec_col + "__pooled" in source.columns
                          else mean_pool_flat(
                              F.col(vec_col).cast("array<double>"),
                              int(cfg["dim"])))
             else:
-                route = as_double(F.col(vec_col))
+                route = vec_col
             source = source.withColumn(
                 "centroid_id",
                 assign_centroids(self._centroids(spark), route))
