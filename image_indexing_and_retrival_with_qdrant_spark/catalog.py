@@ -91,6 +91,32 @@ def _sq_dist(a: list[float], b: list[float]) -> float:
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
+# Partitioned-sidecar listing: Spark turns file listing into a
+# distributed JOB once a discovery round sees more paths than
+# spark.sql.sources.parallelPartitionDiscovery.threshold (default 32).
+# Cell/chunk-partitioned sidecars (ivf points, codes, graphs) cross 32
+# dirs routinely, so every fresh read paid a 100-task listing job —
+# pure scheduling overhead on a local filesystem (measured: the
+# segmented-HNSW lifecycle spent 3-8 s in one 107-task listing job;
+# driver-side listing of the same dirs is ms). Guide §6 "file listing".
+# Parameterised: on object-store deployments with very wide partition
+# fan-out, set SPARK_GRAFT_LIST_THRESHOLD=32 to restore distributed
+# listing — the bench-visible default favours the local/attached-disk
+# layout where the driver lists faster than a job schedules.
+_LIST_THRESHOLD = os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "512")
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet` with driver-side partition discovery
+    pinned (see _LIST_THRESHOLD above). Runtime conf, set per call:
+    builders run under a driver-owned session (CLAUDE.md invariant),
+    so the conf cannot live in a session factory."""
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        _LIST_THRESHOLD)
+    return spark.read.parquet(path)
+
+
 def _is_nested(df: DataFrame, col: str) -> bool:
     t = df.schema[col].dataType
     return isinstance(t, ArrayType) and isinstance(t.elementType, ArrayType)
@@ -553,7 +579,7 @@ class Collection:
         driver-side fetch by design; the probe shortlist must be a
         *literal* IN-list for static partition pruning)."""
         if self._centroid_cache is None:
-            rows = spark.read.parquet(self._ivf_centroids).collect()
+            rows = _read_parquet(spark, self._ivf_centroids).collect()
             rows.sort(key=lambda r: r.centroid_id)
             self._centroid_cache = [list(r.centroid) for r in rows]
         return self._centroid_cache
@@ -871,7 +897,7 @@ class Collection:
         count gives the insert positions, max id the strictly-above
         precondition)."""
         segs = self._hnsw_segments(sorted(cells))
-        df = spark.read.parquet(self._hnsw_graphs).filter(
+        df = _read_parquet(spark, self._hnsw_graphs).filter(
             F.col("segment").isin([int(s) for s in segs]))
         cell = (F.floor(F.col("segment") / self._HNSW_SEG_STRIDE)
                 if cfg.get("max_segment_size") else F.col("segment"))
@@ -968,7 +994,7 @@ class Collection:
                 old_segs.append(int(c))
         union = new
         if old_segs:
-            old = spark.read.parquet(self._hnsw_graphs).filter(
+            old = _read_parquet(spark, self._hnsw_graphs).filter(
                 F.col("segment").isin(old_segs)).withColumn(
                     "__tie", F.lit(None).cast("bigint"))
             union = old.unionByName(new.select(*old.columns))
@@ -1045,10 +1071,10 @@ class Collection:
             # the sidecar stores codes + links only, and the walk
             # decodes per segment (_hnsw_quant_parts)
             data_cols, data_schema, decode = quant
-            assigned = spark.read.parquet(self._codes_path).filter(
+            assigned = _read_parquet(spark, self._codes_path).filter(
                 F.col(data_cols[0]).isNotNull())
         else:
-            assigned = spark.read.parquet(self._ivf_points).filter(
+            assigned = _read_parquet(spark, self._ivf_points).filter(
                 F.col(vec_col).isNotNull())
 
         def routing_col(df: DataFrame) -> Column:
@@ -1229,7 +1255,7 @@ class Collection:
                else float(self.meta.get("drift_cell_cap", 4.0)) / k)
         cents = self._centroids(spark)
         counts = self._ivf_footer_counts()
-        table = spark.read.parquet(self._ivf_points)
+        table = _read_parquet(spark, self._ivf_points)
         re_assigned, cent_rows = ivf_split_hot_cells(
             table, cents, cap_fraction=cap, id_col=id_col,
             vec_col=vec_col, counts=counts)
@@ -1762,7 +1788,7 @@ class Collection:
                 continue
             if built or (self._has_data(spark) and
                          self.count(spark) >= cfg["full_scan_threshold"]):
-                full = spark.read.parquet(self.path)
+                full = _read_parquet(spark, self.path)
                 cfg["n_points"] = self._write_postings(
                     full, name, id_col, "overwrite")
                 cfg["postings_built"] = True
@@ -2011,7 +2037,7 @@ class Collection:
         from .operators.sq import sq_search
 
         cfg = self.meta if cfg is None else cfg
-        codes = spark.read.parquet(self._codes_path_for(space))
+        codes = _read_parquet(spark, self._codes_path_for(space))
         if probe_ids is not None:
             codes = codes.filter(
                 F.col("centroid_id").isin([int(i) for i in probe_ids]))
@@ -2073,7 +2099,7 @@ class Collection:
         from .operators.topk import grouped_topk
 
         cfg = self.meta if cfg is None else cfg
-        codes = spark.read.parquet(self._codes_path_for(space))
+        codes = _read_parquet(spark, self._codes_path_for(space))
         if probe_ids is not None:
             codes = codes.filter(
                 F.col("centroid_id").isin([int(i) for i in probe_ids]))
@@ -2277,7 +2303,7 @@ class Collection:
         from .operators.pca import pca_project_py
 
         pq = pca_project_py(cfg["pca_mu"], cfg["pca_w"], qv)
-        side = spark.read.parquet(self._pca_path_for(space))
+        side = _read_parquet(spark, self._pca_path_for(space))
         cents = cfg.get("pca_centroids") or []
         if cents and nprobe is not None and nprobe < len(cents):
             probe = sorted(
@@ -2310,7 +2336,7 @@ class Collection:
 
         pqs = [pca_project_py(cfg["pca_mu"], cfg["pca_w"], v)
                for v in qvs]
-        side = spark.read.parquet(self._pca_path_for(space))
+        side = _read_parquet(spark, self._pca_path_for(space))
         cents = cfg.get("pca_centroids") or []
         if cents and nprobe is not None and nprobe < len(cents):
             probe: set = set()
@@ -2433,7 +2459,7 @@ class Collection:
         from .operators.maxsim import maxsim_score_codes_const_udf
         from .operators.topk import global_topk
 
-        codes = spark.read.parquet(self._codes_path_for(space))
+        codes = _read_parquet(spark, self._codes_path_for(space))
         if probe is not None and "centroid_id" in codes.columns:
             codes = codes.filter(
                 F.col("centroid_id").isin([int(i) for i in probe]))
@@ -2460,7 +2486,7 @@ class Collection:
         from .operators.maxsim import maxsim_score_codes_multi_udf
         from .operators.topk import grouped_topk
 
-        codes = spark.read.parquet(self._codes_path_for(space))
+        codes = _read_parquet(spark, self._codes_path_for(space))
         arr = maxsim_score_codes_multi_udf(
             int(cfg["dim"]), [float(x) for x in cfg["sq_mins"]],
             [float(x) for x in cfg["sq_steps"]], queries_flat,
@@ -2586,7 +2612,7 @@ class Collection:
             # a part-table sidecar would read as NULL on old rows and
             # silently drop them from stage 1. Such collections keep
             # the compute-at-read fallback until a full rewrite.
-            existing_cols = set(spark.read.parquet(self.path).columns)
+            existing_cols = set(_read_parquet(spark, self.path).columns)
             stale = [c for c in points.columns
                      if c.endswith("__pooled") and c not in existing_cols]
             if stale:
@@ -2612,7 +2638,7 @@ class Collection:
                     "nested multivectors and let the write path derive "
                     "the sidecars)")
         if mode == "merge" and self._has_data(spark):
-            existing = spark.read.parquet(self.path)
+            existing = _read_parquet(spark, self.path)
             incoming_ids = points.select(id_col)
             # replace-on-conflict (Qdrant upsert overwrites by id),
             # through the SHARED file-scoped machinery
@@ -2721,7 +2747,7 @@ class Collection:
 
     def _has_data(self, spark: SparkSession) -> bool:
         try:
-            spark.read.parquet(self.path).schema
+            _read_parquet(spark, self.path).schema
             return True
         except Exception:
             return False
@@ -2807,7 +2833,7 @@ class Collection:
             return None
         tset = sorted({int(t) for t in terms})
         buckets = sorted({t % self._POSTING_BUCKETS for t in tset})
-        return (spark.read.parquet(path)
+        return (_read_parquet(spark, path)
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("idx").isin(tset))
                 .select(id_col, "idx", "val"))
@@ -3129,7 +3155,7 @@ class Collection:
             # route through the IVF layout: corpus scan reduced to a
             # literal centroid_id IN (...) — statically partition-
             # pruned on the partitionBy(centroid_id) layout
-            return spark.read.parquet(self._ivf_points).filter(
+            return _read_parquet(spark, self._ivf_points).filter(
                 F.col("centroid_id").isin(
                     [int(i) for i in probe_cells(routing_qv)])
             ).drop("centroid_id")
@@ -3201,7 +3227,7 @@ class Collection:
                     m_, n_ = gstats
                     ef = -(-ef * n_ // m_)  # ceil(ef / match frac)
                 cand = hnsw_layout_search(
-                    spark.read.parquet(self._hnsw_graphs), pooled_q,
+                    _read_parquet(spark, self._hnsw_graphs), pooled_q,
                     ef=ef,
                     segments=self._hnsw_segments(probe_cells(pooled_q)),
                     id_type=corpus.schema[id_col].dataType
@@ -3413,7 +3439,7 @@ class Collection:
                 m_, n_ = gstats
                 ef = -(-ef * n_ // m_)
             cand = hnsw_layout_search(
-                spark.read.parquet(self._hnsw_graphs),
+                _read_parquet(spark, self._hnsw_graphs),
                 qv if gq is None else self._pq_query_vec(cfg, qv),
                 ef=ef,
                 segments=self._hnsw_segments(probe_cells(qv)),
@@ -3721,7 +3747,7 @@ class Collection:
             walk_qs = (qvs if gq is None
                        else [self._pq_query_vec(cfg, v) for v in qvs])
             cand = hnsw_layout_search_batch(
-                spark.read.parquet(self._hnsw_graphs),
+                _read_parquet(spark, self._hnsw_graphs),
                 list(enumerate(walk_qs)), ef=ef, query_segments=qsegs,
                 id_type=id_type,
                 normalize=(cfg.get("metric", "cosine") == "cosine"
@@ -3753,7 +3779,7 @@ class Collection:
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
         elif self.has_index() and not exact:
-            corpus = spark.read.parquet(self._ivf_points).filter(
+            corpus = _read_parquet(spark, self._ivf_points).filter(
                 F.col("centroid_id").isin(probe_union())
             ).drop("centroid_id")
         queries = spark.createDataFrame(
@@ -5320,7 +5346,7 @@ class Collection:
             return total
         if not self._has_data(spark):
             return 0
-        df = spark.read.parquet(self.path)
+        df = _read_parquet(spark, self.path)
         pred = as_predicate(count_filter)
         shard_pred = self._shard_predicate(shard_key_selector)
         if shard_pred is not None:
@@ -5330,7 +5356,7 @@ class Collection:
         return df.count()
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return _read_parquet(spark, self.path)
 
 
 def collection_exists(root: str, name: str) -> bool:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..bench_phases import phase
 from ..catalog import (ContextQuery, DiscoverQuery, OrderByQuery,
                        Prefetch, RecommendQuery, SampleQuery,
-                       create_collection)
+                       _read_parquet, create_collection)
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
@@ -2288,7 +2288,7 @@ def ingest_hnsw_bq_search(spark: SparkSession,
                          "ef_construct": _HNSW_LC["ef_construct"]})
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index() and coll._has_hnsw()
-        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        lay_cols = _read_parquet(spark, coll._hnsw_graphs).columns
         assert "bits" in lay_cols and "embedding" not in lay_cols, \
             f"graph sidecar must store sign words: {lay_cols}"
         with phase("search"):
@@ -2332,7 +2332,7 @@ def ingest_hnsw_pq_search(spark: SparkSession,
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index() and coll._has_hnsw(), \
             "threshold crossed but code graphs not built"
-        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        lay_cols = _read_parquet(spark, coll._hnsw_graphs).columns
         assert "code0" in lay_cols and "embedding" not in lay_cols, \
             f"graph sidecar must store PQ codes: {lay_cols}"
         with phase("search"):
@@ -2385,7 +2385,7 @@ def ingest_hnsw_quantized_search(spark: SparkSession,
             "threshold crossed but code graphs not built"
         assert coll.meta.get("codes_layout") == "cells", \
             "codes sidecar must share the IVF cells"
-        lay_cols = spark.read.parquet(coll._hnsw_graphs).columns
+        lay_cols = _read_parquet(spark, coll._hnsw_graphs).columns
         assert "codes" in lay_cols and "embedding" not in lay_cols, \
             f"graph sidecar must store codes, not vectors: {lay_cols}"
         with phase("search"):
