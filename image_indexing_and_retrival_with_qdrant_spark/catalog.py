@@ -106,15 +106,38 @@ def _sq_dist(a: list[float], b: list[float]) -> float:
 _LIST_THRESHOLD = os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "512")
 
 
+# Schema cache for catalog tables/sidecars: creating a parquet
+# DataFrame without a schema launches a 1-task footer-inference JOB
+# (measured: 40-70 ms + ~150 ms of driver gap each; a warm lifecycle
+# query pays ~7 of them re-reading sidecars it just wrote). Keyed on
+# (path, root mtime): every Spark write — append, overwrite,
+# partitionBy — rewrites <root>/_SUCCESS, so the root directory's
+# mtime changes on ANY write through any engine, making staleness
+# impossible without hooking the write sites. Schemas are
+# session-independent (plain Spark types, no nanos sidecars here).
+_SCHEMA_CACHE: dict[str, tuple[int, "object"]] = {}
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """`spark.read.parquet` with driver-side partition discovery
-    pinned (see _LIST_THRESHOLD above). Runtime conf, set per call:
-    builders run under a driver-owned session (CLAUDE.md invariant),
-    so the conf cannot live in a session factory."""
+    pinned (see _LIST_THRESHOLD above) and footer/schema inference
+    cached across reads of an unchanged directory (see _SCHEMA_CACHE).
+    Runtime conf, set per call: builders run under a driver-owned
+    session (CLAUDE.md invariant), so the conf cannot live in a
+    session factory."""
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold",
         _LIST_THRESHOLD)
-    return spark.read.parquet(path)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (mtime, df.schema)
+    return df
 
 
 def _is_nested(df: DataFrame, col: str) -> bool:

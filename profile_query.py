@@ -107,10 +107,10 @@ def main() -> None:
         ms = j["end"] - j["start"]
         total += ms
         stage_str = "; ".join(
-            f"{stages[s]['name'].split(chr(10))[0][:60]}"
+            f"{stages[s]['name'].split(chr(10))[0][:120]}"
             f"[{stages[s]['tasks']}t {stages[s]['ms']}ms]"
             for s in j["stages"] if s in stages)
-        print(f"job {jid:3d} {ms:6d}ms  {j['desc'][:50]:50s} {stage_str}")
+        print(f"job {jid:3d} {ms:6d}ms  {j['desc'][:30]:30s} {stage_str}")
     print(f"sum of job wall times: {total/1000:.3f}s "
           "(driver-side gaps not included)")
     print(f"event log dir kept: {evdir}")
