@@ -2335,7 +2335,8 @@ class Collection:
             side = side.filter(
                 F.col("pcell").isin([int(i) for i in probe]))
         side = side.drop("pcell")
-        qdf = spark.createDataFrame([(pq,)], "query_vec array<double>")
+        qdf = spark.createDataFrame(
+            [(pq,)], "query_vec array<double>").coalesce(1)
         metric = cfg.get("metric", "cosine")
         short = dense_knn(side, qdf, k=m, id_col=id_col,
                           vec_col="pvec", payload_cols=(),
@@ -2448,7 +2449,7 @@ class Collection:
         spark = corpus.sparkSession
         qdf = spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(pooled_qs)],
-            "query_idx int, __pq array<double>")
+            "query_idx int, __pq array<double>").coalesce(1)
         scored = (corpus.select(F.col(id_col), pooled.alias("__pd"))
                   .join(F.broadcast(qdf))
                   .select(id_col, "query_idx",
@@ -3210,7 +3211,7 @@ class Collection:
             if _is_nested(corpus, vec_col):  # compatibility reader
                 qdf = spark.createDataFrame(
                     [(qv,)], "query_vectors array<array<double>>"
-                )
+                ).coalesce(1)
                 return maxsim_knn(
                     corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
                     payload_cols=payload, prefilter=query_filter,
@@ -3501,7 +3502,8 @@ class Collection:
             short = self._quant_shortlist(spark, qv, m, id_col,
                                           cfg=cfg, space=space)
             corpus = corpus.join(F.broadcast(short), on=id_col)
-        qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+        qdf = spark.createDataFrame(
+            [(qv,)], "query_vec array<double>").coalesce(1)
         payload = [c for c in corpus.columns if c not in not_payload]
         return dense_knn(
             corpus, qdf, k=k, id_col=id_col, vec_col=vec_col,
@@ -4477,7 +4479,7 @@ class Collection:
             qrows.append((qi, qv))
             excl.extend((qi, i) for i in (*pos, *neg))
         qdf = spark.createDataFrame(
-            qrows, "query_idx int, query_vec array<double>")
+            qrows, "query_idx int, query_vec array<double>").coalesce(1)
         corpus = self.read(spark).filter(
             F.col(cfg["vec_col"]).isNotNull())
         payload = [c for c in corpus.columns
@@ -4709,7 +4711,7 @@ class Collection:
                 mq = [_unit(v) for v in mq]
             if _is_nested(corpus, vec_col):
                 qdf = spark.createDataFrame(
-                    [(mq,)], "query_vectors array<array<double>>")
+                    [(mq,)], "query_vectors array<array<double>>").coalesce(1)
                 scored = maxsim_knn(
                     corpus, qdf, k=None, id_col=id_col, mv_col=vec_col,
                     payload_cols=payload, prefilter=query_filter)
@@ -4724,7 +4726,8 @@ class Collection:
             qv = [float(x) for x in query_vector]
             if cfg.get("normalize"):
                 qv = _unit(qv)
-            qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+            qdf = spark.createDataFrame(
+                [(qv,)], "query_vec array<double>").coalesce(1)
             scored = dense_knn(
                 corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
                 payload_cols=payload, prefilter=query_filter,

@@ -190,7 +190,8 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
 
     spark = assigned_codes.sparkSession
     dim = len(query_vec)
-    qdf = spark.createDataFrame([(query_vec,)], "query_vec array<double>")
+    qdf = spark.createDataFrame(
+        [(query_vec,)], "query_vec array<double>").coalesce(1)
 
     if probe_ids is None:
         # probe by squared euclidean — the assignment metric (a

@@ -517,7 +517,8 @@ def ann_bq_wide_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=50).select("vec_id")
     corpus = layout.select("vec_id", "wide").join(
         F.broadcast(short), on="vec_id")
-    query = spark.createDataFrame([(qvec,)], "query_vec array<double>")
+    query = spark.createDataFrame(
+        [(qvec,)], "query_vec array<double>").coalesce(1)
     return dense_knn(corpus, query, k=5, vec_col="wide", dim=dim)
 
 

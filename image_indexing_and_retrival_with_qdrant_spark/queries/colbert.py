@@ -86,7 +86,8 @@ def colbert_text_search_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         "doc_id", F.flatten(_multivector(F.col("text"))).alias("mv")
     )
-    query = spark.createDataFrame([(_QUERY_TEXT,)], "text string").select(
+    query = spark.createDataFrame([(_QUERY_TEXT,)],
+                           "text string").coalesce(1).select(
         F.flatten(_multivector(F.col("text"))).alias("query_mv")
     )
     return maxsim_knn(

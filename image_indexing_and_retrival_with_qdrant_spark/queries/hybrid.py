@@ -80,7 +80,8 @@ def hybrid_search_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
     query = _E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).select(F.col("embedding").alias("query_vec"))
     vec = dense_knn(corpus, query, k=_DEPTH, id_col="doc_id", dim=8).select(

@@ -134,7 +134,8 @@ def ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
     query = _E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).select(F.col("embedding").alias("query_vec"))
     return dense_knn(corpus, query, k=5, id_col="doc_id", dim=8)
@@ -180,7 +181,8 @@ def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index(), "threshold crossed but index not built"
         qv = _E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
             text_col="text", mode="query",
         ).collect()[0].embedding
         res = coll.search(spark, qv, k=5).select("id", "score")
@@ -233,7 +235,8 @@ def ingest_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).collect()]
     root = tempfile.mkdtemp(prefix="qd_batch_search_")
@@ -390,7 +393,8 @@ def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  shard_key="lang")
         coll.upsert(spark, points, mode="merge")
         qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
             text_col="text", mode="query").collect()[0].embedding)
         langs = {r.lang for r in
                  coll.search(spark, qv, k=50,
@@ -503,7 +507,8 @@ def ingest_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert coll.read(spark).filter(F.col("lang") == "en").count() == 0, \
             "stale payload survived the overwrite"
         qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
             text_col="text", mode="query").collect()[0].embedding)
         res = coll.search(
             spark, qv, k=5, query_filter=(F.col("lang") == "en-v2")
@@ -542,7 +547,8 @@ def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll = create_collection(root, "px", dim=8, normalize=False)
         coll.upsert(spark, points, mode="merge")
         qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+            spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
             text_col="text", mode="query").collect()[0].embedding)
         flt = FieldCondition("lang", match="en")
         before = [(r.id, round(r.score, 9)) for r in
@@ -603,7 +609,8 @@ def ingest_recall_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_recall_route_")
     try:
@@ -695,7 +702,8 @@ def ingest_quantized_index_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_composed_")
     try:
@@ -783,7 +791,8 @@ def ingest_quantized_batch_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).collect()]
     root = tempfile.mkdtemp(prefix="qd_composed_batch_")
@@ -821,7 +830,8 @@ def ingest_named_quantized_search(spark: SparkSession,
     ).dropDuplicates(["id"]) \
      .select("id", F.col("embedding").alias("sem"))
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_named_quant_")
     try:
@@ -892,7 +902,8 @@ def knn_multistage_prefetch_top5(spark: SparkSession,
         "id", F.col("embedding").alias("full"),
         F.slice("embedding", 1, 4).alias("head"))
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_multistage_")
     try:
@@ -962,7 +973,8 @@ def ingest_batch_filtered_search(spark: SparkSession,
         (F.length("text") % 3).cast("int").alias("bucket"),
     ).dropDuplicates(["id"])
     qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS], "text string"),
+        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).collect()]
     flts = [Filter(must=[FieldCondition("bucket", match=i)])
@@ -1428,7 +1440,8 @@ def ingest_pca_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_pca_space_")
     try:
@@ -1586,7 +1599,8 @@ def _pq_lifecycle_query(spark: SparkSession, sf_dir: str,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_pq_")
     try:
@@ -1690,7 +1704,8 @@ def ingest_quantized_noscore_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_noscore_")
     try:
@@ -1760,7 +1775,7 @@ def ingest_quantized_noscore_batch_search(spark: SparkSession,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qvs = [list(r.embedding) for r in _E.embed(
         spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
-                              "text string"),
+                              "text string").coalesce(1),
         text_col="text", mode="query",
     ).collect()]
     root = tempfile.mkdtemp(prefix="qd_noscore_b_")
@@ -1799,7 +1814,8 @@ def ingest_opq_composed_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_opqc_")
     try:
@@ -2069,7 +2085,8 @@ def ingest_hnsw_index_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_")
     try:
@@ -2136,7 +2153,8 @@ def ingest_hnsw_filtered_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding", "grp")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnswf_")
     try:
@@ -2184,7 +2202,8 @@ def ingest_hnsw_segmented_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_seg_")
     try:
@@ -2239,7 +2258,8 @@ def ingest_hnsw_opq_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_opq_")
     try:
@@ -2277,7 +2297,8 @@ def ingest_hnsw_bq_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_bq_")
     try:
@@ -2320,7 +2341,8 @@ def ingest_hnsw_pq_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_pq_")
     try:
@@ -2371,7 +2393,8 @@ def ingest_hnsw_quantized_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
     qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)], "text string"),
+        spark.createDataFrame([(_QUERY_TEXT,)],
+                              "text string").coalesce(1),
         text_col="text", mode="query").collect()[0].embedding)
     root = tempfile.mkdtemp(prefix="qd_hnsw_q_")
     try:
