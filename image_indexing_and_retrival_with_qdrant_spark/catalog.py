@@ -661,7 +661,9 @@ class Collection:
             return vec_col
 
         if not self.has_index():
-            n = self.count(spark)
+            # footer fast count: value-equal to the scan count (parquet
+            # footers are exact) without the per-upsert count JOB
+            n = self.count(spark, exact=False)
             if n < thr:
                 return
             table = self.read(spark)
@@ -1526,7 +1528,7 @@ class Collection:
             self._save_meta()
             if (indexing_threshold is not None and self._has_data(spark)
                     and not self.has_index()
-                    and self.count(spark) >= indexing_threshold):
+                    and self.count(spark, exact=False) >= indexing_threshold):
                 self._refresh_index(spark, None, id_col, vec_col,
                                     rewrote=True)
         if drift_auto is not self._UNSET:
@@ -1658,7 +1660,8 @@ class Collection:
         return points
 
     @staticmethod
-    def _prep_vec(points: DataFrame, cfg: dict, path: str) -> DataFrame:
+    def _prep_vec(points: DataFrame, cfg: dict, path: str,
+                  defer_dim_check: bool = False) -> DataFrame:
         """Write-path vector discipline for one space: dimension check,
         normalize-at-write, nested→flat multivector conversion, and —
         for multivector spaces with a declared dim — the
@@ -1685,14 +1688,30 @@ class Collection:
             return points
         if cfg.get("multivector") and _is_nested(points, col):
             if dim:
-                bad = points.filter(
-                    F.exists(F.col(col), lambda v: F.size(v) != dim)
-                ).limit(1).count()
-                if bad:
-                    raise ValueError(
-                        f"vector dimension mismatch: expected {dim} "
-                        f"(collection {path})"
-                    )
+                # Deferred form (fresh collections / plain appends —
+                # see upsert): an in-row raise_error guard evaluated
+                # BY the write itself, so the batch is validated
+                # without a separate action re-running the whole
+                # upstream pipeline (the eager limit(1).count() was a
+                # full extra pass INCLUDING the embed UDF). _write_main
+                # translates the surfaced error back to the ValueError
+                # contract. Eager form kept where a mid-write failure
+                # would not be atomic (merge into existing data).
+                msg = (f"vector dimension mismatch: expected {dim} "
+                       f"(collection {path})")
+                if defer_dim_check:
+                    points = points.withColumn(
+                        col,
+                        F.when(
+                            F.exists(F.col(col),
+                                     lambda v: F.size(v) != dim),
+                            F.raise_error(F.lit(msg)).cast(
+                                points.schema[col].dataType),
+                        ).otherwise(F.col(col)))
+                elif points.filter(
+                        F.exists(F.col(col), lambda v: F.size(v) != dim)
+                        ).limit(1).count():
+                    raise ValueError(msg)
             if cfg.get("normalize"):
                 points = points.withColumn(
                     col,
@@ -1722,13 +1741,21 @@ class Collection:
                     col, l2_normalize(as_double(F.col(col)))
                 )
             if dim:
-                # dimension check at write (schema discipline, SURVEY.md §1.3)
-                bad = points.filter(F.size(F.col(col)) != dim).limit(1).count()
-                if bad:
-                    raise ValueError(
-                        f"vector dimension mismatch: expected {dim} "
-                        f"(collection {path})"
-                    )
+                # dimension check at write (schema discipline, SURVEY.md
+                # §1.3); deferred form as in the multivector branch
+                msg = (f"vector dimension mismatch: expected {dim} "
+                       f"(collection {path})")
+                if defer_dim_check:
+                    points = points.withColumn(
+                        col,
+                        F.when(
+                            F.size(F.col(col)) != dim,
+                            F.raise_error(F.lit(msg)).cast(
+                                points.schema[col].dataType),
+                        ).otherwise(F.col(col)))
+                elif points.filter(
+                        F.size(F.col(col)) != dim).limit(1).count():
+                    raise ValueError(msg)
         return points
 
     # -- quantization (Qdrant quantization_config parity) -----------------
@@ -1810,7 +1837,8 @@ class Collection:
                 changed = True
                 continue
             if built or (self._has_data(spark) and
-                         self.count(spark) >= cfg["full_scan_threshold"]):
+                         self.count(spark, exact=False)
+                         >= cfg["full_scan_threshold"]):
                 full = _read_parquet(spark, self.path)
                 cfg["n_points"] = self._write_postings(
                     full, name, id_col, "overwrite")
@@ -2253,7 +2281,7 @@ class Collection:
 
         if "pca_mu" not in cfg:
             if (not self._has_data(spark)
-                    or self.count(spark) < threshold):
+                    or self.count(spark, exact=False) < threshold):
                 return
             table = self.read(spark)
             if vec_col not in table.columns or _is_nested(table, vec_col):
@@ -2620,16 +2648,24 @@ class Collection:
             raise ValueError(
                 f"missing sparse vector columns: {sparse_missing}")
         named = self.meta.get("vectors")
+        # dim validation rides the write for the atomic paths (fresh
+        # collection, plain append — an aborted write job leaves no
+        # state change); merge into existing data keeps the eager
+        # pre-write check because _scoped_rewrite mutates files before
+        # the append evaluates the guard
+        defer = not (mode == "merge" and self._has_data(spark))
         if named:
             missing = [n for n in named if n not in points.columns]
             if missing:
                 raise ValueError(f"missing vector columns: {missing}")
             for name in named:
                 points = self._prep_vec(
-                    points, self._vector_cfg(name, vec_col), self.path)
+                    points, self._vector_cfg(name, vec_col), self.path,
+                    defer_dim_check=defer)
         else:
             points = self._prep_vec(
-                points, self._vector_cfg(None, vec_col), self.path)
+                points, self._vector_cfg(None, vec_col), self.path,
+                defer_dim_check=defer)
         if self._has_data(spark):
             # schema alignment for pre-round-5 collections: never
             # append a `__pooled` sidecar the existing files lack —
@@ -2724,7 +2760,19 @@ class Collection:
                if c in df.columns]
         if idx:
             w = w.partitionBy(*idx)
-        w.parquet(path or self.path)
+        try:
+            w.parquet(path or self.path)
+        except Exception as exc:  # deferred _prep_vec dim guard
+            txt = str(exc)
+            pos = txt.find("vector dimension mismatch")
+            if pos < 0:
+                raise
+            end = len(txt)
+            for stop in ("\n", '"', "'", " SQLSTATE"):
+                cut = txt.find(stop, pos)
+                if cut != -1:
+                    end = min(end, cut)
+            raise ValueError(txt[pos:end]) from None
 
     def create_payload_index(self, spark: SparkSession, field: str,
                              id_col: str = "id",

@@ -94,6 +94,37 @@ def test_collection_dimension_check(spark, tmp_path):
         coll.upsert(spark, bad)
 
 
+def test_dimension_check_deferred_and_eager_paths(spark, tmp_path):
+    """The dim check rides the write on atomic paths (fresh
+    collection / plain append — an in-row raise_error guard, no
+    separate validation pass) and stays an eager pre-write check on
+    merge-into-existing-data; both must surface the same ValueError
+    and leave the collection unchanged."""
+    coll = create_collection(str(tmp_path), "cd", dim=3, metric="dot")
+    bad = spark.createDataFrame(
+        [("b", [1.0, 0.0])], "id string, embedding array<double>")
+    # deferred path: fresh collection, append mode
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        coll.upsert(spark, bad)
+    assert coll.count(spark) == 0
+    good = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0])], "id string, embedding array<double>")
+    coll.upsert(spark, good)
+    # eager path: merge into existing data (pre-write, atomic)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        coll.upsert(spark, bad, mode="merge")
+    assert coll.count(spark) == 1
+    # deferred path on a nested-multivector collection
+    mcoll = create_collection(str(tmp_path), "cm", dim=2,
+                              multivector=True)
+    mv_bad = spark.createDataFrame(
+        [("x", [[1.0, 0.0], [1.0]])],
+        "id string, embedding array<array<double>>")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        mcoll.upsert(spark, mv_bad)
+    assert mcoll.count(spark) == 0
+
+
 def test_collection_normalizes_on_write(spark, tmp_path):
     coll = create_collection(str(tmp_path), "c2", dim=2, metric="cosine")
     pts = spark.createDataFrame(
