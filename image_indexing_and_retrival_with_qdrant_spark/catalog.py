@@ -602,9 +602,16 @@ class Collection:
         driver-side fetch by design; the probe shortlist must be a
         *literal* IN-list for static partition pruning)."""
         if self._centroid_cache is None:
-            rows = _read_parquet(spark, self._ivf_centroids).collect()
-            rows.sort(key=lambda r: r.centroid_id)
-            self._centroid_cache = [list(r.centroid) for r in rows]
+            # pyarrow driver-side read: the table is ≤ k_centroids
+            # rows and the values end up as python literals either
+            # way — a Spark collect here was a whole job (+ plan
+            # analysis) for a few KB. Same float64 bits: both readers
+            # decode the identical parquet doubles.
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(self._ivf_centroids)
+            rows = sorted(t.to_pylist(), key=lambda r: r["centroid_id"])
+            self._centroid_cache = [list(r["centroid"]) for r in rows]
         return self._centroid_cache
 
     def _refresh_index(self, spark: SparkSession, incoming: DataFrame | None,

@@ -128,6 +128,19 @@ def assign_centroid_expr(centroids: list[list[float]],
     return F.array_min(F.array(*entries))["i"]
 
 
+def assign_centroid_sql(centroids: list[list[float]],
+                        vec_sql: str) -> Column:
+    """Loop-shaped nearest-centroid id over a SQL array FRAGMENT
+    (e.g. ``slice(embedding, 9, 8)`` for a PQ block) — the NAME path
+    of :func:`assign_centroid_expr` without the identifier quoting.
+    Same value-identity argument as `_centroid_structs_loop_sql`;
+    used where several assignments land in ONE projection (the PQ
+    per-block encode), which overflowed janino's 64 KB method budget
+    in the unrolled Column form and de-codegen'd the whole stage."""
+    structs = _centroid_structs_loop_sql(centroids, f"({vec_sql})")
+    return F.expr(f"array_min({structs}).i")
+
+
 def assign_centroid_udf(centroids: list[list[float]], vec_col: Column) -> Column:
     """Nearest-centroid id as an Arrow-batched pandas UDF — the
     large-codebook path (big ``k_centroids``/``k_codes`` overflow the

@@ -67,18 +67,45 @@ def _word_expr(vec: Column, word: int, nbits: int) -> Column:
     return s
 
 
+def _word_expr_sql(vec: str, word: int, nbits: int) -> str:
+    """Loop-shaped twin of :func:`_word_expr`: one ``aggregate`` over
+    ``sequence(0, nbits-1)`` instead of nbits inlined CASE branches.
+    Value-identical — the terms are distinct powers of two, so the
+    BIGINT addition is order-independent and equals the unrolled
+    left fold bit for bit. Used past 64 dims: the production-width
+    pack (24 words × 32 branches in ONE projection) overflowed
+    janino's 64 KB method budget and de-codegen'd the whole encode
+    stage (the centroid-argmin lesson, operators/ann.py)."""
+    base = word * _WORD
+    return (
+        f"aggregate(sequence(0, {nbits - 1}), CAST(0 AS BIGINT), "
+        f"(a, b) -> a + IF("
+        f"CAST(element_at(`{vec}`, {base} + b + 1) AS DOUBLE) > 0.0D, "
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
+
+
 def bq_encode(corpus: DataFrame, dim: int, vec_col: str = "embedding",
               id_col: str = "vec_id", code_col: str = "bits",
               carry_cols: tuple = ()) -> DataFrame:
     """Pack sign bits into ``ceil(dim/32)`` BIGINT words
     (``array<bigint>``); the final word is partial when 32∤dim.
     ``carry_cols`` ride along unencoded (e.g. ``centroid_id`` when the
-    codes sidecar shares the IVF layout)."""
-    v = F.col(vec_col)
-    words = [
-        _word_expr(v, w, min(_WORD, dim - w * _WORD))
-        for w in range((dim + _WORD - 1) // _WORD)
-    ]
+    codes sidecar shares the IVF layout). Past 64 dims the words are
+    the loop-shaped SQL form (see :func:`_word_expr_sql`); at small
+    dims the unrolled expression stays — it codegens fine and inlines
+    into the surrounding stage."""
+    n_words = (dim + _WORD - 1) // _WORD
+    if dim > 64:
+        words = [
+            F.expr(_word_expr_sql(vec_col, w, min(_WORD, dim - w * _WORD)))
+            for w in range(n_words)
+        ]
+    else:
+        v = F.col(vec_col)
+        words = [
+            _word_expr(v, w, min(_WORD, dim - w * _WORD))
+            for w in range(n_words)
+        ]
     return corpus.select(F.col(id_col), *[F.col(c) for c in carry_cols],
                          F.array(*words).alias(code_col))
 

@@ -842,16 +842,21 @@ def _pq_det_index(spark: SparkSession, sf_dir: str, n_blocks: int = 8):
     ADC LUT scan. Same build-outside-the-timer policy as every tier."""
     key = (*_cache_key(spark, sf_dir), n_blocks)
     if key not in _PQ_DET_CACHE or not _session_alive(spark):
-        from ..operators.ann import assign_centroids
+        from ..operators.ann import assign_centroid_sql
 
         cbs = _np_pq_codebooks(sf_dir, n_blocks=n_blocks)
         subdim = len(cbs[0][0])
         emb = load(spark, sf_dir, "embeddings")
+        # loop-shaped per-block argmin over a slice fragment: the
+        # unrolled Column form (8 argmins in ONE projection) blew
+        # janino's 64 KB budget — the whole encode stage ran
+        # interpreted after a failed ~300 KB compile. Values are
+        # identical (loop-SQL parity note, operators/ann.py); the
+        # cached codes feed the same ADC scan.
         code_cols = [
-            assign_centroids(
+            assign_centroid_sql(
                 cbs[b],
-                F.slice(F.col("embedding"), b * subdim + 1, subdim)
-                .cast("array<double>"),
+                f"slice(embedding, {b * subdim + 1}, {subdim})",
             ).alias(f"code{b}")
             for b in range(len(cbs))
         ]
