@@ -180,11 +180,7 @@ def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         coll.upsert(spark, points, mode="merge")
         assert coll.has_index(), "threshold crossed but index not built"
-        qv = _E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-            text_col="text", mode="query",
-        ).collect()[0].embedding
+        qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
         res = coll.search(spark, qv, k=5).select("id", "score")
         # materialize before the temp layout is removed
         return spark.createDataFrame(res.collect(), res.schema)
@@ -234,11 +230,7 @@ def ingest_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
-                              "text string").coalesce(1),
-        text_col="text", mode="query",
-    ).collect()]
+    qvs = _E.embed_local(list(_BATCH_TEXTS), mode="query")
     root = tempfile.mkdtemp(prefix="qd_batch_search_")
     try:
         coll = create_collection(root, "b", dim=8, normalize=False)
@@ -392,10 +384,7 @@ def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll = create_collection(root, "sh", dim=8, normalize=False,
                                  shard_key="lang")
         coll.upsert(spark, points, mode="merge")
-        qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-            text_col="text", mode="query").collect()[0].embedding)
+        qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
         langs = {r.lang for r in
                  coll.search(spark, qv, k=50,
                              shard_key_selector="en").collect()}
@@ -506,10 +495,7 @@ def ingest_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert coll.count(spark) == n0, "overwrite duplicated points"
         assert coll.read(spark).filter(F.col("lang") == "en").count() == 0, \
             "stale payload survived the overwrite"
-        qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-            text_col="text", mode="query").collect()[0].embedding)
+        qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
         res = coll.search(
             spark, qv, k=5, query_filter=(F.col("lang") == "en-v2")
         ).select("id", "score", "lang")
@@ -546,10 +532,7 @@ def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         coll = create_collection(root, "px", dim=8, normalize=False)
         coll.upsert(spark, points, mode="merge")
-        qv = list(_E.embed(
-            spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-            text_col="text", mode="query").collect()[0].embedding)
+        qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
         flt = FieldCondition("lang", match="en")
         before = [(r.id, round(r.score, 9)) for r in
                   coll.search(spark, qv, k=5, query_filter=flt).collect()]
@@ -608,10 +591,7 @@ def ingest_recall_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_recall_route_")
     try:
         flat = create_collection(root, "flat", dim=8, normalize=False)
@@ -701,10 +681,7 @@ def ingest_quantized_index_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_composed_")
     try:
         coll = create_collection(root, "cq", dim=8, normalize=False,
@@ -790,11 +767,7 @@ def ingest_quantized_batch_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
-                              "text string").coalesce(1),
-        text_col="text", mode="query",
-    ).collect()]
+    qvs = _E.embed_local(list(_BATCH_TEXTS), mode="query")
     root = tempfile.mkdtemp(prefix="qd_composed_batch_")
     try:
         coll = create_collection(root, "cb", dim=8, normalize=False,
@@ -829,10 +802,7 @@ def ingest_named_quantized_search(spark: SparkSession,
         with_timestamp=False,
     ).dropDuplicates(["id"]) \
      .select("id", F.col("embedding").alias("sem"))
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_named_quant_")
     try:
         coll = create_collection(
@@ -901,10 +871,7 @@ def knn_multistage_prefetch_top5(spark: SparkSession,
     ).dropDuplicates(["id"]).select(
         "id", F.col("embedding").alias("full"),
         F.slice("embedding", 1, 4).alias("head"))
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_multistage_")
     try:
         coll = create_collection(
@@ -972,11 +939,7 @@ def ingest_batch_filtered_search(spark: SparkSession,
         F.sha2(F.col("text"), 256).alias("id"), "embedding",
         (F.length("text") % 3).cast("int").alias("bucket"),
     ).dropDuplicates(["id"])
-    qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
-                              "text string").coalesce(1),
-        text_col="text", mode="query",
-    ).collect()]
+    qvs = _E.embed_local(list(_BATCH_TEXTS), mode="query")
     flts = [Filter(must=[FieldCondition("bucket", match=i)])
             for i in range(len(qvs))]
     root = tempfile.mkdtemp(prefix="qd_batch_filtered_")
@@ -1439,10 +1402,7 @@ def ingest_pca_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_pca_space_")
     try:
         coll = create_collection(root, "pt", dim=8, normalize=False,
@@ -1598,10 +1558,7 @@ def _pq_lifecycle_query(spark: SparkSession, sf_dir: str,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_pq_")
     try:
         coll = create_collection(root, "cpq", dim=8, normalize=False,
@@ -1703,10 +1660,7 @@ def ingest_quantized_noscore_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_noscore_")
     try:
         coll = create_collection(root, "cn", dim=8, normalize=False,
@@ -1773,11 +1727,7 @@ def ingest_quantized_noscore_batch_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qvs = [list(r.embedding) for r in _E.embed(
-        spark.createDataFrame([(t,) for t in _BATCH_TEXTS],
-                              "text string").coalesce(1),
-        text_col="text", mode="query",
-    ).collect()]
+    qvs = _E.embed_local(list(_BATCH_TEXTS), mode="query")
     root = tempfile.mkdtemp(prefix="qd_noscore_b_")
     try:
         coll = create_collection(root, "cnb", dim=8, normalize=False,
@@ -1813,10 +1763,7 @@ def ingest_opq_composed_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_opqc_")
     try:
         coll = create_collection(root, "coc", dim=8, normalize=False,
@@ -2084,10 +2031,7 @@ def ingest_hnsw_index_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_")
     try:
         coll = create_collection(
@@ -2152,10 +2096,7 @@ def ingest_hnsw_filtered_search(spark: SparkSession,
         payload={"grp": (F.length("text") % 4).cast("int")},
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding", "grp")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnswf_")
     try:
         coll = create_collection(
@@ -2201,10 +2142,7 @@ def ingest_hnsw_segmented_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_seg_")
     try:
         coll = create_collection(
@@ -2257,10 +2195,7 @@ def ingest_hnsw_opq_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_opq_")
     try:
         coll = create_collection(
@@ -2296,10 +2231,7 @@ def ingest_hnsw_bq_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_bq_")
     try:
         coll = create_collection(
@@ -2340,10 +2272,7 @@ def ingest_hnsw_pq_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_pq_")
     try:
         coll = create_collection(
@@ -2392,10 +2321,7 @@ def ingest_hnsw_quantized_search(spark: SparkSession,
         _E.embed(docs, text_col="text"), id_key=F.col("text"),
         with_timestamp=False,
     ).dropDuplicates(["id"]).select("id", "embedding")
-    qv = list(_E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
-        text_col="text", mode="query").collect()[0].embedding)
+    qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
     root = tempfile.mkdtemp(prefix="qd_hnsw_q_")
     try:
         coll = create_collection(

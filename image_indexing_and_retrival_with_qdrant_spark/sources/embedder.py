@@ -29,6 +29,7 @@ Mode ∈ {passage, query} mirrors the reference's prompt-mode split
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,6 +69,38 @@ class HashEmbedder:
     def embed(self, df: DataFrame, text_col: str = "text",
               out_col: str = "embedding", mode: str = "passage") -> DataFrame:
         return df.withColumn(out_col, self.expr(F.col(text_col), mode))
+
+    def embed_local(self, texts: list[str],
+                    mode: str = "passage") -> list[list[float]]:
+        """Driver-side twin of :meth:`expr` for LITERAL query texts —
+        bit-identical float64 vectors without a Spark job. The query
+        paths previously embedded one literal string by building a
+        local DataFrame and collecting it: a whole Spark action (plan
+        analysis + a Python-RDD scan task) to md5 a few bytes. The
+        arithmetic is the same portable 60-bit hash (md5 hex[0:15] →
+        int, non-negative, so Spark's long ``%`` ≡ Python's), the same
+        ``% _MOD - _HALF`` int math, and the same int/float64 divide;
+        the normalize branch mirrors ``l2_normalize`` exactly (one
+        left-to-right ``0.0 + x²`` fold, sqrt, per-element divide).
+        Parity is pinned by tests/test_ingest.py."""
+        prefix = "" if mode == "passage" else "query:"
+        out = []
+        for t in texts:
+            vec = [
+                (int(hashlib.md5(f"{prefix}{t}:{i}".encode())
+                     .hexdigest()[:15], 16) % _MOD - _HALF) / float(_HALF)
+                for i in range(self.dim)
+            ]
+            if self.normalize:
+                acc = 0.0
+                for x in vec:
+                    acc = acc + x * x
+                n = math.sqrt(acc)  # correctly-rounded IEEE sqrt,
+                # same bits as the JVM's Math.sqrt (pow(x,0.5) is not
+                # guaranteed exact on every libm)
+                vec = [x / n for x in vec]
+            out.append(vec)
+        return out
 
     def oracle_dim_sql(self, i: int, text_expr: str = "text",
                        mode: str = "passage") -> str:

@@ -20,6 +20,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (path, file mtime) -> schema. Schema inference on a parquet read is
+# a driver-side footer pass that Spark often runs as a 1-task job —
+# paid on EVERY load() call even though the fixture files never change
+# within a run. Same discipline as catalog._SCHEMA_CACHE: the key
+# carries the mtime, so a regenerated fixture re-infers. The events
+# schema depends on the nanosAsLong conf, but load() always sets that
+# conf before reading, so its cached schema is stable too.
+_SCHEMA_CACHE: dict[str, tuple[int, object]] = {}
+
+
+def _read_cached(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (mtime, df.schema)
+    return df
+
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column across fixture generations.
@@ -63,9 +85,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session (DuckDB oracle parity).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_events_ts(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            _read_cached(spark, os.path.join(sf_dir, "events.parquet"))
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _read_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

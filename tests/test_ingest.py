@@ -246,3 +246,22 @@ def test_collection_search_api(spark, sf_smoke, tmp_path):
 def test_payload_facet_oracle(spark, sf_smoke):
     compare(spark, REGISTRY["ingest_payload_facet"], sf_smoke,
             "ingest_payload_facet")
+
+
+def test_embed_local_bit_parity(spark):
+    """embed_local (driver-side md5 twin, no Spark job) must produce
+    the EXACT float64 bits of the Catalyst expr path for both prompt
+    modes and under normalize=True — the query paths build literal
+    IN/array expressions from these values, so one ulp of drift would
+    flip oracle hashes."""
+    texts = ["what is the meaning of life", "", "Ünïcode § text",
+             "a" * 500, "tab\tand\nnewline"]
+    for normalize in (False, True):
+        emb = HashEmbedder(dim=8, normalize=normalize)
+        for mode in ("passage", "query"):
+            df = spark.createDataFrame([(t,) for t in texts],
+                                       "text string").coalesce(1)
+            via_spark = [list(r.embedding)
+                         for r in emb.embed(df, mode=mode).collect()]
+            via_local = emb.embed_local(texts, mode=mode)
+            assert via_spark == via_local, (normalize, mode)
