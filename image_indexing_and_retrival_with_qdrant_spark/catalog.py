@@ -71,6 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType
 
 from .filters import as_predicate
+from .functions.localframe import local_literal_df
 from .functions.vector import as_double, l2_normalize, mean_pool_flat
 
 __all__ = ["Collection", "Prefetch", "create_collection",
@@ -2370,8 +2371,8 @@ class Collection:
             side = side.filter(
                 F.col("pcell").isin([int(i) for i in probe]))
         side = side.drop("pcell")
-        qdf = spark.createDataFrame(
-            [(pq,)], "query_vec array<double>").coalesce(1)
+        qdf = local_literal_df(
+            spark, [(pq,)], "query_vec array<double>")
         metric = cfg.get("metric", "cosine")
         short = dense_knn(side, qdf, k=m, id_col=id_col,
                           vec_col="pvec", payload_cols=(),
@@ -2482,9 +2483,10 @@ class Collection:
             pooled = mean_pool_flat(F.col(vec_col).cast("array<double>"),
                                     dim)
         spark = corpus.sparkSession
-        qdf = spark.createDataFrame(
+        qdf = local_literal_df(
+            spark,
             [(i, [float(x) for x in q]) for i, q in enumerate(pooled_qs)],
-            "query_idx int, __pq array<double>").coalesce(1)
+            "query_idx int, __pq array<double>")
         scored = (corpus.select(F.col(id_col), pooled.alias("__pd"))
                   .join(F.broadcast(qdf))
                   .select(id_col, "query_idx",
@@ -3264,9 +3266,8 @@ class Collection:
             had_filter = query_filter is not None
             payload = [c for c in corpus.columns if c not in not_payload]
             if _is_nested(corpus, vec_col):  # compatibility reader
-                qdf = spark.createDataFrame(
-                    [(qv,)], "query_vectors array<array<double>>"
-                ).coalesce(1)
+                qdf = local_literal_df(
+                    spark, [(qv,)], "query_vectors array<array<double>>")
                 return maxsim_knn(
                     corpus, qdf, k=k, id_col=id_col, mv_col=vec_col,
                     payload_cols=payload, prefilter=query_filter,
@@ -3557,8 +3558,8 @@ class Collection:
             short = self._quant_shortlist(spark, qv, m, id_col,
                                           cfg=cfg, space=space)
             corpus = corpus.join(F.broadcast(short), on=id_col)
-        qdf = spark.createDataFrame(
-            [(qv,)], "query_vec array<double>").coalesce(1)
+        qdf = local_literal_df(
+            spark, [(qv,)], "query_vec array<double>")
         payload = [c for c in corpus.columns if c not in not_payload]
         return dense_knn(
             corpus, qdf, k=k, id_col=id_col, vec_col=vec_col,
@@ -4533,8 +4534,8 @@ class Collection:
                 qv = [p - n for p, n in zip(qv, _avg(neg))]
             qrows.append((qi, qv))
             excl.extend((qi, i) for i in (*pos, *neg))
-        qdf = spark.createDataFrame(
-            qrows, "query_idx int, query_vec array<double>").coalesce(1)
+        qdf = local_literal_df(
+            spark, qrows, "query_idx int, query_vec array<double>")
         corpus = self.read(spark).filter(
             F.col(cfg["vec_col"]).isNotNull())
         payload = [c for c in corpus.columns
@@ -4765,8 +4766,8 @@ class Collection:
             if cfg.get("normalize"):
                 mq = [_unit(v) for v in mq]
             if _is_nested(corpus, vec_col):
-                qdf = spark.createDataFrame(
-                    [(mq,)], "query_vectors array<array<double>>").coalesce(1)
+                qdf = local_literal_df(
+                    spark, [(mq,)], "query_vectors array<array<double>>")
                 scored = maxsim_knn(
                     corpus, qdf, k=None, id_col=id_col, mv_col=vec_col,
                     payload_cols=payload, prefilter=query_filter)
@@ -4781,8 +4782,8 @@ class Collection:
             qv = [float(x) for x in query_vector]
             if cfg.get("normalize"):
                 qv = _unit(qv)
-            qdf = spark.createDataFrame(
-                [(qv,)], "query_vec array<double>").coalesce(1)
+            qdf = local_literal_df(
+                spark, [(qv,)], "query_vec array<double>")
             scored = dense_knn(
                 corpus, qdf, k=None, id_col=id_col, vec_col=vec_col,
                 payload_cols=payload, prefilter=query_filter,

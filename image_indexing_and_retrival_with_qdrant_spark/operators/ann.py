@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..functions.vector import as_double, cosine, dot, dot_unrolled
 from .topk import global_topk
@@ -255,8 +256,9 @@ def ivf_build(corpus: DataFrame, k_centroids: int = 16,
         )
         assigned = model.transform(full_feat).drop("__features")
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
+    cdf = local_literal_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
     )
     return assigned, cdf

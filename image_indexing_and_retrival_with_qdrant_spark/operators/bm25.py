@@ -26,6 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..functions.text import tokens
 from .topk import global_topk
@@ -55,9 +56,8 @@ def bm25_rank(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     ).filter(F.col("term").isin(*distinct_terms))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qtf_df = docs.sparkSession.createDataFrame(
-        list(qtf.items()), "term string, qtf int"
-    )
+    qtf_df = local_literal_df(
+        docs.sparkSession, list(qtf.items()), "term string, qtf int")
 
     scored_terms = (
         tf.join(F.broadcast(df_t), on="term")

@@ -26,6 +26,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localframe import local_literal_df
 from .knn import dense_knn
 
 __all__ = ["mmr_rerank"]
@@ -91,6 +92,6 @@ def mmr_rerank(
 
     rows = [(i + 1, s[0], s[2], s[3]) for i, s in enumerate(selected)]
     id_type = dict(corpus.dtypes)[id_col]
-    return spark.createDataFrame(
-        rows, f"pick int, {id_col} {id_type}, relevance double, "
-              "mmr_score double")
+    return local_literal_df(
+        spark, rows, f"pick int, {id_col} {id_type}, relevance double, "
+                     "mmr_score double")

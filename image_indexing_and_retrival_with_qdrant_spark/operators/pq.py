@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from .ann import assign_centroids
 from .topk import global_topk
@@ -190,8 +191,8 @@ def ivfpq_search(assigned_codes: DataFrame, centroids: DataFrame,
 
     spark = assigned_codes.sparkSession
     dim = len(query_vec)
-    qdf = spark.createDataFrame(
-        [(query_vec,)], "query_vec array<double>").coalesce(1)
+    qdf = local_literal_df(
+        spark, [(query_vec,)], "query_vec array<double>")
 
     if probe_ids is None:
         # probe by squared euclidean — the assignment metric (a

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..functions.text import tokens
 from .topk import global_topk
@@ -165,7 +166,8 @@ def sparse_knn(corpus: DataFrame | None, query_indices: list,
     the full ``postings`` frame. Scoring is identical either way —
     results are bit-equal to the explode form."""
     spark = (corpus or postings).sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_literal_df(
+        spark,
         [(int(i), float(v)) for i, v in zip(query_indices, query_values)],
         "idx bigint, qval double",
     )
@@ -230,7 +232,8 @@ def sparse_knn_batch(corpus: DataFrame | None, queries: list, k: int = 10,
     rows = [(qi, int(i), float(v))
             for qi, (idx, vals) in enumerate(queries)
             for i, v in zip(idx, vals)]
-    qdf = spark.createDataFrame(rows, "query_idx int, idx bigint, qval double")
+    qdf = local_literal_df(spark, rows,
+                           "query_idx int, idx bigint, qval double")
     posting = (postings.select(id_col, "idx", "val")
                if postings is not None
                else sparse_postings(corpus, id_col=id_col))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..operators.ann import (
     ivf_build,
@@ -517,8 +518,8 @@ def ann_bq_wide_rescore_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=50).select("vec_id")
     corpus = layout.select("vec_id", "wide").join(
         F.broadcast(short), on="vec_id")
-    query = spark.createDataFrame(
-        [(qvec,)], "query_vec array<double>").coalesce(1)
+    query = local_literal_df(
+        spark, [(qvec,)], "query_vec array<double>")
     return dense_knn(corpus, query, k=5, vec_col="wide", dim=dim)
 
 
@@ -726,8 +727,8 @@ def _ivf_det_index(spark: SparkSession, sf_dir: str):
             best["d"].alias("centroid_dist"),
             best["i"].alias("centroid_id"),
         ).localCheckpoint(eager=True)
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
+        cdf = local_literal_df(
+            spark, [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "centroid_id int, centroid array<double>")
         _IVF_DET_CACHE[key] = (assigned, cdf)
     return _IVF_DET_CACHE[key]

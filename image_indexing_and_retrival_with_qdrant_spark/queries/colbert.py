@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..functions.text import hash64, tokens
 from ..operators.maxsim import maxsim_knn
@@ -86,8 +87,8 @@ def colbert_text_search_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         "doc_id", F.flatten(_multivector(F.col("text"))).alias("mv")
     )
-    query = spark.createDataFrame([(_QUERY_TEXT,)],
-                           "text string").coalesce(1).select(
+    query = local_literal_df(spark, [(_QUERY_TEXT,)],
+                             "text string").select(
         F.flatten(_multivector(F.col("text"))).alias("query_mv")
     )
     return maxsim_knn(

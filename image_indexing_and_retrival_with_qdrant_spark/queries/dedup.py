@@ -10,6 +10,7 @@ while signature queries emit full per-doc rows.
 
 from __future__ import annotations
 
+from ..functions.localframe import local_literal_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -488,7 +489,7 @@ def dedup_semantic_soft_layout_pairs(spark: SparkSession,
             res = soft_layout_near_pairs(spark, table, min_cosine=0.3,
                                          block_out="cell")
             out = res.collect()
-        return spark.createDataFrame(out, res.schema)
+        return local_literal_df(spark, out, res.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)

@@ -24,6 +24,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..functions.vector import cosine_unrolled
 from ..operators.hnsw import (
@@ -303,8 +304,8 @@ def ann_hnsw_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = hnsw_layout_search_batch(
         lay, [(q, _np_query_vec(sf_dir, q)) for q in qids],
         ef=_EF).collect()
-    pairs = spark.createDataFrame(
-        [(r.query_id, r.vec_id) for r in cand],
+    pairs = local_literal_df(
+        spark, [(r.query_id, r.vec_id) for r in cand],
         "query_id bigint, vec_id bigint")
     queries = emb.filter(F.col("vec_id").isin(*qids)).select(
         F.col("vec_id").alias("query_id"),

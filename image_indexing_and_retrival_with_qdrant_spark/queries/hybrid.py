@@ -18,6 +18,7 @@ from ..operators.bm25 import bm25_rank
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
+from ..functions.localframe import local_literal_df
 from ..tables import load
 from .bm25 import _B, _BM25_ORACLE, _K1, _TERMS
 
@@ -80,8 +81,7 @@ def hybrid_search_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
     query = _E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
+        local_literal_df(spark, [(_QUERY_TEXT,)], "text string"),
         text_col="text", mode="query",
     ).select(F.col("embedding").alias("query_vec"))
     vec = dense_knn(corpus, query, k=_DEPTH, id_col="doc_id", dim=8).select(
@@ -281,6 +281,6 @@ def ingest_hybrid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 fusion="rrf", k=10)
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -22,6 +22,7 @@ from ..catalog import (ContextQuery, DiscoverQuery, OrderByQuery,
 from ..operators.knn import dense_knn
 from ..registry import register
 from ..sources.embedder import HashEmbedder
+from ..functions.localframe import local_literal_df
 from ..sources.ingest import build_points
 from ..tables import load
 
@@ -134,8 +135,7 @@ def ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = _E.embed(docs, text_col="text").select("doc_id", "embedding")
     query = _E.embed(
-        spark.createDataFrame([(_QUERY_TEXT,)],
-                              "text string").coalesce(1),
+        local_literal_df(spark, [(_QUERY_TEXT,)], "text string"),
         text_col="text", mode="query",
     ).select(F.col("embedding").alias("query_vec"))
     return dense_knn(corpus, query, k=5, id_col="doc_id", dim=8)
@@ -183,7 +183,7 @@ def ingest_auto_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = _E.embed_local([_QUERY_TEXT], mode="query")[0]
         res = coll.search(spark, qv, k=5).select("id", "score")
         # materialize before the temp layout is removed
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -236,7 +236,7 @@ def ingest_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll = create_collection(root, "b", dim=8, normalize=False)
         coll.upsert(spark, points, mode="merge")
         res = coll.search_batch(spark, qvs, k=3)
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -499,7 +499,7 @@ def ingest_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = coll.search(
             spark, qv, k=5, query_filter=(F.col("lang") == "en-v2")
         ).select("id", "score", "lang")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -607,7 +607,7 @@ def ingest_recall_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("indexed_t100").alias("routing_case"),
                     "id", "score")
         out = r1.unionByName(r2)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_literal_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -695,7 +695,7 @@ def ingest_quantized_index_search(spark: SparkSession,
             res = coll.search(spark, qv, k=5, oversampling=4.0) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -778,7 +778,7 @@ def ingest_quantized_batch_search(spark: SparkSession,
         with phase("search"):
             res = coll.search_batch(spark, qvs, k=3, oversampling=4.0)
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -816,7 +816,7 @@ def ingest_named_quantized_search(spark: SparkSession,
             res = coll.search(spark, qv, k=5, using="sem",
                               oversampling=4.0).select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -886,7 +886,7 @@ def knn_multistage_prefetch_top5(spark: SparkSession,
                 spark, [Prefetch(qv[:4], using="head", limit=20)],
                 query=qv, using="full", k=5).select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -948,7 +948,7 @@ def ingest_batch_filtered_search(spark: SparkSession,
         coll.upsert(spark, points, mode="merge")
         res = coll.search_batch(spark, qvs, k=3, query_filter=flts) \
             .select("query_idx", "id", "score", "rank")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1059,7 +1059,7 @@ def ingest_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             qid = coll.read(spark).agg(F.min("id")).collect()[0][0]
             res = coll.search(spark, qid, k=5).select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1150,7 +1150,7 @@ def knn_query_recommend_prefetch_top5(spark: SparkSession,
             spark, pf,
             query=RecommendQuery([1, 2], [3], strategy="best_score"),
             k=5).select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1175,7 +1175,7 @@ def knn_query_order_by_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         res = coll.query(spark, pf, query=OrderByQuery("label"),
                          k=5).select("id", "order_value")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1200,7 +1200,7 @@ def knn_query_sample_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         res = coll.query(spark, pf, query=SampleQuery(seed=42),
                          k=5).select("id", "label")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1249,7 +1249,7 @@ def knn_query_discover_prefetch_top5(spark: SparkSession,
         res = coll.query(
             spark, pf, query=DiscoverQuery(0, [(1, 2), (3, 4)]),
             k=5).select("id", "rank", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1281,7 +1281,7 @@ def knn_query_context_prefetch_top5(spark: SparkSession,
         res = coll.query(
             spark, pf, query=ContextQuery([(1, 2), (3, 4)]),
             k=5).select("id", "score")
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1415,7 +1415,7 @@ def ingest_pca_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = coll.search(spark, qv, k=5, oversampling=4.0) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1569,7 +1569,7 @@ def _pq_lifecycle_query(spark: SparkSession, sf_dir: str,
             res = coll.search(spark, qv, k=5, oversampling=4.0) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1672,7 +1672,7 @@ def ingest_quantized_noscore_search(spark: SparkSession,
                 quantization_params={"rescore": False}) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1739,7 +1739,7 @@ def ingest_quantized_noscore_batch_search(spark: SparkSession,
                 quantization_params={"rescore": False}) \
                 .select("query_idx", "id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1777,7 +1777,7 @@ def ingest_opq_composed_search(spark: SparkSession,
             res = coll.search(spark, qv, k=5, oversampling=4.0) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2047,7 +2047,7 @@ def ingest_hnsw_index_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2113,7 +2113,7 @@ def ingest_hnsw_filtered_search(spark: SparkSession,
                               query_filter=F.col("grp") != 0) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2158,7 +2158,7 @@ def ingest_hnsw_segmented_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2211,7 +2211,7 @@ def ingest_hnsw_opq_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2249,7 +2249,7 @@ def ingest_hnsw_bq_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2291,7 +2291,7 @@ def ingest_hnsw_pq_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2342,7 +2342,7 @@ def ingest_hnsw_quantized_search(spark: SparkSession,
                               hnsw_ef=_HNSW_LC["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2469,7 +2469,7 @@ def ingest_image_pipeline_e2e(spark: SparkSession,
         res = coll.search(spark, qv, k=5) \
             .select("id", "filename", "page", "score")
         rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)

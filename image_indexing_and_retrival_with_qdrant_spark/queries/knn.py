@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localframe import local_literal_df
 
 from ..operators.knn import dense_knn, dense_knn_batch
 from ..registry import register
@@ -311,8 +312,8 @@ def knn_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
     qv = [(a + b) / 2 - c
           for a, b, c in zip(vecs[1], vecs[2], vecs[3])]
-    qdf = spark.createDataFrame(
-        [(qv,)], "query_vec array<double>").coalesce(1)
+    qdf = local_literal_df(
+        spark, [(qv,)], "query_vec array<double>")
     return dense_knn(emb, qdf, k=5, dim=64,
                      prefilter=~F.col("vec_id").isin(1, 2, 3))
 

@@ -9,6 +9,7 @@ scale). The DuckDB oracle does the identical reshape with list slices.
 
 from __future__ import annotations
 
+from ..functions.localframe import local_literal_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -233,7 +234,7 @@ def maxsim_recall_routed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = coll.search(spark, qv, k=5, recall_target=1.0) \
             .select(F.lit("exact_t100").alias("routing_case"), "id", "score")
         out = routed.unionByName(exact)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_literal_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -324,7 +325,7 @@ def maxsim_batch_two_stage_top3(spark: SparkSession,
         coll.upsert(spark, pts, mode="append")
         out = coll.search_batch(spark, qvs, k=3, rescore=200) \
             .select("query_idx", "rank", "id", "score")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_literal_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -361,7 +362,7 @@ def maxsim_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = coll.search(spark, qv, k=5)
         # materialize before the temp layout is removed; sort ties the
         # same way as the oracle (score desc, numeric id)
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_literal_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -611,7 +612,7 @@ def ingest_hnsw_multivector_quantized_search(spark: SparkSession,
                               hnsw_ef=_HNSW_MV["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -657,6 +658,6 @@ def ingest_hnsw_multivector_search(spark: SparkSession,
                               hnsw_ef=_HNSW_MV["ef"]) \
                 .select("id", "score")
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -11,6 +11,7 @@ order-exact on both sides.
 
 from __future__ import annotations
 
+from ..functions.localframe import local_literal_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -221,7 +222,7 @@ def ingest_sparse_postings_search(spark: SparkSession,
                 using="text", k=10, query_filter=F.col("lang") == "en",
                 with_payload=False)
             rows = res.select("id", "score").collect()
-        return spark.createDataFrame(rows, res.select("id", "score").schema)
+        return local_literal_df(spark, rows, res.select("id", "score").schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -262,6 +263,6 @@ def ingest_sparse_space_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, (list(qrow.indices), list(qrow.values)),
                 using="text", k=10, with_payload=False)
             rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_literal_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import uuid
 
+from ..functions.localframe import local_literal_df
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
@@ -67,7 +68,7 @@ def _drain_to_table(stream_df, spark: SparkSession, mode: str,
             # corpus-sized sink output aggregates executor-side and
             # only the reduced rows round-trip the driver
             out = post(out)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_literal_df(spark, out.collect(), out.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
