@@ -2827,11 +2827,16 @@ class Collection:
                           vectors_changed=False)
 
     def _has_data(self, spark: SparkSession) -> bool:
-        try:
-            _read_parquet(spark, self.path).schema
-            return True
-        except Exception:
-            return False
+        # driver-side file check: the catalog layout is a local
+        # directory tree (every write/rewrite path os.renames staged
+        # files), so "has data" ≡ "some .parquet file exists under the
+        # root". The previous schema-read raised and converted a JVM
+        # AnalysisException on every fresh collection (~70 ms × 3
+        # calls per upsert, measured).
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _shard_predicate(self, selector) -> Column | None:
         """shard_key_selector -> pushed-down partition predicate

@@ -55,12 +55,14 @@ def sq_train(corpus: DataFrame, dim: int,
     """Per-dimension (min, step) from one aggregation pass over the
     corpus. Driver-side result is 2×dim floats — broadcast-as-literals
     territory, like IVF centroids."""
-    v = F.col(vec_col)
+    # one F.expr per agg instead of 4 Column ops each: the Column
+    # build was ~400 py4j round trips per train (measured); the parsed
+    # SQL is the identical min/max-over-cast expression tree
     aggs = []
     for j in range(1, dim + 1):
-        x = F.element_at(v, j).cast("double")
-        aggs.append(F.min(x).alias(f"mn{j}"))
-        aggs.append(F.max(x).alias(f"mx{j}"))
+        x = f"CAST(element_at(`{vec_col}`, {j}) AS DOUBLE)"
+        aggs.append(F.expr(f"min({x}) AS mn{j}"))
+        aggs.append(F.expr(f"max({x}) AS mx{j}"))
     row = corpus.agg(*aggs).collect()[0]
     mins = [float(row[f"mn{j}"]) for j in range(1, dim + 1)]
     steps = [(float(row[f"mx{j}"]) - float(row[f"mn{j}"])) / 256.0
@@ -151,17 +153,20 @@ def sq_encode(corpus: DataFrame, mins: list[float], steps: list[float],
     dimension (min == max) encodes as 0 and dequantizes to min.
     ``carry_cols`` ride along unencoded (e.g. ``centroid_id`` when the
     codes sidecar shares the IVF layout)."""
-    v = F.col(vec_col)
+    # ONE parsed SQL array instead of ~10 Column ops per dim (~660
+    # py4j round trips per encode, measured): the same
+    # least/greatest/floor int tree, float literals repr-exact
     codes = []
     for j, (mn, st) in enumerate(zip(mins, steps), start=1):
         if st == 0.0:
-            codes.append(F.lit(0))
+            codes.append("0")
             continue
-        x = F.element_at(v, j).cast("double")
-        q = F.floor((x - F.lit(mn)) / F.lit(st)).cast("int")
-        codes.append(F.least(F.lit(255), F.greatest(F.lit(0), q)))
+        x = f"CAST(element_at(`{vec_col}`, {j}) AS DOUBLE)"
+        q = f"CAST(FLOOR(({x} - {float(mn)!r}D) / {float(st)!r}D) AS INT)"
+        codes.append(f"least(255, greatest(0, {q}))")
+    arr = F.expr("array(" + ", ".join(codes) + ")")
     return corpus.select(F.col(id_col), *[F.col(c) for c in carry_cols],
-                         F.array(*codes).alias(code_col))
+                         arr.alias(code_col))
 
 
 def sq_search(codes: DataFrame, mins: list[float], steps: list[float],

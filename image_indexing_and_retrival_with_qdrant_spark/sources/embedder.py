@@ -66,9 +66,27 @@ class HashEmbedder:
         )
         return l2_normalize(vec) if self.normalize else vec
 
+    def _expr_sql(self, text_sql: str, mode: str = "passage") -> str:
+        """One JVM-parsed SQL string for the whole vector — the exact
+        expression tree :meth:`expr` builds (conv/substring/md5 int
+        math, INT literals, ``1000000.0D`` divide), but ~5 py4j round
+        trips instead of ~5·dim Column ops (the functions/vector.py
+        operand discipline; measured ~560 commands per corpus embed at
+        dim 8)."""
+        tagged = (text_sql if mode == "passage"
+                  else f"concat('query:', {text_sql})")
+        dims = ", ".join(
+            f"(CAST(conv(substring(md5(concat({tagged}, ':{i}')), 1, 15), "
+            f"16, 10) AS BIGINT) % {_MOD} - {_HALF}) / {float(_HALF)!r}D"
+            for i in range(self.dim))
+        return f"array({dims})"
+
     def embed(self, df: DataFrame, text_col: str = "text",
               out_col: str = "embedding", mode: str = "passage") -> DataFrame:
-        return df.withColumn(out_col, self.expr(F.col(text_col), mode))
+        vec = F.expr(self._expr_sql(f"`{text_col}`", mode))
+        if self.normalize:
+            vec = l2_normalize(vec)
+        return df.withColumn(out_col, vec)
 
     def embed_local(self, texts: list[str],
                     mode: str = "passage") -> list[list[float]]:
