@@ -294,9 +294,12 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
     # from AQE coalescing and derives from the cluster's parallelism,
     # not a constant; the build/broadcast side stays un-repartitioned
     # (at scale, past the broadcast threshold, the join inserts its
-    # own exchange there — same shape either way).
+    # own exchange there — same shape either way). Spreading by
+    # (block, id) rather than block alone additionally splits a hot
+    # block's quadratic work across tasks — legal because the
+    # broadcast join imposes no probe-side co-partitioning.
     a = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
-                      "block").alias("a")
+                      F.col("block"), F.col(id_col)).alias("a")
     b = v.alias("b")
     av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
     cos = F.round(
@@ -357,6 +360,17 @@ def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
     (``write_soft_membership_layout``), which remains the production
     path: at 100 TB the membership frame is corpus-sized and belongs
     on disk bucketed, not in a checkpoint."""
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if materialize_memberships and df.rdd.getNumPartitions() < n_par:
+        # guide §2.5 "input skew": a single-row-group input (one
+        # parquet file, an eager checkpoint) pipelines the k×d top-m
+        # assignment + d normalizations into ONE map task before the
+        # first exchange (measured: a 1-task 2.1 s checkpoint job at
+        # sf0.1, 1.9 s of it CPU). Split BEFORE the expensive
+        # projection — deterministic key, value-neutral. Self-
+        # disabling at scale: a real corpus scan already has ≥ cores
+        # partitions, so no shuffle is added.
+        df = df.repartition(n_par, F.col(id_col))
     v = df.select(
         F.col(id_col), cells_col.alias("cells"),
         as_double(F.col(vec_col)).alias("v"),
@@ -366,11 +380,15 @@ def soft_blocked_near_pairs(df: DataFrame, cells_col: Column,
     ).withColumn("block", F.explode("cells"))
     if materialize_memberships:
         v = v.localCheckpoint(eager=True)
-    # pin the PROBE side's parallelism (see embedding_near_pairs: the
-    # broadcast join otherwise runs the quadratic per-block pair work
-    # on the probe side's single source partition)
-    a = v.repartition(v.sparkSession.sparkContext.defaultParallelism,
-                      "block").alias("a")
+    # pin the PROBE side's parallelism AND spread hot cells (guide
+    # §2.5): hashing on block alone puts a popular cell's WHOLE n_c²
+    # pair work in one task (measured: max task 3.2 s vs median
+    # 0.1 s on the clustered fixture). The join is a broadcast hash
+    # join, so probe-side partitioning is free to spread by
+    # (block, id) — deterministic, value-neutral. Past the broadcast
+    # threshold the planner re-exchanges by block for the sort-merge
+    # join and AQE's skew splitting takes over there.
+    a = v.repartition(n_par, F.col("block"), F.col(id_col)).alias("a")
     b = v.alias("b")
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
     out_cols = [
