@@ -439,6 +439,14 @@ def write_soft_membership_layout(df: DataFrame, cells_col: Column,
     256 buckets 416 s ≡ the shuffled form's 419 s with zero
     exchanges (BASELINE.md §round-8)."""
     spark = df.sparkSession
+    n_par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        # guide §2.5 "input skew": a single-row-group input pipelines
+        # the k×d assignment + normalization into ONE map task before
+        # any exchange (measured: a 1-task 1.7 s write job at sf0.1).
+        # Split BEFORE the expensive projection; self-disabling at
+        # scale where the scan already has ≥ cores partitions.
+        df = df.repartition(n_par, F.col(id_col))
     v = df.select(
         F.col(id_col), cells_col.alias("cells"),
         as_double(F.col(vec_col)).alias("v"),
@@ -446,6 +454,14 @@ def write_soft_membership_layout(df: DataFrame, cells_col: Column,
         id_col, "cells",
         F.transform(F.col("v"), lambda x: x / F.col("_norm")).alias(vec_col),
     ).withColumn("block", F.explode("cells"))
+    # repartition by the BUCKET key before the bucketed write:
+    # `repartition(n, col)` and bucketBy share the same
+    # pmod(murmur3, n) assignment, so each task holds exactly one
+    # bucket → ONE file per bucket. Without it a bucketed write emits
+    # (input partitions × buckets) files — at 100 TB that is millions
+    # of small files (guide §6); here it also spreads the write across
+    # `buckets` tasks instead of the input's partition count.
+    v = v.repartition(buckets, F.col("block"))
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (v.write.mode("overwrite")
      .bucketBy(buckets, "block").sortBy("block")

@@ -482,9 +482,14 @@ def dedup_semantic_soft_layout_pairs(spark: SparkSession,
     path = tempfile.mkdtemp(prefix="qd_soft_members_")
     table = "qd_soft_members_q"
     try:
+        # bucket count derives from the cluster (the operator's own
+        # ≥8× parallelism rule — a bucketed scan is one task per
+        # bucket and AQE cannot re-split it); the old literal 8
+        # serialized the pair join to 8 tasks on any box
+        buckets = max(8, 8 * spark.sparkContext.defaultParallelism)
         with phase("build"):
             write_soft_membership_layout(rows, F.col("cells"), path,
-                                         table, buckets=8)
+                                         table, buckets=buckets)
         with phase("search"):
             res = soft_layout_near_pairs(spark, table, min_cosine=0.3,
                                          block_out="cell")
