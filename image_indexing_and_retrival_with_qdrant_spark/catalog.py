@@ -338,7 +338,9 @@ class Collection:
                             self.path + ".pca", self._hnsw_graphs,
                             *(self._codes_path_for(s) for s in spaces),
                             *(self._pca_path_for(s) for s in spaces),
-                            *(self._postings_path_for(s) for s in sparse))
+                            *(self._postings_path_for(s) for s in sparse),
+                            *(self._postings_path_for(s) + ".df"
+                              for s in sparse))
                 if os.path.exists(p)]
 
     def _snap_dir(self, name: str) -> str:
@@ -1412,6 +1414,9 @@ class Collection:
                             sv[sname].pop(key, None)
                         shutil.rmtree(self._postings_path_for(sname),
                                       ignore_errors=True)
+                        shutil.rmtree(
+                            self._postings_path_for(sname) + ".df",
+                            ignore_errors=True)
                     else:
                         sv[sname]["full_scan_threshold"] = int(fst)
             self._save_meta()
@@ -1820,6 +1825,28 @@ class Collection:
          .sortWithinPartitions("bucket", "idx")
          .write.mode(mode).partitionBy("bucket")
          .parquet(self._postings_path_for(space)))
+        # per-term document frequency, computed AT INDEX TIME (the
+        # Qdrant Modifier.IDF contract this engine mirrors): a tiny
+        # (idx, df) sidecar so a search joins df instead of
+        # re-aggregating over the probed posting lists — at 100 TB a
+        # common term's posting list is corpus-scale and the per-query
+        # agg is a real pass over it. Appends merge by summing batch
+        # counts: ids are unique across batches (the id-uniqueness
+        # invariant every point op relies on), so the sum equals the
+        # count_distinct the query-time agg computed.
+        dfq = (sparse_postings(enc, id_col=id_col).groupBy("idx")
+               .agg(F.count_distinct(F.col(id_col)).cast("double")
+                    .alias("df")))
+        dpath = self._postings_path_for(space) + ".df"
+        if mode == "append" and os.path.isdir(dpath):
+            old = _read_parquet(df.sparkSession, dpath)
+            dfq = (old.unionByName(dfq).groupBy("idx")
+                   .agg(F.sum("df").alias("df")))
+        tmp = dpath + ".tmp"
+        dfq.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dpath):
+            shutil.rmtree(dpath)
+        os.rename(tmp, dpath)
         return n
 
     def _refresh_postings(self, spark: SparkSession,
@@ -2924,6 +2951,20 @@ class Collection:
                 .filter(F.col("idx").isin(tset))
                 .select(id_col, "idx", "val"))
 
+    def _pruned_df_stats(self, spark: SparkSession, name: str,
+                         terms) -> DataFrame | None:
+        """The (idx, df) sidecar the posting write maintains, pruned
+        to the query terms — index-time IDF statistics (the Qdrant
+        contract), so a search joins ≤|q| df rows instead of
+        aggregating over the probed posting lists. None for layouts
+        written before the sidecar existed (the scorer then falls back
+        to the query-time agg, value-identical)."""
+        path = self._postings_path_for(name) + ".df"
+        if not os.path.isdir(path):
+            return None
+        tset = sorted({int(t) for t in terms})
+        return _read_parquet(spark, path).filter(F.col("idx").isin(tset))
+
     def _sparse_search(self, spark: SparkSession, query_vector,
                        name: str, k: int = 5, query_filter=None,
                        score_threshold=None, id_col: str = "id",
@@ -2966,6 +3007,7 @@ class Collection:
                 None, list(qi), list(qv), k=k + (offset or 0),
                 id_col=id_col, modifier=mod, postings=posting,
                 candidates=cand,
+                df_stats=self._pruned_df_stats(spark, name, qi),
                 n_points=self.meta["sparse_vectors"][name].get("n_points"))
         else:
             full = table.filter(F.col(idx_c).isNotNull()).select(
@@ -3919,6 +3961,7 @@ class Collection:
             hits = sparse_knn_batch(
                 None, qs, k=k, id_col=id_col, modifier=mod,
                 postings=posting,
+                df_stats=self._pruned_df_stats(spark, name, all_terms),
                 n_points=self.meta["sparse_vectors"][name].get("n_points"))
         else:
             full = table.filter(F.col(idx_c).isNotNull()).select(

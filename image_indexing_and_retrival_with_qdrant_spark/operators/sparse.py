@@ -133,7 +133,8 @@ def sparse_knn(corpus: DataFrame | None, query_indices: list,
                n_points: int | None = None,
                stats_corpus: DataFrame | None = None,
                postings: DataFrame | None = None,
-               candidates: DataFrame | None = None) -> DataFrame:
+               candidates: DataFrame | None = None,
+               df_stats: DataFrame | None = None) -> DataFrame:
     """Top-k by sparse dot product against one query. The broadcast
     query side prunes the exploded postings to query terms before any
     shuffle.
@@ -179,16 +180,23 @@ def sparse_knn(corpus: DataFrame | None, query_indices: list,
     if candidates is not None:
         pruned = pruned.join(candidates.select(id_col), on=id_col)
     if modifier == "idf":
-        if n_points is None and stats_corpus is None and corpus is None:
+        if (n_points is None and stats_corpus is None and corpus is None
+                and df_stats is None):
             raise ValueError("idf over a postings frame needs n_points "
                              "(distinct ids are a posting-wide agg)")
         stats = corpus if stats_corpus is None else stats_corpus
         n = float(n_points if n_points is not None else stats.count())
-        stats_pruned = stats_base if stats_corpus is None else (
-            sparse_postings(stats, id_col=id_col)
-            .join(F.broadcast(qdf), on="idx"))
-        dfreq = stats_pruned.groupBy("idx").agg(
-            F.count_distinct(F.col(id_col)).cast("double").alias("df"))
+        if df_stats is not None:
+            # index-time statistics (the (idx, df) sidecar the posting
+            # write maintains): exactly the counts the agg below would
+            # produce, without re-aggregating the probed posting lists
+            dfreq = df_stats.select("idx", "df")
+        else:
+            stats_pruned = stats_base if stats_corpus is None else (
+                sparse_postings(stats, id_col=id_col)
+                .join(F.broadcast(qdf), on="idx"))
+            dfreq = stats_pruned.groupBy("idx").agg(
+                F.count_distinct(F.col(id_col)).cast("double").alias("df"))
         idf = F.log((F.lit(n) - F.col("df") + F.lit(0.5))
                     / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
         pruned = (pruned.join(F.broadcast(dfreq), on="idx")
@@ -216,7 +224,8 @@ def sparse_knn_batch(corpus: DataFrame | None, queries: list, k: int = 10,
                      modifier: str | None = None,
                      n_points: int | None = None,
                      stats_corpus: DataFrame | None = None,
-                     postings: DataFrame | None = None) -> DataFrame:
+                     postings: DataFrame | None = None,
+                     df_stats: DataFrame | None = None) -> DataFrame:
     """Batched sparse top-k: ``queries`` is a list of
     ``(indices, values)`` pairs; ALL queries share ONE posting pass
     (the broadcast side is the union of every query's terms tagged
@@ -239,19 +248,23 @@ def sparse_knn_batch(corpus: DataFrame | None, queries: list, k: int = 10,
                else sparse_postings(corpus, id_col=id_col))
     pruned = posting.join(F.broadcast(qdf), on="idx")
     if modifier == "idf":
-        if n_points is None and stats_corpus is None and corpus is None:
+        if (n_points is None and stats_corpus is None and corpus is None
+                and df_stats is None):
             raise ValueError("idf over a postings frame needs n_points "
                              "(distinct ids are a posting-wide agg)")
         stats = corpus if stats_corpus is None else stats_corpus
         n = float(n_points if n_points is not None else stats.count())
-        terms = qdf.select("idx").distinct()
-        stats_posting = (posting if stats_corpus is None
-                         else sparse_postings(stats, id_col=id_col))
-        dfreq = (stats_posting
-                 .join(F.broadcast(terms), on="idx")
-                 .groupBy("idx").agg(
-                     F.count_distinct(F.col(id_col)).cast("double")
-                     .alias("df")))
+        if df_stats is not None:
+            dfreq = df_stats.select("idx", "df")  # index-time stats
+        else:
+            terms = qdf.select("idx").distinct()
+            stats_posting = (posting if stats_corpus is None
+                             else sparse_postings(stats, id_col=id_col))
+            dfreq = (stats_posting
+                     .join(F.broadcast(terms), on="idx")
+                     .groupBy("idx").agg(
+                         F.count_distinct(F.col(id_col)).cast("double")
+                         .alias("df")))
         idf = F.log((F.lit(n) - F.col("df") + F.lit(0.5))
                     / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
         pruned = (pruned.join(F.broadcast(dfreq), on="idx")

@@ -1,6 +1,8 @@
 """Sparse-vector retrieval: encoding round-trip, oracle parity,
 posting-prune semantics."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -423,3 +425,45 @@ def test_update_collection_full_scan_threshold(spark, sf_smoke, tmp_path):
     assert not os.path.isdir(c._postings_path_for("text"))
     assert ref == [(r.id, r.score) for r in c.search(
         spark, q, using="text", k=10, with_payload=False).collect()]
+
+
+def test_postings_df_sidecar(spark, sf_smoke, tmp_path):
+    """The (idx, df) sidecar the posting write maintains is the
+    index-time IDF source: it must exist after the build, hold exactly
+    the per-term distinct-id counts, merge correctly on append, and be
+    OPTIONAL at read (removing it falls back to the query-time agg
+    with identical scores)."""
+    import shutil
+
+    from image_indexing_and_retrival_with_qdrant_spark.catalog import (
+        create_collection,
+    )
+
+    points, q = _encode_points(spark, sf_smoke)
+    c = create_collection(str(tmp_path), "dfs", sparse_vectors={
+        "text": {"modifier": "idf", "full_scan_threshold": 10}})
+    c.upsert(spark, points)
+    dpath = c._postings_path_for("text") + ".df"
+    assert os.path.isdir(dpath)
+
+    def recount():
+        return {r.idx: r.df for r in
+                spark.read.parquet(c._postings_path_for("text"))
+                .groupBy("idx")
+                .agg(F.count_distinct("id").cast("double").alias("df"))
+                .collect()}
+
+    stored = {r.idx: r.df for r in spark.read.parquet(dpath).collect()}
+    assert stored == recount()
+    # append merges counts
+    c.upsert(spark, points.withColumn("id", F.col("id") + 100000))
+    stored = {r.idx: r.df for r in spark.read.parquet(dpath).collect()}
+    assert stored == recount()
+    # the sidecar is an access path, not a semantic: removing it must
+    # not change scores (fallback = the query-time aggregation)
+    with_sidecar = [(r.id, r.score) for r in c.search(
+        spark, q, using="text", k=10, with_payload=False).collect()]
+    shutil.rmtree(dpath)
+    without = [(r.id, r.score) for r in c.search(
+        spark, q, using="text", k=10, with_payload=False).collect()]
+    assert with_sidecar == without
