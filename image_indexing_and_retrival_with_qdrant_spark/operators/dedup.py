@@ -278,6 +278,14 @@ def embedding_near_pairs(df: DataFrame, block_col: Column,
     for narrow dims / no-threshold uses; default stays zip_with."""
     from ..functions.vector import dot_unrolled
 
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        # guide §2.5 "input skew": with a single-row-group input the
+        # k×d block assignment + normalization below pipeline into ONE
+        # map task per evaluation (both join sides evaluate it —
+        # measured as two 1-task ~1.1 s broadcast builds at sf0.1).
+        # Split BEFORE the projection; self-disabling at scale.
+        df = df.repartition(n_par, F.col(id_col))
     v = df.select(
         F.col(id_col), block_col.alias("block"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("_norm", F.sqrt(dot(F.col("v"), F.col("v")))).select(

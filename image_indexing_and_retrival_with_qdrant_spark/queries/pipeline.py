@@ -796,6 +796,13 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny agg, which is exactly why DSIR scales to trillions of
     tokens."""
     docs = load(spark, sf_dir, "documents")
+    n_par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_par:
+        # guide §2.5 "input skew": a single-row-group scan pipelines
+        # the tokenize+explode feature pass into ONE map task per
+        # evaluation (measured: 1.4-2.1 s 1-task broadcast builds).
+        # Split after the read; self-disabling at scale.
+        docs = docs.repartition(n_par, F.col("doc_id"))
     toked = docs.select("doc_id", "source",
                         tokens(F.col("text")).alias("toks"))
     feats = F.expr("""
@@ -811,16 +818,23 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source",
         (hash64(F.col("feat")) % _DSIR_B).alias("bucket"))
-    t = (b.filter(F.col("source") == "src0")
-         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tn")))
-    r = (b.filter(F.col("source") != "src0")
-         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rn")))
-    tt = t.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("ttotal"))
-    rt = r.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("rtotal"))
+    # BOTH LMs from ONE aggregation pass over the features (the
+    # separate t/r/tt/rt frames each re-ran the tokenize+explode
+    # subtree as their own broadcast build — 5 feature passes for a
+    # query whose docstring promises two). Conditional counts equal
+    # the filtered counts; a bucket absent from one side reads 0
+    # instead of the old NULL, and (0 + 1) == coalesce(NULL, 0) + 1.
+    stats = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", 1)
+              .otherwise(0)).alias("tn"),
+        F.sum(F.when(F.col("source") != "src0", 1)
+              .otherwise(0)).alias("rn"))
+    totals = stats.agg(
+        F.coalesce(F.sum("tn"), F.lit(0)).alias("ttotal"),
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("rtotal"))
     lp = (
-        b.join(F.broadcast(t), "bucket", "left")
-        .join(F.broadcast(r), "bucket", "left")
-        .join(F.broadcast(tt)).join(F.broadcast(rt))
+        b.join(F.broadcast(stats), "bucket", "left")
+        .join(F.broadcast(totals))
         .select(
             "doc_id",
             (F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1).cast("double")
