@@ -334,15 +334,33 @@ def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
           else np.asarray(X, dtype=np.float64))
     n = len(ids)
     levels = [hnsw_level(i, m) for i in ids]
-    if resume is None:
+    adj0 = None
+    if resume is not None:
+        levels0, adj0 = resume
+        if len(levels0) > n:
+            raise ValueError("resume state larger than the segment")
+    if n >= 2 and _native_usable():
+        from . import hnsw_native
+
+        built = hnsw_native.native_build(Xn, levels, m, ef_construct,
+                                         adj0=adj0)
+        if built is not None:
+            return levels, built
+    return levels, _build_py(Xn, levels, m, ef_construct, adj0)
+
+
+def _build_py(Xn: np.ndarray, levels: list[int], m: int,
+              ef_construct: int, adj0=None):
+    """The pure-Python insert loop — the portable reference the C
+    kernel (`_hnsw_kernel.c`) is bit-checked against at load time
+    (``_native_usable``) and in tests/test_hnsw_native.py."""
+    n = len(levels)
+    if adj0 is None:
         adj: list[list[list[int]]] = [[[] for _ in range(levels[p] + 1)]
                                       for p in range(n)]
         start = 0
     else:
-        levels0, adj0 = resume
-        start = len(levels0)
-        if start > n:
-            raise ValueError("resume state larger than the segment")
+        start = len(adj0)
         # stored levels are the same deterministic id hash — trust but
         # keep the recomputed list (one source of truth for new rows)
         adj = [[list(nb) for nb in row] for row in adj0]
@@ -391,7 +409,72 @@ def hnsw_build_np(ids, X, m: int = 8, ef_construct: int = 64,
             ep = cand
         if lv > entry_level:
             entry, entry_level = p, lv
-    return levels, adj
+    return adj
+
+
+_NATIVE_OK: bool | None = None
+
+
+def _native_usable() -> bool:
+    """One-time gate for the C kernel: it must load AND reproduce the
+    Python builder/searcher bit-for-bit on a probe fixture (clustered
+    float64, the dims that exercise every branch of numpy's pairwise
+    summation the kernel ports: <8 sequential, ≤128 unrolled, >128
+    recursive) — including a resume continuation. Any divergence (a
+    foreign compiler contracting FMAs, a numpy whose reduction tree
+    changed) silently pins the process to the Python path, so the
+    kernel can only ever change throughput, never results."""
+    global _NATIVE_OK
+    if _NATIVE_OK is not None:
+        return _NATIVE_OK
+    from . import hnsw_native
+
+    if hnsw_native.load() is None:
+        _NATIVE_OK = False
+        return False
+    if hnsw_native.probe_ok_cached():
+        # another process on this box already certified this exact
+        # kernel digest against this numpy — skip the rebuild probe
+        # (forked Python workers would otherwise each pay it)
+        _NATIVE_OK = True
+        return True
+    try:
+        rng = np.random.default_rng(0xC0FFEE)
+        ok = True
+        for d in (5, 64, 200):
+            centers = rng.standard_normal((8, d))
+            X = np.repeat(centers, 20, axis=0) + \
+                0.15 * rng.standard_normal((160, d))
+            Xn = _normalize_rows(X)
+            levels = [hnsw_level(i, 8) for i in range(160)]
+            py = _build_py(Xn, levels, 8, 64, None)
+            nat = hnsw_native.native_build(Xn, levels, 8, 64, None)
+            ok &= nat == py
+            # resume continuation: build the 100-point prefix alone,
+            # then append the rest — must equal the from-scratch build
+            # (the documented append-only resume invariant)
+            py0 = _build_py(Xn[:100], levels[:100], 8, 64, None)
+            nat2 = hnsw_native.native_build(Xn, levels, 8, 64,
+                                            adj0=py0)
+            ok &= nat2 == py
+            # search parity at a few beam widths
+            packed = hnsw_native.pack_graph(levels, py)
+            Xc = np.ascontiguousarray(Xn)
+            for ef in (1, 10, 64):
+                q = _normalize_rows(
+                    rng.standard_normal((1, d)))[0]
+                want = _search_py(levels, py, Xn, q, ef)
+                got = hnsw_native.native_search(packed, Xc, q, ef)
+                ok &= (got is not None
+                       and [(d_, int(p_)) for d_, p_ in got] == want)
+            if not ok:
+                break
+        _NATIVE_OK = bool(ok)
+        if _NATIVE_OK:
+            hnsw_native.mark_probe_ok()
+    except Exception:
+        _NATIVE_OK = False
+    return _NATIVE_OK
 
 
 def derive_entry(levels) -> int:
@@ -403,18 +486,39 @@ def derive_entry(levels) -> int:
 
 
 def hnsw_search_np(levels, adj, Xn, qvec, ef: int,
-                   normalize: bool = True):
+                   normalize: bool = True, packed=None):
     """Beam search over one built segment (``Xn`` in the same space
     the graph was built in). Returns candidate POSITIONS ascending by
     (dist, pos), ≤ef of them. With ``ef >= n`` the result heap never
     overflows, so results == visited; any shortfall means unvisited
     components remain and the search restarts from the smallest
     unvisited position until the segment is covered — the
-    provably-exhaustive mode the static-oracle twin registers."""
+    provably-exhaustive mode the static-oracle twin registers (that
+    mode always walks the Python path; the C kernel serves the
+    sub-linear case). ``packed`` (optional) is a reused
+    ``hnsw_native.pack_graph`` result so batch callers pay the
+    adjacency flattening once per segment, not per query."""
     n = len(levels)
     q = np.asarray(qvec, dtype=np.float64)
     if normalize:
         q = _normalize_rows(q[None, :])[0]
+    if ef < n and _native_usable():
+        from . import hnsw_native
+
+        if packed is None:
+            packed = hnsw_native.pack_graph(levels, adj)
+        got = hnsw_native.native_search(
+            packed, np.ascontiguousarray(
+                np.asarray(Xn, dtype=np.float64)), q, ef)
+        if got is not None:
+            return [(dd, int(pp)) for dd, pp in got]
+    return _search_py(levels, adj, Xn, q, ef)
+
+
+def _search_py(levels, adj, Xn, q, ef):
+    """Pure-Python beam (+ exhaustive restart) — the reference the C
+    search kernel is bit-checked against; ``q`` already normalized."""
+    n = len(levels)
     entry = derive_entry(levels)
     ep = [(float(_dists(Xn, [entry], q)[0]), entry)]
     for lc in range(levels[entry], 0, -1):
@@ -705,13 +809,20 @@ def hnsw_layout_search_batch(layout: DataFrame, queries, ef: int,
         adj = pdf["links"].tolist()
         X = decode(pdf)
         Xn = _normalize_rows(X) if normalize else X
+        # flatten the adjacency ONCE per segment for the C beam —
+        # the per-query pack was the batch form's residual overhead
+        packed = None
+        if len(levels) > ef and _native_usable():
+            from . import hnsw_native
+
+            packed = hnsw_native.pack_graph(levels, adj)
         out_q: list[int] = []
         out_v: list[int] = []
         for qid, qv in qlist:
             if qsegs is not None and seg not in qsegs.get(qid, ()):
                 continue
             res = hnsw_search_np(levels, adj, Xn, qv, ef=ef,
-                                 normalize=normalize)
+                                 normalize=normalize, packed=packed)
             out_q += [qid] * len(res)
             out_v += [ids[p] for _, p in res]
         return pd.DataFrame({
