@@ -146,6 +146,27 @@ def _is_nested(df: DataFrame, col: str) -> bool:
     return isinstance(t, ArrayType) and isinstance(t.elementType, ArrayType)
 
 
+def _concurrent_branches(fn, items: list) -> list:
+    """Evaluate independent query branches from a small thread pool
+    (guide §2.6 — overlap independent jobs). A prefetch/fusion branch
+    is built by a chain of driver-blocking round trips (shortlist
+    collects, probe unions, plan analysis), so N sequential branches
+    pay N × that fixed latency; Spark's scheduler happily overlaps
+    jobs submitted from several threads, and branch results are
+    independent by construction (each is its own space's retrieval).
+    List order is preserved, so fusion sees branches exactly as the
+    sequential loop produced them. Single-branch calls stay inline —
+    no pool, no wrapper, byte-identical stack traces."""
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+        return list(pool.map(inheritable_thread_target(fn), items))
+
+
 class Prefetch:
     """One branch of the universal query API (Qdrant ``Prefetch``):
     a query vector (dense list or multivector list-of-lists) against a
@@ -4055,10 +4076,11 @@ class Collection:
         flt = as_predicate(p.query_filter)
         if p.prefetch:
             ids: set = set()
-            for ip in p.prefetch:
-                hits = self._prefetch_hits(spark, ip, id_col, vec_col)
-                ids.update(r[id_col] for r in
-                           hits.select(id_col).collect())
+            for rows in _concurrent_branches(
+                    lambda ip: self._prefetch_hits(
+                        spark, ip, id_col, vec_col)
+                    .select(id_col).collect(), list(p.prefetch)):
+                ids.update(r[id_col] for r in rows)
             cand = F.col(id_col).isin(sorted(ids))
             flt = cand if flt is None else flt & cand
         return self.search(
@@ -4193,10 +4215,11 @@ class Collection:
             cand = None
             if prefetch:
                 ids: set = set()
-                for p in prefetch:
-                    hits = self._prefetch_hits(spark, p, id_col, vec_col)
-                    ids.update(r[id_col] for r in
-                               hits.select(id_col).collect())
+                for rows in _concurrent_branches(
+                        lambda p: self._prefetch_hits(
+                            spark, p, id_col, vec_col)
+                        .select(id_col).collect(), prefetch):
+                    ids.update(r[id_col] for r in rows)
                 cand = F.col(id_col).isin(sorted(ids))
             if isinstance(query, RecommendQuery):
                 asc = self._query_ranks_ascending(query, using, vec_col)
@@ -4258,11 +4281,12 @@ class Collection:
                 id_col, vec_col), has_payload=True),
                 [F.col("score").asc() if asc else F.col("score").desc(),
                  F.col(id_col).asc()])
-        branches = []
-        for p in prefetch:
-            hits = self._prefetch_hits(spark, p, id_col, vec_col)
-            branches.append((hits.select(id_col, "score"),
-                             self._ranks_ascending(p.using, vec_col)))
+        hit_frames = _concurrent_branches(
+            lambda p: self._prefetch_hits(spark, p, id_col, vec_col),
+            prefetch)
+        branches = [(hits.select(id_col, "score"),
+                     self._ranks_ascending(p.using, vec_col))
+                    for hits, p in zip(hit_frames, prefetch)]
         fuse_k = k if formula is None else max(50, k * 10)
         if fusion == "rrf":
             fused = rrf_fuse(branches, k=fuse_k, id_col=id_col)
@@ -4306,15 +4330,18 @@ class Collection:
             raise ValueError("query_batch needs at least one request")
         from pyspark.sql import Window
 
-        branches = []
-        for i, req in enumerate(requests):
-            obj = req.get("query")
-            if isinstance(obj, (OrderByQuery, SampleQuery)):
+        for req in requests:
+            if isinstance(req.get("query"), (OrderByQuery, SampleQuery)):
                 raise ValueError(
                     "query_batch requests need a score to rank by — "
                     "run order_by/sample queries through query()")
-            out = self.query(spark, id_col=id_col, vec_col=vec_col,
-                             **req)
+        outs = _concurrent_branches(
+            lambda req: self.query(spark, id_col=id_col,
+                                   vec_col=vec_col, **req),
+            list(requests))
+        branches = []
+        for i, (req, out) in enumerate(zip(requests, outs)):
+            obj = req.get("query")
             score = next(c for c in ("score", "rrf", "dbsf")
                          if c in out.columns)
             # rescore-by-vector in a distance space ranks ascending;
