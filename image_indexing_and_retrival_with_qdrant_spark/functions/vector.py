@@ -83,6 +83,28 @@ def operand_col(x: Column | str | Sequence[float]) -> Column:
 # take the loop.
 _UNROLL_MAX_DIM = 256
 
+# The distance metrics inline each element access TWICE per term
+# (`(a_i - b_i) * (a_i - b_i)` / `ABS(a_i - b_i)` under a filter that
+# duplicates the whole expression when pushed through the projection),
+# so their generated code hits janino's 64 KB method limit at a
+# fraction of dot's width: measured, the 64-d euclid/manhattan top-k
+# plans fail codegen ("Code grows beyond 64 KB") as soon as the
+# scorer lands twice in one whole-stage method — the stage then runs
+# interpreted AND pays a failed ~300 KB compile per plan. Past this
+# gate they emit the loop-shaped aggregate(zip_with(...)) SQL instead
+# (generated code O(1) in dim; the literal array is data, not code) —
+# the same left-to-right float64 fold, so values are bit-identical
+# (the `euclid` docstring's own parity argument).
+_DIFF_UNROLL_MAX_DIM = 32
+
+
+def _operand_sql_frag(x: str | list[float]) -> str:
+    """SQL fragment for a normalized `_sql_operand` result: column
+    fragments pass through, literal vectors render as ONE array
+    literal (constant-folded to a single Literal — referenced, not
+    inlined, by codegen)."""
+    return x if isinstance(x, str) else _lit_array_sql(x)
+
 
 def _lit_array_sql(vals: Sequence[float]) -> str:
     """One SQL array literal (constant-folded by Catalyst to a single
@@ -222,6 +244,13 @@ def euclid_unrolled(a: Column | str | Sequence[float],
         return euclid(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
+        if dim > _DIFF_UNROLL_MAX_DIM:
+            # loop shape (see _DIFF_UNROLL_MAX_DIM): same fold, O(1)
+            # generated code — one JVM-parsed SQL string either way
+            return F.expr(
+                f"SQRT(aggregate(zip_with({_operand_sql_frag(sa)}, "
+                f"{_operand_sql_frag(sb)}, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
         terms = " + ".join(
             "({d} * {d})".format(d=f"({_elem(sa, i)} - {_elem(sb, i)})")
             for i in range(1, dim + 1))
@@ -250,6 +279,13 @@ def manhattan_unrolled(a: Column | str | Sequence[float],
         return manhattan(_hof_operand(a), _hof_operand(b))
     sa, sb = _sql_operand(a), _sql_operand(b)
     if sa is not None and sb is not None:
+        if dim > _DIFF_UNROLL_MAX_DIM:
+            # loop shape (see _DIFF_UNROLL_MAX_DIM): same fold, O(1)
+            # generated code
+            return F.expr(
+                f"aggregate(zip_with({_operand_sql_frag(sa)}, "
+                f"{_operand_sql_frag(sb)}, (x, y) -> ABS(x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
         terms = " + ".join(
             f"ABS({_elem(sa, i)} - {_elem(sb, i)})"
             for i in range(1, dim + 1))
