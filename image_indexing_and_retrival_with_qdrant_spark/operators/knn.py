@@ -52,13 +52,26 @@ _DISTANCE_METRICS = {"euclid", "manhattan"}
 
 def _score(vec_col: Column | str | Sequence[float],
            query_col: Column | str | Sequence[float], prenormalized: bool,
-           dim: int | None, metric: str = "cosine") -> Column:
+           dim: int | None, metric: str = "cosine",
+           duplicated: bool = False) -> Column:
     """Score by the collection's declared metric (Qdrant
     ``Distance.{COSINE,DOT,EUCLID,MANHATTAN}``). ``prenormalized``
     turns cosine into a plain dot (normalize-at-write collections).
     With ``dim`` known — collections always declare it (SURVEY.md
     §1.1) — uses the statically-unrolled form: bit-identical, ~2.6×
-    faster per scan."""
+    faster per scan.
+
+    ``duplicated=True`` says the caller will FILTER on this score
+    (score_threshold): Catalyst pushes that filter through the
+    projection, inlining the whole expression a second time into one
+    whole-stage method, which overflows janino's 64 KB limit at half
+    the usual width (measured: the 64-d cosine threshold scan fails
+    codegen and runs interpreted after a ~300 KB failed compile).
+    Past 32 dims the loop-shaped HOF forms are used instead — the
+    identical left-to-right fold (each builder's documented parity),
+    O(1) generated code however many times the optimizer copies it."""
+    if dim is not None and duplicated and dim > 32:
+        dim = None  # same bits via the loop forms below
     if dim is not None:
         # unrolled builders take names/literals directly (single-expr
         # SQL fast path) and fall back to Columns transparently
@@ -109,7 +122,7 @@ def dense_knn(
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
     score = _score(vec_col, query_vec_col, prenormalized, dim,
-                   metric)
+                   metric, duplicated=score_threshold is not None)
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
@@ -167,7 +180,7 @@ def dense_knn_batch(
         corpus = corpus.filter(prefilter)
     asc = metric in _DISTANCE_METRICS
     score = _score(vec_col, query_vec_col, prenormalized, dim,
-                   metric)
+                   metric, duplicated=score_threshold is not None)
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
