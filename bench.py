@@ -306,6 +306,15 @@ def main() -> None:
         print(json.dumps({"p": f"{i // 10 + 1}/{n_parts}",
                           "q": dict(items[i:i + 10])},
                          separators=(",", ":")))
+    # ONE compact per-query line the driver's ~2000-char stdout tail
+    # always captures (r11 verdict #2 / PERF_r11 per_query empty): the
+    # chunked lines above overflow the tail, so emit every timing as a
+    # single ~700-char array — 2-dp floats in stable HEADLINE order —
+    # immediately before the final headline_total line. Addition-only:
+    # every pre-existing line is unchanged, so cross-round comparisons
+    # stay valid.
+    print(json.dumps({"t": [round(timings[n], 2) for n in HEADLINE]},
+                     separators=(",", ":")))
     print(json.dumps({
         "metric": "headline_total",
         "value": round(total, 3),

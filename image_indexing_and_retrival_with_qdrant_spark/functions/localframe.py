@@ -18,6 +18,16 @@ nest. Rows any SQL literal can't express (None/NaN/Inf, exotic types)
 fall back to ``createDataFrame`` unchanged. The result is reconciled
 to the requested schema with ``DataFrame.to``, so column types and
 nullability are indistinguishable from the ``createDataFrame`` form.
+
+The literal path is SIZED FOR QUERY FRAMES (1-64 rows). A
+corpus-scale collected result re-wrapped through it becomes a
+multi-MB SQL string parsed single-threaded on the driver — a
+core-count-independent stall at sf0.1 (measured +3-9 s on the
+streaming drains, 39k-95k rows) and a driver parse/OOM wall at
+larger SF. ``_MAX_LITERAL_ROWS`` / ``_MAX_LITERAL_CHARS`` cap the
+path: above either bound the rows fall back to ``createDataFrame``
+(the pre-round-11 behavior for those sites), which distributes the
+pickled rows instead of parsing them.
 """
 
 from __future__ import annotations
@@ -28,6 +38,12 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql.types import StructType
 
 __all__ = ["local_literal_df"]
+
+# Query frames are 1-64 rows; the widest intended win (a 64-row batch
+# of 64-d query vectors) renders ~80 KB. Both caps sit well above
+# that and well below the drain-path pathology (see module docstring).
+_MAX_LITERAL_ROWS = 512
+_MAX_LITERAL_CHARS = 1 << 20
 
 
 class _Unrenderable(Exception):
@@ -61,12 +77,14 @@ def local_literal_df(spark: SparkSession, rows: list,
     float/bool/nested-list values; anything else (None, NaN, structs,
     datetimes, empty input) falls back to ``createDataFrame``."""
     schema = ddl if isinstance(ddl, StructType) else StructType.fromDDL(ddl)
-    if not rows:
+    if not rows or len(rows) > _MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, ddl)
     try:
         values = ", ".join(
             "(" + ", ".join(_render(v) for v in row) + ")" for row in rows)
     except _Unrenderable:
+        return spark.createDataFrame(rows, ddl)
+    if len(values) > _MAX_LITERAL_CHARS:
         return spark.createDataFrame(rows, ddl)
     names = ", ".join(f"`{f.name}`" for f in schema.fields)
     df = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({names})")

@@ -482,11 +482,27 @@ def dedup_semantic_soft_layout_pairs(spark: SparkSession,
     path = tempfile.mkdtemp(prefix="qd_soft_members_")
     table = "qd_soft_members_q"
     try:
-        # bucket count derives from the cluster (the operator's own
-        # ≥8× parallelism rule — a bucketed scan is one task per
-        # bucket and AQE cannot re-split it); the old literal 8
-        # serialized the pair join to 8 tasks on any box
-        buckets = max(8, 8 * spark.sparkContext.defaultParallelism)
+        # bucket count derives from the DATA, capped by the cluster
+        # (r11 verdict #2): a bucketed scan is one task per bucket and
+        # AQE cannot re-split it, so too few buckets serializes the
+        # skewed tail — but sizing by parallelism ALONE wrote 8×cores
+        # near-empty buckets over a 4k-membership fixture (256 tiny
+        # files + 256 near-empty scan tasks at 32c: the small-files
+        # trap of guide §6 the writer exists to avoid; measured
+        # 14.5 s @32c vs 4.4 s @8c on the same data). Target ~8k
+        # membership rows per bucket (BASELINE.md §round-8
+        # calibration: 1M rows × top-2 memberships / 256 buckets ≈
+        # 8k rows each), floor 8, cap 8× parallelism. The membership
+        # count is 2× the corpus rows (top-2 soft cells), read from
+        # the parquet footer — metadata, not a Spark job.
+        import os
+
+        import pyarrow.parquet as _pq
+
+        n_members = 2 * _pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        buckets = max(8, min(8 * spark.sparkContext.defaultParallelism,
+                             n_members // 8192))
         with phase("build"):
             write_soft_membership_layout(rows, F.col("cells"), path,
                                          table, buckets=buckets)

@@ -62,6 +62,42 @@ def test_fallback_paths(spark):
             assert got == want
 
 
+def test_size_cap_falls_back(spark):
+    # corpus-scale collected results (streaming drains: 39k-95k rows)
+    # must NOT become a driver-parsed SQL literal — above the row cap
+    # the function returns the createDataFrame form (r11 verdict #1)
+    from image_indexing_and_retrival_with_qdrant_spark.functions import (
+        localframe,
+    )
+
+    n = localframe._MAX_LITERAL_ROWS
+    big = [(i, float(i)) for i in range(n + 1)]
+    df = local_literal_df(spark, big, "k int, v double")
+    assert "LocalTableScan" not in _plan(df)
+    assert df.count() == n + 1
+    # at the cap the literal path still applies
+    at_cap = [(i, float(i)) for i in range(64)]
+    df2 = local_literal_df(spark, at_cap, "k int, v double")
+    assert "LocalTableScan" in _plan(df2)
+    assert df2.collect() == spark.createDataFrame(
+        at_cap, "k int, v double").collect()
+
+
+def test_char_cap_falls_back(spark):
+    # a few rows of very wide arrays can also exceed the driver-parse
+    # budget; the char cap catches what the row cap does not
+    from image_indexing_and_retrival_with_qdrant_spark.functions import (
+        localframe,
+    )
+
+    wide = [([float(i) + 0.123456789 for i in range(20_000)],)
+            for _ in range(8)]
+    df = local_literal_df(spark, wide, "v array<double>")
+    assert "LocalTableScan" not in _plan(df)
+    assert df.count() == 8
+    assert localframe._MAX_LITERAL_CHARS >= 1 << 20
+
+
 def test_accepts_struct_type_schema(spark):
     src = spark.createDataFrame([(1, "a", 0.5)], "id bigint, s string, v double")
     rows = src.collect()
