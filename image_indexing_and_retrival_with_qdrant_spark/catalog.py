@@ -766,8 +766,14 @@ class Collection:
                                  max_expr_literals=512))
             assigned.write.mode("overwrite").partitionBy(
                 "centroid_id").parquet(self._ivf_points)
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
+            # LocalRelation write: createDataFrame of a ≤k-row literal
+            # list parallelizes across defaultParallelism — a 32-task
+            # write job emitting 32 near-empty files for 16 rows; the
+            # SQL-literal frame writes one file in one task (same
+            # float bits: repr round-trips through Double.parseDouble)
+            local_literal_df(
+                spark, [(i, [float(x) for x in c])
+                        for i, c in enumerate(cents)],
                 "centroid_id int, centroid array<double>",
             ).write.mode("overwrite").parquet(self._ivf_centroids)
             self._centroid_cache = None
@@ -2037,12 +2043,31 @@ class Collection:
             # partitioned (or uniformly flat) — appending the other
             # shape would leave files the probe can't prune
             incoming, rewrote = None, True
-        source = (self.read(spark) if rewrote or incoming is None
+        # Whole-table encodes on an index-maintained collection read
+        # the CELLS LAYOUT instead of the main table: the layout holds
+        # the same rows (every write path refreshes it first —
+        # _post_write ordering) with centroid_id already materialized
+        # as the partition column, so re-running the k·d assignment
+        # over the corpus here was a duplicated full pass (guide §2.4).
+        # It is also the FAITHFUL source after split_hot_cells: the
+        # split re-assigns hot-cell members among their sub-centroids
+        # in place, which a fresh global argmin over the merged
+        # centroid set does not always reproduce — codes must share
+        # the points layout's cells for probe pruning to be complete.
+        # Gated on indexing_threshold: only then does _refresh_index
+        # maintain the layout on every write (a threshold dropped by
+        # update_collection would leave it stale).
+        use_layout = (cells and (rewrote or incoming is None)
+                      and bool(self.meta.get("indexing_threshold")))
+        source = (_read_parquet(spark, self._ivf_points) if use_layout
+                  else self.read(spark) if rewrote or incoming is None
                   else incoming)
         if vec_col not in source.columns:
             return
         carry: tuple = ()
-        if cells:
+        if cells and "centroid_id" in source.columns:
+            carry = ("centroid_id",)
+        elif cells:
             from .operators.ann import assign_centroids
 
             if cfg.get("multivector"):

@@ -42,6 +42,22 @@ def test_codes_sidecar_shares_ivf_layout(spark, composed):
     assert "centroid_id" in codes.columns
 
 
+def test_codes_cells_equal_points_cells(spark, composed):
+    """The whole-table encode reads the cells LAYOUT back instead of
+    re-assigning from the main table (r12: the layout is the faithful
+    source — after split_hot_cells a global re-argmin need not
+    reproduce the scoped split assignment, and probe pruning is only
+    complete when codes share the points layout's cells). Pin the
+    invariant: every id's codes cell == its points-layout cell."""
+    pts = spark.read.parquet(composed._ivf_points) \
+        .select("id", F.col("centroid_id").alias("pc"))
+    codes = spark.read.parquet(composed._codes_path) \
+        .select("id", F.col("centroid_id").alias("cc"))
+    diff = pts.join(codes, on="id").filter(F.col("pc") != F.col("cc"))
+    assert diff.count() == 0
+    assert codes.count() == 60
+
+
 def test_composed_exhaustive_equals_exact(spark, composed):
     # exhaustive probe (nprobe=None => all cells) + oversampling
     # covering the corpus => shortlist == corpus => result ≡ exact,
