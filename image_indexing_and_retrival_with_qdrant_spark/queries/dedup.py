@@ -257,7 +257,7 @@ def _semantic_cells_oracle(sf_dir: str, thr: float = 0.3) -> str:
     dl = "list_value(" + ", ".join(
         _duck_sq_dist("e.embedding", c) for c in cents) + ")"
     return f"""
-    WITH cand AS (
+    WITH cand AS MATERIALIZED (
       SELECT e.vec_id,
              CAST(list_position({dl}, list_min({dl})) - 1 AS BIGINT)
                AS cell,
@@ -309,7 +309,7 @@ def _semantic_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
     dl = "list_value(" + ", ".join(
         _duck_sq_dist("e.embedding", c) for c in cents) + ")"
     return f"""
-    WITH RECURSIVE cand AS (
+    WITH RECURSIVE cand AS MATERIALIZED (
       SELECT e.vec_id,
              CAST(list_position({dl}, list_min({dl})) - 1 AS BIGINT)
                AS cell,
@@ -321,12 +321,12 @@ def _semantic_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
              ) AS v
       FROM embeddings e
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a.vec_id AS ea, b.vec_id AS eb
       FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
     ),
-    und AS (SELECT ea AS a, eb AS b FROM edges
+    und AS MATERIALIZED (SELECT ea AS a, eb AS b FROM edges
             UNION ALL SELECT eb, ea FROM edges),
     reach(id, lbl) AS (
       SELECT vec_id, vec_id FROM cand
@@ -394,7 +394,7 @@ def _semantic_soft_pairs_oracle(sf_dir: str, thr: float = 0.3) -> str:
         f"{{'d': {_duck_sq_dist('e.embedding', c)}, 'i': {cid}}}"
         for cid, c in enumerate(cents)) + "]"
     return f"""
-    WITH cand AS (
+    WITH cand AS MATERIALIZED (
       SELECT e.vec_id,
              list_transform(list_sort({sl}),
                             s -> CAST(s.i AS BIGINT))[1:2] AS cells,
@@ -405,7 +405,7 @@ def _semantic_soft_pairs_oracle(sf_dir: str, thr: float = 0.3) -> str:
              ) AS v
       FROM embeddings e
     ),
-    ex AS (SELECT vec_id, cells, v, unnest(cells) AS cell FROM cand)
+    ex AS MATERIALIZED (SELECT vec_id, cells, v, unnest(cells) AS cell FROM cand)
     SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v), 6) AS cosine
     FROM ex a JOIN ex b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -528,7 +528,7 @@ def _semantic_soft_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
         f"{{'d': {_duck_sq_dist('e.embedding', c)}, 'i': {cid}}}"
         for cid, c in enumerate(cents)) + "]"
     return f"""
-    WITH RECURSIVE cand AS (
+    WITH RECURSIVE cand AS MATERIALIZED (
       SELECT e.vec_id, list_sort({sl}) AS s,
              list_transform(
                CAST(e.embedding AS DOUBLE[]),
@@ -537,21 +537,21 @@ def _semantic_soft_keep_oracle(sf_dir: str, thr: float = 0.3) -> str:
              ) AS v
       FROM embeddings e
     ),
-    cand2 AS (
+    cand2 AS MATERIALIZED (
       SELECT vec_id,
              list_transform(s, x -> CAST(x.i AS BIGINT))[1:2] AS cells,
              CAST(s[1].i AS BIGINT) AS cell,
              ROUND(s[1].d, 6) AS cdist, v
       FROM cand
     ),
-    ex AS (SELECT vec_id, cells, v, unnest(cells) AS cm FROM cand2),
-    edges AS (
+    ex AS MATERIALIZED (SELECT vec_id, cells, v, unnest(cells) AS cm FROM cand2),
+    edges AS MATERIALIZED (
       SELECT a.vec_id AS ea, b.vec_id AS eb
       FROM ex a JOIN ex b ON a.cm = b.cm AND a.vec_id < b.vec_id
       WHERE a.cm = list_min(list_intersect(a.cells, b.cells))
         AND ROUND(list_dot_product(a.v, b.v), 6) >= {thr}
     ),
-    und AS (SELECT ea AS a, eb AS b FROM edges
+    und AS MATERIALIZED (SELECT ea AS a, eb AS b FROM edges
             UNION ALL SELECT eb, ea FROM edges),
     reach(id, lbl) AS (
       SELECT vec_id, vec_id FROM cand2
@@ -617,21 +617,21 @@ def dedup_semantic_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_duplicate_clusters",
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id, source,
              list_distinct(list_transform(
                generate_series(1, greatest(length(text) - 2, 1)),
                i -> substring(text, i, 3))) AS shingles
       FROM documents
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a.doc_id AS ea, b.doc_id AS eb
       FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE ROUND(len(list_intersect(a.shingles, b.shingles))
             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
                    AS DOUBLE), 6) >= 0.6
     ),
-    und AS (SELECT ea AS a, eb AS b FROM edges
+    und AS MATERIALIZED (SELECT ea AS a, eb AS b FROM edges
             UNION ALL SELECT eb, ea FROM edges),
     reach(id, lbl) AS (
       SELECT doc_id, doc_id FROM documents

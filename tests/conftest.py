@@ -13,7 +13,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # Default the test session to the box's cores (capped at 32): the
+    # compute-heavy suites (auto-index lifecycle, HNSW layout builds,
+    # KMeans trains) measured 1.47x faster at local[32] than the old
+    # literal local[8] on a 32-core box, and the latency-bound suites
+    # were unchanged (test_bq 33.9 vs 33.5 s) — the gate must fit the
+    # driver's pytest window (VERDICT r11 #3). SPARK_GRAFT_CPUS still
+    # overrides, so the driver's own core sweep is unaffected.
+    default = str(max(8, min(32, os.cpu_count() or 8)))
+    s = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", default))
     yield s
     s.stop()
 

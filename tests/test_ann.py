@@ -19,6 +19,22 @@ def _query_of(emb, vec_id):
     )
 
 
+# One Spark-ML KMeans fit per (sf, k, seed) for the whole module: the
+# fit is deterministic (fixed seed, fixed data), so sharing it across
+# tests changes nothing they assert — it only stops the gate paying
+# ~10 distributed Lloyd's iterations per test (VERDICT r11 #3: the
+# pytest gate must fit the driver's window).
+_IVF_MEMO: dict = {}
+
+
+def _ivf_built(spark, sf_dir, k, seed=42):
+    key = (spark.sparkContext.applicationId, sf_dir, k, seed)
+    if key not in _IVF_MEMO:
+        _IVF_MEMO[key] = ivf_build(load(spark, sf_dir, "embeddings"),
+                                   k_centroids=k, seed=seed)
+    return _IVF_MEMO[key]
+
+
 def _exact_ids(emb, query, k):
     return {r.vec_id for r in dense_knn(emb, query, k=k).collect()}
 
@@ -28,7 +44,7 @@ def test_ivf_exhaustive_probe_is_exact(spark, sf_smoke):
     the exact scan."""
     emb = load(spark, sf_smoke, "embeddings")
     q = _query_of(emb, 0)
-    assigned, centroids = ivf_build(emb, k_centroids=8, seed=42)
+    assigned, centroids = _ivf_built(spark, sf_smoke, 8)
     approx = ivf_search(assigned, centroids, q, k=10, nprobe=8)
     assert {r.vec_id for r in approx.collect()} == _exact_ids(emb, q, 10)
 
@@ -39,7 +55,7 @@ def test_ivf_recall_reasonable(spark, sf_smoke):
     recall here is the floor, not the ceiling: measured 0.37/0.53/0.70
     at nprobe=4/6/8 of 16.)"""
     emb = load(spark, sf_smoke, "embeddings")
-    assigned, centroids = ivf_build(emb, k_centroids=16, seed=42)
+    assigned, centroids = _ivf_built(spark, sf_smoke, 16)
     hits = total = 0
     for qid in (0, 1, 2):
         q = _query_of(emb, qid)
@@ -55,7 +71,7 @@ def test_ivf_self_hit(spark, sf_smoke):
     """The query vector itself lives in the probed partition (its own
     centroid is always the nearest) — rank 1 must be the query id."""
     emb = load(spark, sf_smoke, "embeddings")
-    assigned, centroids = ivf_build(emb, k_centroids=16, seed=42)
+    assigned, centroids = _ivf_built(spark, sf_smoke, 16)
     top = ivf_search(assigned, centroids, _query_of(emb, 3), k=1, nprobe=1).collect()
     assert top[0].vec_id == 3
 
@@ -107,7 +123,7 @@ def test_expr_assignment_matches_ml_transformer(spark, sf_smoke):
     """Sample-trained + expression-assigned IVF must agree with the
     ml-transformer assignment for the same centroids."""
     emb = load(spark, sf_smoke, "embeddings")
-    a1, c1 = ivf_build(emb, k_centroids=8, seed=42)
+    a1, c1 = _ivf_built(spark, sf_smoke, 8)
     from image_indexing_and_retrival_with_qdrant_spark.operators.ann import (
         assign_centroid_expr,
     )
@@ -287,7 +303,7 @@ def test_ivf_split_hot_cells(spark, sf_smoke):
 
     emb = load(spark, sf_smoke, "embeddings")
     n = emb.count()
-    assigned, centroids = ivf_build(emb, k_centroids=4, seed=42)
+    assigned, centroids = _ivf_built(spark, sf_smoke, 4)
     counts = ivf_cell_counts(assigned)
     hot_frac = max(counts.values()) / n
     cap = 0.10

@@ -20,14 +20,24 @@ def test_knn_join_oracle_parity(spark, sf, request):
             "knn_join_top3")
 
 
+_SETUP_MEMO: dict = {}
+
+
 def _setup(spark, sf_smoke):
+    # one deterministic KMeans fit for the module's three join tests
+    # (fixed seed + data ⇒ identical centroids; the fit dominated the
+    # module's gate time — VERDICT r11 #3)
+    key = (spark.sparkContext.applicationId, sf_smoke)
+    if key in _SETUP_MEMO:
+        return _SETUP_MEMO[key]
     emb = load(spark, sf_smoke, "embeddings")
     _, centroids = ivf_build(emb, k_centroids=8, seed=42)
     cents = [list(r.centroid) for r in
              sorted(centroids.collect(), key=lambda r: r.centroid_id)]
     left = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("query_vec"))
-    return emb, cents, left
+    _SETUP_MEMO[key] = (emb, cents, left)
+    return _SETUP_MEMO[key]
 
 
 def test_probe_cells_first_is_own_cell(spark, sf_smoke):
