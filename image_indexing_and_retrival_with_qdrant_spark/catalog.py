@@ -1025,8 +1025,8 @@ class Collection:
         # cells (large k_centroids) would otherwise inflate a single
         # Catalyst expression (the assign_centroids
         # max_expr_literals=512 discipline, join form)
-        base_df = spark.createDataFrame(
-            [(int(c), int(n)) for c, n in sorted(base.items())],
+        base_df = local_literal_df(
+            spark, [(int(c), int(n)) for c, n in sorted(base.items())],
             "__cell bigint, __base bigint")
         new = new.withColumn(
             "__cell", F.col("centroid_id").cast("bigint")).join(
@@ -1343,8 +1343,9 @@ class Collection:
                                  f"centroid_id={old_id}"),
                     os.path.join(self._ivf_points,
                                  f"centroid_id={new_id}"))
-        spark.createDataFrame(
-            [(i, list(c)) for i, (_, c) in enumerate(cent_rows)],
+        local_literal_df(
+            spark, [(i, [float(x) for x in c])
+                    for i, (_, c) in enumerate(cent_rows)],
             "centroid_id int, centroid array<double>",
         ).write.mode("overwrite").parquet(self._ivf_centroids)
         self._centroid_cache = None
@@ -2255,7 +2256,8 @@ class Collection:
                     f" DOUBLE) + 0.5D) * {float(st)!r}D))"
                     for j, (mn, st) in enumerate(zip(mins, steps), start=1)
                 ) + ")")
-            queries = spark.createDataFrame(
+            queries = local_literal_df(
+                spark,
                 [(i, [float(x) for x in v]) for i, v in enumerate(qvs)],
                 "query_idx int, query_vec array<double>")
             scored = (codes.withColumn("__deq", deq)
@@ -2287,8 +2289,8 @@ class Collection:
                             for x, c in zip(q_sub, cw))
                         for cw in cbs[b])
                 luts.append((i, flat))
-            queries = spark.createDataFrame(
-                luts, "query_idx int, lut array<double>")
+            queries = local_literal_df(
+                spark, luts, "query_idx int, lut array<double>")
             adc = " + ".join(
                 f"element_at(`lut`, {b * kc} + `code{b}` + 1)"
                 for b in range(n_blocks))
@@ -2299,8 +2301,8 @@ class Collection:
         else:
             words = [(i, [int(w) for w in bq_query_words(v)])
                      for i, v in enumerate(qvs)]
-            queries = spark.createDataFrame(
-                words, "query_idx int, qwords array<bigint>")
+            queries = local_literal_df(
+                spark, words, "query_idx int, qwords array<bigint>")
             ham = F.aggregate(
                 F.zip_with("bits", "qwords",
                            lambda x, y: F.bit_count(
@@ -2480,8 +2482,8 @@ class Collection:
             side = side.filter(
                 F.col("pcell").isin(sorted(int(i) for i in probe)))
         side = side.drop("pcell")
-        queries = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(pqs)],
+        queries = local_literal_df(
+            spark, [(i, [float(x) for x in v]) for i, v in enumerate(pqs)],
             "query_idx int, query_vec array<double>")
         metric = cfg.get("metric", "cosine")
         short = dense_knn_batch(side, queries, k=m, id_col=id_col,
@@ -3878,8 +3880,8 @@ class Collection:
             include_pairs = self._pca_shortlist_batch(
                 spark, qvs, m, id_col, cfg=cfg, space=space,
                 nprobe=nprobe)
-            include_pairs = spark.createDataFrame(
-                include_pairs.collect(), include_pairs.schema)
+            include_pairs = local_literal_df(
+                spark, include_pairs.collect(), include_pairs.schema)
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
@@ -3928,8 +3930,8 @@ class Collection:
                            if gq is None else True),
                 decode=None if gq is None else gq[2],
             ).collect()
-            include_pairs = spark.createDataFrame(
-                [(int(r["query_id"]), r["vec_id"]) for r in cand],
+            include_pairs = local_literal_df(
+                spark, [(int(r["query_id"]), r["vec_id"]) for r in cand],
                 f"query_idx int, {id_col} {id_type}")
             corpus = corpus.filter(F.col(id_col).isin(
                 sorted({r["vec_id"] for r in cand})))
@@ -3947,8 +3949,8 @@ class Collection:
                 spark, qvs, m, id_col,
                 probe_ids=probe_union() if composed else None,
                 cfg=cfg, space=space)
-            include_pairs = spark.createDataFrame(
-                include_pairs.collect(), include_pairs.schema)
+            include_pairs = local_literal_df(
+                spark, include_pairs.collect(), include_pairs.schema)
             ids = [r[id_col] for r in
                    include_pairs.select(id_col).distinct().collect()]
             corpus = corpus.filter(F.col(id_col).isin(ids))
@@ -3956,8 +3958,8 @@ class Collection:
             corpus = _read_parquet(spark, self._ivf_points).filter(
                 F.col("centroid_id").isin(probe_union())
             ).drop("centroid_id")
-        queries = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(qvs)],
+        queries = local_literal_df(
+            spark, [(i, [float(x) for x in v]) for i, v in enumerate(qvs)],
             "query_idx int, query_vec array<double>",
         )
         batch_not_payload = self._vector_columns(vec_col) | {id_col}
@@ -4644,8 +4646,8 @@ class Collection:
         # type the exclusion frame from the actual examples
         id_type = ("string" if any(isinstance(i, str) for i in all_ids)
                    else "long")
-        excl_df = spark.createDataFrame(
-            excl, f"query_idx int, {id_col} {id_type}")
+        excl_df = local_literal_df(
+            spark, excl, f"query_idx int, {id_col} {id_type}")
         return dense_knn_batch(
             corpus, qdf, k=k, id_col=id_col, vec_col=cfg["vec_col"],
             query_id_col="query_idx", payload_cols=payload,

@@ -274,7 +274,8 @@ def ingest_point_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         page2 = coll.scroll(spark, limit=100,
                             after_id=page1[-1].id).collect() if page1 else []
         assert not ({r.id for r in page1} & {r.id for r in page2})
-        return spark.createDataFrame(
+        return local_literal_df(
+            spark,
             [(n_total, n_deleted, n_remaining, len(page1) + len(page2))],
             "n_total long, n_deleted long, n_remaining long, n_scrolled long",
         )
@@ -311,7 +312,7 @@ def ingest_collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             coll.upsert(spark, points, mode=mode)
             coll.upsert(spark, points, mode=mode)  # re-index run
             rows.append((mode, coll.count(spark)))
-        return spark.createDataFrame(rows, "mode string, n_points long")
+        return local_literal_df(spark, rows, "mode string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -350,7 +351,7 @@ def ingest_payload_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n == coll.count(spark, FieldCondition("tier", match="high"))
         rows = [(r.value, r["count"]) for r in
                 coll.facet(spark, "tier", limit=10).collect()]
-        return spark.createDataFrame(rows, "value string, count long")
+        return local_literal_df(spark, rows, "value string, count long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -394,7 +395,7 @@ def ingest_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("en+de", coll.count(spark, shard_key_selector=["en", "de"])),
             ("all", coll.count(spark)),
         ]
-        return spark.createDataFrame(rows, "selector string, n_points long")
+        return local_literal_df(spark, rows, "selector string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -442,7 +443,7 @@ def ingest_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_aliases(root, delete=["prod"], create={"prod": "en_only"})
         rows.append(
             ("aliased", resolve_collection(root, "prod").count(spark)))
-        return spark.createDataFrame(rows, "step string, n_points long")
+        return local_literal_df(spark, rows, "step string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -545,7 +546,7 @@ def ingest_payload_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("lang")
                 .agg(F.count("*").cast("long").alias("n_points"))
                 .orderBy("lang").collect()]
-        return spark.createDataFrame(rows, "lang string, n_points long")
+        return local_literal_df(spark, rows, "lang string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1012,8 +1013,8 @@ def ingest_tenant_defrag(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
                       .orderBy("lang").collect())
         rows = [(r.lang, r.n_points, bool(ok)) for r in counts]
-        return spark.createDataFrame(
-            rows, "lang string, n_points long, defragmented boolean")
+        return local_literal_df(
+            spark, rows, "lang string, n_points long, defragmented boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2458,8 +2459,8 @@ def ingest_image_pipeline_e2e(spark: SparkSession,
             payload={"filename": F.col("filename"),
                      "page": F.col("page")},
             source_tag="document", with_timestamp=False)
-        qv = [list(spark.createDataFrame(
-            [(f"{_QUERY_TEXT}#p{s}",)], "text string")
+        qv = [list(local_literal_df(
+            spark, [(f"{_QUERY_TEXT}#p{s}",)], "text string")
             .select(_E.expr(F.col("text"), "query").alias("e"))
             .collect()[0].e) for s in range(_IPE_NSUB)]
         coll = create_collection(root, "ipe", dim=8, multivector=True,

@@ -273,6 +273,6 @@ def stream_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 HashEmbedder(dim=8), os.path.join(root, ckpt))
             q.awaitTermination(300)
             rows.append((step, coll.count(spark)))
-        return spark.createDataFrame(rows, "step string, n_points long")
+        return local_literal_df(spark, rows, "step string, n_points long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
